@@ -1,0 +1,220 @@
+"""Deduplication suite for LLM-data pipelines (north star; BASELINE.json).
+
+Five dedup families over ``documents``, each designed for the 100 TB path:
+
+- :func:`exact_dedup` — md5(text) hash-groupBy; one shuffle on a short key.
+- :func:`minhash_signatures` + :func:`lsh_candidate_pairs` — MinHash + LSH
+  banding: shingle → n_perm min-hashes → band buckets → equi-join. The
+  shuffle is on band keys, never on document pairs; candidate verification
+  joins only within buckets.
+- :func:`simhash_signatures` — 60-bit SimHash (per-bit majority vote of
+  token hashes); equal-signature grouping or small-radius probing.
+- :func:`ngram_jaccard_pairs` — exact word-n-gram Jaccard via co-occurrence
+  join (the brute-force oracle for the approximate families).
+- embedding cosine near-dup lives in :mod:`.simsearch` (same machinery as
+  similarity search).
+
+Hash portability: every hash is md5-derived (functions.portable) so DuckDB
+oracles reproduce values bit-for-bit. At raw-throughput scale you'd swap
+``xxhash64`` in via ``hash_expr`` — the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.functions.portable import md5_long, salted_md5_long
+from bigdata_capstone_spark.operators.textops import tokens_col
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct text: (keep_id = min id, text_hash, n_copies)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles_col(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{n_perm-1}) MinHash signature over word shingles.
+
+    One explode + one groupBy(id) with n_perm ``min`` aggregates — a single
+    shuffle keyed by document id; partial aggregation keeps the map-side
+    state at n_perm longs per doc.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("sh")
+    )
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(salted_md5_long(F.col("sh"), p)).alias(f"h{p}")
+            for p in range(n_perm)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` groups of
+    ``n_perm/bands`` rows; docs sharing any band bucket become a candidate
+    pair (idA < idB, dedup'd across bands).
+
+    Scale shape: explode to (band, bucket_key) — |docs|·bands rows — then a
+    groupBy-join on the bucket key. Hot buckets (boilerplate docs) are the
+    blow-up risk; cap with a bucket-size threshold upstream if needed.
+    """
+    rows = n_perm // bands
+    band_keys = [
+        md5_long(
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    keyed = sigs.select(F.col(id_col), *band_keys)
+    buckets = keyed.select(
+        id_col,
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+    a = buckets.select(F.col(id_col).alias("idA"), "bucket")
+    b = buckets.select(F.col(id_col).alias("idB"), "bucket")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("idA") < F.col("idB"))
+        .select("idA", "idB")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline with exact verification: candidates
+    from banding, then true shingle-Jaccard computed only for candidates
+    (the verify join is bucket-local, never all-pairs)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_n)
+    cands = lsh_candidate_pairs(sigs, n_perm, bands, id_col)
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.join(sizes, on=id_col).select(
+        F.col(id_col).alias("idA"), F.col("sh"), F.col("n").alias("nA")
+    )
+    b = sh.join(sizes, on=id_col).select(
+        F.col(id_col).alias("idB"), F.col("sh"), F.col("n").alias("nB")
+    )
+    common = (
+        cands.join(a, on="idA")
+        .join(b, on=["idB", "sh"])
+        .groupBy("idA", "idB", "nA", "nB")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return common.select(
+        "idA",
+        "idB",
+        (F.col("common") / (F.col("nA") + F.col("nB") - F.col("common"))).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 60,
+) -> DataFrame:
+    """SimHash: bit j of the signature is the majority vote of bit j across
+    the document's token hashes. 60 bits so the value stays a positive
+    signed 64-bit long in both Spark and DuckDB.
+
+    Bit j of a token = bit (j mod 4) of hex digit j//4 of md5(token) —
+    pure string ops, portable to the oracle. One explode + one groupBy(id)
+    with 60 conditional-sum aggregates (map-side combined).
+    """
+    toks = F.array_distinct(tokens_col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok")).withColumn(
+        "h", F.md5(F.col("tok"))
+    )
+    digit = lambda j: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(F.col("h"), j // 4 + 1, 1)
+    ) - 1
+    bit = lambda j: F.floor(digit(j) / (2 ** (j % 4))) % 2  # noqa: E731
+    votes = exploded.groupBy(id_col).agg(
+        *[F.sum(bit(j) * 2 - 1).alias(f"v{j}") for j in range(n_bits)]
+    )
+    sig = None
+    for j in range(n_bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all co-occurring pairs — the brute-force
+    oracle for the approximate dedup families. Co-occurrence join on the
+    shingle: quadratic only within identical shingles."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    withn = sh.join(sizes, on=id_col)
+    a = withn.select(F.col(id_col).alias("idA"), "sh", F.col("n").alias("nA"))
+    b = withn.select(F.col(id_col).alias("idB"), "sh", F.col("n").alias("nB"))
+    common = (
+        a.join(b, on="sh")
+        .filter(F.col("idA") < F.col("idB"))
+        .groupBy("idA", "idB", "nA", "nB")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return common.select(
+        "idA",
+        "idB",
+        (F.col("common") / (F.col("nA") + F.col("nB") - F.col("common"))).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= min_jaccard)

@@ -1,0 +1,90 @@
+"""Relational core (SURVEY §2.2-2.3, §2.5-2.8).
+
+Generalizes the reference's projection/filter/join/union/top-k idioms:
+
+- semi-join-as-inner-join against a ``.distinct()`` key table
+  (splitting_data.py:21,33-34; SURVEY Q5) → real ``left_semi``
+- aliased self-join with post-join equality filter
+  (customer_segmentation_2.py:23-33) → single compound join condition
+- global top-k with nondeterministic ties (customer_segmentation_1.py:36-37;
+  SURVEY Q2) → explicit total-order tie-break
+- per-group top-k via ``rank`` vs ``row_number``
+  (als_recommendation.py:21-23 vs popularity_model.py:46; SURVEY Q3) → both
+  exposed, caller picks tie semantics
+- positional ``union`` (splitting_data.py:35) → ``unionByName``
+
+All pure DataFrame ops: Catalyst plans semi/anti joins as broadcast
+hash-joins when the key side is small, and global top-k as
+``TakeOrderedAndProject`` (no full sort at scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def semi_join(df: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
+    """Keep rows of ``df`` whose key appears in ``keys`` (EXISTS).
+
+    The reference expressed this as an inner join against a distinct()-ed
+    key table (splitting_data.py:27-34); ``left_semi`` never duplicates and
+    lets Catalyst skip materializing the right side's payload columns.
+    """
+    return df.join(keys, on=on, how="left_semi")
+
+
+def anti_join(df: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
+    """Keep rows of ``df`` whose key does NOT appear in ``keys`` (NOT EXISTS)."""
+    return df.join(keys, on=on, how="left_anti")
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k with a total order.
+
+    Callers must pass a tie-breaking total order (SURVEY Q2: the reference's
+    ``orderBy(similarity).limit(100)`` selected arbitrarily among 1.0-ties).
+    Spark plans this as TakeOrderedAndProject: each partition keeps k rows,
+    the driver merges — no global sort, safe at any scale.
+    """
+    return df.orderBy(*order_by).limit(k)
+
+
+def grouped_top_k(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    method: str = "row_number",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-k per group; ``method`` picks tie semantics (SURVEY Q3).
+
+    ``row_number`` → exactly k rows/group (reference: popularity_model.py:46);
+    ``rank`` → >k rows kept on boundary ties (als_recommendation.py:21-23).
+    """
+    if method not in ("row_number", "rank"):
+        raise ValueError(f"method must be row_number|rank, got {method!r}")
+    fn = F.row_number if method == "row_number" else F.rank
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    ranked = df.withColumn("__rk", fn().over(w)).filter(F.col("__rk") <= k)
+    if rank_col:
+        return ranked.withColumnRenamed("__rk", rank_col)
+    return ranked.drop("__rk")
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """By-name union (bag semantics), hardening the reference's positional
+    ``union`` chain (splitting_data.py:35)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def union_distinct(*dfs: DataFrame) -> DataFrame:
+    """Set-semantics union."""
+    return union_all(*dfs).distinct()

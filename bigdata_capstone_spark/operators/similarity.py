@@ -1,0 +1,135 @@
+"""User-similarity ("movie twins") pipeline (SURVEY §2.9 M1-M3, §2.3 J4).
+
+Rebuilds customer_segmentation_1.py as a library:
+
+- :func:`user_item_sets` — per-user distinct item array, min-activity
+  filtered (customer_segmentation_1.py:14-20)
+- :func:`lsh_similar_pairs` — CountVectorizer(binary) → MinHashLSH →
+  ``approxSimilarityJoin`` → dedup'd (a<b) pairs with Jaccard similarity
+  (customer_segmentation_1.py:22-37), deterministic tie-break on the
+  top-k boundary (SURVEY Q2)
+- :func:`exact_jaccard_pairs` — brute-force co-occurrence Jaccard, the
+  small-N oracle the LSH output is validated against (SURVEY §5.2) and
+  the SQL-expressible twin for the DuckDB check
+
+Scale posture (SURVEY §7.3 "LSH at scale"): approxSimilarityJoin explodes
+hash buckets and equi-joins on (table#, hash) — hot buckets (identical
+popular item sets) blow up candidate pairs quadratically. Mitigations
+exposed as parameters: ``num_hash_tables`` (banding), ``max_set_size``
+(drop degenerate power users), and the exact path's ``min_common`` prefilter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.operators.relational import top_k
+
+
+def user_item_sets(
+    ratings: DataFrame,
+    user_col: str = "userId",
+    item_col: str = "movieId",
+    min_items: int = 5,
+    max_items: int | None = None,
+) -> DataFrame:
+    """(user, sorted distinct item array) with activity bounds.
+
+    ``collect_set`` + ``sort_array`` replaces the reference's unordered
+    ``collect_list`` (Q1); ``max_items`` caps degenerate hot users before
+    they hit the LSH join.
+    """
+    sets = ratings.groupBy(user_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("items")
+    )
+    out = sets.filter(F.size("items") >= min_items)
+    if max_items is not None:
+        out = out.filter(F.size("items") <= max_items)
+    return out
+
+
+def lsh_similar_pairs(
+    user_items: DataFrame,
+    threshold: float = 0.5,
+    num_hash_tables: int = 5,
+    k: int | None = 100,
+    user_col: str = "userId",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate similarity self-join: pairs with Jaccard distance ≤
+    ``threshold``, as (userA, userB, similarity), userA < userB.
+
+    CountVectorizer(binary=True) (M1, customer_segmentation_1.py:22-24)
+    vectorizes the item arrays; MinHashLSH with ``num_hash_tables`` bands
+    (M2, :27-29 — the report raised it 1→5 to cut collisions, p.2) feeds
+    ``approxSimilarityJoin`` (M3/J4, :31). Not SQL-expressible → rows-only
+    driver check; validated against :func:`exact_jaccard_pairs` in tests.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    items_str = user_items.select(
+        user_col, F.col("items").cast("array<string>").alias("items")
+    )
+    cv = CountVectorizer(inputCol="items", outputCol="features", binary=True)
+    cv_model = cv.fit(items_str)
+    features = cv_model.transform(items_str).cache()  # reused: fit + both join sides (M4)
+
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(features)
+    joined = model.approxSimilarityJoin(features, features, threshold, distCol="jaccard_dist")
+    pairs = joined.selectExpr(
+        f"datasetA.{user_col} as userA",
+        f"datasetB.{user_col} as userB",
+        "1 - jaccard_dist as similarity",
+    ).filter(F.col("userA") < F.col("userB"))
+    if k is not None:
+        pairs = top_k(
+            pairs, [F.desc("similarity"), F.col("userA"), F.col("userB")], k
+        )
+    return pairs
+
+
+def exact_jaccard_pairs(
+    ratings: DataFrame,
+    min_similarity: float = 0.5,
+    min_items: int = 5,
+    min_common: int = 1,
+    user_col: str = "userId",
+    item_col: str = "movieId",
+) -> DataFrame:
+    """Exact Jaccard over all user pairs sharing ≥ ``min_common`` items.
+
+    Co-occurrence formulation: distinct (user, item) self-joined on item
+    gives |A∩B| per pair; |A∪B| = |A|+|B|−|A∩B|. The item self-join is the
+    classic quadratic hot-item risk — at scale, pre-cap item frequency or
+    go through :func:`lsh_similar_pairs`; this path is the correctness
+    oracle and is fully ANSI-SQL (DuckDB-checkable).
+    """
+    ui = ratings.select(user_col, item_col).distinct()
+    sizes = ui.groupBy(user_col).agg(F.count(F.lit(1)).alias("n"))
+    ui_sized = ui.join(sizes, on=user_col).filter(F.col("n") >= min_items)
+
+    a = ui_sized.select(
+        F.col(user_col).alias("userA"), F.col(item_col).alias("i"), F.col("n").alias("nA")
+    )
+    b = ui_sized.select(
+        F.col(user_col).alias("userB"), F.col(item_col).alias("i"), F.col("n").alias("nB")
+    )
+    common = (
+        a.join(b, on="i")
+        .filter(F.col("userA") < F.col("userB"))
+        .groupBy("userA", "userB", "nA", "nB")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return common.select(
+        "userA",
+        "userB",
+        (
+            F.col("common")
+            / (F.col("nA") + F.col("nB") - F.col("common"))
+        ).alias("similarity"),
+    ).filter(F.col("similarity") >= min_similarity)

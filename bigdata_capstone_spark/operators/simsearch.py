@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (north star; BASELINE.json).
+
+``embeddings.embedding`` is ``array<float>`` (64-dim in the test data).
+Two paths:
+
+- :func:`brute_force_topk` — exact cosine top-k: query set × corpus with
+  JVM-side ``aggregate``/``zip_with`` dot products (no Python UDF), per-query
+  window top-k. The baseline and the recall oracle for the ANN path.
+  Scale shape: broadcast the (small) query set, stream the corpus — one
+  pass, no shuffle except the final per-query top-k (map-side partial
+  top-k via TakeOrdered semantics would need an agg; the window over
+  query_id is the simple correct form).
+- :func:`rp_lsh_buckets` / :func:`ann_topk` — random-hyperplane LSH:
+  sign-bit sketch of each vector under ``n_planes`` fixed ±1 hyperplanes
+  (derived from md5, so deterministic and engine-portable), candidates
+  join within buckets (multi-probe over ``n_tables`` independent sketches),
+  exact cosine re-rank of candidates only.
+
+At 100 TB: brute force is O(|Q|·|corpus|) — fine for small query batches
+(the broadcast keeps it shuffle-free); the LSH path bounds candidates per
+query and is the default for corpus×corpus near-dup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.functions.portable import cosine_similarity_col
+from bigdata_capstone_spark.operators.relational import grouped_top_k
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for each query vector.
+
+    Returns (query_id, vec_id, cosine_r, rank); cosine rounded to 6dp
+    *before* ranking so the rank order itself is reproducible across
+    engines (ties then break on vec_id).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    pairs = q.crossJoin(c)
+    if not include_self:
+        pairs = pairs.filter(F.col("query_id") != F.col(id_col))
+    scored = pairs.select(
+        "query_id",
+        id_col,
+        F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 6).alias("cosine_r"),
+    )
+    return grouped_top_k(
+        scored,
+        ["query_id"],
+        [F.desc("cosine_r"), F.col(id_col)],
+        k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def _plane_weights(plane: int, dim: int, table: int = 0) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 — no RNG state, reproducible
+    anywhere (same values if re-derived in SQL or another engine)."""
+    w = []
+    for d in range(dim):
+        h = hashlib.md5(f"{table}:{plane}:{d}".encode()).hexdigest()
+        w.append(1.0 if int(h[:8], 16) % 2 == 0 else -1.0)
+    return w
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) sign-bit sketches under fixed random hyperplanes.
+
+    bucket = sum over planes of sign_bit·2^plane, per table. All arithmetic
+    is ``zip_with``+``aggregate`` over literal weight arrays — JVM codegen,
+    no UDF, deterministic.
+    """
+    out_rows = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            weights = F.array(*[F.lit(w) for w in _plane_weights(p, dim, t)])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), weights, lambda x, w: x.cast("double") * w
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(dot >= 0, F.lit(2**p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        out_rows.append(
+            df.select(
+                F.col(id_col), F.lit(t).alias("table"), bucket.alias("bucket")
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = corpus vectors sharing any
+    (table, bucket) with the query, re-ranked by exact cosine. Recall is
+    tunable via n_planes (bucket size) and n_tables (probes)."""
+    cb = rp_lsh_buckets(corpus, dim, n_planes, n_tables, id_col, vec_col)
+    qb = rp_lsh_buckets(queries, dim, n_planes, n_tables, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "table", "bucket"
+    )
+    cand = (
+        qb.join(cb, on=["table", "bucket"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(q), on="query_id")
+        .join(c, on=id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine_r"
+            ),
+        )
+    )
+    return grouped_top_k(
+        scored, ["query_id"], [F.desc("cosine_r"), F.col(id_col)], k, rank_col="rank"
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    min_cosine: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family #5): bucket-join
+    candidates, exact-cosine verify, threshold."""
+    b = rp_lsh_buckets(df, dim, n_planes, n_tables, id_col, vec_col)
+    a = b.select(F.col(id_col).alias("idA"), "table", "bucket")
+    bb = b.select(F.col(id_col).alias("idB"), "table", "bucket")
+    cand = (
+        a.join(bb, on=["table", "bucket"])
+        .filter(F.col("idA") < F.col("idB"))
+        .select("idA", "idB")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("idA"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("idB"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, on="idA")
+        .join(vb, on="idB")
+        .select(
+            "idA",
+            "idB",
+            F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 6).alias(
+                "cosine_r"
+            ),
+        )
+        .filter(F.col("cosine_r") >= min_cosine)
+    )

@@ -1,0 +1,138 @@
+"""Text analysis for LLM-data pipelines (north star; BASELINE.json).
+
+Operators over the ``documents`` table, all built from JVM-side built-ins
+(no Python UDFs — SURVEY §2.11 policy) and expressible in DuckDB SQL for
+the oracle:
+
+- :func:`tokens_col` / :func:`token_count` — whitespace + regex ("BPE-ish")
+  token counting
+- :func:`quality_features` / :func:`quality_score` — length, punctuation /
+  stopword / distinct-token ratios → composite quality score
+- :func:`lang_id_heuristic` — stopword-dictionary n-gram-free language ID
+- :func:`minhash_fingerprint` — k-min md5 fingerprint (document identity
+  robust to token order)
+
+At 100 TB each of these is a narrow map over the text column — no shuffle
+at all until a downstream groupBy; they pipeline into the same scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.functions.portable import salted_md5_long
+
+# Tiny function-word dictionaries for the language-ID heuristic. Heuristic
+# by design (the container has no langid lib); the dictionaries are part of
+# the operator contract so the oracle SQL can embed the identical lists.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de": ("der", "die", "und", "das", "nicht", "von", "ist", "mit", "den", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "en", "un", "du", "une", "est"),
+}
+
+# word-ish runs, number runs, or single other non-space symbols
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens_col(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokens of a text column (empty strings filtered)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and regex token counts per document."""
+    return df.select(
+        "doc_id",
+        F.size(tokens_col(text_col)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals (all ratios in [0,1])."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), stop)) / F.lit(
+        float(len(LANG_STOPWORDS["en"]))
+    )
+    n_chars = F.length(text_col)
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    alpha_ratio = alpha_chars / n_chars
+    mean_tok_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tok
+    )
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score: favors mid-length, diverse, alphabetic
+    documents — the standard pretraining-filter shape (length/punct/stopword
+    heuristics), deliberately simple and fully portable."""
+    feats = quality_features(df, text_col)
+    length_term = F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0))
+    score = (
+        0.3 * length_term
+        + 0.3 * F.col("distinct_ratio")
+        + 0.2 * F.col("alpha_ratio")
+        + 0.2 * F.col("stopword_ratio")
+    )
+    return feats.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+def lang_id_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Guess language by function-word hits; deterministic tie-break by
+    language code; 'und' (undetermined) when no dictionary hits."""
+    toks = F.array_distinct(tokens_col(text_col))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array([F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    guess = F.lit("und")
+    # reversed alphabetical fold → earliest language wins ties
+    for lang in sorted(scores, reverse=True):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best == 0, F.lit("und")).otherwise(guess)
+    return df.select("doc_id", guess.alias("lang_guess"))
+
+
+def minhash_fingerprint(
+    df: DataFrame, text_col: str = "text", n_perm: int = 4
+) -> DataFrame:
+    """k-min-hash fingerprint: for each of ``n_perm`` salted md5 families,
+    the minimum token hash; concatenated to a hex-free string key. Equal
+    token *sets* ⇒ equal fingerprints (document identity robust to word
+    order / duplication)."""
+    toks = F.array_distinct(tokens_col(text_col))
+    exploded = df.select("doc_id", F.explode(toks).alias("tok"))
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(salted_md5_long(F.col("tok"), p)).alias(f"h{p}")
+            for p in range(n_perm)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.concat_ws("-", *[F.col(f"h{p}").cast("string") for p in range(n_perm)]).alias(
+            "fingerprint"
+        ),
+    )

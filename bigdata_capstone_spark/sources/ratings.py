@@ -1,0 +1,90 @@
+"""Deterministic MovieLens-shaped ratings fixture (FIXTURES.md B1).
+
+The reference's core input is ``ratings.csv(userId, movieId, rating,
+timestamp)`` (splitting_data.py:13-16). The driver testdata has no such
+table, so reference-exact semantics (splits, popularity, twins, corr) are
+exercised on this synthetic table: generated *distributed* (``spark.range``
++ md5-derived pseudo-randomness — no driver-side loops, unlike
+customer_segmentation_2.py:62-69) and fully determined by ``seed``.
+
+Embedded edge cases required by the reference's semantics quirks
+(SURVEY §2.12):
+- two user pairs with *identical* movie sets → Jaccard 1.0 twins (Q2)
+- a pair with exactly one common movie → corr is null (Q6)
+- a constant rater → rating variance 0, filtered (customer_segmentation_2.py:59)
+- users with <5 ratings and movies with <5 ratings → activity filters bite
+- rows with null rating/movieId → dropna path (splitting_data.py:16)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.functions.portable import MD5_LONG_MAX, salted_md5_long
+from bigdata_capstone_spark.sources.tables import RATINGS_SCHEMA
+
+
+def _u01(col, salt: int):
+    """Deterministic uniform [0,1) from an id column."""
+    return salted_md5_long(col.cast("string"), salt) / F.lit(float(MD5_LONG_MAX))
+
+
+def synthetic_ratings(
+    spark: SparkSession,
+    n_rows: int = 20_000,
+    n_users: int = 200,
+    n_movies: int = 300,
+    seed: int = 42,
+) -> DataFrame:
+    """Zipf-skewed ratings table with the B1 edge cases appended."""
+    base = spark.range(n_rows).select(
+        (F.floor(_u01(F.col("id"), seed) * n_users)).alias("userId"),
+        # cube the uniform → head-heavy movie popularity so twin candidates
+        # and <5-rating tail movies both exist
+        (F.floor(F.pow(_u01(F.col("id"), seed + 1), 3.0) * n_movies)).alias("movieId"),
+        (0.5 + F.floor(_u01(F.col("id"), seed + 2) * 10) * 0.5).alias("rating"),
+        (F.lit(1_500_000_000) + (salted_md5_long(F.col("id").cast("string"), seed + 3) % 100_000_000)).alias(
+            "timestamp"
+        ),
+    )
+    # one rating per (user, movie), deterministically keeping the max rating
+    base = base.groupBy("userId", "movieId").agg(
+        F.max("rating").alias("rating"), F.max("timestamp").alias("timestamp")
+    )
+
+    twin_movies_a = [11, 23, 35, 47, 59, 71]
+    twin_movies_b = [12, 24, 36, 48, 60]
+    special = []
+    # twins: identical movie sets, correlated-but-not-identical ratings
+    for i, m in enumerate(twin_movies_a):
+        special.append((9001, m, 1.0 + 0.5 * i, 1_600_000_000 + i))
+        special.append((9002, m, 1.5 + 0.5 * i, 1_600_000_100 + i))
+    for i, m in enumerate(twin_movies_b):
+        special.append((9003, m, 5.0 - 0.5 * i, 1_600_000_200 + i))
+        special.append((9004, m, 4.5 - 0.5 * i, 1_600_000_300 + i))
+    # exactly one common movie (corr undefined → null, Q6)
+    special += [(9005, 101, 4.0, 1_600_001_000), (9005, 102, 3.0, 1_600_001_001),
+                (9005, 103, 2.0, 1_600_001_002), (9005, 104, 5.0, 1_600_001_003),
+                (9005, 105, 1.0, 1_600_001_004),
+                (9006, 101, 2.0, 1_600_001_100), (9006, 111, 3.5, 1_600_001_101),
+                (9006, 112, 4.5, 1_600_001_102), (9006, 113, 0.5, 1_600_001_103),
+                (9006, 114, 3.0, 1_600_001_104)]
+    # constant rater (variance 0)
+    special += [(9007, m, 3.0, 1_600_002_000 + m) for m in (11, 23, 35, 47, 59)]
+    # low-activity user (<5 ratings)
+    special += [(9008, 11, 4.0, 1_600_003_000), (9008, 23, 2.0, 1_600_003_001)]
+    special_df = spark.createDataFrame(special, ["userId", "movieId", "rating", "timestamp"])
+
+    nulls = spark.createDataFrame(
+        [(9101, 11, None, 1_600_004_000), (9102, None, 3.0, 1_600_004_001)],
+        RATINGS_SCHEMA,
+    )
+
+    df = base.unionByName(special_df).unionByName(nulls)
+    return df.select(
+        F.col("userId").cast("long"),
+        F.col("movieId").cast("long"),
+        F.col("rating").cast("double"),
+        F.col("timestamp").cast("long"),
+    )

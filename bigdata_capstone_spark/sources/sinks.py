@@ -1,0 +1,40 @@
+"""Sinks (SURVEY §2.1 S2-S3).
+
+The reference wrote ``df.coalesce(1).write.mode("overwrite")
+.option("header", True).csv(path)`` (splitting_data.py:48-50,
+customer_segmentation_1.py:39) and then shelled out to ``hdfs dfs -mv`` to
+rename the part file (splitting_data.py:53-61). Here Parquet is the default
+sink, ``coalesce(1)`` is opt-in (it serializes the final stage to one task —
+a disaster at scale), and the rename side-effect is dropped: downstream reads
+take a directory, not a file name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink; ``partition_by`` enables partition pruning for readers."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    single_file: bool = False,
+) -> None:
+    """CSV sink (S2). ``single_file=True`` reproduces the reference's
+    ``coalesce(1)`` for tiny result tables only — never for fact data."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", header).csv(path)

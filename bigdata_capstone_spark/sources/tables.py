@@ -1,0 +1,171 @@
+"""Schema'd readers for the test-schema tables (SURVEY §2.1 S1; FIXTURES.md A).
+
+Replaces the reference's ``spark.read.csv(path, header=True,
+inferSchema=True)`` idiom (splitting_data.py:13, customer_segmentation_1.py:12,
+popularity_model.py:15-17, als_recommendation.py:10-12) with explicit
+``StructType`` schemas + Parquet: no inference pass, reproducible types,
+and columnar pushdown/pruning at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLE_NAMES: tuple[str, ...] = tuple(TABLE_SCHEMAS)
+
+# MovieLens-shaped ratings fact table (FIXTURES.md B1); the reference's core
+# input (splitting_data.py:13-16).
+RATINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("userId", T.LongType()),
+        T.StructField("movieId", T.LongType()),
+        T.StructField("rating", T.DoubleType()),
+        T.StructField("timestamp", T.LongType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table as Parquet with its declared schema.
+
+    Parquet carries its own types; we still pass the schema so a drifting
+    file fails loudly at analysis instead of silently changing types.
+
+    ``events.ts`` is physically ``TIMESTAMP(NANOS)``, which Spark's parquet
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw
+    nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``, a runtime
+    conf) and convert to microsecond TimestampType — the same truncation
+    DuckDB applies, so oracle comparisons agree.
+    """
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in TABLE_SCHEMAS["events"].fields
+            ]
+        )
+        raw = spark.read.schema(raw_schema).parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        ).select([f.name for f in TABLE_SCHEMAS["events"].fields])
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several tables at once: ``load_tables(spark, d, 'orders', 'lineitem')``."""
+    return {n: load_table(spark, sf_dir, n) for n in names or TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register tables as temp views so operators can be written in SQL."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV scan with header and an explicit schema (S1, hardened).
+
+    The reference's ``inferSchema=True`` triggers an eager extra full read
+    before any plan exists (SURVEY §3.1); an explicit schema removes that
+    job entirely — at 100 TB an inference pass is a second 100 TB scan.
+    """
+    return spark.read.schema(schema).option("header", True).csv(path)
