@@ -1,0 +1,73 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Execution is measured end-to-end per query (plan + run) into the `noop`
+sink, so results are fully materialized without pandas/driver-collect cost
+and without letting Catalyst prune work a count() would skip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_capstone_spark.catalog import QUERIES  # noqa: E402
+from bigdata_capstone_spark.session import build_session  # noqa: E402
+
+# Representative of each operator family (SURVEY §2 / north star):
+HEADLINE = [
+    "damped_part_popularity",      # flagship: agg + damped score + top-k
+    "pricing_summary",             # TPC-H Q1 shape: wide multi-aggregate
+    "regional_revenue",            # star join, broadcast dims
+    "top_orders_per_customer",     # window ranking
+    "ranking_metrics_popularity",  # recommender eval, window + multi-join
+    "customer_part_twins",         # exact Jaccard co-occurrence self-join
+    "dedup_minhash_signatures",    # text shingling + 8-perm minhash
+    "dedup_ngram_jaccard_pairs",   # shingle co-occurrence near-dup
+    "doc_quality",                 # narrow text-analysis map
+    "embedding_topk_bruteforce",   # vector similarity search
+    "events_hourly_windows",       # event-time tumbling window
+    "user_sessions",               # sessionization (lag + running sum)
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = build_session(app_name="bench")
+    # JVM/codegen warm-up on an unrelated trivial job (not counted)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -577,3 +577,560 @@ def ranking_metrics_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("map_at_k", 6).alias("map_at_k"),
         F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# North-star: deduplication over documents (BASELINE.json; dedup.py)
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_id,
+           count(*)::BIGINT AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep min doc_id. One shuffle
+    on a 32-char key regardless of document size — the 100 TB-safe shape."""
+    from bigdata_capstone_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS idA, b.doc_id AS idB,
+             max(sa.n) AS nA, max(sb.n) AS nB, count(*) AS common
+      FROM sh a
+      JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT idA, idB,
+           round(common * 1.0 / (nA + nB - common), 6) AS jaccard_r
+    FROM common
+    WHERE common * 1.0 / (nA + nB - common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.2) — the
+    brute-force family; co-occurrence join is quadratic only within
+    identical shingles."""
+    from bigdata_capstone_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.2)
+    return out.select("idA", "idB", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def _minhash_oracle(n_perm: int = 8) -> str:
+    mins = ",\n           ".join(
+        f"min(('0x' || substr(md5('{p}:' || sh), 1, 15))::BIGINT)::VARCHAR AS h{p}"
+        for p in range(n_perm)
+    )
+    concat = " || '-' || ".join(f"h{p}" for p in range(n_perm))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks WHERE len(t) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id,
+           {mins}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id, {concat} AS signature FROM sigs
+    """
+
+
+@register("dedup_minhash_signatures", oracle=_minhash_oracle(8))
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms over word 3-gram shingles), the basis of
+    LSH-banded dedup; md5-derived hash family so the oracle reproduces every
+    value. Signature equality ⇒ near-identical shingle sets."""
+    from bigdata_capstone_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n_perm=8, shingle_n=3)
+    return sigs.select(
+        "doc_id",
+        F.concat_ws("-", *[F.col(f"h{p}").cast("string") for p in range(8)]).alias(
+            "signature"
+        ),
+    )
+
+
+def _simhash_oracle(n_bits: int = 60) -> str:
+    votes = ",\n           ".join(
+        f"sum((((strpos('0123456789abcdef', substr(md5(tok), {j // 4 + 1}, 1)) - 1)"
+        f" // {2 ** (j % 4)}) % 2) * 2 - 1) AS v{j}"
+        for j in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(n_bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+           {votes}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {sig} AS simhash FROM votes
+    """
+
+
+@register("dedup_simhash_docs", oracle=_simhash_oracle(60))
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (per-bit majority vote over md5 token
+    hashes); grouping equal signatures ≈ near-dup clusters. 60 bits keeps
+    the value a positive BIGINT in both engines."""
+    from bigdata_capstone_spark.operators.dedup import simhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs, n_bits=60)
+
+
+# --------------------------------------------------------------------------
+# North-star: text analysis over documents (textops.py)
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS_SQL})::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT
+             AS re_tokens
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex token counts (the BPE-ish proxy) — narrow map,
+    no shuffle; pipelines into the scan."""
+    from bigdata_capstone_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_count(docs)
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({_TOKS_SQL}) AS n_tokens,
+             len(list_distinct({_TOKS_SQL})) * 1.0 / len({_TOKS_SQL}) AS distinct_ratio,
+             len(list_intersect(list_distinct({_TOKS_SQL}),
+                 ['the','and','of','to','a','in','is','that','it','for'])) / 10.0
+               AS stopword_ratio,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+               AS alpha_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.3 * least(n_tokens / 200.0, 1.0)
+               + 0.3 * distinct_ratio
+               + 0.2 * alpha_ratio
+               + 0.2 * stopword_ratio, 6) AS quality
+    FROM feats
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / diversity / alphabetic / stopword
+    terms) — the standard pretraining-filter shape."""
+    from bigdata_capstone_spark.operators.textops import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs)
+
+
+@register(
+    "doc_lang_id",
+    oracle="""
+    WITH scores AS (
+      SELECT doc_id,
+        len(list_intersect(list_distinct(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+            ['the','and','of','to','a','in','is','that','it','for'])) AS s_en,
+        len(list_intersect(list_distinct(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+            ['el','la','de','que','y','en','un','por','con','los'])) AS s_es,
+        len(list_intersect(list_distinct(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+            ['der','die','und','das','nicht','von','ist','mit','den','zu'])) AS s_de,
+        len(list_intersect(list_distinct(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+            ['le','la','et','les','des','en','un','du','une','est'])) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM scores
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word language-ID heuristic; tie-break = alphabetical
+    language code (de < en < es < fr), 'und' when no dictionary hits."""
+    from bigdata_capstone_spark.operators.textops import lang_id_heuristic
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id_heuristic(docs)
+
+
+def _fingerprint_oracle(n_perm: int = 4) -> str:
+    mins = ",\n           ".join(
+        f"min(('0x' || substr(md5('{p}:' || tok), 1, 15))::BIGINT)::VARCHAR AS h{p}"
+        for p in range(n_perm)
+    )
+    concat = " || '-' || ".join(f"h{p}" for p in range(n_perm))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+      FROM documents
+    ),
+    mins AS (
+      SELECT doc_id,
+           {mins}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {concat} AS fingerprint FROM mins
+    """
+
+
+@register("doc_fingerprint", oracle=_fingerprint_oracle(4))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-perm k-min-hash fingerprint: document identity robust to token
+    order/duplication (equal token sets ⇒ equal fingerprints)."""
+    from bigdata_capstone_spark.operators.textops import minhash_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_fingerprint(docs, n_perm=4)
+
+
+# --------------------------------------------------------------------------
+# North-star: similarity search over embeddings (simsearch.py)
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid AS query_id, c.vec_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+                        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))),
+               6) AS cosine_r
+      FROM q CROSS JOIN embeddings c
+      WHERE q.qid <> c.vec_id
+    )
+    SELECT query_id, vec_id, cosine_r, rank FROM (
+      SELECT *, (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_r DESC, vec_id))::INT AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id<5: broadcast queries ×
+    streamed corpus, JVM-side zip_with/aggregate dot products, cosine
+    rounded to 6dp BEFORE ranking so the rank order is engine-stable."""
+    from bigdata_capstone_spark.operators.simsearch import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10)
+
+
+@register("embedding_ann_lsh")
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets (rows-only
+    check; recall vs brute force asserted in tests). The scale path:
+    candidates bounded by bucket size, exact cosine only on candidates."""
+    from bigdata_capstone_spark.operators.simsearch import ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=4)
+
+
+# --------------------------------------------------------------------------
+# Reference-exact pipelines on driver tables: customer "twins"
+# (customer_segmentation semantics, SURVEY §2.9 M1-M3 / J4 / A5)
+# --------------------------------------------------------------------------
+
+@register(
+    "customer_part_twins",
+    oracle="""
+    WITH ui AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sizes AS (SELECT u, count(*) AS n FROM ui GROUP BY u),
+    ui2 AS (SELECT ui.u, ui.i, n FROM ui JOIN sizes ON ui.u = sizes.u WHERE n >= 5),
+    common AS (
+      SELECT a.u AS userA, b.u AS userB, max(a.n) AS nA, max(b.n) AS nB,
+             count(*) AS common
+      FROM ui2 a JOIN ui2 b ON a.i = b.i AND a.u < b.u
+      GROUP BY 1, 2
+    )
+    SELECT userA, userB,
+           round(common * 1.0 / (nA + nB - common), 6) AS similarity_r
+    FROM common
+    ORDER BY similarity_r DESC, userA, userB
+    LIMIT 20
+    """,
+)
+def customer_part_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Movie twins" semantics on driver tables: top-20 customer pairs by
+    exact Jaccard over purchased-part sets (≥5 parts), deterministic
+    tie-break (SURVEY Q2 fix). The exact path doubles as the LSH oracle."""
+    from bigdata_capstone_spark.operators.similarity import exact_jaccard_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    purchases = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("userId"), F.col("l_partkey").alias("movieId")
+    )
+    pairs = exact_jaccard_pairs(purchases, min_similarity=0.0, min_items=5)
+    scored = pairs.select(
+        "userA", "userB", F.round("similarity", 6).alias("similarity_r")
+    )
+    return rel.top_k(
+        scored, [F.desc("similarity_r"), F.col("userA"), F.col("userB")], 20
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time windowing & sessionization (SURVEY §2.10 extension; streaming/)
+# --------------------------------------------------------------------------
+
+@register(
+    "events_hourly_windows",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of a 1-hour tumbling event-time window
+    (F.window ≡ epoch-aligned date_trunc for tumbling windows). The same
+    aggregation runs as a Structured Streaming query in streaming/windows.py."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           count(*)::BIGINT AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY 1, 2
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum of
+    gap flags — the batch twin of streaming session_window. One shuffle on
+    user_id shared by both windows and the final groupBy."""
+    ensure_utc(spark)
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "prev", F.lag("ts").over(w)
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Reference-exact ML pipelines on the MovieLens-shaped fixture
+# (sources/ratings.py). Genuinely non-SQL-expressible (pyspark.ml
+# estimators / seeded randomSplit) → rows-only driver checks; semantics
+# validated in tests/ against exact oracles and invariants (SURVEY §5.2).
+# --------------------------------------------------------------------------
+
+def _ratings(spark: SparkSession) -> DataFrame:
+    from bigdata_capstone_spark.sources.ratings import synthetic_ratings
+
+    return synthetic_ratings(spark)
+
+
+@register("movie_twins_lsh")
+def movie_twins_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline pipeline (customer_segmentation_1.py):
+    MinHashLSH approximate similarity self-join over per-user movie sets,
+    top-100 twin pairs. Validated against exact_jaccard_pairs in tests."""
+    from bigdata_capstone_spark.operators.similarity import (
+        lsh_similar_pairs,
+        user_item_sets,
+    )
+
+    ratings = _ratings(spark).dropna(subset=["userId", "movieId", "rating"])
+    sets = user_item_sets(ratings, min_items=5)
+    return lsh_similar_pairs(sets, threshold=0.5, num_hash_tables=5, k=100)
+
+
+@register("ratings_split_sizes")
+def ratings_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 80/10/10 split + cold-start fold-back (splitting_data.py
+    semantics). randomSplit hashes differ from any SQL engine → sizes-only
+    here; disjointness/containment invariants asserted in tests."""
+    from bigdata_capstone_spark.operators.split import split_ratings
+
+    splits = split_ratings(_ratings(spark), seed=42)
+    rows = [
+        (name, df.count()) for name, df in splits.items()
+    ]
+    return spark.createDataFrame(rows, ["split", "n_rows"])
+
+
+@register("als_recommendations")
+def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS top-10 per user on the ratings fixture (als_recommendation.py
+    semantics, via recommendForAllUsers). Float factor math → rows-only;
+    ranking-metric sanity asserted in tests with tolerance."""
+    from bigdata_capstone_spark.operators.als import train_als_recommend
+
+    ratings = _ratings(spark).dropna(subset=["userId", "movieId", "rating"])
+    res = train_als_recommend(ratings, k=10, rank=8, max_iter=5, seed=42)
+    return res.recommendations
+
+
+@register("random_pair_correlation")
+def random_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's twins-vs-random validation (customer_segmentation_2):
+    seeded random user pairs → per-pair Pearson corr over common movies →
+    global average. Seeded + distributed (Q4 fix) but rand-hash ordering is
+    engine-specific → rows-only; the twins>random gap is asserted in tests."""
+    from bigdata_capstone_spark.operators.aggregates import pearson_by_group
+    from bigdata_capstone_spark.operators.sampling import seeded_random_pairs
+
+    ratings = _ratings(spark).dropna(subset=["userId", "movieId", "rating"])
+    active = ratings.groupBy("userId").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= 5
+    )
+    pairs = seeded_random_pairs(active, "userId", n_pairs=50, seed=42)
+    ra = ratings.select(
+        F.col("userId").alias("userA"), "movieId", F.col("rating").alias("ratingA")
+    )
+    rb = ratings.select(
+        F.col("userId").alias("userB"), "movieId", F.col("rating").alias("ratingB")
+    )
+    joined = pairs.join(ra, on="userA").join(rb, on=["userB", "movieId"])
+    corr = pearson_by_group(joined, ["userA", "userB"], "ratingA", "ratingB")
+    return corr.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("correlation"), 6).alias("avg_correlation"),
+    )
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → Arrow-batched mapInPandas feature extraction
+    (deterministic fake kernel; real codecs stubbed — operators/multimodal).
+    Exercises the 100 TB plumbing: blobs stay in Arrow, output is narrow."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, n=64)
+    feats = extract_features(assets, decoder="deterministic_fake")
+    return feats.select("asset_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0"))

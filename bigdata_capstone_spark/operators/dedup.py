@@ -43,12 +43,17 @@ def exact_dedup(
 
 
 def shingles_col(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column."""
+    """Distinct word n-gram shingles of a text column.
+
+    Guarded for short texts: Spark's ``sequence(1, 0)`` would generate a
+    *descending* [1, 0] rather than an empty range, so documents with fewer
+    than n tokens explicitly yield an empty shingle set.
+    """
     toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(

@@ -1,0 +1,126 @@
+"""Multimodal (image/audio/video) column plumbing (north star; BASELINE.json).
+
+Media assets are opaque ``binary`` columns + typed metadata structs; all
+heavy per-asset work runs as Arrow-batched ``mapInPandas`` so bytes never
+round-trip through the driver and never become Python objects row-by-row.
+
+The decode kernels themselves are STUBBED — this container ships no
+image/audio codecs — behind :data:`DECODERS`. ``deterministic_fake``
+produces a stable feature vector from the md5 of the bytes (so tests can
+assert end-to-end plumbing: schema, batching, partitioning, join-back),
+and ``strict`` raises NotImplementedError at the point a real codec
+(Pillow/torchaudio/ffmpeg) would be called on a cluster image.
+
+Scale notes: assets are large blobs — partition by size not count
+(``maxPartitionBytes``), keep metadata in a separate narrow table joined
+by asset_id so planning/filtering never touches bytes, and push filters
+(mime/type/size) onto the metadata table before the decode stage runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_features(data: bytes) -> list[float]:
+    """Deterministic FEATURE_DIM-dim pseudo-feature vector from md5(bytes).
+
+    Stands in for a real decode→embed kernel; stable across runs/engines so
+    the distributed plumbing is testable without codecs.
+    """
+    out = []
+    for i in range(FEATURE_DIM):
+        h = hashlib.md5(i.to_bytes(4, "big") + data).digest()
+        out.append(int.from_bytes(h[:4], "big") / 2**32 - 0.5)
+    return out
+
+
+def _strict_decode(data: bytes) -> list[float]:
+    raise NotImplementedError(
+        "media decode requires codec libraries (Pillow/torchaudio/ffmpeg) "
+        "not present in this container; install them on the cluster image "
+        "and register a real kernel in DECODERS"
+    )
+
+
+DECODERS = {
+    "deterministic_fake": _fake_features,
+    "strict": _strict_decode,
+}
+
+
+def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Small deterministic asset table (binary payloads derived from md5)
+    for exercising the plumbing."""
+    rows = []
+    for i in range(n):
+        blob = hashlib.md5(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        rows.append((i, bytearray(blob), "image/fake", 8 + i % 32, 8 + (i * 3) % 32, None))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def extract_features(
+    assets: DataFrame, decoder: str = "deterministic_fake", batch_size_hint: int = 256
+) -> DataFrame:
+    """Decode/feature-extract each asset via Arrow-batched mapInPandas.
+
+    The UDF sees pandas batches of (asset_id, media); bytes stay in Arrow
+    buffers between JVM and Python. Output is the narrow FEATURES_SCHEMA —
+    blobs are dropped as early as possible.
+    """
+    kernel = DECODERS[decoder]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [kernel(bytes(b)) if b is not None else None for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf["media"]],
+                    "features": feats,
+                }
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (asset, frame_ts) the decode
+    stage would extract — metadata-only, no bytes touched, so the expensive
+    stage's fan-out is known (and costable) before any decoding."""
+    return (
+        assets.filter(F.col("duration_ms").isNotNull())
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -84,16 +84,30 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite [0,1] quality score: favors mid-length, diverse, alphabetic
     documents — the standard pretraining-filter shape (length/punct/stopword
-    heuristics), deliberately simple and fully portable."""
-    feats = quality_features(df, text_col)
-    length_term = F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0))
+    heuristics), deliberately simple and fully portable.
+
+    Terms are combined *unrounded* (rounding only the final score):
+    combining the display-rounded features of :func:`quality_features`
+    would drift the composite by ~1e-6 vs the oracle.
+    """
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), stop)) / F.lit(
+        float(len(LANG_STOPWORDS["en"]))
+    )
+    alpha_ratio = F.length(
+        F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")
+    ) / F.length(text_col)
+    length_term = F.least(n_tok / F.lit(200.0), F.lit(1.0))
     score = (
         0.3 * length_term
-        + 0.3 * F.col("distinct_ratio")
-        + 0.2 * F.col("alpha_ratio")
-        + 0.2 * F.col("stopword_ratio")
+        + 0.3 * distinct_ratio
+        + 0.2 * alpha_ratio
+        + 0.2 * stop_ratio
     )
-    return feats.select("doc_id", F.round(score, 6).alias("quality"))
+    return df.select("doc_id", F.round(score, 6).alias("quality"))
 
 
 def lang_id_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -144,8 +144,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ]
         )
         raw = spark.read.schema(raw_schema).parquet(f"{sf_dir}/{name}.parquet")
+        # integer division: ts/1000 in double would lose µs precision above
+        # 2^53 ns (~1970+104 days) and drift timestamps by ±1µs
         return raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         ).select([f.name for f in TABLE_SCHEMAS["events"].fields])
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 

@@ -1,0 +1,206 @@
+"""Pipeline-level tests for the non-SQL-expressible operators: split
+invariants, seeded sampling, LSH-vs-exact similarity, ALS, ANN recall,
+multimodal plumbing (SURVEY §5.2 rows-only strategy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.sources.ratings import synthetic_ratings
+
+
+@pytest.fixture(scope="module")
+def ratings(spark):
+    return synthetic_ratings(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def clean(ratings):
+    return ratings.dropna(subset=["userId", "movieId", "rating"])
+
+
+# -- fixture sanity ----------------------------------------------------------
+
+def test_fixture_edge_cases(ratings, clean):
+    assert ratings.filter(F.col("rating").isNull()).count() == 1
+    assert ratings.filter(F.col("movieId").isNull()).count() == 1
+    # twins have identical sets
+    sets = (
+        clean.groupBy("userId").agg(F.sort_array(F.collect_set("movieId")).alias("s"))
+    )
+    by_user = {r["userId"]: r["s"] for r in sets.filter(F.col("userId") >= 9001).collect()}
+    assert by_user[9001] == by_user[9002]
+    assert by_user[9003] == by_user[9004]
+    assert len(set(by_user[9005]) & set(by_user[9006])) == 1
+
+
+# -- split (splitting_data.py semantics; FIXTURES B3 invariants) -------------
+
+def test_split_invariants(spark, clean):
+    from bigdata_capstone_spark.operators.split import split_ratings
+
+    splits = split_ratings(clean, seed=42)
+    train, val, test = splits["train"], splits["val"], splits["test"]
+    n_train, n_val, n_test = train.count(), val.count(), test.count()
+    total = n_train + n_val + n_test
+    filtered_total = clean.join(
+        clean.groupBy("movieId").agg(F.count("rating").alias("n")).filter("n >= 5"),
+        on="movieId",
+        how="left_semi",
+    ).count()
+    assert total == filtered_total                      # partition of filtered rows
+    assert val.intersect(test).count() == 0             # row-level disjoint
+    assert n_train > 0.8 * total                        # fold-back grows train
+    # determinism: same seed ⇒ same sizes
+    splits2 = split_ratings(clean, seed=42)
+    assert splits2["val"].count() == n_val
+    # all surviving movieIds had >=5 ratings pre-split
+    min_count = (
+        train.unionByName(val).unionByName(test)
+        .groupBy("movieId").agg(F.count("rating").alias("n"))
+        .agg(F.min("n")).collect()[0][0]
+    )
+    assert min_count >= 5
+
+
+# -- seeded sampling (Q4 fix) -------------------------------------------------
+
+def test_seeded_pairs_deterministic(spark, clean):
+    from bigdata_capstone_spark.operators.sampling import seeded_random_pairs
+
+    users = clean.select("userId").distinct()
+    p1 = sorted(map(tuple, seeded_random_pairs(users, "userId", 20, seed=7).collect()))
+    p2 = sorted(map(tuple, seeded_random_pairs(users, "userId", 20, seed=7).collect()))
+    p3 = sorted(map(tuple, seeded_random_pairs(users, "userId", 20, seed=8).collect()))
+    assert p1 == p2
+    assert p1 != p3
+    assert len(p1) == 20
+    assert all(a < b for a, b in p1)
+    flat = [u for ab in p1 for u in ab]
+    assert len(set(flat)) == len(flat)  # disjoint pairs
+
+
+# -- similarity: LSH vs exact (customer_segmentation_1 semantics) ------------
+
+def test_lsh_finds_twins_and_matches_exact(spark, clean):
+    from bigdata_capstone_spark.operators.similarity import (
+        exact_jaccard_pairs,
+        lsh_similar_pairs,
+        user_item_sets,
+    )
+
+    exact = {
+        (r["userA"], r["userB"]): r["similarity"]
+        for r in exact_jaccard_pairs(clean, min_similarity=0.5, min_items=5).collect()
+    }
+    assert exact[(9001, 9002)] == 1.0
+    assert exact[(9003, 9004)] == 1.0
+
+    sets = user_item_sets(clean, min_items=5)
+    lsh = {
+        (r["userA"], r["userB"]): r["similarity"]
+        for r in lsh_similar_pairs(sets, threshold=0.5, k=None).collect()
+    }
+    # LSH candidates are a subset of true pairs (approxSimilarityJoin
+    # verifies exact distance) and must contain the identical-set twins
+    assert (9001, 9002) in lsh and abs(lsh[(9001, 9002)] - 1.0) < 1e-9
+    assert (9003, 9004) in lsh
+    for pair, sim in lsh.items():
+        assert pair in exact, f"LSH produced non-true pair {pair}"
+        assert abs(exact[pair] - sim) < 1e-9
+
+
+def test_twins_correlate_more_than_random(spark, clean):
+    """The reference's headline semantic check (report p.3: 0.1041 twins vs
+    0.0409 random) — reproduce the gap directionally on the fixture."""
+    from bigdata_capstone_spark.operators.aggregates import pearson_by_group
+    from bigdata_capstone_spark.operators.sampling import seeded_random_pairs
+    from bigdata_capstone_spark.operators.similarity import exact_jaccard_pairs
+
+    def avg_corr(pairs_df):
+        ra = clean.select(F.col("userId").alias("userA"), "movieId",
+                          F.col("rating").alias("ratingA"))
+        rb = clean.select(F.col("userId").alias("userB"), "movieId",
+                          F.col("rating").alias("ratingB"))
+        joined = pairs_df.join(ra, on="userA").join(rb, on=["userB", "movieId"])
+        corr = pearson_by_group(joined, ["userA", "userB"], "ratingA", "ratingB")
+        row = corr.agg(F.avg("correlation")).collect()[0][0]
+        return row
+
+    twins = exact_jaccard_pairs(clean, min_similarity=0.9, min_items=5).select(
+        "userA", "userB"
+    )
+    users = clean.groupBy("userId").agg(F.count(F.lit(1)).alias("n")).filter("n >= 5")
+    randoms = seeded_random_pairs(users.select("userId"), "userId", 50, seed=42)
+    tc, rc = avg_corr(twins), avg_corr(randoms)
+    assert tc is not None and rc is not None
+    assert tc > rc, (tc, rc)
+
+
+# -- ALS (als_recommendation.py semantics) -----------------------------------
+
+def test_als_recommendations_shape(spark, clean):
+    from bigdata_capstone_spark.operators.als import train_als_recommend
+
+    res = train_als_recommend(clean, k=5, rank=4, max_iter=3, seed=42)
+    recs = res.recommendations
+    counts = recs.groupBy("userId").count().agg(F.min("count"), F.max("count")).collect()[0]
+    assert counts[0] == 5 and counts[1] == 5
+    poss = recs.select("pos").distinct().collect()
+    assert sorted(r["pos"] for r in poss) == [0, 1, 2, 3, 4]
+
+
+# -- ANN vs brute force -------------------------------------------------------
+
+def test_ann_recall_vs_bruteforce(spark, sf_small):
+    from bigdata_capstone_spark.operators.simsearch import ann_topk, brute_force_topk
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ann_topk(emb, queries, dim=64, k=10, n_planes=4, n_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+# -- multimodal plumbing ------------------------------------------------------
+
+def test_multimodal_feature_plumbing(spark):
+    from bigdata_capstone_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        frame_sample_plan,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, n=32)
+    feats = extract_features(assets, decoder="deterministic_fake")
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    # deterministic across runs
+    rows2 = extract_features(assets, decoder="deterministic_fake").collect()
+    assert {r["asset_id"]: r["features"] for r in rows} == {
+        r["asset_id"]: r["features"] for r in rows2
+    }
+    # strict decoder surfaces the stub clearly
+    with pytest.raises(Exception) as exc_info:
+        extract_features(assets, decoder="strict").collect()
+    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(
+        exc_info.value
+    )
+    # frame-sample plan fans out without touching bytes
+    with_duration = assets.withColumn("duration_ms", F.lit(3000).cast("long"))
+    plan = frame_sample_plan(with_duration, every_ms=1000)
+    assert plan.count() == 32 * 4

@@ -1,0 +1,68 @@
+"""Physical-plan hygiene audit (SURVEY §4; north-star scale posture).
+
+For each headline query, prints the formatted plan and greps for the
+properties that matter at 100 TB:
+
+- PushedFilters reaching the parquet scan (predicate pushdown)
+- ReadSchema narrower than the table (column pruning)
+- BroadcastHashJoin where a dimension table is joined (no shuffle)
+- WholeStageCodegen coverage (JVM-side execution, no Python in hot path)
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from bigdata_capstone_spark.catalog import QUERIES  # noqa: E402
+from bigdata_capstone_spark.session import build_session  # noqa: E402
+
+
+def audit(name: str, plan: str) -> list[str]:
+    notes = []
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    nonempty = [p for p in pushed if p.strip()]
+    if pushed:
+        notes.append(f"scans={len(pushed)} pushed_filters={len(nonempty)}")
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    if reads:
+        widths = [len(r.split(",")) for r in reads]
+        notes.append(f"read_widths={widths}")
+    notes.append(f"broadcast_joins={plan.count('BroadcastHashJoin')}")
+    notes.append(f"smj={plan.count('SortMergeJoin')}")
+    notes.append(f"exchanges={plan.count('Exchange')}")
+    # formatted mode omits codegen markers; caller passes the simple-mode
+    # plan separately as `plan_simple` via the "\n--simple--\n" separator
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", plan))
+    notes.append(f"codegen_stages={len(codegen_ids)}")
+    if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+        notes.append("!! PYTHON-IN-PLAN")
+    return notes
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or HEADLINE
+    spark = build_session(app_name="plan_audit")
+    verbose = os.environ.get("PLAN_AUDIT_VERBOSE") == "1"
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        plan = qe.explainString(mode.fromString("formatted"))
+        plan += "\n--simple--\n" + qe.explainString(mode.fromString("simple"))
+        print(f"\n=== {name} ===")
+        print("  " + "  ".join(audit(name, plan)))
+        if verbose:
+            print(plan)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
