@@ -53,6 +53,7 @@ def main() -> int:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 3)
     print(

@@ -547,6 +547,9 @@ def ranking_metrics_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").alias("price"),
             F.col("l_quantity").alias("qty"),
         )
+        # reused by seg_scores, cust_mean, and labels — without caching the
+        # fact join executes 3x (plan audit showed 16 scans)
+        .cache()
     )
     seg_scores = sales.groupBy("seg", "part").agg(
         (exact_sum("price", 2) / (F.count(F.lit(1)) + F.lit(100.0))).alias("score")
@@ -1134,3 +1137,183 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = synthetic_assets(spark, n=64)
     feats = extract_features(assets, decoder="deterministic_fake")
     return feats.select("asset_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+# --------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py) + OLAP extras — common analytics
+# patterns absent from the reference (SURVEY §2.3 "absent join types"),
+# added as first-class operators.
+# --------------------------------------------------------------------------
+
+@register(
+    "purchase_last_view_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, event_id AS view_event_id, value AS view_value, ts
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.user_id, p.event_id,
+           v.view_event_id AS asof_view_event_id,
+           v.view_value AS asof_view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's latest prior (or
+    simultaneous) view. Spark has no native ASOF JOIN; this uses the
+    union+window formulation (one shuffle on user_id, no per-row probe) —
+    checked against DuckDB's native ASOF JOIN."""
+    from bigdata_capstone_spark.operators.temporal import asof_join
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+        "ts",
+    )
+    out = asof_join(purchases, views, on="user_id", right_cols=["view_event_id", "view_value"])
+    return out.select("user_id", "event_id", "asof_view_event_id", "asof_view_value")
+
+
+@register(
+    "error_events_near_purchases",
+    oracle="""
+    SELECT p.user_id, p.event_id, e.event_id AS event_id_r
+    FROM events p
+    JOIN events e
+      ON p.user_id = e.user_id
+     AND e.event_type = 'error'
+     AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 600000000
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def error_events_near_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: error events within ±10 minutes of a purchase by
+    the same user. Bucketized equi-join (3 probes/row) instead of the
+    inequality theta-join Spark would otherwise plan as a nested loop —
+    checked against DuckDB's direct inequality join."""
+    from bigdata_capstone_spark.operators.temporal import range_join_within
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    out = range_join_within(
+        purchases, errors, on="user_id", delta_us=600_000_000
+    )
+    return out.select("user_id", "event_id", "event_id_r")
+
+
+@register(
+    "sales_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+           coalesce(l_linestatus, '<all>') AS l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (flag → flag+status → grand total) —
+    subtotal levels disambiguated with '<all>' so the oracle compare is
+    null-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "brand_distinct_parts_sold",
+    oracle="""
+    SELECT p_brand,
+           count(DISTINCT l_partkey)::BIGINT AS n_distinct_parts,
+           count(*)::BIGINT AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_distinct_parts_sold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregate (exact countDistinct; the approximate twin —
+    approx_count_distinct/HLL — is engine-specific and deliberately not
+    oracle'd)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_distinct_parts"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "event_value_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN value END) AS p50,
+           max(CASE WHEN rn = greatest(1, ceil(0.9 * n)) THEN value END) AS p90,
+           max(CASE WHEN rn = greatest(1, ceil(0.99 * n)) THEN value END) AS p99
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99) per group via explicit
+    row_number position — the same definition on both engines (built-in
+    percentile functions differ in interpolation conventions). At scale
+    the approximate twin is percentile_approx over the same grouping."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q: float):
+        pos = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")))
+        return F.max(F.when(F.col("rn") == pos, F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        pick(0.5).alias("p50"), pick(0.9).alias("p90"), pick(0.99).alias("p99")
+    )

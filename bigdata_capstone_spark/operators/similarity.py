@@ -99,6 +99,7 @@ def exact_jaccard_pairs(
     min_common: int = 1,
     user_col: str = "userId",
     item_col: str = "movieId",
+    cache_prepared: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over all user pairs sharing ≥ ``min_common`` items.
 
@@ -107,10 +108,17 @@ def exact_jaccard_pairs(
     classic quadratic hot-item risk — at scale, pre-cap item frequency or
     go through :func:`lsh_similar_pairs`; this path is the correctness
     oracle and is fully ANSI-SQL (DuckDB-checkable).
+
+    ``cache_prepared`` caches the deduped+sized (user, item, n) table
+    before the self-join: both join branches share it, otherwise the full
+    upstream lineage (scans, distinct, size join) executes twice — measured
+    ~3× slower at sf0.1.
     """
     ui = ratings.select(user_col, item_col).distinct()
     sizes = ui.groupBy(user_col).agg(F.count(F.lit(1)).alias("n"))
     ui_sized = ui.join(sizes, on=user_col).filter(F.col("n") >= min_items)
+    if cache_prepared:
+        ui_sized = ui_sized.cache()
 
     a = ui_sized.select(
         F.col(user_col).alias("userA"), F.col(item_col).alias("i"), F.col("n").alias("nA")

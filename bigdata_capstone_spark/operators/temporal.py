@@ -1,0 +1,132 @@
+"""Temporal joins Spark lacks natively: as-of and bounded range joins.
+
+Not in the reference (SURVEY §2.3 notes their absence) but canonical
+OLAP/feature-engineering operators; both are built as compositions of
+existing DataFrame ops (guide preference (a)) with shapes that survive
+100 TB:
+
+- :func:`asof_join` — "latest right row at or before each left row" via
+  the union+window formulation: tag both sides, union, partition by key,
+  order by (ts, side), carry the last right value forward. ONE shuffle on
+  the key — never a per-row subquery or a skewed inequality join.
+- :func:`range_join_within` — pairs within a time delta via bucketization:
+  equi-join on floor(ts/delta) plus the adjacent bucket, then exact filter.
+  Turns an unbounded theta-join into 2 equi-joins; candidate set is bounded
+  by bucket occupancy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right.ts <= left.ts`` (per ``on`` key), null if none (or none within
+    ``tolerance_us`` microseconds).
+
+    Output: all left columns + ``asof_<col>`` for each requested right
+    column + ``asof_ts_us`` (microsecond timestamp of the matched row).
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.unix_micros(F.col(left_ts)).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__left"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
+        ).alias("__right"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.unix_micros(F.col(right_ts)).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("__left"),
+        F.struct(*right_cols).alias("__right"),
+    )
+    # right rows sort before left rows at equal ts (__side 0 < 1) so an
+    # exactly-simultaneous right row IS visible to the left row (<=)
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__last_right", F.last("__right", ignorenulls=True).over(w)
+    ).withColumn(
+        "__last_right_ts",
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_us is not None:
+        in_range = F.col("__last_right_ts") >= F.col("__ts") - F.lit(tolerance_us)
+        out = out.withColumn(
+            "__last_right", F.when(in_range, F.col("__last_right"))
+        ).withColumn(
+            "__last_right_ts", F.when(in_range, F.col("__last_right_ts"))
+        )
+    cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
+    cols += [F.col(f"__last_right.{c}").alias(f"asof_{c}") for c in right_cols]
+    cols.append(F.col("__last_right_ts").alias("asof_ts_us"))
+    return out.select(*cols)
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    delta_us: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs with same key and |left.ts − right.ts| ≤
+    delta (µs), via bucketized equi-join.
+
+    Each left row joins its own bucket and both neighbors — 3 equi-join
+    probes per row, exact predicate applied after. Shuffle is on
+    (key, bucket): bounded fan-out, no BroadcastNestedLoopJoin.
+    """
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.unix_micros(F.col(left_ts)).alias("__lts"),
+        F.struct(*left.columns).alias("__l"),
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.expr(f"__lts div {delta_us} - 1"),
+                F.expr(f"__lts div {delta_us}"),
+                F.expr(f"__lts div {delta_us} + 1"),
+            )
+        ),
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.unix_micros(F.col(right_ts)).alias("__rts"),
+        F.struct(*right.columns).alias("__r"),
+    ).withColumn("__bucket", F.expr(f"__rts div {delta_us}"))
+    joined = l.join(r, on=["__k", "__bucket"]).filter(
+        F.abs(F.col("__lts") - F.col("__rts")) <= delta_us
+    )
+    # each qualifying pair matches exactly one of the left row's three
+    # bucket copies (the right row has a single bucket), so no dedup needed
+    cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    cols += [F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in right.columns]
+    return joined.select(*cols)

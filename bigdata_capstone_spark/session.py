@@ -46,7 +46,10 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts all executor threads — size it
+        # for the thread count, not like a cluster driver (8g for 32
+        # threads thrashes GC under shuffle-heavy self-joins)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
