@@ -31,11 +31,14 @@ HEADLINE = [
     "ranking_metrics_popularity",  # recommender eval, window + multi-join
     "customer_part_twins",         # exact Jaccard co-occurrence self-join
     "dedup_minhash_signatures",    # text shingling + 8-perm minhash
+    "dedup_minhash_lsh_pairs",     # full LSH dedup: band → bucket → verify
     "dedup_ngram_jaccard_pairs",   # shingle co-occurrence near-dup
+    "dedup_embedding_cosine",      # hyperplane-LSH embedding near-dup
     "doc_quality",                 # narrow text-analysis map
     "embedding_topk_bruteforce",   # vector similarity search
     "events_hourly_windows",       # event-time tumbling window
     "user_sessions",               # sessionization (lag + running sum)
+    "customer_order_running_totals",  # window frames (running/moving aggs)
 ]
 
 

@@ -1317,3 +1317,475 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("event_type").agg(
         pick(0.5).alias("p50"), pick(0.9).alias("p90"), pick(0.99).alias("p99")
     )
+
+
+# --------------------------------------------------------------------------
+# OLAP widening: pivot, window frames, analytic lag, CUBE, set ops, and a
+# spark.sql-entry query over registered views (SURVEY §2.5-2.8 extensions).
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every driver table as a temp view so queries can be written in
+    pure Spark SQL (the engine's SQL entry point). Views are lazy — each
+    ``spark.sql`` still plans scans with pushdown/pruning per query."""
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+
+    for name in TABLE_SCHEMAS:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@register(
+    "event_type_user_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+           count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+           count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+           count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+           count(*) FILTER (event_type = 'view')::BIGINT     AS n_view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def event_type_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) with a FIXED value list: one hash-agg pass, no
+    extra value-discovery job, and a deterministic output schema — the only
+    pivot shape that is safe at 100 TB (an unlisted pivot triggers a
+    distinct-values collect on the driver)."""
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+@register(
+    "customer_order_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           (sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING))::DOUBLE AS running_spend,
+           round((sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE
+             / (count(*)
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)), 6)
+             AS moving_avg_3
+    FROM orders
+    """,
+)
+def customer_order_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-window with explicit frames: lifetime running spend
+    (ROWS UNBOUNDED PRECEDING) and a 3-order moving average (ROWS 2
+    PRECEDING). Both frames share one Window partition/sort, so Spark plans
+    a single shuffle + sort on o_custkey. Sums are DECIMAL inside the frame
+    (order-independent); the moving average divides sum/count as doubles so
+    both engines round identically."""
+    ensure_utc(spark)
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec).over(run).cast("double").alias("running_spend"),
+        F.round(
+            F.sum(dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov), 6
+        ).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_date,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS next_date
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           date_diff('day', prev_date::DATE, o_orderdate::DATE)::BIGINT
+             AS days_since_prev,
+           date_diff('day', o_orderdate::DATE, next_date::DATE)::BIGINT
+             AS days_until_next
+    FROM g
+    WHERE prev_date IS NOT NULL
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over a per-customer order timeline (inter-purchase
+    gap analysis). lag and lead share one window sort; the single shuffle
+    is on o_custkey."""
+    ensure_utc(spark)
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+    )
+    return g.filter(F.col("prev_date").isNotNull()).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff("o_orderdate", "prev_date").cast("long").alias("days_since_prev"),
+        F.datediff("next_date", "o_orderdate").cast("long").alias("days_until_next"),
+    )
+
+
+@register(
+    "priority_status_cube",
+    oracle="""
+    SELECT coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+           coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+           count(*)::BIGINT AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_value
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all 4 grouping sets in one pass
+    (Spark expands grouping sets map-side; one shuffle). Complements
+    sales_rollup's hierarchical ROLLUP."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+def _segment_parts(spark: SparkSession, sf_dir: str, segment: str) -> DataFrame:
+    """Distinct partkeys ever ordered by customers of a market segment."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == segment
+    )
+    from bigdata_capstone_spark.operators.relational import semi_join
+
+    seg_orders = semi_join(
+        orders,
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+        on="o_custkey",
+    )
+    return (
+        semi_join(
+            li,
+            seg_orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            on="l_orderkey",
+        )
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+
+
+_SEGMENT_PARTS_SQL = """
+    SELECT DISTINCT l_partkey AS p_partkey
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = '{seg}'))
+"""
+
+
+@register(
+    "building_machinery_common_parts",
+    oracle=f"""
+    ({_SEGMENT_PARTS_SQL.format(seg="BUILDING")})
+    INTERSECT
+    ({_SEGMENT_PARTS_SQL.format(seg="MACHINERY")})
+    """,
+)
+def building_machinery_common_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): parts bought by both BUILDING and
+    MACHINERY customers. Each input is a semi-join chain (customer filter
+    broadcast, orders → lineitem left_semi), so only partkeys shuffle."""
+    a = _segment_parts(spark, sf_dir, "BUILDING")
+    b = _segment_parts(spark, sf_dir, "MACHINERY")
+    return a.intersect(b)
+
+
+@register(
+    "building_only_parts",
+    oracle=f"""
+    ({_SEGMENT_PARTS_SQL.format(seg="BUILDING")})
+    EXCEPT
+    ({_SEGMENT_PARTS_SQL.format(seg="MACHINERY")})
+    """,
+)
+def building_only_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): parts bought by BUILDING customers but never
+    by MACHINERY customers."""
+    a = _segment_parts(spark, sf_dir, "BUILDING")
+    b = _segment_parts(spark, sf_dir, "MACHINERY")
+    return a.subtract(b)
+
+
+_Q3_SQL = """
+    SELECT l_orderkey AS o_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+@register("sql_segment_shipping_priority", oracle=_Q3_SQL)
+def sql_segment_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape written as PURE SPARK SQL over registered views — the
+    engine's SQL entry point. The IDENTICAL query text runs on DuckDB as the
+    oracle (ANSI subset: explicit CASTs, TIMESTAMP literals). Catalyst
+    treats the SQL and DataFrame paths identically: same analyzed plan,
+    same pushdown/broadcast decisions."""
+    ensure_utc(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+# --------------------------------------------------------------------------
+# LSH parity entries: the full MinHash-LSH dedup pipeline and the
+# random-hyperplane embedding LSH, each replicated EXACTLY in the DuckDB
+# oracle (every hash is md5-derived — functions/portable.py — so banding,
+# bucketing, and candidate generation agree bit-for-bit across engines).
+# --------------------------------------------------------------------------
+
+_SHINGLE_CTES = """
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks WHERE len(t) >= 3
+    )
+"""
+
+
+def _minhash_lsh_pairs_oracle(
+    n_perm: int = 8, bands: int = 4, min_jaccard: float = 0.35
+) -> str:
+    rows = n_perm // bands
+    mins = ",\n             ".join(
+        f"min(('0x' || substr(md5('{p}:' || sh), 1, 15))::BIGINT) AS h{p}"
+        for p in range(n_perm)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, ('0x' || substr(md5('"
+        + str(b)
+        + ":' || "
+        + " || ':' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + "), 1, 15))::BIGINT AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    buckets AS (
+      {band_selects}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.idA, c.idB, max(sa.n) AS nA, max(sb.n) AS nB,
+             count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.idA
+      JOIN sh b ON b.doc_id = c.idB AND b.sh = a.sh
+      JOIN sizes sa ON sa.doc_id = c.idA
+      JOIN sizes sb ON sb.doc_id = c.idB
+      GROUP BY 1, 2
+    )
+    SELECT idA, idB,
+           round(n_common * 1.0 / (nA + nB - n_common), 6) AS jaccard_r
+    FROM common
+    WHERE n_common * 1.0 / (nA + nB - n_common) >= {min_jaccard}
+    """
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_minhash_lsh_pairs_oracle(8, 4, 0.35))
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup dedup: signatures (8 perms) → 4-band
+    bucketing → candidate pairs via bucket equi-join → exact shingle-Jaccard
+    verify (bucket-local, never all-pairs) → threshold 0.35.
+
+    This is THE scale path for document dedup: the only shuffles are on
+    band-bucket keys and doc ids; pair verification touches candidates
+    only. The oracle replays banding hash-for-hash, so the driver check
+    verifies candidate generation — not just final similarity values."""
+    from bigdata_capstone_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_near_dup_pairs(
+        docs, n_perm=8, bands=4, shingle_n=3, min_jaccard=0.35
+    )
+    return out.select("idA", "idB", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def _rp_weight_sql(t: int, p: int) -> str:
+    """DuckDB expr for the ±1 hyperplane weight at (table t, plane p, dim
+    d-1), matching simsearch._plane_weights (md5 of 't:p:d', first 8 hex)."""
+    return (
+        f"(CASE WHEN ('0x' || substr(md5('{t}:{p}:' || (d-1)::VARCHAR), 1, 8))"
+        f"::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)::DOUBLE"
+    )
+
+
+def _rp_dot_sql(vec: str, t: int, p: int, dim: int) -> str:
+    return (
+        f"list_reduce([{vec}[d] * {_rp_weight_sql(t, p)} "
+        f"for d in generate_series(1, {dim})], (acc, x) -> acc + x)"
+    )
+
+
+def _rp_bucket_sql(vec: str, t: int, n_planes: int, dim: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_rp_dot_sql(vec, t, p, dim)} >= 0 "
+        f"THEN {2 ** p}::BIGINT ELSE 0::BIGINT END)"
+        for p in range(n_planes)
+    )
+    return f"({terms})"
+
+
+def _embedding_lsh_buckets_oracle(n_planes: int = 8, n_tables: int = 2,
+                                  dim: int = 64) -> str:
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS lsh_table, "
+        + _rp_bucket_sql("v", t, n_planes, dim)
+        + " AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    {per_table}
+    """
+
+
+@register("embedding_lsh_buckets",
+          oracle=_embedding_lsh_buckets_oracle(8, 2, 64))
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH sketch of every embedding: (vec_id, lsh_table,
+    bucket) under 8 fixed ±1 hyperplanes × 2 independent tables. The
+    hyperplanes are md5-derived (no RNG state), so the oracle recomputes
+    every sign bit — verifying the dot products, sign decisions, and bucket
+    packing exactly. This bucketing is the shuffle key of the ANN and
+    embedding-dedup paths: |vecs|·tables rows, never |vecs|² pairs."""
+    from bigdata_capstone_spark.operators.simsearch import rp_lsh_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = rp_lsh_buckets(emb, dim=64, n_planes=8, n_tables=2)
+    return out.select(
+        "vec_id", F.col("table").cast("int").alias("lsh_table"), "bucket"
+    )
+
+
+def _embedding_cosine_oracle(n_planes: int = 6, n_tables: int = 2,
+                             dim: int = 64, min_cosine: float = 0.3) -> str:
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS lsh_table, "
+        + _rp_bucket_sql("v", t, n_planes, dim)
+        + " AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    dot = (
+        f"list_reduce([va[d] * vb[d] for d in generate_series(1, {dim})], "
+        "(acc, x) -> acc + x)"
+    )
+    norm = (
+        "sqrt(list_reduce([{v}[d] * {v}[d] for d in generate_series(1, "
+        + str(dim)
+        + ")], (acc, x) -> acc + x))"
+    )
+    na, nb = norm.format(v="va"), norm.format(v="vb")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+      {per_table}
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS idA, b.vec_id AS idB
+      FROM buckets a JOIN buckets b
+        ON a.lsh_table = b.lsh_table AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.idA, c.idB,
+             round({dot} / ({na} * {nb}), 6) AS cosine_r
+      FROM cands c
+      JOIN e ea ON ea.vec_id = c.idA
+      JOIN e eb ON eb.vec_id = c.idB,
+      LATERAL (SELECT ea.v AS va, eb.v AS vb) vv
+    )
+    SELECT idA, idB, cosine_r FROM scored WHERE cosine_r >= {min_cosine}
+    """
+
+
+@register("dedup_embedding_cosine",
+          oracle=_embedding_cosine_oracle(6, 2, 64, 0.3))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family #5): LSH bucket
+    candidates (6 planes × 2 tables) → exact cosine verify → threshold.
+    The oracle replays the hyperplane LSH exactly, so candidate recall —
+    not just the cosine arithmetic — is what's being checked. The test
+    embeddings are near-uniform (max pairwise cosine ≈ 0.51), so the 0.3
+    threshold exercises a non-trivial survivor set."""
+    from bigdata_capstone_spark.operators.simsearch import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, dim=64, min_cosine=0.3, n_planes=6, n_tables=2
+    )

@@ -55,3 +55,61 @@ def test_session_window_agrees_with_batch_sessionization(spark, sf_small):
     b = {r["user_id"]: r["n"] for r in
          batch.groupBy("user_id").agg(F.sum("n_events").alias("n")).collect()}
     assert a == b
+
+
+def test_stateful_running_totals_equals_batch(spark, sf_small):
+    """applyInPandasWithState running totals, drained to completion, must
+    agree with the batch groupBy aggregate (update mode → last row per key
+    in the memory sink is the final state)."""
+    from bigdata_capstone_spark.streaming.stateful import running_user_totals
+
+    events = load_table(spark, sf_small, "events")
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 2), r["m"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double").alias("s"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+
+    stream = stream_events_from_parquet(spark, sf_small)
+    run_stream_to_memory(running_user_totals(stream), "running_out", "update")
+    # update mode re-emits a key on every micro-batch it appears in; the
+    # final emission per key carries the complete totals
+    final = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 2), r["max_value"])
+        for r in spark.sql("SELECT * FROM running_out").collect()
+    }
+    assert final == batch
+
+
+def test_stateful_high_watermark_alerts_equal_batch_twin(spark, sf_small):
+    """Record-breaker alerts from the stateful op == the window-based batch
+    formulation (running max over preceding rows, keep rows above it)."""
+    from pyspark.sql.window import Window
+
+    from bigdata_capstone_spark.streaming.stateful import high_value_alerts
+
+    events = load_table(spark, sf_small, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch = (
+        events.withColumn("prior_high", F.max("value").over(w))
+        .filter(F.col("prior_high").isNull() | (F.col("value") > F.col("prior_high")))
+        .select("user_id", "event_id")
+    )
+    expected = {(r["user_id"], r["event_id"]) for r in batch.collect()}
+
+    stream = stream_events_from_parquet(spark, sf_small)
+    run_stream_to_memory(high_value_alerts(stream), "alerts_out", "append")
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in spark.sql("SELECT * FROM alerts_out").collect()
+    }
+    assert got == expected
