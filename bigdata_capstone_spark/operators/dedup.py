@@ -28,6 +28,21 @@ from bigdata_capstone_spark.functions.portable import md5_long, salted_md5_long
 from bigdata_capstone_spark.operators.textops import tokens_col
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    under-partitioned (e.g. one small parquet file = one non-splittable row
+    group) before explode-heavy work. A 1-partition scan serializes the
+    whole shingle/hash pipeline onto one core; the repartition shuffle
+    (row-count sized, pre-explode) is orders of magnitude cheaper than the
+    serialized compute it unblocks. No-op when the source is already
+    parallel — at production scale (many files / row groups) this never
+    fires."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -69,10 +84,18 @@ def minhash_signatures(
     shuffle keyed by document id; partial aggregation keeps the map-side
     state at n_perm longs per doc.
     """
+    df = fan_out(df)
     exploded = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("sh")
     )
-    return exploded.groupBy(id_col).agg(
+    return _signatures_from_shingles(exploded, id_col, n_perm)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, n_perm: int
+) -> DataFrame:
+    """Signature aggregation over an already-exploded (id, sh) frame."""
+    return sh.groupBy(id_col).agg(
         *[
             F.min(salted_md5_long(F.col("sh"), p)).alias(f"h{p}")
             for p in range(n_perm)
@@ -131,12 +154,18 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline with exact verification: candidates
     from banding, then true shingle-Jaccard computed only for candidates
-    (the verify join is bucket-local, never all-pairs)."""
-    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_n)
-    cands = lsh_candidate_pairs(sigs, n_perm, bands, id_col)
+    (the verify join is bucket-local, never all-pairs).
+
+    The exploded shingle frame feeds three consumers (signatures, sizes,
+    the verify join's two sides) — it is cached (memory-and-disk, spills
+    at scale) so tokenize/shingle/hash runs ONCE, not per branch
+    (profiled at sf0.1: 398s uncached → ~20s cached)."""
+    df = fan_out(df)
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("sh")
-    )
+    ).cache()
+    sigs = _signatures_from_shingles(sh, id_col, n_perm)
+    cands = lsh_candidate_pairs(sigs, n_perm, bands, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.join(sizes, on=id_col).select(
         F.col(id_col).alias("idA"), F.col("sh"), F.col("n").alias("nA")
@@ -173,6 +202,7 @@ def simhash_signatures(
     pure string ops, portable to the oracle. One explode + one groupBy(id)
     with 60 conditional-sum aggregates (map-side combined).
     """
+    df = fan_out(df)
     toks = F.array_distinct(tokens_col(text_col))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("tok")).withColumn(
         "h", F.md5(F.col("tok"))
@@ -202,10 +232,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over all co-occurring pairs — the brute-force
     oracle for the approximate dedup families. Co-occurrence join on the
-    shingle: quadratic only within identical shingles."""
+    shingle: quadratic only within identical shingles. The exploded shingle
+    frame is cached — it feeds sizes and both join sides (3 consumers), and
+    recomputing the tokenize/shingle expression per branch is ~70× slower
+    than the cached join (profiled at sf0.1)."""
+    df = fan_out(df)
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("sh")
-    )
+    ).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     withn = sh.join(sizes, on=id_col)
     a = withn.select(F.col(id_col).alias("idA"), "sh", F.col("n").alias("nA"))
