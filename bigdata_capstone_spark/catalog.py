@@ -1789,3 +1789,222 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb, dim=64, min_cosine=0.3, n_planes=6, n_tables=2
     )
+
+
+# --------------------------------------------------------------------------
+# Window-analytics breadth: distribution ranks (ntile / percent_rank /
+# cume_dist), positional values (first/nth/last over full frames), and a
+# date-truncated trend with lag deltas. Extends SURVEY §2.5 (the reference
+# only used ranking windows, W1-W2) to the full analytic-function surface.
+# --------------------------------------------------------------------------
+
+@register(
+    "customer_order_quartiles",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def customer_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks of each order within its customer's history.
+    Partitioned by customer (many small groups — no skewed global sort at
+    scale); all three functions share ONE window sort. Total order via the
+    (o_totalprice DESC, o_orderkey) tie-break keeps ntile deterministic."""
+    ensure_utc(spark)
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "customer_order_extremes",
+    oracle="""
+    SELECT * EXCLUDE (rn) FROM (
+      SELECT o_custkey,
+             count(*) OVER (PARTITION BY o_custkey)::BIGINT AS n_orders,
+             first_value(o_orderkey) OVER wf AS biggest_order,
+             nth_value(o_orderkey, 2) OVER wf AS second_order,
+             last_value(o_orderkey) OVER wf AS smallest_order,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+      WINDOW wf AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+    ) WHERE rn = 1
+    """,
+)
+def customer_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values per customer: biggest / 2nd-biggest /
+    smallest order key, one row per customer. first/nth/last share one
+    full-frame window over the same sort as the row_number dedup — one
+    shuffle + one sort total (plan-audited)."""
+    ensure_utc(spark)
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    order_spec = [F.desc("o_totalprice"), F.col("o_orderkey")]
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_spec)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wn = Window.partitionBy("o_custkey").orderBy(*order_spec)
+    return (
+        orders.select(
+            "o_custkey",
+            F.count(F.lit(1)).over(wf).alias("n_orders"),
+            F.first("o_orderkey").over(wf).alias("biggest_order"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+            F.last("o_orderkey").over(wf).alias("smallest_order"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "monthly_order_trend",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month_start,
+             count(*)::BIGINT AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT month_start, n_orders, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month_start), 2)
+             AS revenue_delta,
+           round(revenue / lag(revenue) OVER (ORDER BY month_start) - 1, 6)
+             AS mom_growth
+    FROM m
+    """,
+)
+def monthly_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue trend with month-over-month deltas: date_trunc
+    aggregation + lag over the aggregated series. The unpartitioned window
+    runs AFTER aggregation on a months-sized frame (dozens of rows at any
+    SF) — the one place a global sort is safe by construction."""
+    ensure_utc(spark)
+    from pyspark.sql.window import Window
+
+    from bigdata_capstone_spark.functions.portable import exact_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice", 2).alias("revenue"),
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month_start",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("revenue_delta"),
+        F.round(F.col("revenue") / prev - 1, 6).alias("mom_growth"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar string-function surface (SURVEY §2.8 notes the reference used
+# none; engine provides them oracle-checked): regexp_extract / split /
+# lower / length / modulo arithmetic, over a broadcast dimension join.
+# --------------------------------------------------------------------------
+
+@register(
+    "priority_text_breakdown",
+    oracle="""
+    SELECT CAST(split_part(o_orderpriority, '-', 1) AS BIGINT) AS priority_num,
+           lower(regexp_extract(o_orderpriority, '^[0-9]+-(.*)$', 1))
+             AS priority_word,
+           count(*)::BIGINT AS n_orders,
+           count(DISTINCT o_custkey)::BIGINT AS n_customers,
+           min(CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT))
+             AS min_cust_num,
+           max(length(c_name))::INT AS max_name_len
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def priority_text_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String parsing in the hot path, JVM-side (no Python UDF): split the
+    priority code, regexp-extract the customer number from c_name, group.
+    Customer is a broadcast dimension — the fact side never shuffles for
+    the join; the only exchange is the final groupBy on 5 keys."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return joined.groupBy(
+        F.split("o_orderpriority", "-").getItem(0).cast("long").alias("priority_num"),
+        F.lower(F.regexp_extract("o_orderpriority", r"^[0-9]+-(.*)$", 1)).alias(
+            "priority_word"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min(F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long")).alias(
+            "min_cust_num"
+        ),
+        F.max(F.length("c_name")).alias("max_name_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-mitigation demonstrator: the salted join produces row-identical
+# results to the plain equi-join (same oracle SQL), verified by hash.
+# --------------------------------------------------------------------------
+
+@register(
+    "salted_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE
+             AS revenue,
+           count(*)::BIGINT AS n_lineitems
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join through relational.salted_join (8 buckets): proves
+    salting preserves join semantics bit-for-bit (the oracle is the plain
+    join). At 100 TB this is the manual fallback when one orderkey is hot
+    enough to defeat AQE's skew splitting."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = rel.salted_join(li, orders, on="l_orderkey", salt_buckets=8)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

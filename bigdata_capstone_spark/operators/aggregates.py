@@ -118,6 +118,39 @@ def sorted_list_string(
     return df2.withColumn(out_col, F.array_join(F.col(out_col).cast("array<string>"), ","))
 
 
+def approx_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    distinct_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The documented 100 TB scale path for distinct counts and quantiles
+    (SCALE.md): single-pass mergeable sketches instead of exact shuffles.
+
+    - ``approx_count_distinct`` — HyperLogLog++, fixed-size state per
+      group, no expand/distinct shuffle (exact count-distinct doubles the
+      shuffle width per distinct column);
+    - ``percentile_approx`` — Greenwald-Khanna sketch, mergeable map-side,
+      no per-group sort (exact percentiles need row-position windows).
+
+    Approximate ⇒ engine-specific results: no DuckDB hash oracle — tests
+    assert relative error against the exact aggregates at test scale.
+    """
+    qcols = [
+        F.percentile_approx(value, q, accuracy).alias(
+            f"p{str(q).replace('0.', '')}_approx"
+        )
+        for q in quantiles
+    ]
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(distinct_col).alias("n_distinct_approx"),
+        *qcols,
+    )
+
+
 def global_stats(df: DataFrame, value: str, scale: int = 2) -> DataFrame:
     """No-group aggregate (A7): one row of count/exact-sum/exact-mean."""
     return df.agg(

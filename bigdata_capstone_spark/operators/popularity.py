@@ -103,6 +103,57 @@ def recommend_top_k_per_user(
     )
 
 
+def grid_search_damping(
+    train: DataFrame,
+    val: DataFrame,
+    dampings: list[float],
+    k: int = 100,
+    user_col: str = "userId",
+    item_col: str = "movieId",
+    rating_col: str = "rating",
+    scale: int = 1,
+) -> tuple[float, list[dict]]:
+    """Reference M8: pick the damping β maximizing NDCG@k on validation
+    (popularity_model.py:73-97, β grid {10,100,1000,10000}).
+
+    The reference recomputed the full stats pipeline per β (SURVEY §4.2-4).
+    Here the per-item (count, sum) aggregate and the validation ground
+    truth are each computed ONCE and cached; per β only the damped-mean
+    arithmetic, the k-item ranking, and the metric aggregation re-run —
+    at 100 TB the expensive shuffles happen once, the grid loop touches
+    |items|-sized data.
+
+    Returns ``(best_damping, [{damping, ndcg_at_k, ...}, ...])``.
+    """
+    from bigdata_capstone_spark.operators.ranking_metrics import ranking_metrics
+
+    stats = train.groupBy(item_col).agg(
+        F.count(rating_col).alias("rating_count"),
+        exact_sum(rating_col, scale).alias("rating_sum"),
+    ).cache()
+    truth = ground_truth(val, user_col, item_col, rating_col).cache()
+    val_users = val.select(user_col).distinct().cache()
+
+    results: list[dict] = []
+    for beta in dampings:
+        scores = stats.select(
+            item_col,
+            damped_mean(
+                F.col("rating_count"), F.col("rating_sum"), beta
+            ).alias("popularity_score"),
+        )
+        recs = recommend_top_k(val_users, scores, k, user_col, item_col)
+        preds = recs.select(
+            user_col, item_col, (F.col("rank") - 1).alias("pos")
+        )
+        row = ranking_metrics(
+            preds, truth, k, user_col, item_col, "pos"
+        ).first()
+        results.append({"damping": beta, **row.asDict()})
+    best = max(results, key=lambda r: r["ndcg_at_k"])["damping"]
+    return best, results
+
+
 def ground_truth(
     ratings: DataFrame,
     user_col: str = "userId",

@@ -76,6 +76,45 @@ def grouped_top_k(
     return ranked.drop("__rk")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt_buckets: int = 8,
+    salt_src: Sequence[str] | None = None,
+) -> DataFrame:
+    """Skew-resilient equi-join: manual salting for hot keys.
+
+    The left (large, skewed) side gets a deterministic salt in
+    ``[0, salt_buckets)`` hashed from ``salt_src`` columns (default: all
+    left columns — must include columns beyond the join key, or rows of a
+    hot key all land in one bucket again); the right side is exploded into
+    ``salt_buckets`` copies so every (left, right) key pair still matches
+    exactly once. Result is row-identical to the plain join (oracle-checked
+    by ``salted_priority_revenue``), but a key holding 30% of all rows now
+    spreads over ``salt_buckets`` shuffle partitions.
+
+    Cost model: right side is replicated ``salt_buckets``× — salt only
+    when a specific key is provably hot, prefer AQE skew-join splitting
+    (on by default in session.py) as the first line of defense, and keep
+    the bucket count at the skew multiple, not the cluster size.
+    ``how`` supports inner/left (each left row carries one salt; right
+    misses produce nulls exactly as unsalted).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    src = [F.col(c) for c in (salt_src or left.columns)]
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.hash(*src), F.lit(salt_buckets))
+    )
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return l_salted.join(r_salted, on=on + ["__salt"], how=how).drop("__salt")
+
+
 def union_all(*dfs: DataFrame) -> DataFrame:
     """By-name union (bag semantics), hardening the reference's positional
     ``union`` chain (splitting_data.py:35)."""

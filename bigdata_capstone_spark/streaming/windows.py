@@ -110,6 +110,23 @@ def session_window_agg(
     )
 
 
+def enrich_with_static(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich each event with dimension attributes.
+
+    Stream-static joins are stateless in Structured Streaming — each
+    micro-batch joins against the (re-read-per-batch) static side, no
+    watermark needed. With a broadcast-sized dimension this is zero
+    shuffle on the stream; the same expression on a batch frame is the
+    plain dimension join, so tests cross-check stream vs batch output.
+    """
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

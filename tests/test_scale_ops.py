@@ -1,0 +1,113 @@
+"""Scale-path operators: salted join parity, approximate-aggregate error
+bounds, popularity grid search (reference M8), stream-static enrichment.
+
+The new catalog queries (quartiles/extremes/trend/text/salted) get their
+value check from the DuckDB oracle via the driver contract; these tests
+cover the operators whose semantics the oracle can't see (approximation
+error, grid-search selection, streaming parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.operators.aggregates import approx_stats
+from bigdata_capstone_spark.operators.relational import salted_join
+from bigdata_capstone_spark.sources.tables import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_small, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(orders, on="l_orderkey").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    salted = salted_join(li, orders, on="l_orderkey", salt_buckets=4).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    assert salted.columns == plain.columns
+    assert salted.collect() == plain.collect()
+
+
+def test_salted_left_join_keeps_misses(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (99, "orphan")], ["k", "lv"]
+    )
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "rv"])
+    out = salted_join(left, right, on="k", how="left", salt_buckets=3)
+    rows = {r["k"]: r["rv"] for r in out.collect()}
+    assert rows == {1: "x", 2: "y", 99: None}
+
+
+def test_approx_stats_error_bounds(spark, sf_small):
+    events = load_table(spark, sf_small, "events")
+    approx = approx_stats(
+        events, ["event_type"], "value", distinct_col="user_id"
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd"),
+        F.expr("percentile(value, 0.5)").alias("p5"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    joined = {r["event_type"]: r for r in approx.join(exact, "event_type").collect()}
+    assert joined
+    for r in joined.values():
+        # HLL++ at default rsd=5%: allow 15% slack; GK sketch at
+        # accuracy=10000 is near-exact on sf0.001-sized groups
+        assert abs(r["n_distinct_approx"] - r["nd"]) <= max(3, 0.15 * r["nd"])
+        assert abs(r["p5_approx"] - r["p5"]) <= 0.05 * max(1.0, abs(r["p5"]))
+        assert abs(r["p95_approx"] - r["p95"]) <= 0.05 * max(1.0, abs(r["p95"]))
+
+
+def test_grid_search_damping_prefers_signal(spark):
+    """On a fixture where low-damping overfits a rarely-rated-but-high item,
+    the grid search returns the β with the best validation NDCG, and the
+    result list covers the full grid."""
+    from bigdata_capstone_spark.operators.popularity import grid_search_damping
+    from bigdata_capstone_spark.sources.ratings import synthetic_ratings
+
+    ratings = synthetic_ratings(spark).dropna(
+        subset=["userId", "movieId", "rating"]
+    )
+    train, val = ratings.randomSplit([0.8, 0.2], seed=7)
+    grid = [10.0, 100.0, 1000.0]
+    best, results = grid_search_damping(train, val, grid, k=20)
+    assert [r["damping"] for r in results] == grid
+    assert best in grid
+    best_row = max(results, key=lambda r: r["ndcg_at_k"])
+    assert best_row["damping"] == best
+    for r in results:
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0
+        assert r["n_users"] > 0
+
+
+def test_stream_static_join_matches_batch(spark, sf_small):
+    from bigdata_capstone_spark.streaming.windows import (
+        enrich_with_static,
+        run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+
+    events_batch = load_table(spark, sf_small, "events")
+    dim = (
+        events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total_events"))
+    )
+    stream = stream_events_from_parquet(spark, sf_small)
+    enriched = enrich_with_static(stream, dim, on="user_id").groupBy(
+        "user_id", "user_total_events"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    run_stream_to_memory(enriched, "enriched_counts", output_mode="complete")
+    got = {
+        (r["user_id"], r["user_total_events"], r["n"])
+        for r in spark.sql("SELECT * FROM enriched_counts").collect()
+    }
+    want = {
+        (r["user_id"], r["n"], r["n"])
+        for r in dim.withColumnRenamed("user_total_events", "n").collect()
+    }
+    assert got == want

@@ -1,8 +1,9 @@
 """Replica of the external driver: smoke entry(), then run every
 queries() entry at sf0.01 and hash-compare against oracle_sql() via DuckDB.
 
-Usage: python tools/driver_replica.py [sf_dir]
-Prints one line per query: OK / MISMATCH / ROWS-ONLY / ERROR.
+Usage: python tools/driver_replica.py [sf_dir] [name_substring ...]
+Prints one line per query: OK / MISMATCH / ROWS-ONLY / ERROR. Extra args
+filter the query set (substring match) for cheap single-query iteration.
 """
 
 from __future__ import annotations
@@ -35,6 +36,11 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        pats = sys.argv[2:]
+        queries = {
+            n: f for n, f in queries.items() if any(p in n for p in pats)
+        }
     failures = 0
     for name, fn in sorted(queries.items()):
         t0 = time.time()
