@@ -2008,3 +2008,105 @@ def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding event-time windows (batch twin of streaming.sliding_window_agg —
+# the SAME function runs on the batch frame here and on readStream in
+# tests/test_streaming.py). The oracle replays Spark's epoch-aligned pane
+# assignment: each event lands in window/slide = 4 panes.
+# --------------------------------------------------------------------------
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    WITH panes AS (
+      SELECT make_timestamp(((epoch_us(ts) // 900000000) - g.i) * 900000000)
+               AS window_start,
+             event_type
+      FROM events
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*)::BIGINT AS n_events
+    FROM panes
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min over events, per type. Spark
+    expands each row into 4 pane rows before the hash-agg (map-side
+    combine applies); state is |types|·|panes|, never raw events."""
+    from bigdata_capstone_spark.streaming.windows import sliding_window_agg
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(events, "1 hour", "15 minutes")
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with grouping() indicators — one shared ANSI string runs
+# unchanged as the Spark query (over registered views) AND the DuckDB
+# oracle. Map-side expansion: one shuffle for all three grouping sets.
+# --------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("sales_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the rollup/cube queries) with
+    grouping() null-vs-group disambiguation, via the shared-SQL path."""
+    ensure_utc(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Term frequency: top-10 tokens per language over documents (north-star
+# text analysis) — explode + count + windowed top-k per group.
+# --------------------------------------------------------------------------
+
+@register(
+    "top_terms_per_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT lang, tok, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2
+    )
+    SELECT lang, tok, n, term_rank FROM (
+      SELECT lang, tok, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, tok) AS term_rank
+      FROM counts
+    ) WHERE term_rank <= 10
+    """,
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent tokens per language: one explode + one hash-agg on
+    (lang, tok) + one window on lang. The token explode shuffles (lang,
+    tok) pairs only — document bodies never cross the wire."""
+    from bigdata_capstone_spark.operators.textops import tokens_col
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return rel.grouped_top_k(
+        counts, ["lang"], [F.desc("n"), F.col("tok")], 10, rank_col="term_rank"
+    )

@@ -27,6 +27,16 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """JSON-lines sink — the interchange format for document pipelines.
+    Schema round-trips via an explicit read schema, never inference."""
+    df.write.mode(mode).json(path)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -1,0 +1,125 @@
+"""Storage layout for scale: partition pruning, bucketed (shuffle-free)
+joins, and format round-trips with explicit schemas.
+
+These are plan-shape guarantees, not just value checks: at 100 TB the
+difference between a pruned and unpruned scan, or a bucketed and shuffled
+join, IS the performance story (SCALE.md "Scans and sinks").
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.sources.sinks import write_csv, write_json, write_parquet
+from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS, load_table, read_csv
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
+    events = load_table(spark, sf_small, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(events, out, partition_by=["event_type"])
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must reach the scan's partition filters
+    # (pruning), not survive as a post-scan data filter
+    assert "isnotnull(event_type" in plan or "event_type#" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+    want = events.filter(F.col("event_type") == "click").count()
+    assert back.count() == want
+
+
+def test_partitioned_roundtrip_values(spark, sf_small, tmp_path):
+    events = load_table(spark, sf_small, "events")
+    out = str(tmp_path / "events_rt")
+    write_parquet(events, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).select(*events.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, events.collect())
+    )
+
+
+@pytest.fixture(scope="module")
+def bucket_db(spark, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{loc}'")
+    yield "bucketdb"
+    spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small, bucket_db):
+    """Both fact tables bucketed by the join key into the same bucket
+    count ⇒ the sort-merge join runs with ZERO Exchange operators — the
+    co-located-join layout for repeated fact⋈fact joins at scale."""
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(f"{bucket_db}.li_b")
+    orders.withColumnRenamed("o_orderkey", "l_orderkey").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable(f"{bucket_db}.ord_b")
+
+    # test data is broadcast-sized, which would sidestep bucketing entirely;
+    # force the sort-merge path the layout is designed for
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table(f"{bucket_db}.li_b")
+        b = spark.table(f"{bucket_db}.ord_b")
+        joined = a.join(b, on="l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, sf_small, tmp_path):
+    orders = load_table(spark, sf_small, "orders")
+    out = str(tmp_path / "orders_csv")
+    write_csv(orders, out)
+    back = read_csv(spark, out, TABLE_SCHEMAS["orders"]).select(*orders.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+
+
+def test_json_roundtrip_with_explicit_schema(spark, sf_small, tmp_path):
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "docs_json")
+    write_json(docs, out)
+    schema = T.StructType(
+        [f for f in TABLE_SCHEMAS["documents"].fields]
+    )
+    back = spark.read.schema(schema).json(out).select(*docs.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+
+def test_single_file_csv_is_one_part(spark, sf_small, tmp_path):
+    """The reference's coalesce(1) idiom survives only as an opt-in for
+    tiny result tables (sinks.py docstring)."""
+    top = (
+        load_table(spark, sf_small, "region")
+        .orderBy("r_regionkey")
+    )
+    out = str(tmp_path / "tiny_csv")
+    write_csv(top, out, single_file=True)
+    import glob
+
+    parts = glob.glob(f"{out}/part-*")
+    assert len(parts) == 1
