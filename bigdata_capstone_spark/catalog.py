@@ -904,6 +904,20 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=4)
 
 
+@register("embedding_ann_ivf")
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF coarse quantizer (KMeans cells +
+    n_probe nearest-cell search, exact-cosine re-rank). Rows-only check
+    (KMeans is not SQL-expressible); recall vs brute force asserted in
+    tests. Complements the LSH path: IVF adapts to the data distribution
+    where fixed hyperplanes cannot."""
+    from bigdata_capstone_spark.operators.simsearch import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4, seed=7)
+
+
 # --------------------------------------------------------------------------
 # Reference-exact pipelines on driver tables: customer "twins"
 # (customer_segmentation semantics, SURVEY §2.9 M1-M3 / J4 / A5)
@@ -2110,3 +2124,11 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.grouped_top_k(
         counts, ["lang"], [F.desc("n"), F.col("tok")], 10, rank_col="term_rank"
     )
+
+
+# --------------------------------------------------------------------------
+# Extension catalogs self-register into QUERIES/ORACLE_SQL on import (they
+# import ``register`` back from this module, which is defined above).
+# --------------------------------------------------------------------------
+
+from bigdata_capstone_spark import catalog_ds  # noqa: E402,F401

@@ -1,0 +1,493 @@
+"""Decision-support catalog extension: scalar subqueries, correlated
+predicates, HAVING over aggregates, NOT-IN anti-joins, conditional
+aggregation, and multi-hop star joins (classic warehouse Q6/Q7/Q11/Q14/
+Q15/Q16/Q17/Q18/Q22 shapes adapted to the driver schema).
+
+The reference exercises plain filter/join/aggregate chains
+(splitting_data.py:16-21, popularity_model.py:28-42 — SURVEY §2.2-2.4);
+this module generalizes the same primitives into the composite shapes any
+user of a warehouse engine expects: a global-aggregate scalar feeding a
+per-group predicate, per-key averages joined back as correlated filters,
+and dimension-exclusion via anti-join. Every query here is
+SQL-expressible and carries a DuckDB oracle.
+
+Scale notes (100 TB posture) are on each builder; the common rules:
+- dimension sides (part, supplier, customer, nation) get ``F.broadcast``;
+  fact⋈fact joins shuffle on their natural key and rely on AQE for skew;
+- one-row scalar aggregates are joined via ``crossJoin(broadcast(...))``
+  — never ``.collect()`` into the driver plan;
+- money sums go through DECIMAL (order-independent) before double, so
+  hashes are partition-count-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.catalog import register
+from bigdata_capstone_spark.operators import relational as rel
+from bigdata_capstone_spark.session import ensure_utc
+from bigdata_capstone_spark.sources.tables import load_table
+
+
+def _dec_sum(col: F.Column, scale: int = 4) -> F.Column:
+    """Order-independent money sum: DECIMAL accumulate, double result."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Q6 shape: tight scan-filter-aggregate. The whole query is one parquet
+# scan with every predicate pushed down and a two-column projection — at
+# 100 TB this is I/O-bound and embarrassingly parallel (no shuffle at all
+# before the single-row final aggregate).
+# --------------------------------------------------------------------------
+
+@register(
+    "discounted_revenue",
+    oracle="""
+    SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))::DOUBLE
+             AS revenue_effect,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue_effect"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: conditional aggregation over a fact⋈dimension join — the
+# promo share of revenue in a shipping window. part is broadcast (its
+# 2-column projection stays small at any SF relative to lineitem).
+# --------------------------------------------------------------------------
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CAST(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END AS DECIMAL(18,4)))::DOUBLE
+             / sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4)))::DOUBLE,
+             6) AS promo_revenue_pct,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-07-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0))
+    return joined.agg(
+        F.round(100.0 * _dec_sum(promo) / _dec_sum(disc_price), 6).alias(
+            "promo_revenue_pct"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: per-supplier revenue in a quarter, then a scalar-max subquery
+# selects the top supplier(s) — equality against the max keeps ties, the
+# classic "create view revenue…" formulation. The one-row max is joined
+# by broadcast cross-join, never collected.
+# --------------------------------------------------------------------------
+
+@register(
+    "top_supplier_by_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4)))::DOUBLE AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: per-part value vs a global-total scalar — HAVING against a
+# fraction of the whole. Both aggregates come from ONE scan lineage; the
+# global total is a one-row broadcast. value_share is a ratio of two
+# deterministic decimal-sums, rounded for cross-engine float safety.
+# --------------------------------------------------------------------------
+
+@register(
+    "important_parts_by_value",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS part_value
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS total_value
+      FROM lineitem
+    )
+    SELECT l_partkey AS partkey, part_value,
+           round(part_value / total_value, 9) AS value_share
+    FROM pv, tot
+    WHERE part_value > 0.0007 * total_value
+    """,
+)
+def important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pv = li.groupBy("l_partkey").agg(
+        _dec_sum(F.col("l_extendedprice"), 2).alias("part_value")
+    )
+    tot = li.agg(_dec_sum(F.col("l_extendedprice"), 2).alias("total_value"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > 0.0007 * F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "part_value",
+            F.round(F.col("part_value") / F.col("total_value"), 9).alias(
+                "value_share"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: correlated per-key average — lineitems whose quantity is
+# below half their part's own average quantity, for one brand. The
+# correlated subquery decorrelates to a per-part aggregate joined back;
+# part and the 1-row-per-part averages both broadcast.
+# --------------------------------------------------------------------------
+
+@register(
+    "small_quantity_part_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / 7.0
+             AS avg_yearly_revenue,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa USING (l_partkey)
+    WHERE p_brand = 'Brand#4' AND l_quantity < 0.5 * avg_qty
+    """,
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            _dec_sum(F.col("l_quantity"), 2) / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#4")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(pa), on="l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (_dec_sum(F.col("l_extendedprice"), 2) / 7.0).alias(
+                "avg_yearly_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: HAVING on a grouped fact, joined back up the star. The
+# lineitem groupBy and the orders join both shuffle on l_orderkey /
+# o_orderkey — the same key, so AQE can reuse the exchange; customer
+# broadcasts. Top-100 with a unique tie-break.
+# --------------------------------------------------------------------------
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE > 150.0
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150.0)
+    )
+    joined = (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+    return rel.top_k(
+        joined, [F.desc("o_totalprice"), F.col("o_orderkey")], 100
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: global-average scalar + left-join order counts + HAVING-style
+# filter, grouped by segment. The scalar threshold is a one-row broadcast;
+# order counts shuffle on o_custkey only (two-column rows).
+# --------------------------------------------------------------------------
+
+@register(
+    "rich_low_activity_customers",
+    oracle="""
+    WITH thresh AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    ), cnt AS (
+      SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_customers,
+           sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE AS total_acctbal
+    FROM customer LEFT JOIN cnt ON o_custkey = c_custkey, thresh
+    WHERE c_acctbal > avg_bal AND coalesce(n_orders, 0) < 6
+    GROUP BY c_mktsegment
+    """,
+)
+def rich_low_activity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            _dec_sum(F.col("c_acctbal"), 2) / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    cnt = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        cust.join(cnt, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .crossJoin(F.broadcast(thresh))
+        .filter(
+            (F.col("c_acctbal") > F.col("avg_bal"))
+            & (F.coalesce(F.col("n_orders"), F.lit(0)) < 6)
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dec_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Thin-supply parts: count(DISTINCT) per group + HAVING — parts carried by
+# few distinct suppliers. The distinct-agg shuffles (partkey, suppkey)
+# pairs with map-side partial dedup; part broadcasts onto the survivors.
+# --------------------------------------------------------------------------
+
+@register(
+    "thin_supply_parts",
+    oracle="""
+    WITH s AS (
+      SELECT l_partkey,
+             count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
+             count(*)::BIGINT AS n_lineitems
+      FROM lineitem GROUP BY l_partkey
+      HAVING count(DISTINCT l_suppkey) <= 18
+    )
+    SELECT p_partkey, p_name, p_brand, n_suppliers, n_lineitems
+    FROM part JOIN s ON l_partkey = p_partkey
+    """,
+)
+def thin_supply_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    s = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .filter(F.col("n_suppliers") <= 18)
+    )
+    return (
+        F.broadcast(part)
+        .join(s, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "p_brand", "n_suppliers", "n_lineitems")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: supplier diversity per (brand, type) with a NOT-IN exclusion
+# — the exclusion list (suppliers in deficit) is a broadcast anti-join,
+# the canonical way NOT IN decorrelates when nulls are impossible.
+# --------------------------------------------------------------------------
+
+@register(
+    "brand_type_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type,
+           count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt,
+           count(*)::BIGINT AS n_lineitems
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def brand_type_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    kept = li.join(F.broadcast(bad_supp), on="l_suppkey", how="left_anti")
+    return (
+        kept.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: cross-border trade flows — a five-way star walk
+# (lineitem→orders→customer→nation, lineitem→supplier→nation) grouped by
+# (supplier nation, customer nation, ship year). Only the lineitem⋈orders
+# hop shuffles; customer/supplier/nation all broadcast. This is the
+# widest join tree in the catalog and the canonical "does Catalyst order
+# the star correctly" probe for plan audits.
+# --------------------------------------------------------------------------
+
+@register(
+    "nation_trade_flows",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4)))::DOUBLE AS revenue,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN customer  ON c_custkey = o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    JOIN supplier  ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

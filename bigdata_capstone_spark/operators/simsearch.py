@@ -160,6 +160,80 @@ def ann_topk(
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into ``n_centroids`` cells; each query scans only
+    its ``n_probe`` nearest cells, re-ranked by exact cosine.
+
+    Scale shape: the fit runs on the corpus (at 100 TB: fit on a sample —
+    KMeans centroids converge on far less data than the full corpus);
+    cell assignment is one broadcast-join map pass; the search joins the
+    (query × probe-cell) fan-out against the corpus ON the cell id, so a
+    query touches ~n_probe/n_centroids of the data instead of all of it.
+    Recall/cost dial: n_centroids (cell granularity) × n_probe (probes) —
+    the same trade as IVF indexes in FAISS-style systems.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    fv = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv"),
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="cell"
+    ).fit(fv)
+    assigned = model.transform(fv).select(
+        F.col(id_col), F.col(vec_col).alias("cv"), "cell"
+    )
+
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = spark.createDataFrame(centers, schema="cell INT, center ARRAY<DOUBLE>")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probed = grouped_top_k(
+        q.crossJoin(F.broadcast(cdf)).select(
+            "query_id",
+            "qv",
+            "cell",
+            cosine_similarity_col(F.col("qv"), F.col("center")).alias("_csim"),
+        ),
+        ["query_id"],
+        [F.desc("_csim"), F.col("cell")],
+        n_probe,
+        rank_col="_probe_rank",
+    ).select("query_id", "qv", "cell")
+
+    scored = (
+        F.broadcast(probed)
+        .join(assigned, on="cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine_r"
+            ),
+        )
+    )
+    return grouped_top_k(
+        scored, ["query_id"], [F.desc("cosine_r"), F.col(id_col)], k, rank_col="rank"
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
