@@ -39,6 +39,9 @@ HEADLINE = [
     "events_hourly_windows",       # event-time tumbling window
     "user_sessions",               # sessionization (lag + running sum)
     "customer_order_running_totals",  # window frames (running/moving aggs)
+    "nation_trade_flows",          # five-way star walk (widest join tree)
+    "large_volume_customers",      # HAVING on grouped fact + star join-back
+    "user_value_trend",            # regression aggregates (moment sketches)
 ]
 
 
@@ -57,6 +60,10 @@ def main() -> int:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
+        # queries that cache shared subplans (dedup shingles, twins) would
+        # otherwise accumulate executor memory across the run and distort
+        # later measurements; measure each query cold-cache instead
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

@@ -652,7 +652,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(n_perm: int = 8) -> str:
     mins = ",\n           ".join(
-        f"min(('0x' || substr(md5('{p}:' || sh), 1, 15))::BIGINT)::VARCHAR AS h{p}"
+        f"min(('0x' || substr(md5('{p // 2}:' || sh), {1 + 15 * (p % 2)}, 15))::BIGINT)::VARCHAR AS h{p}"
         for p in range(n_perm)
     )
     concat = " || '-' || ".join(f"h{p}" for p in range(n_perm))
@@ -823,7 +823,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fingerprint_oracle(n_perm: int = 4) -> str:
     mins = ",\n           ".join(
-        f"min(('0x' || substr(md5('{p}:' || tok), 1, 15))::BIGINT)::VARCHAR AS h{p}"
+        f"min(('0x' || substr(md5('{p // 2}:' || tok), {1 + 15 * (p % 2)}, 15))::BIGINT)::VARCHAR AS h{p}"
         for p in range(n_perm)
     )
     concat = " || '-' || ".join(f"h{p}" for p in range(n_perm))
@@ -1627,7 +1627,7 @@ def _minhash_lsh_pairs_oracle(
 ) -> str:
     rows = n_perm // bands
     mins = ",\n             ".join(
-        f"min(('0x' || substr(md5('{p}:' || sh), 1, 15))::BIGINT) AS h{p}"
+        f"min(('0x' || substr(md5('{p // 2}:' || sh), {1 + 15 * (p % 2)}, 15))::BIGINT) AS h{p}"
         for p in range(n_perm)
     )
     band_selects = "\n      UNION ALL ".join(

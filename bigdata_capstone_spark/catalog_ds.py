@@ -491,3 +491,151 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured: the events.props column is a JSON document. Schema'd
+# ``from_json`` keeps the parse inside whole-stage codegen (one pass, no
+# Python); the extracted field then behaves like any other column —
+# filters on it push down to the scan only as far as the parse allows,
+# which is why at 100 TB frequently-queried JSON fields get materialized
+# into real columns at ingest (this query is that materialization's shape).
+# --------------------------------------------------------------------------
+
+@register(
+    "event_props_json_stats",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum(CAST(json_extract(props, '$.k') AS INTEGER))::BIGINT AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+           count(CAST(json_extract(props, '$.k') AS INTEGER))::BIGINT
+             AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k_val"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k_val").alias("sum_k"),
+            F.min("k_val").alias("min_k"),
+            F.max("k_val").alias("max_k"),
+            F.count("k_val").alias("n_with_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear-regression aggregates: per-user trend of event values over time
+# (regr_slope/intercept/r2 — the OLS family both engines implement as
+# single-pass mergeable moment sketches, so the grouping shape is the same
+# one-shuffle hash-agg as any avg). Time is converted to whole days since
+# a fixed anchor in BOTH engines so the regressor is identical and the
+# rounded coefficients are engine-stable.
+# --------------------------------------------------------------------------
+
+@register(
+    "user_value_trend",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           round(regr_slope(value, (epoch(date_trunc('second', ts)) - 820454400)
+                                    / 86400.0), 6) AS value_slope,
+           round(regr_intercept(value, (epoch(date_trunc('second', ts)) - 820454400)
+                                        / 86400.0), 6) AS value_intercept,
+           round(regr_r2(value, (epoch(date_trunc('second', ts)) - 820454400)
+                                 / 86400.0), 6) AS value_r2
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 20
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    x = (F.unix_timestamp("ts") - F.lit(820454400)) / 86400.0
+    ev = ev.select("user_id", F.col("value"), x.alias("x_days"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("regr_slope(value, x_days)"), 6).alias("value_slope"),
+            F.round(F.expr("regr_intercept(value, x_days)"), 6).alias(
+                "value_intercept"
+            ),
+            F.round(F.expr("regr_r2(value, x_days)"), 6).alias("value_r2"),
+        )
+        .filter(F.col("n_events") >= 20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling-hash document fingerprint (north star: "document fingerprinting
+# (rolling hash)") — a Rabin-Karp-style polynomial fold over the character
+# stream, h = fold(h*31 + code) mod p. Pure JVM ``aggregate`` over the
+# split char array — no shuffle, pipelines into the scan; the k-min-hash
+# fingerprint in textops is the order-insensitive complement.
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT, list_transform(split(text, ''),
+                                                    c -> ascii(c)::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 2147483647
+           )::BIGINT AS rolling_hash,
+           length(text)::BIGINT AS n_chars_exact
+    FROM documents
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    h = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % 2147483647,
+    )
+    return docs.select(
+        "doc_id",
+        h.alias("rolling_hash"),
+        F.length("text").cast("long").alias("n_chars_exact"),
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA — a sequential recurrence SQL windows can't express, folded
+# JVM-side over a per-key sorted array (see operators.temporal.ewma_by_key
+# for the scale contract and the applyInPandas twin).
+# --------------------------------------------------------------------------
+
+@register(
+    "user_value_ewma",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_points,
+           round(list_reduce(
+             list_prepend(CAST(NULL AS DOUBLE), list(value ORDER BY ts, value)),
+             (acc, x) -> CASE WHEN acc IS NULL THEN x ELSE 0.3*x + 0.7*acc END
+           ), 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_capstone_spark.operators.temporal import ewma_by_key
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return ewma_by_key(ev, "user_id", "ts", "value", alpha=0.3)

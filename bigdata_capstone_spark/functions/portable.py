@@ -61,6 +61,31 @@ def salted_md5_long_sql(expr: str, salt: int) -> str:
     return md5_long_sql(f"'{salt}:' || {expr}")
 
 
+def perm_md5_long(col: Column | str, perm: int) -> Column:
+    """Permutation family at HALF the hashing cost of one md5 per perm.
+
+    md5 yields 128 bits but a 60-bit value only consumes 15 hex chars, so
+    one digest carries TWO independent uniform values: permutation ``2s``
+    reads hex chars 1-15 and permutation ``2s+1`` reads chars 16-30 of
+    ``md5(s:x)``. At 100 TB the per-shingle hash work is the dominant CPU
+    cost of MinHash signatures; this halves it with no loss of
+    independence (distinct md5 output bits are independent).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    salt, half = divmod(perm, 2)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c)), 1 + 15 * half, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def perm_md5_long_sql(expr: str, perm: int) -> str:
+    """DuckDB SQL text equivalent of :func:`perm_md5_long`."""
+    salt, half = divmod(perm, 2)
+    return f"(('0x' || substr(md5('{salt}:' || {expr}), {1 + 15 * half}, 15))::BIGINT)"
+
+
 def exact_sum(col: Column | str, scale: int = 2) -> Column:
     """Order-independent sum of a money-like double, returned as double."""
     c = F.col(col) if isinstance(col, str) else col

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_capstone_spark.functions.portable import md5_long, salted_md5_long
+from bigdata_capstone_spark.functions.portable import md5_long, perm_md5_long
 from bigdata_capstone_spark.operators.textops import tokens_col
 
 
@@ -97,7 +97,7 @@ def _signatures_from_shingles(
     """Signature aggregation over an already-exploded (id, sh) frame."""
     return sh.groupBy(id_col).agg(
         *[
-            F.min(salted_md5_long(F.col("sh"), p)).alias(f"h{p}")
+            F.min(perm_md5_long(F.col("sh"), p)).alias(f"h{p}")
             for p in range(n_perm)
         ]
     )

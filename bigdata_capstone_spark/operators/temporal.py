@@ -130,3 +130,81 @@ def range_join_within(
     cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     cols += [F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in right.columns]
     return joined.select(*cols)
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average of ``val_col`` in
+    ``ts_col`` order — final smoothed value per key.
+
+    EWMA is a sequential recurrence (acc = α·x + (1-α)·acc) Spark's SQL
+    windows cannot express; instead of dropping to Python, the series is
+    collected per key as a sorted struct array and folded with
+    ``aggregate`` — JVM codegen, deterministic order (ts then value), and
+    expressible in DuckDB (``list_reduce`` over ``list(... ORDER BY ...)``)
+    for the oracle. Memory bound: one (ts, value) array per key — right
+    for bounded per-key series (sensor/user histories); unbounded keys
+    should use the streaming stateful op instead
+    (streaming.stateful.running_user_totals shape).
+
+    :func:`ewma_by_key_pandas` is the Arrow/pandas twin (same contract)
+    covering the ``applyInPandas`` grouped-map surface; tests assert the
+    two agree.
+    """
+    pairs = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(val_col).alias("v")))
+    )
+    fold = F.aggregate(
+        pairs,
+        F.lit(None).cast("double"),
+        lambda acc, s: F.when(acc.isNull(), s["v"].cast("double")).otherwise(
+            F.lit(alpha) * s["v"] + F.lit(1.0 - alpha) * acc
+        ),
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            fold.alias("_ewma"),
+        )
+        .select(
+            key_col,
+            "n_points",
+            F.round(F.col("_ewma"), 6).alias("ewma"),
+        )
+    )
+
+
+def ewma_by_key_pandas(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """``applyInPandas`` twin of :func:`ewma_by_key`: per-group pandas
+    ``ewm(alpha).mean()`` over Arrow batches. The grouped-map surface is
+    the right escape hatch when per-group logic genuinely needs pandas
+    (model scoring, scipy calls); for plain EWMA the JVM fold above is
+    preferred (no Python workers). Shuffle shape is identical: one
+    exchange on the group key."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    def _ewma(pdf):
+        pdf = pdf.sort_values([ts_col, val_col])
+        sm = pdf[val_col].ewm(alpha=alpha, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_points": [len(pdf)],
+                "ewma": [round(float(sm.iloc[-1]), 6)],
+            }
+        )
+
+    out_schema = f"{key_col} long, n_points long, ewma double"
+    return df.groupBy(key_col).applyInPandas(_ewma, schema=out_schema)

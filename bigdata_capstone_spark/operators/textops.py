@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_capstone_spark.functions.portable import salted_md5_long
+from bigdata_capstone_spark.functions.portable import perm_md5_long
 
 # Tiny function-word dictionaries for the language-ID heuristic. Heuristic
 # by design (the container has no langid lib); the dictionaries are part of
@@ -140,7 +140,7 @@ def minhash_fingerprint(
     exploded = df.select("doc_id", F.explode(toks).alias("tok"))
     mins = exploded.groupBy("doc_id").agg(
         *[
-            F.min(salted_md5_long(F.col("tok"), p)).alias(f"h{p}")
+            F.min(perm_md5_long(F.col("tok"), p)).alias(f"h{p}")
             for p in range(n_perm)
         ]
     )

@@ -230,3 +230,21 @@ def test_multimodal_feature_plumbing(spark):
     with_duration = assets.withColumn("duration_ms", F.lit(3000).cast("long"))
     plan = frame_sample_plan(with_duration, every_ms=1000)
     assert plan.count() == 32 * 4
+
+
+# -- EWMA: JVM fold vs applyInPandas twin -------------------------------------
+
+def test_ewma_jvm_equals_pandas(spark, sf_small):
+    from bigdata_capstone_spark.operators.temporal import (
+        ewma_by_key,
+        ewma_by_key_pandas,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").select("user_id", "ts", "value")
+    jvm = {r["user_id"]: (r["n_points"], r["ewma"]) for r in ewma_by_key(ev, "user_id").collect()}
+    pdv = {r["user_id"]: (r["n_points"], r["ewma"]) for r in ewma_by_key_pandas(ev, "user_id").collect()}
+    assert set(jvm) == set(pdv)
+    for u in jvm:
+        assert jvm[u][0] == pdv[u][0]
+        assert abs(jvm[u][1] - pdv[u][1]) <= 1e-6, (u, jvm[u], pdv[u])

@@ -113,3 +113,33 @@ def test_stateful_high_watermark_alerts_equal_batch_twin(spark, sf_small):
         for r in spark.sql("SELECT * FROM alerts_out").collect()
     }
     assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, sf_small, tmp_path):
+    """A stream fed the same events twice (replay) must emit each event_id
+    once; the streamed distinct count equals the batch dropDuplicates."""
+    from bigdata_capstone_spark.streaming.dedup import (
+        dedup_events_exact,
+        dedup_events_within_watermark,
+    )
+
+    # deterministic subset (limit() without order can differ across jobs)
+    events = load_table(spark, sf_small, "events").filter(
+        F.col("event_id") % 20 == 0
+    )
+    n_unique = dedup_events_exact(events).count()
+
+    # replayed feed: two parquet files with identical rows (at-least-once)
+    feed = str(tmp_path / "feed")
+    events.write.mode("overwrite").parquet(feed)
+    events.write.mode("append").parquet(feed)
+
+    raw = spark.readStream.schema(events.schema).format("parquet").load(feed)
+    assert raw.isStreaming
+    deduped = dedup_events_within_watermark(raw, watermark="10 minutes")
+    run_stream_to_memory(deduped, "dedup_out", "append")
+    got = spark.sql("SELECT count(*) AS n FROM dedup_out").first()["n"]
+    assert got == n_unique
+
+    # batch twin degrades to plain dropDuplicates
+    assert dedup_events_within_watermark(events).count() == n_unique
