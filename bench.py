@@ -42,6 +42,7 @@ HEADLINE = [
     "nation_trade_flows",          # five-way star walk (widest join tree)
     "large_volume_customers",      # HAVING on grouped fact + star join-back
     "user_value_trend",            # regression aggregates (moment sketches)
+    "docs_curation_pipeline",      # end-to-end curation: lang→quality→dedup
 ]
 
 

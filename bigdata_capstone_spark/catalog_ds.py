@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_capstone_spark.catalog import register
+from bigdata_capstone_spark.catalog import ORACLE_SQL, register
 from bigdata_capstone_spark.operators import relational as rel
 from bigdata_capstone_spark.session import ensure_utc
 from bigdata_capstone_spark.sources.tables import load_table
@@ -639,3 +639,69 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     return ewma_by_key(ev, "user_id", "ts", "value", alpha=0.3)
+
+
+# --------------------------------------------------------------------------
+# End-to-end pretraining-data curation: language-ID → quality filter →
+# exact dedup → minhash near-dup removal, composed from the already-
+# oracle-checked building blocks (each stage's SQL fragment is reused
+# verbatim from its standalone query, so the composite oracle can't drift
+# from the parts). This is the composition a 100 TB document pipeline
+# actually runs: every stage is one narrow map or one short-key shuffle,
+# and the near-dup drop set is bucket-local LSH, never all-pairs.
+# --------------------------------------------------------------------------
+
+def _curation_oracle() -> str:
+    return f"""
+    WITH keep_exact AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    near AS (
+      SELECT DISTINCT idB AS doc_id
+      FROM ({ORACLE_SQL["dedup_minhash_lsh_pairs"]})
+      WHERE jaccard_r >= 0.6
+    ),
+    lang AS ({ORACLE_SQL["doc_lang_id"]}),
+    qual AS ({ORACLE_SQL["doc_quality"]})
+    SELECT d.doc_id, d.source, lang.lang_guess, qual.quality
+    FROM documents d
+    JOIN keep_exact ON keep_exact.doc_id = d.doc_id
+    LEFT JOIN near ON near.doc_id = d.doc_id
+    JOIN lang ON lang.doc_id = d.doc_id
+    JOIN qual ON qual.doc_id = d.doc_id
+    WHERE near.doc_id IS NULL AND qual.quality >= 0.42
+      AND lang.lang_guess <> 'und'
+    """
+
+
+@register("docs_curation_pipeline", oracle=_curation_oracle())
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_capstone_spark.operators.dedup import (
+        exact_dedup,
+        minhash_near_dup_pairs,
+    )
+    from bigdata_capstone_spark.operators.textops import (
+        lang_id_heuristic,
+        quality_score,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    keep_exact = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    pairs = minhash_near_dup_pairs(docs, n_perm=8, bands=4, min_jaccard=0.35)
+    drop_near = (
+        pairs.filter(F.round("jaccard", 6) >= 0.6)
+        .select(F.col("idB").alias("doc_id"))
+        .distinct()
+    )
+    lang = lang_id_heuristic(docs)
+    qual = quality_score(docs)
+    return (
+        docs.select("doc_id", "source")
+        .join(keep_exact, on="doc_id", how="left_semi")
+        .join(drop_near, on="doc_id", how="left_anti")
+        .join(lang, on="doc_id")
+        .join(qual, on="doc_id")
+        .filter((F.col("quality") >= 0.42) & (F.col("lang_guess") != "und"))
+        .select("doc_id", "source", "lang_guess", "quality")
+    )
