@@ -642,6 +642,46 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# UNPIVOT (wide → long via ``stack``): the inverse of the fixed-list pivot.
+# stack is a generator expression evaluated row-local — no shuffle beyond
+# the upstream pivot's own aggregation; the wide row fans out to exactly
+# n_types rows regardless of data size.
+# --------------------------------------------------------------------------
+
+@register(
+    "event_type_user_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+             count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+             count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+             count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+             count(*) FILTER (event_type = 'view')::BIGINT     AS n_view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_type, n FROM (
+      SELECT user_id, 'click' AS event_type, n_click AS n FROM wide
+      UNION ALL SELECT user_id, 'error', n_error FROM wide
+      UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide
+      UNION ALL SELECT user_id, 'signup', n_signup FROM wide
+      UNION ALL SELECT user_id, 'view', n_view FROM wide
+    ) WHERE n > 0
+    """,
+)
+def event_type_user_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_capstone_spark.catalog import QUERIES
+
+    ensure_utc(spark)
+    wide = QUERIES["event_type_user_pivot"](spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    stack_expr = "stack({}, {}) AS (event_type, n)".format(
+        len(types), ", ".join(f"'{t}', n_{t}" for t in types)
+    )
+    return wide.select("user_id", F.expr(stack_expr)).filter(F.col("n") > 0)
+
+
+# --------------------------------------------------------------------------
 # End-to-end pretraining-data curation: language-ID → quality filter →
 # exact dedup → minhash near-dup removal, composed from the already-
 # oracle-checked building blocks (each stage's SQL fragment is reused

@@ -124,3 +124,32 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def resize_targets(
+    assets: DataFrame, max_dim: int = 224
+) -> DataFrame:
+    """Resize *planning* (aspect-preserving fit into max_dim×max_dim):
+    target dimensions are pure JVM arithmetic over the metadata columns —
+    no bytes touched, no Python. The pixel work itself belongs in the
+    decode kernel (``extract_features``); planning separately lets the
+    expensive stage be filtered/costed first (e.g. skip assets already
+    small enough)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_dim) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return assets.filter(
+        F.col("width").isNotNull() & F.col("height").isNotNull()
+    ).select(
+        "asset_id",
+        "width",
+        "height",
+        F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1)).alias(
+            "target_width"
+        ),
+        F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1)).alias(
+            "target_height"
+        ),
+        (scale < 1.0).alias("needs_resize"),
+    )

@@ -232,6 +232,26 @@ def test_multimodal_feature_plumbing(spark):
     assert plan.count() == 32 * 4
 
 
+def test_multimodal_resize_targets(spark):
+    from bigdata_capstone_spark.operators.multimodal import (
+        resize_targets,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, n=32)
+    targets = {r["asset_id"]: r for r in resize_targets(assets, max_dim=16).collect()}
+    assert len(targets) == 32
+    for r in targets.values():
+        assert 1 <= r["target_width"] <= 16 and 1 <= r["target_height"] <= 16
+        if r["needs_resize"]:
+            # aspect preserved: the larger side hits the cap
+            assert max(r["target_width"], r["target_height"]) == 16
+        else:
+            assert (r["target_width"], r["target_height"]) == (
+                r["width"], r["height"]
+            )
+
+
 # -- EWMA: JVM fold vs applyInPandas twin -------------------------------------
 
 def test_ewma_jvm_equals_pandas(spark, sf_small):
