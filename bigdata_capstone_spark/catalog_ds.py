@@ -745,3 +745,86 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("quality") >= 0.42) & (F.col("lang_guess") != "und"))
         .select("doc_id", "source", "lang_guess", "quality")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap filling: zero-filled hourly grid + forward-filled carry
+# (`last IGNORE NULLS` over an ordered window). The grid is |types|·|hours|
+# — bounded by the time span, not the event volume — and the fill is one
+# window pass per type. The canonical missing-bucket repair every
+# monitoring/feature pipeline needs; Spark and DuckDB agree on IGNORE
+# NULLS semantics.
+# --------------------------------------------------------------------------
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*)::BIGINT AS n_events,
+             sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                  FROM span) g
+    ),
+    filled AS (
+      SELECT grid.event_type, grid.h AS window_start,
+             coalesce(hourly.n_events, 0)::BIGINT AS n_events,
+             hourly.sum_value AS raw_sum
+      FROM grid LEFT JOIN hourly
+        ON hourly.event_type = grid.event_type AND hourly.h = grid.h
+    )
+    SELECT event_type, window_start, n_events,
+           round(coalesce(last_value(raw_sum IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY window_start
+             ROWS UNBOUNDED PRECEDING), 0.0), 6) AS ffill_sum_value
+    FROM filled
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    span = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = span.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("window_start")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = F.broadcast(types).crossJoin(hours)
+    filled = grid.join(
+        hourly.withColumnRenamed("h", "window_start"),
+        on=["event_type", "window_start"],
+        how="left",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "window_start",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(
+            F.coalesce(F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)),
+            6,
+        ).alias("ffill_sum_value"),
+    )
