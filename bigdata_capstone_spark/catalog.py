@@ -904,6 +904,18 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=4)
 
 
+@register("dedup_clusters_minhash")
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: minhash-LSH pairs closed under transitivity via
+    iterative min-label connected components (rows-only: iterative
+    algorithms are not SQL-expressible without recursion; correctness is
+    asserted against a union-find in tests). cluster_id = min doc_id."""
+    from bigdata_capstone_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, n_perm=8, bands=4, min_jaccard=0.5)
+
+
 @register("embedding_ann_ivf")
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF coarse quantizer (KMeans cells +

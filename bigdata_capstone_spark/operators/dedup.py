@@ -257,3 +257,98 @@ def ngram_jaccard_pairs(
             "jaccard"
         ),
     ).filter(F.col("jaccard") >= min_jaccard)
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "idA",
+    b_col: str = "idB",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the transitive
+    closure that turns pairwise near-dup hits into dedup CLUSTERS (a
+    near-dups b, b near-dups c ⇒ {a,b,c} share one canonical id).
+
+    Algorithm: iterative min-label propagation ("hash-to-min" style, the
+    standard MapReduce/Spark formulation — see e.g. the large-star/
+    small-star family, Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every node starts labeled with its own id; each round
+    every node adopts the minimum label in its neighborhood; converged
+    when no label changes. Rounds = O(graph diameter); near-dup graphs
+    are unions of small dense cliques, so 2-3 rounds in practice.
+
+    Scale shape per round: one join (labels ⋈ edges) + one groupBy(min) —
+    both shuffle on node id, and AQE handles the skew of giant
+    components. Labels are checkpoint-truncated every round via
+    ``localCheckpoint`` so the lineage does not grow with iterations
+    (the classic iterative-algorithm failure on Spark).
+
+    Returns (node, component) with component = min node id in the
+    component. Not SQL-expressible without recursive CTEs → rows-only
+    oracle; correctness is asserted against a union-find in tests.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node"))
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # candidate labels flowing along edges: neighbor's current label
+        neighbor_labels = (
+            sym.join(labels, on=F.col("dst") == F.col("node"))
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), on="node"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup clusters: minhash-LSH pairs → connected components →
+    (doc_id, cluster_id, cluster_size). Docs with no near-dup partner get
+    their own singleton cluster. ``cluster_id`` is the minimum doc_id in
+    the cluster — the canonical "keep" representative."""
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, n_perm, bands, shingle_n, min_jaccard
+    )
+    comp = connected_components(pairs.select("idA", "idB"), "idA", "idB", max_iter)
+    all_docs = df.select(F.col(id_col))
+    labeled = all_docs.join(
+        comp.withColumnRenamed("node", id_col), on=id_col, how="left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, on="cluster_id").select(
+        id_col, "cluster_id", "cluster_size"
+    )

@@ -268,3 +268,60 @@ def test_ewma_jvm_equals_pandas(spark, sf_small):
     for u in jvm:
         assert jvm[u][0] == pdv[u][0]
         assert abs(jvm[u][1] - pdv[u][1]) <= 1e-6, (u, jvm[u], pdv[u])
+
+
+# -- connected components / dedup clusters ------------------------------------
+
+def test_connected_components_matches_union_find(spark):
+    from bigdata_capstone_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (3, 4)]
+    df = spark.createDataFrame(edges, "idA long, idB long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
+
+
+def test_dedup_clusters_invariants(spark, sf_small):
+    from bigdata_capstone_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_dup_pairs,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    clusters = dedup_clusters(docs, min_jaccard=0.5).collect()
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    # every document is labeled exactly once
+    assert len(by_doc) == docs.count()
+    # cluster_id is a member of its own cluster (the minimum member)
+    members = {}
+    for r in clusters:
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, ms in members.items():
+        assert cid == min(ms)
+    # every near-dup pair ended up in the same cluster (transitivity)
+    pairs = minhash_near_dup_pairs(docs, min_jaccard=0.5).collect()
+    for p in pairs:
+        assert by_doc[p["idA"]] == by_doc[p["idB"]], p
+    # sizes consistent
+    sizes = {r["cluster_id"]: r["cluster_size"] for r in clusters}
+    for cid, ms in members.items():
+        assert sizes[cid] == len(ms)
