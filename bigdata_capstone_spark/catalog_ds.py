@@ -828,3 +828,34 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ffill_sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event attribution: view→purchase pairs within 30 minutes per user — the
+# batch twin of streaming.joins.followed_within (same expression runs as a
+# watermarked stream-stream join; SCALE.md). Bucketized variants
+# (error_events_near_purchases) bound candidates at extreme volume; this
+# direct range theta-join is the reference semantics.
+# --------------------------------------------------------------------------
+
+@register(
+    "view_purchase_attribution",
+    oracle="""
+    SELECT a.user_id AS key, a.event_id AS a_id, b.event_id AS b_id,
+           a.ts AS a_ts, b.ts AS b_ts
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_capstone_spark.streaming.joins import followed_within
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return followed_within(views, purchases, gap="30 minutes")

@@ -143,3 +143,29 @@ def test_streaming_dedup_within_watermark(spark, sf_small, tmp_path):
 
     # batch twin degrades to plain dropDuplicates
     assert dedup_events_within_watermark(events).count() == n_unique
+
+
+def test_stream_stream_join_equals_batch(spark, sf_small):
+    """view→purchase pairs within 30 min: the watermarked stream-stream
+    join must produce exactly the batch theta-join's pairs."""
+    from bigdata_capstone_spark.streaming.joins import followed_within
+
+    events = load_table(spark, sf_small, "events")
+    views = events.filter(F.col("event_type") == "view")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    batch = {
+        (r["a_id"], r["b_id"])
+        for r in followed_within(views, purchases, gap="30 minutes").collect()
+    }
+    assert batch, "fixture should produce at least one followed-within pair"
+
+    stream = stream_events_from_parquet(spark, sf_small)
+    sv = stream.filter(F.col("event_type") == "view")
+    sp = stream.filter(F.col("event_type") == "purchase")
+    joined = followed_within(sv, sp, gap="30 minutes")
+    run_stream_to_memory(joined, "ss_join_out", "append")
+    streamed = {
+        (r["a_id"], r["b_id"])
+        for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    }
+    assert streamed == batch
