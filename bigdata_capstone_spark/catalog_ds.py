@@ -859,3 +859,46 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return followed_within(views, purchases, gap="30 minutes")
+
+
+# --------------------------------------------------------------------------
+# Deterministic argmax WITHOUT a window: max over a (value, tiebreak-key)
+# struct — one hash aggregate with map-side partial combines, versus the
+# window top-1's full shuffle+sort per partition key. At extreme group
+# counts this is the plan you want for per-group top-1 (the window form,
+# top_lineitems_per_order_rank, stays the general top-k path). Both
+# engines order structs lexicographically, and the embedded key makes
+# ties deterministic.
+# --------------------------------------------------------------------------
+
+@register(
+    "top_part_per_order_argmax",
+    oracle="""
+    WITH m AS (
+      SELECT l_orderkey,
+             max({'price': l_extendedprice, 'pk': l_partkey}) AS s,
+             count(*)::BIGINT AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, s.price AS top_price, s.pk AS top_partkey, n_items
+    FROM m
+    """,
+)
+def top_part_per_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.struct(
+                F.col("l_extendedprice").alias("price"),
+                F.col("l_partkey").alias("pk"),
+            )
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return m.select(
+        "l_orderkey",
+        F.col("s.price").alias("top_price"),
+        F.col("s.pk").alias("top_partkey"),
+        "n_items",
+    )

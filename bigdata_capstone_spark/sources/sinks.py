@@ -48,3 +48,35 @@ def write_csv(
     ``coalesce(1)`` for tiny result tables only — never for fact data."""
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).option("header", header).csv(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    """Data-clustered parquet: range-partition then sort WITHIN each file by
+    ``cluster_by`` so parquet row-group min/max statistics become selective
+    — readers of ``key = x`` / ``key BETWEEN`` predicates skip whole row
+    groups (and with range partitioning, whole files) instead of scanning.
+
+    This is the scan-pruning lever after partition pruning: partitionBy
+    works for low-cardinality columns (date, region); clustering covers
+    high-cardinality keys (user_id, doc_id) where a directory per value is
+    impossible. At 100 TB the combination — partition by date, cluster by
+    key — is the default layout for every fact table.
+
+    ``repartitionByRange`` gives non-overlapping key ranges per file;
+    ``sortWithinPartitions`` orders rows inside, producing monotone
+    row-group stats. (Range partitioning samples the key distribution —
+    one extra lightweight job — so file sizes stay balanced under skew.)
+    """
+    n = target_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -8,6 +8,8 @@ join, IS the performance story (SCALE.md "Scans and sinks").
 
 from __future__ import annotations
 
+import glob
+
 import pyspark.sql.types as T
 import pytest
 from pyspark.sql import functions as F
@@ -123,3 +125,45 @@ def test_single_file_csv_is_one_part(spark, sf_small, tmp_path):
 
     parts = glob.glob(f"{out}/part-*")
     assert len(parts) == 1
+
+
+def test_clustered_write_has_selective_rowgroup_stats(spark, sf_small, tmp_path):
+    """Clustered layout: each file covers a disjoint key range (range
+    partitioning) and row-group min/max stats are tight (sorted within),
+    so point/range predicates can skip most files entirely."""
+    import pyarrow.parquet as pq
+
+    from bigdata_capstone_spark.sources.sinks import write_clustered_parquet
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_small, "orders")
+    out = str(tmp_path / "clustered")
+    write_clustered_parquet(orders, out, cluster_by=["o_custkey"], target_files=8)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) > 1
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "o_custkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+        # sorted within file ⇒ row groups are non-overlapping and monotone
+        for i in range(1, md.num_row_groups):
+            prev_max = md.row_group(i - 1).column(col_idx).statistics.max
+            cur_min = md.row_group(i).column(col_idx).statistics.min
+            assert cur_min >= prev_max
+
+    # range partitioning ⇒ files cover disjoint key ranges
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert lo2 >= hi1
+
+    # round-trip intact
+    assert spark.read.parquet(out).count() == orders.count()
