@@ -902,3 +902,42 @@ def top_part_per_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.pk").alias("top_partkey"),
         "n_items",
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenize → chunk into overlapping training windows (size 64, stride 32)
+# — the step between curation and training-example emission. One explode,
+# no shuffle; chunk md5 ids let chunk-level exact dedup reuse the
+# document machinery unchanged.
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_token_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t), 1), 32)) AS s
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id, ((s - 1) // 32)::INT AS chunk_idx,
+             array_to_string(t[s:s+63], ' ') AS chunk_text
+      FROM st
+    )
+    SELECT doc_id, chunk_idx,
+           len(string_split(chunk_text, ' '))::BIGINT AS n_chunk_tokens,
+           md5(chunk_text) AS chunk_hash
+    FROM ch WHERE chunk_text <> ''
+    """,
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_capstone_spark.operators.textops import chunk_tokens
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, chunk_size=64, stride=32)

@@ -150,3 +150,41 @@ def minhash_fingerprint(
             "fingerprint"
         ),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows (size ``chunk_size``,
+    step ``stride``) — the tokenize→chunk step that turns curated documents
+    into training examples. The final window may be shorter; every token is
+    covered.
+
+    Pure JVM: tokens once, a ``sequence`` of window starts, ``transform`` +
+    ``posexplode`` to one row per chunk — no Python, no shuffle; fan-out is
+    ~n_tokens/stride rows per doc and pipelines into the scan. Chunks carry
+    an md5 id so downstream exact-dedup runs on chunks exactly like docs.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_size))
+    )
+    exploded = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).filter(F.col("chunk_text") != "")
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias(
+            "n_chunk_tokens"
+        ),
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
