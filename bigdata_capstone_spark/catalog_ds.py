@@ -941,3 +941,158 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return chunk_tokens(docs, chunk_size=64, stride=32)
+
+
+# --------------------------------------------------------------------------
+# Q4 shape: EXISTS → left-semi join. The semi join never materializes
+# lineitem payloads and stops probing a key after the first match; the
+# date comparison is col-vs-col so it rides the join, not the scan.
+# --------------------------------------------------------------------------
+
+@register(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: two-bucket conditional counts after a fact⋈fact join —
+# high-priority vs other orders per returnflag. CASE aggregation keeps it
+# one pass; the join shuffles on the shared orderkey.
+# --------------------------------------------------------------------------
+
+@register(
+    "returnflag_priority_split",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_priority_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_priority_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def returnflag_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_priority_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 shape: distribution histogram — how many customers placed k orders,
+# INCLUDING k=0 (the left join's null bucket). Two cascaded aggregations:
+# per-customer counts, then counts-of-counts; both shuffle short keys.
+# --------------------------------------------------------------------------
+
+@register(
+    "customer_order_count_histogram",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT n_orders, count(*)::BIGINT AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    """,
+)
+def customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunctive (OR-of-ANDs) predicates across the join — the
+# classic test of whether an engine pushes what it can (per-side
+# conjuncts common to every branch) and evaluates the residual OR after
+# the join. part broadcasts; Catalyst extracts the common p_brand/p_size
+# bounds into the scan.
+# --------------------------------------------------------------------------
+
+@register(
+    "brand_size_quantity_revenue",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_items,
+           sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4)))::DOUBLE AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#8'  AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def brand_size_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    def branch(brand, s_lo, s_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+    cond = (
+        branch("Brand#4", 1, 15, 1, 20)
+        | branch("Brand#19", 10, 30, 10, 35)
+        | branch("Brand#8", 20, 50, 20, 50)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
