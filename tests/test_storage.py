@@ -167,3 +167,68 @@ def test_clustered_write_has_selective_rowgroup_stats(spark, sf_small, tmp_path)
 
     # round-trip intact
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """Custom Python Data Source: partitioned generation, stable schema,
+    seed-deterministic content independent of partition count."""
+    from bigdata_capstone_spark.sources.pydatasource import (
+        SyntheticRatingsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticRatingsDataSource)
+    df = (
+        spark.read.format("synthetic_ratings")
+        .option("n_rows", 2000).option("seed", 7).option("n_partitions", 8)
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<userId:bigint,movieId:bigint,rating:double,timestamp:bigint>"
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 2000
+    a = sorted(map(tuple, df.collect()))
+    # different partitioning, same seed → identical data
+    b = sorted(map(tuple, (
+        spark.read.format("synthetic_ratings")
+        .option("n_rows", 2000).option("seed", 7).option("n_partitions", 3)
+        .load()
+    ).collect()))
+    assert a == b
+    # different seed → different data
+    c = sorted(map(tuple, (
+        spark.read.format("synthetic_ratings")
+        .option("n_rows", 2000).option("seed", 8).option("n_partitions", 8)
+        .load()
+    ).collect()))
+    assert a != c
+    # ratings live on the half-step grid in (0, 5]
+    vals = {r for (_, _, r, _) in a}
+    assert vals <= {0.5 * k for k in range(1, 11)}
+
+
+def test_observed_metrics_single_pass(spark, sf_small):
+    """Observation metrics arrive as a side effect of the one write job —
+    and agree with separately computed aggregates."""
+    from bigdata_capstone_spark.observability import run_with_metrics
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_small, "orders")
+    got = run_with_metrics(
+        orders,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_cust": F.count_if(F.col("o_custkey").isNull()),
+            "total_price": F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+            ).cast("double"),
+        },
+    )
+    assert got["n_rows"] == orders.count()
+    assert got["n_null_cust"] == 0
+    expect = (
+        orders.agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        ).first()[0]
+    )
+    assert got["total_price"] == expect
