@@ -1096,3 +1096,66 @@ def brand_size_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher/C4-style curation filters): top-token
+# dominance and distinct-bigram ratio. The bigram ratio is pure per-row
+# JVM array math; the top-token count is one explode + two short-key
+# aggregations. Highly repetitive documents (boilerplate, generation
+# loops) score low distinct ratios and high dominance.
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    tok_counts AS (
+      SELECT doc_id, count(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, tok
+    ),
+    top AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM tok_counts GROUP BY doc_id),
+    bi AS (
+      SELECT doc_id, len(t) AS n,
+             list_distinct([array_to_string(t[i:i+1], ' ')
+                            for i in range(1, len(t))]) AS dbigrams
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bi.doc_id,
+           round(top.top_c * 1.0 / bi.n, 6) AS top_token_ratio,
+           round(len(bi.dbigrams) * 1.0 / (bi.n - 1), 6) AS distinct_bigram_ratio
+    FROM bi JOIN top ON top.doc_id = bi.doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_capstone_spark.operators.dedup import shingles_col
+    from bigdata_capstone_spark.operators.textops import tokens_col
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.size(shingles_col("text", 2)).alias("n_distinct_bigrams"),
+        toks.alias("t"),
+    ).filter(F.col("n") >= 2)
+    top = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return base.join(top, on="doc_id").select(
+        "doc_id",
+        F.round(F.col("top_c") / F.col("n"), 6).alias("top_token_ratio"),
+        F.round(F.col("n_distinct_bigrams") / (F.col("n") - 1), 6).alias(
+            "distinct_bigram_ratio"
+        ),
+    )
