@@ -1159,3 +1159,44 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_bigram_ratio"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance near-match within blocking keys: fuzzy string matching
+# done the scalable way — never all-pairs; candidates are generated
+# inside blocks (same brand), then levenshtein runs JVM-side on the
+# block-local pairs only. The blocking key is the recall/cost dial, the
+# same pattern as every entity-resolution pipeline.
+# --------------------------------------------------------------------------
+
+@register(
+    "similar_part_names",
+    oracle="""
+    SELECT a.p_partkey AS pkA, b.p_partkey AS pkB,
+           a.p_name AS nameA, b.p_name AS nameB,
+           levenshtein(a.p_name, b.p_name)::INTEGER AS edit_distance
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = part.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("pkA"),
+        F.col("p_name").alias("nameA"),
+    )
+    b = part.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("pkB"),
+        F.col("p_name").alias("nameB"),
+    )
+    return (
+        a.join(b, on="p_brand")
+        .filter(F.col("pkA") < F.col("pkB"))
+        .withColumn("edit_distance", F.levenshtein(F.col("nameA"), F.col("nameB")))
+        .filter(F.col("edit_distance") <= 2)
+        .select("pkA", "pkB", "nameA", "nameB", "edit_distance")
+    )

@@ -352,3 +352,29 @@ def dedup_clusters(
     return labeled.join(sizes, on="cluster_id").select(
         id_col, "cluster_id", "cluster_size"
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: drop new docs whose text hash is already
+    in the seen-corpus hash table, then dedup within the batch (keep min
+    id). Returns the surviving (id, text_hash) rows — the production
+    shape where yesterday's corpus is a hash TABLE (narrow, bucketable),
+    never the documents themselves. Anti-join on the 32-char digest: the
+    shuffle carries hashes, not bodies; at 100 TB the seen-table is
+    bucketed by hash so the anti-join is co-located."""
+    hashed = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    fresh = hashed.join(
+        seen_hashes.select("text_hash"), on="text_hash", how="left_anti"
+    )
+    return (
+        fresh.groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "text_hash")
+    )

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the fixtures — the cheap way to catch semantic edge cases
+(empty docs, ties, single-token texts) the example tests miss."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+TOKENS = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "data", "spark", "x9"]),
+    min_size=0, max_size=12,
+)
+DOCS = st.lists(TOKENS, min_size=1, max_size=8)
+
+_set = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(docs=DOCS)
+@_set
+def test_minhash_equal_token_sets_equal_signatures(spark, docs):
+    from bigdata_capstone_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # a permuted copy of each doc: same token SET ⇒ same signature
+    rows += [
+        (1000 + i, " ".join(sorted(toks, reverse=True)))
+        for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: tuple(r[f"h{p}"] for p in range(4))
+        for r in minhash_signatures(df, n_perm=4, shingle_n=1).collect()
+    }
+    for i, toks in enumerate(docs):
+        if set(toks):
+            assert sigs[i] == sigs[1000 + i]
+        else:
+            assert i not in sigs  # empty docs yield no shingles, no row
+
+
+@given(docs=DOCS)
+@_set
+def test_ngram_jaccard_bounds_and_symmetry(spark, docs):
+    from bigdata_capstone_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(
+        df, shingle_n=1, min_jaccard=0.0, text_col="text", id_col="doc_id"
+    ).collect()
+    for r in pairs:
+        assert 0.0 < r["jaccard"] <= 1.0 + 1e-12
+        assert r["idA"] < r["idB"]
+        a, b = set(docs[r["idA"]]), set(docs[r["idB"]])
+        expect = len(a & b) / len(a | b)
+        assert math.isclose(r["jaccard"], expect, rel_tol=1e-9), (r, expect)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1, max_size=20,
+    )
+)
+@_set
+def test_ewma_bounded_by_extremes(spark, vals):
+    from bigdata_capstone_spark.operators.temporal import ewma_by_key
+
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+    out = ewma_by_key(df, "user_id").collect()
+    assert len(out) == 1
+    assert out[0]["n_points"] == len(vals)
+    assert min(vals) - 1e-6 <= out[0]["ewma"] <= max(vals) + 1e-6
+
+
+def test_incremental_dedup_disjoint_and_complete(spark, sf_small):
+    from bigdata_capstone_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs  # half overlaps the seen corpus
+    seen = exact_dedup(old).select(F.col("text_hash"))
+    surv = incremental_exact_dedup(new, seen).collect()
+    seen_set = {r["text_hash"] for r in seen.collect()}
+    surv_hashes = [r["text_hash"] for r in surv]
+    # nothing already seen survives; survivors are hash-unique
+    assert not (set(surv_hashes) & seen_set)
+    assert len(surv_hashes) == len(set(surv_hashes))
+    # completeness: every unseen hash in the batch survives exactly once
+    all_new = {
+        r["text_hash"]
+        for r in new.select(F.md5("text").alias("text_hash")).collect()
+    }
+    assert set(surv_hashes) == all_new - seen_set
