@@ -1200,3 +1200,63 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_distance") <= 2)
         .select("pkA", "pkB", "nameA", "nameB", "edit_distance")
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact near-dup pairs: IDENTICAL results to the naive
+# shingle co-occurrence join (the oracle below is the naive formulation),
+# but the candidate join touches only each document's rarest
+# ⌊(1-t)·n⌋+1 shingles — the ppjoin-family optimization that keeps exact
+# set-similarity joins viable at high thresholds when shingle frequency
+# is skewed (boilerplate). Verification still uses full sets.
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_prefix_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS idA, b.doc_id AS idB,
+             max(sa.n) AS nA, max(sb.n) AS nB, count(*) AS common
+      FROM sh a
+      JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT idA, idB,
+           round(common * 1.0 / (nA + nB - common), 6) AS jaccard_r
+    FROM common
+    WHERE common * 1.0 / (nA + nB - common) >= 0.5
+    """,
+)
+def dedup_ngram_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_capstone_spark.operators.dedup import fan_out, shingles_col
+    from bigdata_capstone_spark.operators.similarity import (
+        exact_jaccard_pairs_prefix,
+    )
+
+    ensure_utc(spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        F.col("doc_id"), F.explode(shingles_col("text", 3)).alias("sh")
+    )
+    pairs = exact_jaccard_pairs_prefix(
+        sh, min_similarity=0.5, min_items=1, user_col="doc_id", item_col="sh"
+    )
+    return pairs.select(
+        F.col("userA").alias("idA"),
+        F.col("userB").alias("idB"),
+        F.round("similarity", 6).alias("jaccard_r"),
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdata_capstone_spark.operators.relational import top_k
 
@@ -139,5 +140,79 @@ def exact_jaccard_pairs(
         (
             F.col("common")
             / (F.col("nA") + F.col("nB") - F.col("common"))
+        ).alias("similarity"),
+    ).filter(F.col("similarity") >= min_similarity)
+
+
+def exact_jaccard_pairs_prefix(
+    ratings: DataFrame,
+    min_similarity: float = 0.5,
+    min_items: int = 5,
+    user_col: str = "userId",
+    item_col: str = "movieId",
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold via PREFIX FILTERING (ppjoin-family):
+    identical results to :func:`exact_jaccard_pairs`, asymptotically less
+    work at high thresholds.
+
+    Principle: order each user's items by ascending global frequency
+    (rarest first). For Jaccard ≥ t, a pair must share at least one item
+    among each side's first ``⌊(1-t)·|A|⌋ + 1`` items — so the candidate
+    join runs only on those short prefixes of the RAREST items, instead
+    of on every (user, item) row. Candidates are then verified with the
+    usual intersection count over the FULL sets.
+
+    Scale effect: the co-occurrence join's fan-out per item drops from
+    (item frequency)² to (prefix occupancy)² — and prefix occupancy is
+    dominated by rare items. At t=0.9 the prefix is ~10% of each set; the
+    popular items that explode the naive join never enter the candidate
+    stage. The frequency ranking costs one extra narrow aggregate.
+    """
+    ui = ratings.select(user_col, item_col).distinct()
+    sizes = ui.groupBy(user_col).agg(F.count(F.lit(1)).alias("n"))
+    ui_sized = ui.join(sizes, on=user_col).filter(F.col("n") >= min_items).cache()
+
+    freq = ui_sized.groupBy(item_col).agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy(user_col).orderBy(F.col("f"), F.col(item_col))
+    ranked = (
+        ui_sized.join(freq, on=item_col)
+        .withColumn("r", F.row_number().over(w))
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.floor((1.0 - min_similarity) * F.col("n")) + 1
+    )
+
+    pa = prefix.select(
+        F.col(user_col).alias("userA"), F.col(item_col).alias("i")
+    )
+    pb = prefix.select(
+        F.col(user_col).alias("userB"), F.col(item_col).alias("i")
+    )
+    cands = (
+        pa.join(pb, on="i")
+        .filter(F.col("userA") < F.col("userB"))
+        .select("userA", "userB")
+        .distinct()
+    )
+
+    a = ui_sized.select(
+        F.col(user_col).alias("userA"), F.col(item_col).alias("i"),
+        F.col("n").alias("nA"),
+    )
+    b = ui_sized.select(
+        F.col(user_col).alias("userB"), F.col(item_col).alias("i"),
+        F.col("n").alias("nB"),
+    )
+    common = (
+        cands.join(a, on="userA")
+        .join(b, on=["userB", "i"])
+        .groupBy("userA", "userB", "nA", "nB")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return common.select(
+        "userA",
+        "userB",
+        (
+            F.col("common") / (F.col("nA") + F.col("nB") - F.col("common"))
         ).alias("similarity"),
     ).filter(F.col("similarity") >= min_similarity)

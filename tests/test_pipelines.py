@@ -325,3 +325,29 @@ def test_dedup_clusters_invariants(spark, sf_small):
     sizes = {r["cluster_id"]: r["cluster_size"] for r in clusters}
     for cid, ms in members.items():
         assert sizes[cid] == len(ms)
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark, clean):
+    """Prefix filtering is an OPTIMIZATION: it must return exactly the
+    pairs (and similarities) of the naive co-occurrence join."""
+    from bigdata_capstone_spark.operators.similarity import (
+        exact_jaccard_pairs,
+        exact_jaccard_pairs_prefix,
+    )
+
+    for t in (0.5, 0.8):
+        naive = {
+            (r["userA"], r["userB"]): r["similarity"]
+            for r in exact_jaccard_pairs(
+                clean, min_similarity=t, min_items=5
+            ).collect()
+        }
+        fast = {
+            (r["userA"], r["userB"]): r["similarity"]
+            for r in exact_jaccard_pairs_prefix(
+                clean, min_similarity=t, min_items=5
+            ).collect()
+        }
+        assert set(naive) == set(fast), (t, set(naive) ^ set(fast))
+        for pair in naive:
+            assert abs(naive[pair] - fast[pair]) < 1e-12
