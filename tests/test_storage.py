@@ -232,3 +232,25 @@ def test_observed_metrics_single_pass(spark, sf_small):
         ).first()[0]
     )
     assert got["total_price"] == expect
+
+
+def test_profile_table_single_pass_stats(spark, sf_small):
+    from bigdata_capstone_spark.profiling import profile_table
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_small, "orders")
+    prof = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_table(orders).collect()
+    }
+    n = orders.count()
+    assert prof[("__table__", "n_rows")] == str(n)
+    assert prof[("o_custkey", "n_nulls")] == "0"
+    exact_cust = orders.select("o_custkey").distinct().count()
+    approx = int(prof[("o_custkey", "approx_distinct")])
+    assert abs(approx - exact_cust) <= 0.15 * exact_cust
+    assert float(prof[("o_totalprice", "min")]) <= float(
+        prof[("o_totalprice", "max")]
+    )
+    # one row per (column, metric) + the table row
+    assert len(prof) == 1 + 4 * len(orders.columns)

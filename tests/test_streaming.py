@@ -169,3 +169,48 @@ def test_stream_stream_join_equals_batch(spark, sf_small):
         for r in spark.sql("SELECT * FROM ss_join_out").collect()
     }
     assert streamed == batch
+
+
+def test_checkpoint_recovery_exactly_once_file_sink(spark, sf_small, tmp_path):
+    """Stop/restart against the same checkpoint: the restarted query must
+    pick up only NEW input files, and the parquet sink must hold each
+    input row exactly once across both runs (file-sink manifest +
+    checkpoint = end-to-end exactly-once)."""
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "value"
+    )
+    batch1 = events.filter(F.col("event_id") % 3 == 0)
+    batch2 = events.filter(F.col("event_id") % 3 == 1)
+
+    feed = str(tmp_path / "feed")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    batch1.coalesce(1).write.mode("overwrite").parquet(feed)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(batch1.schema).format("parquet").load(feed)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == batch1.count()
+
+    # new file arrives while the query is DOWN; restart from checkpoint
+    batch2.coalesce(1).write.mode("append").parquet(feed)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == batch1.count() + batch2.count()
+    # exactly-once: no event_id appears twice
+    assert out.select("event_id").distinct().count() == out.count()
