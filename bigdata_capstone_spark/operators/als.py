@@ -39,8 +39,17 @@ def train_als_recommend(
     user_col: str = "userId",
     item_col: str = "movieId",
     rating_col: str = "rating",
+    implicit_prefs: bool = False,
+    alpha: float = 1.0,
 ) -> ALSResult:
-    """Fit ALS and return exploded top-k recommendations per user."""
+    """Fit ALS and return exploded top-k recommendations per user.
+
+    ``implicit_prefs=True`` switches to the implicit-feedback objective
+    (Hu/Koren/Volinsky): ratings become confidence weights
+    ``1 + alpha·r`` over binary preference — the right mode when the
+    signal is counts (views, clicks, purchases) rather than explicit
+    scores. Same factor shapes, same recommend path.
+    """
     from pyspark.ml.recommendation import ALS
 
     als = ALS(
@@ -52,6 +61,8 @@ def train_als_recommend(
         regParam=reg_param,
         coldStartStrategy="drop",
         seed=seed,
+        implicitPrefs=implicit_prefs,
+        alpha=alpha,
     )
     model = als.fit(train)
     recs = model.recommendForAllUsers(k)

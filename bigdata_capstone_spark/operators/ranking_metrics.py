@@ -130,3 +130,88 @@ def explode_ranked_array(
     return df.select(
         F.col(user_col), F.posexplode(F.col(array_col)).alias("pos", item_col)
     )
+
+
+def ranking_metrics_at_ks(
+    preds: DataFrame,
+    labels: DataFrame,
+    ks: list[int],
+    user_col: str = "userId",
+    item_col: str = "movieId",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Global P@k / Recall@k / MAP@k / NDCG@k for SEVERAL cutoffs in ONE
+    pass — the evaluation-sweep shape (k ∈ {10, 50, 100}) without
+    re-scanning predictions per k. Same pinned mllib semantics as
+    :func:`per_user_ranking_metrics`; per-k quantities are conditional
+    aggregates over a single exploded+windowed frame, so the whole sweep
+    costs one shuffle on user + one tiny reduce.
+
+    Returns one row per k: (k, n_users, precision_at_k, recall_at_k,
+    map_at_k, ndcg_at_k).
+    """
+    kmax = max(ks)
+    p = preds.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("i"),
+        F.col(pos_col).cast("long").alias("pos"),
+    ).filter(F.col("pos") < kmax)
+    lab = labels.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    label_counts = lab.groupBy("u").agg(F.count(F.lit(1)).alias("m"))
+
+    marked = p.join(
+        lab.withColumn("hit", F.lit(1)), on=["u", "i"], how="left"
+    ).fillna({"hit": 0})
+    w = Window.partitionBy("u").orderBy("pos")
+    scored = marked.withColumn("cum_hits", F.sum("hit").over(w))
+
+    aggs = []
+    for k in ks:
+        in_k = F.col("pos") < k
+        aggs.append(F.sum(F.when(in_k, F.col("hit")).otherwise(0)).alias(f"hits_{k}"))
+        aggs.append(
+            F.sum(
+                F.when(
+                    in_k,
+                    F.col("hit") * F.col("cum_hits") / (F.col("pos") + 1),
+                ).otherwise(0.0)
+            ).alias(f"apnum_{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(in_k, F.col("hit") / F.log(F.col("pos") + 2)).otherwise(0.0)
+            ).alias(f"dcg_{k}")
+        )
+    per_user = scored.groupBy("u").agg(*aggs).join(label_counts, on="u")
+
+    rows = []
+    for k in ks:
+        m_eff = F.least(F.col("m"), F.lit(k))
+        max_dcg = F.aggregate(
+            F.sequence(F.lit(1), m_eff),
+            F.lit(0.0),
+            lambda acc, x: acc + 1.0 / F.log(x.cast("double") + 1.0),
+        )
+        rows.append(
+            F.struct(
+                F.lit(k).alias("k"),
+                (F.col(f"hits_{k}") / F.lit(float(k))).alias("precision_at_k"),
+                (F.col(f"hits_{k}") / F.col("m")).alias("recall_at_k"),
+                (F.col(f"apnum_{k}") / m_eff).alias("avg_precision_at_k"),
+                (F.col(f"dcg_{k}") / max_dcg).alias("ndcg_at_k"),
+            )
+        )
+    long = per_user.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+    return (
+        long.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.avg("precision_at_k").alias("precision_at_k"),
+            F.avg("recall_at_k").alias("recall_at_k"),
+            F.avg("avg_precision_at_k").alias("map_at_k"),
+            F.avg("ndcg_at_k").alias("ndcg_at_k"),
+        )
+        .orderBy("k")
+    )

@@ -351,3 +351,20 @@ def test_prefix_filtered_jaccard_equals_naive(spark, clean):
         assert set(naive) == set(fast), (t, set(naive) ^ set(fast))
         for pair in naive:
             assert abs(naive[pair] - fast[pair]) < 1e-12
+
+
+def test_als_implicit_feedback_shape(spark, clean):
+    from bigdata_capstone_spark.operators.als import train_als_recommend
+
+    # implicit signal: rating count per (user, movie) as confidence
+    counts = clean.groupBy("userId", "movieId").agg(
+        F.count(F.lit(1)).cast("double").alias("rating")
+    )
+    res = train_als_recommend(
+        counts, k=5, rank=4, max_iter=3, seed=42, implicit_prefs=True, alpha=10.0
+    )
+    recs = res.recommendations
+    per_user = recs.groupBy("userId").count().agg(
+        F.min("count"), F.max("count")
+    ).collect()[0]
+    assert per_user[0] == 5 and per_user[1] == 5

@@ -88,3 +88,33 @@ def test_per_user_hand_computed(spark, fixture_dfs):
     # user 4: all-miss → zeros
     assert rows[4]["precision_at_k"] == 0.0
     assert rows[4]["ndcg_at_k"] == 0.0
+
+
+def test_multi_k_sweep_equals_single_k_runs(spark):
+    """ranking_metrics_at_ks must reproduce the single-k results exactly
+    for every cutoff in the sweep."""
+    from bigdata_capstone_spark.operators.ranking_metrics import (
+        ranking_metrics,
+        ranking_metrics_at_ks,
+    )
+
+    preds = spark.createDataFrame(
+        [
+            (u, item, pos)
+            for u in range(1, 9)
+            for pos, item in enumerate(range(u, u + 12))
+        ],
+        "userId long, movieId long, pos long",
+    )
+    labels = spark.createDataFrame(
+        [(u, u + d) for u in range(1, 9) for d in (0, 2, 3, 7, 15)],
+        "userId long, movieId long",
+    )
+    ks = [1, 5, 10]
+    sweep = {r["k"]: r for r in ranking_metrics_at_ks(preds, labels, ks).collect()}
+    for k in ks:
+        single = ranking_metrics(preds, labels, k).collect()[0]
+        got = sweep[k]
+        assert got["n_users"] == single["n_users"]
+        for m in ("precision_at_k", "recall_at_k", "map_at_k", "ndcg_at_k"):
+            assert abs(got[m] - single[m]) < 1e-12, (k, m)
