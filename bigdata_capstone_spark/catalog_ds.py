@@ -1260,3 +1260,39 @@ def dedup_ngram_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("userB").alias("idB"),
         F.round("similarity", 6).alias("jaccard_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs within Hamming radius 3 via pigeonhole banding
+# (4 bands of 15 bits: distance ≤ 3 ⇒ at least one band identical).
+# Candidates from band equi-joins; popcount verify only on candidates.
+# The oracle replays the banding bit-for-bit on the simhash signatures.
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+    WITH sigs AS ({ORACLE_SQL["dedup_simhash_docs"]}),
+    bands AS (
+      SELECT doc_id, b, (simhash >> (b * 15)) & 32767 AS key
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.idA, c.idB,
+           bit_count(xor(sa.simhash, sb.simhash))::INTEGER AS hamming
+    FROM cands c
+    JOIN sigs sa ON sa.doc_id = c.idA
+    JOIN sigs sb ON sb.doc_id = c.idB
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """,
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_capstone_spark.operators.dedup import simhash_near_dup_pairs
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, n_bits=60, max_hamming=3)

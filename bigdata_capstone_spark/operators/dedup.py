@@ -378,3 +378,59 @@ def incremental_exact_dedup(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "text_hash")
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius, without all-pairs:
+    pigeonhole banding — split the ``n_bits`` signature into
+    ``max_hamming + 1`` bands; two signatures within distance d must agree
+    EXACTLY on at least one band, so candidates come from equi-joins on
+    band values and only candidates pay the popcount verify
+    (``bit_count(xor)``). The standard Manku/Jain/Das Sarma web-dedup
+    shape: |docs|·bands bucket rows, never |docs|².
+    """
+    bands = max_hamming + 1
+    width = n_bits // bands
+    if width * bands != n_bits:
+        raise ValueError(f"n_bits={n_bits} not divisible into {bands} bands")
+    sigs = simhash_signatures(df, text_col, id_col, n_bits)
+    mask = (1 << width) - 1
+    parts = [
+        sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                F.lit(mask)
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
+    a = buckets.select(F.col(id_col).alias("idA"), "band", "key")
+    b = buckets.select(F.col(id_col).alias("idB"), "band", "key")
+    cands = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("idA") < F.col("idB"))
+        .select("idA", "idB")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("idA"), F.col("simhash").alias("sA"))
+    sb = sigs.select(F.col(id_col).alias("idB"), F.col("simhash").alias("sB"))
+    return (
+        cands.join(sa, on="idA")
+        .join(sb, on="idB")
+        .select(
+            "idA",
+            "idB",
+            F.expr("bit_count(sA ^ sB)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
