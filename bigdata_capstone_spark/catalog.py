@@ -904,18 +904,6 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=4)
 
 
-@register("dedup_clusters_minhash")
-def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: minhash-LSH pairs closed under transitivity via
-    iterative min-label connected components (rows-only: iterative
-    algorithms are not SQL-expressible without recursion; correctness is
-    asserted against a union-find in tests). cluster_id = min doc_id."""
-    from bigdata_capstone_spark.operators.dedup import dedup_clusters
-
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup_clusters(docs, n_perm=8, bands=4, min_jaccard=0.5)
-
-
 @register("embedding_ann_ivf")
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF coarse quantizer (KMeans cells +
@@ -2136,6 +2124,51 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.grouped_top_k(
         counts, ["lang"], [F.desc("n"), F.col("tok")], 10, rank_col="term_rank"
     )
+
+
+def _clusters_oracle() -> str:
+    """Transitive closure via a recursive CTE: reach(a,b) = b reachable
+    from a; cluster id = min reachable node. The DuckDB-side check of the
+    engine's ITERATIVE min-label propagation — recursion replaces the
+    loop, same fixed point."""
+    pairs = _minhash_lsh_pairs_oracle(8, 4, 0.5)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges(src, dst) AS (
+      SELECT idA, idB FROM pairs UNION ALL SELECT idB, idA FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(a, b) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*)::BIGINT AS cluster_size
+      FROM labeled GROUP BY cluster_id
+    )
+    SELECT l.doc_id, l.cluster_id, s.cluster_size
+    FROM labeled l JOIN sizes s ON s.cluster_id = l.cluster_id
+    """
+
+
+@register("dedup_clusters_minhash", oracle=_clusters_oracle())
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: minhash-LSH pairs closed under transitivity via
+    iterative min-label connected components (union-find-checked in
+    tests). The oracle expresses the same fixed point as a DuckDB
+    recursive CTE, so even the iterative algorithm is value-checked.
+    cluster_id = min doc_id of the component."""
+    from bigdata_capstone_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, n_perm=8, bands=4, min_jaccard=0.5)
+
 
 
 # --------------------------------------------------------------------------
