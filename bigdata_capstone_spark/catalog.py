@@ -892,18 +892,6 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
-@register("embedding_ann_lsh")
-def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH buckets (rows-only
-    check; recall vs brute force asserted in tests). The scale path:
-    candidates bounded by bucket size, exact cosine only on candidates."""
-    from bigdata_capstone_spark.operators.simsearch import ann_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return ann_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=4)
-
-
 @register("embedding_ann_ivf")
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF coarse quantizer (KMeans cells +
@@ -1786,6 +1774,63 @@ def _embedding_cosine_oracle(n_planes: int = 6, n_tables: int = 2,
     )
     SELECT idA, idB, cosine_r FROM scored WHERE cosine_r >= {min_cosine}
     """
+
+
+def _ann_lsh_oracle(n_planes: int = 8, n_tables: int = 4, dim: int = 64,
+                    k: int = 10) -> str:
+    """Full ANN replay: hyperplane buckets (bit-for-bit), bucket-join
+    candidates, exact-cosine re-rank — the approximate path is still
+    hash-checkable because the hashes are deterministic md5 hyperplanes."""
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        + _rp_bucket_sql("v", t, n_planes, dim)
+        + " AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    dot = ("list_sum(list_transform(generate_series(1, len(q.v)), "
+           "i -> q.v[i] * cv.v[i]))")
+    nq = ("sqrt(list_sum(list_transform(generate_series(1, len(q.v)), "
+          "i -> q.v[i] * q.v[i])))")
+    nc = ("sqrt(list_sum(list_transform(generate_series(1, len(cv.v)), "
+          "i -> cv.v[i] * cv.v[i])))")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+      {per_table}
+    ),
+    qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT qb.query_id, cb.vec_id
+      FROM qb JOIN buckets cb ON cb.t = qb.t AND cb.bucket = qb.bucket
+      WHERE cb.vec_id <> qb.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round({dot} / ({nq} * {nc}), 6) AS cosine_r
+      FROM cand c
+      JOIN e q  ON q.vec_id  = c.query_id
+      JOIN e cv ON cv.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, cosine_r, rank FROM (
+      SELECT *, (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_r DESC, vec_id))::INT AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("embedding_ann_lsh", oracle=_ann_lsh_oracle(8, 4, 64, 10))
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets. Fully
+    oracle-checked: the md5-derived hyperplanes are deterministic, so the
+    DuckDB oracle replays bucketing, candidate join, and exact-cosine
+    re-rank hash-for-hash; recall vs brute force is asserted in tests."""
+    from bigdata_capstone_spark.operators.simsearch import ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=4)
+
 
 
 @register("dedup_embedding_cosine",
