@@ -214,3 +214,58 @@ def test_checkpoint_recovery_exactly_once_file_sink(spark, sf_small, tmp_path):
     assert out.count() == batch1.count() + batch2.count()
     # exactly-once: no event_id appears twice
     assert out.select("event_id").distinct().count() == out.count()
+
+
+def test_foreachbatch_upsert_snapshot_last_write_wins(spark, sf_small, tmp_path):
+    """Two feed files processed across two runs: the final snapshot holds
+    exactly one row per user with that user's latest event."""
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot,
+        start_upsert_snapshot,
+    )
+
+    events = load_table(spark, sf_small, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+
+    feed = str(tmp_path / "feed")
+    base = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("overwrite").parquet(feed)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema).format("parquet").load(feed)
+        )
+        q = start_upsert_snapshot(
+            stream, base, ckpt, key_cols=["user_id"], order_col="ts"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    second.coalesce(1).write.mode("append").parquet(feed)
+    run_once()
+
+    snap = read_latest_snapshot(spark, base)
+    assert snap is not None
+    # one row per user
+    assert snap.groupBy("user_id").count().agg(F.max("count")).first()[0] == 1
+    # last-WRITE-wins: users touched by the second batch carry that batch's
+    # per-batch winner (max ts within the batch); everyone else keeps their
+    # first-batch winner
+    b2 = {
+        r["user_id"]: r["mx"]
+        for r in second.groupBy("user_id").agg(F.max("ts").alias("mx")).collect()
+    }
+    b1 = {
+        r["user_id"]: r["mx"]
+        for r in first.groupBy("user_id").agg(F.max("ts").alias("mx")).collect()
+    }
+    expect = {**b1, **b2}
+    got = {r["user_id"]: r["ts"] for r in snap.collect()}
+    assert got == expect
