@@ -43,6 +43,8 @@ HEADLINE = [
     "large_volume_customers",      # HAVING on grouped fact + star join-back
     "user_value_trend",            # regression aggregates (moment sketches)
     "docs_curation_pipeline",      # end-to-end curation: lang→quality→dedup
+    "dedup_simhash_near_pairs",    # simhash banding + popcount verify
+    "embedding_ann_lsh",           # hyperplane-LSH ANN (oracle-checked)
 ]
 
 
