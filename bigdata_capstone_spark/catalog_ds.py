@@ -1296,3 +1296,55 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, n_bits=60, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Rolling distinct counts: COUNT(DISTINCT) OVER a sliding event-time
+# range — Spark has no distinct aggregate over windows, so the engine
+# formulation is per-day user SETS flattened+deduped over a 7-day RANGE
+# frame. Memory bounds at (distinct users/day × 7) per partition — the
+# exact-set path; beyond that the HLL-sketch-per-day variant keeps the
+# same frame shape with fixed-size state. DuckDB's native windowed
+# DISTINCT checks the workaround.
+# --------------------------------------------------------------------------
+
+@register(
+    "rolling_weekly_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, day,
+             count(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+             )::BIGINT AS weekly_active_users
+      FROM du
+    )
+    SELECT DISTINCT event_type, day, weekly_active_users FROM r
+    """,
+)
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(F.collect_set("user_id").alias("users"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w))))
+        .cast("long")
+        .alias("weekly_active_users"),
+    )
