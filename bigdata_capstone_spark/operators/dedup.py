@@ -399,7 +399,9 @@ def simhash_near_dup_pairs(
     width = n_bits // bands
     if width * bands != n_bits:
         raise ValueError(f"n_bits={n_bits} not divisible into {bands} bands")
-    sigs = simhash_signatures(df, text_col, id_col, n_bits)
+    # the signature frame feeds bands consumers + both verify sides —
+    # cache it or the 60-aggregate signature job runs (bands + 2) times
+    sigs = simhash_signatures(df, text_col, id_col, n_bits).cache()
     mask = (1 << width) - 1
     parts = [
         sigs.select(
