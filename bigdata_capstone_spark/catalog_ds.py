@@ -1348,3 +1348,152 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weekly_active_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly flags: per-type standardization against the type's own
+# mean/stddev (population variant for portability), computed with
+# deterministic decimal moments. Two passes over short keys — the
+# aggregate is a 5-row broadcast back onto the fact.
+# --------------------------------------------------------------------------
+
+@register(
+    "event_value_anomalies",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*) AS mu,
+             sqrt(
+               sum(CAST(value * value AS DECIMAL(24,4)))::DOUBLE / count(*)
+               - pow(sum(CAST(value AS DECIMAL(18,2)))::DOUBLE / count(*), 2)
+             ) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 6) AS z_score
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    n = F.count(F.lit(1))
+    mu = _dec_sum(F.col("value"), 2) / n
+    ex2 = F.sum((F.col("value") * F.col("value")).cast("decimal(24,4)")).cast(
+        "double"
+    ) / n
+    stats = ev.groupBy("event_type").agg(
+        mu.alias("mu"), F.sqrt(ex2 - mu * mu).alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), on="event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", F.round(z, 6).alias("z_score"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto / ABC classification: parts ranked by revenue, cumulative share
+# thresholds 80%/95% → A/B/C. One aggregate + one global-ordered window —
+# the window is a single-partition sort over |parts| rows (dimension
+# cardinality, driver-safe at any fact size; the FACT never sorts).
+# --------------------------------------------------------------------------
+
+@register(
+    "part_revenue_abc",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4)))::DOUBLE AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4)))::DOUBLE AS total FROM lineitem
+    ), ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) / total AS cum_share
+      FROM pr, tot
+    )
+    SELECT l_partkey, revenue, round(cum_share, 9) AS cum_share,
+           CASE WHEN cum_share <= 0.80 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pr = li.groupBy("l_partkey").agg(_dec_sum(rev_expr).alias("revenue"))
+    tot = li.agg(_dec_sum(rev_expr).alias("total"))
+    w = Window.orderBy(F.desc("revenue"), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pr.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.sum("revenue").over(w) / F.col("total")
+    )
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        F.round("cum_share", 9).alias("cum_share"),
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week × weeks-since —
+# the product-analytics staple. Three short-key aggregations; the cohort
+# assignment is a broadcast of |users| first-seen rows onto the fact.
+# --------------------------------------------------------------------------
+
+@register(
+    "user_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7.0) AS INTEGER)
+               AS weeks_since
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, weeks_since, count(*)::BIGINT AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, weeks_since
+    """,
+)
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(first_seen), on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7.0
+            )
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
