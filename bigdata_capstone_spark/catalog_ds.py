@@ -1497,3 +1497,132 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "weeks_since").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel: view → click → purchase, each step's timestamp strictly
+# after the previous step's FIRST occurrence per user. min-per-step
+# conditional aggregation (one pass) + step predicates — no joins at all,
+# the funnel is a 5-column reduction per user.
+# --------------------------------------------------------------------------
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           count(t_view)::BIGINT AS n_viewed,
+           count(CASE WHEN t_click > t_view THEN 1 END)::BIGINT
+             AS n_clicked_after_view,
+           count(CASE WHEN t_purchase > t_click AND t_click > t_view
+                      THEN 1 END)::BIGINT AS n_purchased_after_click
+    FROM steps
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_purchased_after_click"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket lift: part pairs co-purchased by the same customer, with
+# support and lift = P(A∩B)/(P(A)P(B)). The same bounded co-occurrence
+# join as the twins query (quadratic only within a part's buyer set);
+# per-part marginals broadcast onto the pair aggregate.
+# --------------------------------------------------------------------------
+
+@register(
+    "part_pair_lift",
+    oracle="""
+    WITH ui AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    n_cust AS (SELECT count(DISTINCT cust) AS n FROM ui),
+    marg AS (SELECT part, count(*) AS m FROM ui GROUP BY part),
+    pairs AS (
+      SELECT a.part AS partA, b.part AS partB, count(*) AS both_cnt
+      FROM ui a JOIN ui b ON a.cust = b.cust AND a.part < b.part
+      GROUP BY 1, 2
+      HAVING count(*) >= 20
+    )
+    SELECT partA, partB, both_cnt,
+           round((both_cnt * 1.0 / n.n)
+                 / ((ma.m * 1.0 / n.n) * (mb.m * 1.0 / n.n)), 6) AS lift
+    FROM pairs
+    JOIN marg ma ON ma.part = partA
+    JOIN marg mb ON mb.part = partB, n_cust n
+    ORDER BY lift DESC, partA, partB
+    LIMIT 50
+    """,
+)
+def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ui = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .cache()
+    )
+    n_cust = ui.agg(F.countDistinct("cust").alias("n"))
+    marg = ui.groupBy("part").agg(F.count(F.lit(1)).alias("m"))
+    a = ui.select(F.col("cust"), F.col("part").alias("partA"))
+    b = ui.select(F.col("cust"), F.col("part").alias("partB"))
+    pairs = (
+        a.join(b, on="cust")
+        .filter(F.col("partA") < F.col("partB"))
+        .groupBy("partA", "partB")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .filter(F.col("both_cnt") >= 20)
+    )
+    ma = marg.select(F.col("part").alias("partA"), F.col("m").alias("mA"))
+    mb = marg.select(F.col("part").alias("partB"), F.col("m").alias("mB"))
+    scored = (
+        pairs.join(F.broadcast(ma), on="partA")
+        .join(F.broadcast(mb), on="partB")
+        .crossJoin(F.broadcast(n_cust))
+        .select(
+            "partA",
+            "partB",
+            "both_cnt",
+            F.round(
+                (F.col("both_cnt") / F.col("n"))
+                / ((F.col("mA") / F.col("n")) * (F.col("mB") / F.col("n"))),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return rel.top_k(
+        scored, [F.desc("lift"), F.col("partA"), F.col("partB")], 50
+    )
