@@ -1626,3 +1626,72 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.top_k(
         scored, [F.desc("lift"), F.col("partA"), F.col("partB")], 50
     )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: market share — one supplier-nation's fraction of a customer
+# REGION's yearly revenue. The widest conditional-share walk in the
+# catalog: fact⋈orders shuffles once; customer/supplier/nation/region all
+# broadcast; the share is conditional-sum / sum within (year) groups.
+# --------------------------------------------------------------------------
+
+@register(
+    "nation_market_share",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           round(
+             sum(CAST(CASE WHEN n1.n_name = 'NATION_7'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                      AS DECIMAL(18,4)))::DOUBLE
+             / sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4)))::DOUBLE,
+             9) AS mkt_share,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN customer  ON c_custkey = o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    JOIN region    ON r_regionkey = n2.n_regionkey
+    JOIN supplier  ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    WHERE r_name = (SELECT min(r_name) FROM region)
+    GROUP BY 1
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    target_region = region.agg(F.min("r_name").alias("r_target"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    reg = region.select(
+        F.col("r_regionkey").alias("r_key"), F.col("r_name")
+    ).crossJoin(F.broadcast(target_region)).filter(
+        F.col("r_name") == F.col("r_target")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(reg), F.col("r_key") == F.col("n2_region"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(_dec_sum(nation_rev) / _dec_sum(rev), 9).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
