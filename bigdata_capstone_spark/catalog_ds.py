@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_capstone_spark.catalog import ORACLE_SQL, register
+from bigdata_capstone_spark.functions.portable import md5_long, md5_long_sql
 from bigdata_capstone_spark.operators import relational as rel
 from bigdata_capstone_spark.session import ensure_utc
 from bigdata_capstone_spark.sources.tables import load_table
@@ -1694,4 +1695,317 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_dec_sum(nation_rev) / _dec_sum(rev), 9).alias("mkt_share"),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 shape: product-type profit by nation and year. Five-way join where
+# the two fact tables (lineitem, orders) meet in a shuffle join on
+# orderkey while every dimension side is either pre-filtered (part LIKE)
+# or tiny (supplier→nation broadcast). The schema has no partsupp, so
+# supply cost is modeled as 60% of p_retailprice — same join/agg shape as
+# TPC-H Q9 (profit = revenue − cost·qty). At 100 TB the only large
+# exchange is lineitem⋈orders; AQE can flip the filtered-part join to
+# broadcast when the LIKE is selective.
+# --------------------------------------------------------------------------
+
+@register(
+    "nation_profit_by_year",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           sum(CAST(l_extendedprice * (1 - l_discount)
+                    - 0.6 * p_retailprice * l_quantity
+                    AS DECIMAL(18,4)))::DOUBLE AS sum_profit,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN part     ON p_partkey  = l_partkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (reference has no multi-way join this wide; this
+    generalizes SURVEY §2.3 J1-J3 to a star join over both fact tables)."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _dec_sum(profit).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 shape: returned-item revenue ranking. Quarter-filtered orders join
+# the returnflag-filtered fact, then a customer rollup. Both filters
+# reach the parquet scans (date range + returnflag pushdown); the
+# customer/nation joins happen AFTER the group-by collapses lineitem to
+# at-most-|customer| rows — joining dimensions onto the aggregate, not
+# the fact, is the order that survives a 100× scale-up.
+# --------------------------------------------------------------------------
+
+@register(
+    "returned_item_top_customers",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE
+               AS revenue,
+             count(*)::BIGINT AS n_returned
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+      GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, revenue, n_returned, c_acctbal, n_name AS nation
+    FROM per_cust
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: who returned the most revenue last quarter."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    per_cust = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_returned"),
+        )
+    )
+    return (
+        per_cust.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "n_returned", "c_acctbal", "nation")
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: suppliers who single-handedly held up a multi-supplier
+# order. Canonical TPC-H phrasing is EXISTS + NOT EXISTS — two extra
+# self-joins of the fact table. This engine instead aggregates to
+# (order, supplier) grain once, then answers both quantifiers with
+# window counts over the order: n_supp > 1 ⇔ EXISTS(other supplier),
+# n_late = 1 ∧ is_late ⇔ NOT EXISTS(other late supplier). One shuffle
+# (repartition by orderkey feeds the group-by AND both windows — Spark
+# reuses the partitioning) replaces two fact-fact joins; at 100 TB
+# that is the difference between one pass and three.
+# --------------------------------------------------------------------------
+
+@register(
+    "waiting_sole_late_supplier",
+    oracle="""
+    WITH per_os AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    scoped AS (
+      SELECT l_suppkey, is_late,
+             count(*)    OVER (PARTITION BY l_orderkey) AS n_supp,
+             sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM per_os
+    )
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM scoped
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 15
+    """,
+)
+def waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog with lateness = shipped >90 days after order date
+    (the schema has no commit/receipt dates). EXISTS/NOT EXISTS rewritten
+    as one aggregation + windows — see the block comment above."""
+    from pyspark.sql.window import Window
+
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_os = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    scoped = per_os.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late", F.sum("is_late").over(w)
+    )
+    return (
+        scoped.filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.col("s_name"))
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: cheapest qualified supplier per part — the correlated-
+# subquery (MIN per part) pattern, expressed as a window row_number so
+# both engines compute the same deterministic pick (tie-break s_suppkey).
+# The fact table contributes only DISTINCT (part, supplier) pairs —
+# dedup'd BEFORE the dimension joins, so the expensive side collapses
+# first; dimension filters (size, type, region) cut the join inputs at
+# the scan.
+# --------------------------------------------------------------------------
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH shipped AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    cand AS (
+      SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name AS nation,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY s_acctbal ASC, s_suppkey) AS rn
+      FROM shipped
+      JOIN part     ON p_partkey  = l_partkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE p_size <= 10 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+    )
+    SELECT p_partkey, s_suppkey, s_name, s_acctbal, nation
+    FROM cand WHERE rn = 1
+    ORDER BY s_acctbal, p_partkey
+    LIMIT 100
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog: min-cost supplier per part via deterministic
+    per-group argmin (SURVEY §2.12 Q2/Q3 tie-break discipline)."""
+    ensure_utc(spark)
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "nation")
+    )
+    cand = shipped.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    ).join(F.broadcast(euro_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+    best = rel.grouped_top_k(
+        cand, ["p_partkey"], [F.asc("s_acctbal"), F.col("s_suppkey")], 1
+    )
+    return (
+        best.select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "nation")
+        .orderBy(F.col("s_acctbal"), F.col("p_partkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling — the scale-pipeline primitive behind
+# "run it on 1% first". rand()-based sampling is irreproducible across
+# engines and re-runs; hashing the key mod 100 gives a stable,
+# engine-portable 10% sample that is a pure pushdown-able filter: no
+# shuffle, no state, and the SAME rows come back at any parallelism.
+# Stratum counts + exact sums verify the sample end-to-end.
+# --------------------------------------------------------------------------
+
+@register(
+    "hash_sampled_orders",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_sampled,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sampled_value
+    FROM orders
+    WHERE {md5_long_sql("o_orderkey::VARCHAR")} % 100 < 10
+    GROUP BY o_orderpriority
+    """,
+)
+def hash_sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed 10% sample via md5(key) mod 100 (functions/portable.py) —
+    deterministic twin of M5 randomSplit (SURVEY §2.12 Q4: seeded,
+    reproducible sampling instead of unseeded driver randomness)."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    sampled = orders.filter(
+        md5_long(F.col("o_orderkey").cast("string")) % 100 < 10
+    )
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        _dec_sum(F.col("o_totalprice"), 2).alias("sampled_value"),
     )
