@@ -2009,3 +2009,109 @@ def hash_sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         _dec_sum(F.col("o_totalprice"), 2).alias("sampled_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Portable HyperLogLog — distinct users per event type estimated from 64
+# md5-derived registers (operators/sketches.py). Spark's own
+# approx_count_distinct is HLL++ over an engine-private hash, so its
+# numbers are not checkable; this sketch derives every register from the
+# portable md5 family and the oracle recomputes the ENTIRE sketch —
+# registers, harmonic fold, estimate — in DuckDB. Exact distinct count
+# rides along to show the estimate lands near truth. At 100 TB the
+# shuffle carries ≤ |event_types|·64 register rows.
+# --------------------------------------------------------------------------
+
+
+def _hll_oracle() -> str:
+    from bigdata_capstone_spark.operators.sketches import hll_estimate_sql
+
+    inner = hll_estimate_sql("events", "event_type", "user_id::VARCHAR")
+    return f"""
+    WITH est AS ({inner}),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type, est.hll_estimate, est.n_registers, ex.exact_distinct
+    FROM est JOIN ex ON ex.event_type = est.event_type
+    """
+
+
+@register("distinct_users_hll", oracle=_hll_oracle())
+def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-exact portable HLL (north-star 'novel sketch' extension;
+    no reference counterpart — the reference never estimates, SURVEY
+    §2.4 is exact-only)."""
+    from bigdata_capstone_spark.operators.sketches import hll_estimate
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    est = hll_estimate(
+        events, ["event_type"], F.col("user_id").cast("string")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+# --------------------------------------------------------------------------
+# Portable Count-Min sketch — part frequencies estimated from a 4×256
+# md5-salted counter grid. The grid is a fixed-size (1024-row) summary
+# of an arbitrarily large fact table, built with one map-side-combinable
+# aggregate; the top-20 heavy hitters are then point-queried by
+# broadcast-joining the grid. cms_estimate ≥ exact_cnt always (CMS only
+# overestimates) — the oracle recomputes grid and probes exactly.
+# --------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 256
+
+
+@register(
+    "heavy_hitter_parts_cms",
+    oracle=f"""
+    WITH salts AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r),
+    counters AS (
+      SELECT r,
+             {md5_long_sql("r::VARCHAR || ':' || l_partkey::VARCHAR")} % {_CMS_W}
+               AS slot,
+             count(*) AS cnt
+      FROM lineitem CROSS JOIN salts
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT l_partkey, count(*)::BIGINT AS exact_cnt
+      FROM lineitem GROUP BY 1
+      ORDER BY exact_cnt DESC, l_partkey LIMIT 20
+    ),
+    probes AS (
+      SELECT c.l_partkey, c.exact_cnt, s.r,
+             {md5_long_sql("s.r::VARCHAR || ':' || c.l_partkey::VARCHAR")}
+               % {_CMS_W} AS slot
+      FROM cand c CROSS JOIN salts s
+    )
+    SELECT p.l_partkey, p.exact_cnt, min(ct.cnt)::BIGINT AS cms_estimate
+    FROM probes p
+    JOIN counters ct ON ct.r = p.r AND ct.slot = p.slot
+    GROUP BY 1, 2
+    """,
+)
+def heavy_hitter_parts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (north-star sketch extension): estimate
+    the top-20 parts' lineitem frequencies from a fixed 4x256 grid."""
+    from bigdata_capstone_spark.operators.sketches import (
+        cms_counters,
+        cms_point_estimates,
+    )
+
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    counters = cms_counters(li, F.col("l_partkey").cast("string"), _CMS_D, _CMS_W)
+    cand = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.col("l_partkey"))
+        .limit(20)
+    )
+    return cms_point_estimates(counters, cand, "l_partkey", _CMS_D, _CMS_W)

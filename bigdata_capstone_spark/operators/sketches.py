@@ -1,0 +1,150 @@
+"""Deterministic cardinality / frequency sketches as pure DataFrame ops.
+
+The north star asks for "a novel sketch" implemented Spark-first. Spark
+ships approx_count_distinct (HLL++) and count_min_sketch, but their
+results depend on engine-internal hash functions and are therefore not
+oracle-checkable. These versions re-derive both sketches from the
+engine's portable md5 hash family (functions/portable.py), making every
+register value — and the final estimate — bit-identical between Spark
+and DuckDB while keeping the exact scale behavior that makes sketches
+worth using:
+
+- HyperLogLog: any input size collapses to m=2^b integer registers per
+  group (map-side combinable ``max``); the shuffle carries at most
+  groups×m tiny rows.
+- Count-Min: any input size collapses to a fixed d×w counter grid
+  (map-side combinable ``count``); point queries are a broadcast join
+  against that grid.
+
+Floating-point discipline: the HLL harmonic sum folds ``2^-rho`` terms
+in bucket order via a left fold seeded with 0.0 — ``0.0 + x == x``
+exactly in IEEE — so Spark's ``aggregate`` and DuckDB's ``list_reduce``
+(which seeds with the first element) produce the same double. Both
+engines then round once at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.functions.portable import md5_long, md5_long_sql
+
+# alpha for m=64 registers (0.7213 / (1 + 1.079/m), fixed by definition so
+# both engines embed the identical literal).
+HLL_ALPHA_64 = 0.709
+HLL_M_BITS = 6  # m = 64 registers
+HLL_M = 1 << HLL_M_BITS
+# md5_long is 60 bits; after the 6 bucket bits, 54 value bits remain.
+_VALUE_BITS = 60 - HLL_M_BITS
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], key_col: Column
+) -> DataFrame:
+    """Per-group HLL registers: (group..., bucket, rho_max).
+
+    bucket = low 6 bits of md5_long(key); rho = leading-zero count of the
+    remaining 54 bits + 1, computed portably as ``55 - length(bin(v))``
+    (``bin`` drops leading zeros in both engines, ``bin(0) = '0'``).
+    The ``max`` aggregate is map-side combinable, so at 100 TB each
+    executor emits at most groups×64 rows into the shuffle.
+    """
+    h = md5_long(key_col)
+    v = F.shiftright(h, HLL_M_BITS)
+    rho = F.lit(_VALUE_BITS + 1) - F.length(F.bin(v))
+    return (
+        df.select(*group_cols, (h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame, group_cols: list[str], key_col: Column
+) -> DataFrame:
+    """Per-group raw-HLL distinct estimate (no small/large-range
+    correction — the correction branch is part of the sketch definition
+    and both engines would need the same one; raw HLL keeps the oracle
+    1:1). Empty registers contribute 2^0 = 1 to the harmonic sum.
+    """
+    regs = hll_registers(df, group_cols, key_col)
+    terms = F.transform(
+        F.sort_array(F.collect_list(F.struct("bucket", "rho_max"))),
+        lambda s: F.pow(F.lit(2.0), -s["rho_max"]),
+    )
+    z = F.aggregate(terms, F.lit(0.0), lambda a, x: a + x) + (
+        F.lit(float(HLL_M)) - F.size(terms)
+    )
+    est = F.lit(HLL_ALPHA_64 * HLL_M * HLL_M) / z
+    return regs.groupBy(*group_cols).agg(
+        F.round(est, 4).alias("hll_estimate"),
+        F.count(F.lit(1)).alias("n_registers"),
+    )
+
+
+def hll_estimate_sql(table: str, group_col: str, key_expr: str) -> str:
+    """DuckDB twin of :func:`hll_estimate` over ``table``."""
+    h = md5_long_sql(key_expr)
+    return f"""
+    WITH regs AS (
+      SELECT {group_col}, ({h}) % {HLL_M} AS bucket,
+             max({_VALUE_BITS + 1} - length(bin(({h}) >> {HLL_M_BITS}))) AS rho_max
+      FROM {table}
+      GROUP BY 1, 2
+    )
+    SELECT {group_col},
+           round({HLL_ALPHA_64} * {HLL_M * HLL_M} /
+                 (list_reduce(list(power(2.0, -rho_max) ORDER BY bucket),
+                              (a, x) -> a + x)::DOUBLE
+                  + ({HLL_M} - count(*))::DOUBLE), 4) AS hll_estimate,
+           count(*)::BIGINT AS n_registers
+    FROM regs
+    GROUP BY {group_col}
+    """
+
+
+def cms_counters(df: DataFrame, key_col: Column, d: int, w: int) -> DataFrame:
+    """Count-Min counter grid: (r, slot, cnt) with d rows × w slots.
+
+    Row r uses the salted hash md5_long(r || ':' || key) % w. The output
+    is at most d×w rows no matter the input size — the explode multiplies
+    the fact table by d, but the partial hash-aggregate collapses it
+    map-side before any shuffle.
+    """
+    rows = df.select(
+        key_col.alias("__k"), F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r")
+    )
+    slot = (
+        md5_long(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("__k"))) % w
+    )
+    return (
+        rows.select("r", slot.alias("slot"))
+        .groupBy("r", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    counters: DataFrame, keys: DataFrame, key_col: str, d: int, w: int
+) -> DataFrame:
+    """CMS point query for every row of ``keys``: min over the d counters
+    the key hashes into. The counter grid (≤ d×w rows) is broadcast, so
+    probing N keys is a map-only pass."""
+    probes = keys.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
+    ).withColumn(
+        "slot",
+        md5_long(
+            F.concat(
+                F.col("r").cast("string"), F.lit(":"), F.col(key_col).cast("string")
+            )
+        )
+        % w,
+    )
+    others = [c for c in keys.columns]
+    return (
+        probes.join(F.broadcast(counters), ["r", "slot"])
+        .groupBy(*others)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

@@ -1,0 +1,79 @@
+"""Sketch accuracy/soundness properties beyond the hash-equality oracle.
+
+The catalog oracle proves Spark and DuckDB compute the SAME sketch; these
+tests prove the sketch is a CORRECT sketch: CMS never underestimates,
+both estimators land near the exact answer on known data, and the HLL
+register grain is what makes it mergeable.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.operators import sketches as sk
+
+
+def _ids_df(spark, n, label):
+    return spark.range(n).select(
+        F.lit(label).alias("grp"), F.concat(F.lit(f"{label}-"), F.col("id")).alias("k")
+    )
+
+
+def test_hll_estimate_near_truth(spark):
+    # 5000 distinct keys, duplicated 3x: duplicates must not move registers.
+    base = _ids_df(spark, 5000, "a")
+    df = base.union(base).union(base)
+    [(grp, est, nreg)] = (
+        sk.hll_estimate(df, ["grp"], F.col("k")).collect()
+    )
+    assert nreg == sk.HLL_M  # all 64 registers hit at this cardinality
+    # m=64 raw HLL: standard error ~1.04/sqrt(64) = 13%; allow 3 sigma.
+    assert abs(est - 5000) / 5000 < 0.4
+
+
+def test_hll_duplicates_are_free(spark):
+    once = sk.hll_registers(_ids_df(spark, 1000, "x"), ["grp"], F.col("k"))
+    thrice = sk.hll_registers(
+        _ids_df(spark, 1000, "x").union(_ids_df(spark, 1000, "x")), ["grp"], F.col("k")
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, thrice.collect()))
+
+
+def test_hll_registers_merge_across_partitions(spark):
+    # Mergeability: registers of (A ∪ B) == element-wise max of registers.
+    a, b = _ids_df(spark, 800, "g"), _ids_df(spark, 800, "h").withColumn(
+        "grp", F.lit("g")
+    )
+    union_regs = sk.hll_registers(a.union(b), ["grp"], F.col("k"))
+    merged = (
+        sk.hll_registers(a, ["grp"], F.col("k"))
+        .union(sk.hll_registers(b, ["grp"], F.col("k")))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    assert sorted(map(tuple, union_regs.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+@pytest.fixture(scope="module")
+def zipf_counts(spark):
+    # Skewed frequencies: key i appears (50 - i) times for i in 0..49.
+    rows = [(f"k{i}",) for i in range(50) for _ in range(50 - i)]
+    return spark.createDataFrame(rows, ["k"])
+
+
+def test_cms_never_underestimates_and_is_tight_here(spark, zipf_counts):
+    counters = sk.cms_counters(zipf_counts, F.col("k"), d=4, w=256)
+    assert counters.count() <= 4 * 256
+    exact = zipf_counts.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = sk.cms_point_estimates(counters, exact, "k", d=4, w=256)
+    rows = est.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.cms_estimate >= r.exact_cnt  # CMS is one-sided
+    # 1275 total rows into 256 slots x 4 rows: collisions are rare enough
+    # that at least the top key should be exact.
+    top = max(rows, key=lambda r: r.exact_cnt)
+    assert top.cms_estimate == top.exact_cnt
