@@ -45,6 +45,9 @@ HEADLINE = [
     "docs_curation_pipeline",      # end-to-end curation: lang→quality→dedup
     "dedup_simhash_near_pairs",    # simhash banding + popcount verify
     "embedding_ann_lsh",           # hyperplane-LSH ANN (oracle-checked)
+    "nation_profit_by_year",       # Q9 shape: star join over both fact tables
+    "waiting_sole_late_supplier",  # Q21 shape: quantifiers as window counts
+    "heavy_hitter_parts_cms",      # portable count-min sketch grid + probes
 ]
 
 

@@ -2065,7 +2065,7 @@ def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # overestimates) — the oracle recomputes grid and probes exactly.
 # --------------------------------------------------------------------------
 
-_CMS_D, _CMS_W = 4, 256
+_CMS_D = 4
 
 
 @register(
@@ -2074,8 +2074,7 @@ _CMS_D, _CMS_W = 4, 256
     WITH salts AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r),
     counters AS (
       SELECT r,
-             {md5_long_sql("r::VARCHAR || ':' || l_partkey::VARCHAR")} % {_CMS_W}
-               AS slot,
+             ('0x' || substr(md5(l_partkey::VARCHAR), 1 + 2 * r, 2))::INT AS slot,
              count(*) AS cnt
       FROM lineitem CROSS JOIN salts
       GROUP BY 1, 2
@@ -2087,8 +2086,8 @@ _CMS_D, _CMS_W = 4, 256
     ),
     probes AS (
       SELECT c.l_partkey, c.exact_cnt, s.r,
-             {md5_long_sql("s.r::VARCHAR || ':' || c.l_partkey::VARCHAR")}
-               % {_CMS_W} AS slot
+             ('0x' || substr(md5(c.l_partkey::VARCHAR), 1 + 2 * s.r, 2))::INT
+               AS slot
       FROM cand c CROSS JOIN salts s
     )
     SELECT p.l_partkey, p.exact_cnt, min(ct.cnt)::BIGINT AS cms_estimate
@@ -2099,7 +2098,8 @@ _CMS_D, _CMS_W = 4, 256
 )
 def heavy_hitter_parts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters (north-star sketch extension): estimate
-    the top-20 parts' lineitem frequencies from a fixed 4x256 grid."""
+    the top-20 parts' lineitem frequencies from a fixed 4x256 grid.
+    One md5 per row serves all 4 grid rows (byte slices of the digest)."""
     from bigdata_capstone_spark.operators.sketches import (
         cms_counters,
         cms_point_estimates,
@@ -2107,11 +2107,11 @@ def heavy_hitter_parts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-    counters = cms_counters(li, F.col("l_partkey").cast("string"), _CMS_D, _CMS_W)
+    counters = cms_counters(li, F.col("l_partkey").cast("string"), _CMS_D)
     cand = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), F.col("l_partkey"))
         .limit(20)
     )
-    return cms_point_estimates(counters, cand, "l_partkey", _CMS_D, _CMS_W)
+    return cms_point_estimates(counters, cand, "l_partkey", _CMS_D)

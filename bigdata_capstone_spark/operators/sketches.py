@@ -104,44 +104,50 @@ def hll_estimate_sql(table: str, group_col: str, key_expr: str) -> str:
     """
 
 
-def cms_counters(df: DataFrame, key_col: Column, d: int, w: int) -> DataFrame:
-    """Count-Min counter grid: (r, slot, cnt) with d rows × w slots.
+def _cms_slot(digest: Column, r: Column | int) -> Column:
+    """Slot for CMS row r: byte r of the md5 digest (hex chars 2r+1..2r+2).
 
-    Row r uses the salted hash md5_long(r || ':' || key) % w. The output
-    is at most d×w rows no matter the input size — the explode multiplies
-    the fact table by d, but the partial hash-aggregate collapses it
-    map-side before any shuffle.
+    One digest serves all d rows — distinct md5 output bytes are
+    independent, so this quarters the per-row hash cost vs. d salted
+    hashes (same economy as portable.perm_md5_long). Fixes w = 256.
     """
-    rows = df.select(
-        key_col.alias("__k"), F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r")
+    start = (
+        F.lit(1 + 2 * r) if isinstance(r, int) else F.lit(1) + F.col("r") * 2
     )
-    slot = (
-        md5_long(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("__k"))) % w
+    return F.conv(digest.substr(start, F.lit(2)), 16, 10).cast("int")
+
+
+def cms_counters(df: DataFrame, key_col: Column, d: int) -> DataFrame:
+    """Count-Min counter grid: (r, slot, cnt) with d rows × 256 slots.
+
+    The output is at most d×256 rows no matter the input size — the
+    explode multiplies the fact table by d, but the partial
+    hash-aggregate collapses it map-side before any shuffle.
+    """
+    if not 1 <= d <= 16:
+        raise ValueError(f"d must be in [1, 16] (md5 has 16 bytes), got {d}")
+    rows = df.select(
+        F.md5(key_col).alias("__h"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
     )
     return (
-        rows.select("r", slot.alias("slot"))
+        rows.select("r", _cms_slot(F.col("__h"), F.col("r")).alias("slot"))
         .groupBy("r", "slot")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def cms_point_estimates(
-    counters: DataFrame, keys: DataFrame, key_col: str, d: int, w: int
+    counters: DataFrame, keys: DataFrame, key_col: str, d: int
 ) -> DataFrame:
     """CMS point query for every row of ``keys``: min over the d counters
-    the key hashes into. The counter grid (≤ d×w rows) is broadcast, so
+    the key hashes into. The counter grid (≤ d×256 rows) is broadcast, so
     probing N keys is a map-only pass."""
     probes = keys.withColumn(
-        "r", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
+        "__h", F.md5(F.col(key_col).cast("string"))
     ).withColumn(
-        "slot",
-        md5_long(
-            F.concat(
-                F.col("r").cast("string"), F.lit(":"), F.col(key_col).cast("string")
-            )
-        )
-        % w,
-    )
+        "r", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
+    ).withColumn("slot", _cms_slot(F.col("__h"), F.col("r")))
     others = [c for c in keys.columns]
     return (
         probes.join(F.broadcast(counters), ["r", "slot"])

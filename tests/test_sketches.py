@@ -65,10 +65,10 @@ def zipf_counts(spark):
 
 
 def test_cms_never_underestimates_and_is_tight_here(spark, zipf_counts):
-    counters = sk.cms_counters(zipf_counts, F.col("k"), d=4, w=256)
+    counters = sk.cms_counters(zipf_counts, F.col("k"), d=4)
     assert counters.count() <= 4 * 256
     exact = zipf_counts.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    est = sk.cms_point_estimates(counters, exact, "k", d=4, w=256)
+    est = sk.cms_point_estimates(counters, exact, "k", d=4)
     rows = est.collect()
     assert len(rows) == 50
     for r in rows:
