@@ -2115,3 +2115,69 @@ def heavy_hitter_parts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_point_estimates(counters, cand, "l_partkey", _CMS_D)
+
+
+# --------------------------------------------------------------------------
+# PageRank over the bipartite customer↔supplier purchase graph — the
+# second ITERATIVE operator (besides connected components) with a real
+# value oracle: 3 rounds, loop unrolled into chained CTEs on the DuckDB
+# side (operators/graph.py). Per-round determinism comes from summing
+# neighbor contributions as DECIMAL(28,14) — the exact_sum discipline
+# extended to iterative state. Each round is one shuffle (groupBy dst);
+# the edge list and degrees are computed once and cached.
+# --------------------------------------------------------------------------
+
+
+def _pagerank_oracle() -> str:
+    from bigdata_capstone_spark.operators.graph import pagerank_unrolled_sql
+
+    edges_cte = """
+      WITH pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      )
+      SELECT 'c' || c::VARCHAR AS src, 's' || s::VARCHAR AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s::VARCHAR, 'c' || c::VARCHAR FROM pairs
+    """
+    pr = pagerank_unrolled_sql(edges_cte, iterations=3, damping=0.85)
+    return f"""
+    SELECT node, round(rank, 12) AS pagerank
+    FROM ({pr})
+    ORDER BY pagerank DESC, node
+    LIMIT 25
+    """
+
+
+@register("purchase_graph_pagerank", oracle=_pagerank_oracle())
+def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round PageRank on who-buys-from-whom; top-25 hubs. No reference
+    counterpart (north-star iterative-algorithm extension)."""
+    from bigdata_capstone_spark.operators.graph import pagerank
+
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    c_node = F.concat(F.lit("c"), F.col("c").cast("string"))
+    s_node = F.concat(F.lit("s"), F.col("s").cast("string"))
+    # Both directions in ONE pass (a union of two selects would recompute
+    # the join+distinct once per branch).
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(c_node.alias("src"), s_node.alias("dst")),
+                F.struct(s_node.alias("src"), c_node.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 12).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.col("node"))
+        .limit(25)
+    )
