@@ -154,3 +154,80 @@ def cms_point_estimates(
         .groupBy(*others)
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter — broadcastable set membership for semi-join
+# pruning. At 100 TB the use is: build the filter over the SMALL side's
+# keys (one map-side-combinable bit_or aggregate), broadcast the ~8 KB
+# bitmap, and drop non-members from the BIG side before it ever reaches
+# the shuffle of an exact semi-join. False positives survive the probe
+# and are removed by the exact join, so results are identical to the
+# plain semi-join — the filter only changes how many rows pay the
+# shuffle. All bit positions are md5 slices: deterministic, engine-
+# portable, no RNG.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key_col: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions per key: 4-hex-char (16-bit) slices of the md5
+    digest, masked down to m_bits. One digest serves all k probes."""
+    if not 1 <= k <= 8:
+        raise ValueError(f"k must be in [1, 8] (8 x 4 hex chars), got {k}")
+    if not 6 <= m_bits <= 16:
+        raise ValueError(f"m_bits must be in [6, 16], got {m_bits}")
+    digest = F.md5(key_col)
+    m = 1 << m_bits
+    return [
+        (F.conv(digest.substr(1 + 4 * i, 4), 16, 10).cast("long") % m)
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: Column, m_bits: int = 16, k: int = 4
+) -> DataFrame:
+    """One-row DataFrame holding the bitmap: (bloom: array<long>, 2^m_bits
+    bits packed 64 per word). The bit_or aggregate combines map-side, so
+    the shuffle carries at most partitions × (2^m_bits / 64) words."""
+    n_words = (1 << m_bits) >> 6
+    pos = df.select(
+        F.explode(F.array(*_bloom_positions(key_col, m_bits, k))).alias("pos")
+    )
+    entries = (
+        pos.select(
+            F.shiftright("pos", 6).cast("int").alias("widx"),
+            (F.col("pos") % 64).cast("int").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word"))
+    )
+    return entries.agg(
+        F.map_from_entries(F.collect_list(F.struct("widx", "word"))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at("m", i + 1), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+
+
+def bloom_probe(
+    df: DataFrame, bitmap: DataFrame, key_col: Column, m_bits: int = 16, k: int = 4
+) -> DataFrame:
+    """Rows of ``df`` whose key is PROBABLY in the built set (no false
+    negatives). The 1-row bitmap is broadcast; the probe is pure integer
+    column arithmetic — no shuffle, no UDF."""
+    probed = df.crossJoin(F.broadcast(bitmap.withColumnRenamed("bloom", "__bloom")))
+    for i, pos in enumerate(_bloom_positions(key_col, m_bits, k)):
+        probed = probed.withColumn(f"__p{i}", pos)
+    cond = " AND ".join(
+        f"((shiftright(element_at(__bloom, CAST(shiftright(__p{i}, 6) AS INT) + 1),"
+        f" CAST(__p{i} % 64 AS INT)) & 1) = 1)"
+        for i in range(k)
+    )
+    return probed.filter(F.expr(cond)).drop(
+        "__bloom", *[f"__p{i}" for i in range(k)]
+    )
