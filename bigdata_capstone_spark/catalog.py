@@ -90,10 +90,12 @@ def damped_part_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE      AS sum_qty,
            sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DOUBLE
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))))::DOUBLE
                                                                AS sum_disc_price,
-           sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                    AS DECIMAL(18,4)))::DOUBLE                 AS sum_charge,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               * (1 + CAST(l_tax AS DECIMAL(4,2))))::DOUBLE    AS sum_charge,
            sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / count(*)      AS avg_qty,
            sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / count(*) AS avg_price,
            sum(CAST(l_discount AS DECIMAL(18,4)))::DOUBLE / count(*)      AS avg_disc,
@@ -106,8 +108,14 @@ def damped_part_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Pure-decimal arithmetic: the 3-factor charge product has 6 exact decimal
+    # places, so casting the *double* product to decimal would round true
+    # decimal midpoints — Spark (shortest-repr HALF_UP) and DuckDB (binary
+    # nearest) disagree on those. Casting each 2-decimal INPUT to decimal is
+    # midpoint-free; the products are then exact and identical in both engines.
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = price_d * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -115,8 +123,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             exact_sum("l_quantity", 2).alias("sum_qty"),
             exact_sum("l_extendedprice", 2).alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(18,4)")).cast("double").alias("sum_charge"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             (exact_sum("l_quantity", 2) / n).alias("avg_qty"),
             (exact_sum("l_extendedprice", 2) / n).alias("avg_price"),
             (exact_sum("l_discount", 4) / n).alias("avg_disc"),
