@@ -121,21 +121,42 @@ RATINGS_SCHEMA = T.StructType(
 )
 
 
+def _parquet_ts_unit(path: str, field: str) -> str | None:
+    """Physical timestamp unit ('ns'/'us'/'ms') of a parquet column, read
+    from the file footer (no data scan). Returns None if unreadable."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            cands = [p for p in os.listdir(path) if p.endswith(".parquet")]
+            if not cands:
+                return None
+            path = os.path.join(path, sorted(cands)[0])
+        typ = pq.ParquetFile(path).schema_arrow.field(field).type
+        return getattr(typ, "unit", None)
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table as Parquet with its declared schema.
 
     Parquet carries its own types; we still pass the schema so a drifting
     file fails loudly at analysis instead of silently changing types.
 
-    ``events.ts`` is physically ``TIMESTAMP(NANOS)``, which Spark's parquet
-    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw
+    ``events.ts`` has shipped both as ``TIMESTAMP(NANOS)`` — which Spark's
+    parquet reader rejects outright (PARQUET_TYPE_ILLEGAL) — and as plain
+    microsecond timestamps, depending on the generator version. The footer
+    (one metadata read, no scan) tells us which: for NANOS we read raw
     nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``, a runtime
-    conf) and convert to microsecond TimestampType — the same truncation
+    conf) and truncate to microsecond TimestampType — the same truncation
     DuckDB applies, so oracle comparisons agree.
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
+    if name == "events" and _parquet_ts_unit(f"{sf_dir}/events.parquet", "ts") == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw_schema = T.StructType(
             [
