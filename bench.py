@@ -70,6 +70,10 @@ def main() -> int:
         # otherwise accumulate executor memory across the run and distort
         # later measurements; measure each query cold-cache instead
         spark.catalog.clearCache()
+        # nudge the ContextCleaner: with a large driver heap, GC (which
+        # drives shuffle/broadcast cleanup) can lag for minutes, and stale
+        # shuffle state from a heavy query distorts the next measurements
+        spark._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
     print(

@@ -1134,18 +1134,20 @@ def brand_size_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdata_capstone_spark.operators.dedup import shingles_col
-    from bigdata_capstone_spark.operators.textops import tokens_col
+    from bigdata_capstone_spark.operators.dedup import shingles_col, tokenized
 
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col("text")
-    base = docs.select(
-        "doc_id",
-        F.size(toks).alias("n"),
-        F.size(shingles_col("text", 2)).alias("n_distinct_bigrams"),
-        toks.alias("t"),
-    ).filter(F.col("n") >= 2)
+    base = (
+        tokenized(docs, "text", "doc_id", "t")
+        .select(
+            "doc_id",
+            F.size("t").alias("n"),
+            F.size(shingles_col("t", 2)).alias("n_distinct_bigrams"),
+            F.col("t"),
+        )
+        .filter(F.col("n") >= 2)
+    )
     top = (
         base.select("doc_id", F.explode("t").alias("tok"))
         .groupBy("doc_id", "tok")
@@ -1243,16 +1245,14 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdata_capstone_spark.operators.dedup import fan_out, shingles_col
+    from bigdata_capstone_spark.operators.dedup import exploded_shingles
     from bigdata_capstone_spark.operators.similarity import (
         exact_jaccard_pairs_prefix,
     )
 
     ensure_utc(spark)
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        F.col("doc_id"), F.explode(shingles_col("text", 3)).alias("sh")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "text", "doc_id", 3)
     pairs = exact_jaccard_pairs_prefix(
         sh, min_similarity=0.5, min_items=1, user_col="doc_id", item_col="sh"
     )

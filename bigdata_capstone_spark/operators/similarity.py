@@ -110,31 +110,43 @@ def exact_jaccard_pairs(
     go through :func:`lsh_similar_pairs`; this path is the correctness
     oracle and is fully ANSI-SQL (DuckDB-checkable).
 
-    ``cache_prepared`` caches the deduped+sized (user, item, n) table
-    before the self-join: both join branches share it, otherwise the full
-    upstream lineage (scans, distinct, size join) executes twice — measured
-    ~3× slower at sf0.1.
+    ``cache_prepared`` caches the deduped (user, item) table before the
+    self-join: it feeds the size aggregate and both join branches, otherwise
+    the full upstream lineage (scans, distinct) executes three times.
+
+    Plan shape (profiled at sf0.1, ~2× over the naive form): user sizes are
+    a tiny table → ``broadcast`` them both for the min-activity filter and
+    for attaching nA/nB AFTER the pair aggregation, so the wide co-occurrence
+    shuffle carries only (userA, userB) and the groupBy keys stay narrow.
     """
     ui = ratings.select(user_col, item_col).distinct()
-    sizes = ui.groupBy(user_col).agg(F.count(F.lit(1)).alias("n"))
-    ui_sized = ui.join(sizes, on=user_col).filter(F.col("n") >= min_items)
     if cache_prepared:
-        ui_sized = ui_sized.cache()
+        ui = ui.cache()
+    sizes = ui.groupBy(user_col).agg(F.count(F.lit(1)).alias("n"))
+    active = F.broadcast(sizes.filter(F.col("n") >= min_items))
+    ui_act = ui.join(active.select(user_col), on=user_col)
 
-    a = ui_sized.select(
-        F.col(user_col).alias("userA"), F.col(item_col).alias("i"), F.col("n").alias("nA")
-    )
-    b = ui_sized.select(
-        F.col(user_col).alias("userB"), F.col(item_col).alias("i"), F.col("n").alias("nB")
-    )
+    a = ui_act.select(F.col(user_col).alias("userA"), F.col(item_col).alias("i"))
+    b = ui_act.select(F.col(user_col).alias("userB"), F.col(item_col).alias("i"))
     common = (
         a.join(b, on="i")
         .filter(F.col("userA") < F.col("userB"))
-        .groupBy("userA", "userB", "nA", "nB")
+        .groupBy("userA", "userB")
         .agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= min_common)
     )
-    return common.select(
+    with_sizes = common.join(
+        F.broadcast(
+            sizes.select(F.col(user_col).alias("userA"), F.col("n").alias("nA"))
+        ),
+        on="userA",
+    ).join(
+        F.broadcast(
+            sizes.select(F.col(user_col).alias("userB"), F.col("n").alias("nB"))
+        ),
+        on="userB",
+    )
+    return with_sizes.select(
         "userA",
         "userB",
         (

@@ -90,26 +90,41 @@ def rp_lsh_buckets(
     """(id, table, bucket) sign-bit sketches under fixed random hyperplanes.
 
     bucket = sum over planes of sign_bit·2^plane, per table. All arithmetic
-    is ``zip_with``+``aggregate`` over literal weight arrays — JVM codegen,
-    no UDF, deterministic.
+    is JVM-side higher-order functions over literal weight arrays — no UDF,
+    deterministic.
+
+    One-pass shape: all ``n_planes`` dot products of a table accumulate in a
+    SINGLE ``aggregate`` over the vector (array-of-partials accumulator,
+    flattened weight matrix literal) instead of n_planes separate
+    zip_with+aggregate passes — same left-to-right addition order per plane
+    (so bucket values are bit-identical, oracle-stable), ~n_planes× fewer
+    intermediate array allocations. The dots array is materialized in its
+    own projection so the sign fold reads an attribute, not n_planes copies
+    of the aggregate expression.
     """
     out_rows = []
     for t in range(n_tables):
+        flat = [w for p in range(n_planes) for w in _plane_weights(p, dim, t)]
+        wlit = F.array(*[F.lit(w) for w in flat])
+        vec = F.col(vec_col)
+        dots = F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.array_repeat(F.lit(0.0), n_planes),
+            lambda acc, d: F.transform(
+                acc,
+                lambda a, p: a
+                + F.element_at(vec, d).cast("double")
+                * F.element_at(wlit, p * dim + d),
+            ),
+        )
+        staged = df.select(F.col(id_col), dots.alias("_dots"))
         bucket = F.lit(0).cast("long")
         for p in range(n_planes):
-            weights = F.array(*[F.lit(w) for w in _plane_weights(p, dim, t)])
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), weights, lambda x, w: x.cast("double") * w
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bucket = bucket + F.when(dot >= 0, F.lit(2**p).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            bucket = bucket + F.when(
+                F.element_at(F.col("_dots"), p + 1) >= 0, F.lit(2**p).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         out_rows.append(
-            df.select(
+            staged.select(
                 F.col(id_col), F.lit(t).alias("table"), bucket.alias("bucket")
             )
         )

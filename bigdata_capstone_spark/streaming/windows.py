@@ -23,11 +23,23 @@ from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
 def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file-source stream (one-file micro-batch locally).
 
-    The nanosecond-timestamp workaround (sources/tables.py) applies to the
-    streaming reader too: read ns longs, convert to µs timestamps.
+    The timestamp-unit sniffing of sources/tables.py applies to the
+    streaming reader too: TIMESTAMP(NANOS) files are read as ns longs and
+    truncated to µs timestamps; µs/ms files read natively.
     """
     import pyspark.sql.types as T
 
+    from bigdata_capstone_spark.sources.tables import _parquet_ts_unit
+
+    # file-source streams list a DIRECTORY; pathGlobFilter scopes it to the
+    # events file so sibling tables in sf_dir aren't swept into the stream
+    if _parquet_ts_unit(f"{sf_dir}/events.parquet", "ts") != "ns":
+        return (
+            spark.readStream.schema(TABLE_SCHEMAS["events"])
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = T.StructType(
         [
@@ -35,8 +47,6 @@ def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in TABLE_SCHEMAS["events"].fields
         ]
     )
-    # file-source streams list a DIRECTORY; pathGlobFilter scopes it to the
-    # events file so sibling tables in sf_dir aren't swept into the stream
     raw = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
