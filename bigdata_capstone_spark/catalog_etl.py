@@ -1,0 +1,310 @@
+"""ETL / warehouse-history / graph-shape catalog extension.
+
+Shapes any production data platform runs daily that the earlier catalogs
+did not yet cover:
+
+- SCD2 history build (``scd2_user_tiers``) — turn an event stream into a
+  type-2 slowly-changing dimension: run-length compress consecutive equal
+  attribute values per key into validity intervals (valid_from / valid_to /
+  is_current). The standard warehouse dimension-maintenance pattern
+  (generalizes the reference's per-user state aggregation,
+  popularity_model.py:52-56, into temporal versions).
+- Markov transition counts (``event_transition_matrix``) — consecutive
+  event-type bigrams per user (lead over event time), the clickstream
+  next-step model input.
+- multi-granularity time rollup (``events_time_rollup``) — hour/day/month
+  continuous-aggregate hierarchy in one GROUPING SETS pass (the timeseries
+  "hypertable rollup" shape).
+- triangle enumeration (``dedup_triangles``) — closed triples in the
+  near-dup document graph; the classic graph-analytics join beyond
+  pairwise similarity (pairs ⇒ cliques evidence).
+- share-of-part dominance (``dominant_part_suppliers``) — TPC-H Q20-style
+  correlated-aggregate filter: suppliers shipping more than half of a
+  part's total quantity.
+
+Scale rules follow catalog_ds.py: broadcast dimensions, decimal money
+sums, deterministic tie-breaks, no driver-side collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_capstone_spark.catalog import register
+from bigdata_capstone_spark.session import ensure_utc
+from bigdata_capstone_spark.sources.tables import load_table
+
+_TIER_SQL = "CASE WHEN value < 30 THEN 'low' WHEN value < 70 THEN 'mid' ELSE 'high' END"
+
+
+@register(
+    "scd2_user_tiers",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, {_TIER_SQL} AS tier
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, tier,
+             CASE WHEN lag(tier) OVER w IS NULL
+                    OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, tier,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ),
+    hist AS (
+      SELECT user_id, version, min(tier) AS tier, min(ts) AS valid_from,
+             count(*) AS n_events
+      FROM runs GROUP BY user_id, version
+    )
+    SELECT user_id, version::BIGINT AS version, tier, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+              IS NULL) AS is_current,
+           n_events::BIGINT AS n_events
+    FROM hist
+    """,
+)
+def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build from the event stream: per user, run-length
+    compress consecutive equal value-tiers into versioned validity
+    intervals (valid_from, valid_to, is_current).
+
+    Scale shape: ONE shuffle on user_id serves the lag window, the
+    running-sum window, the run groupBy, and the interval lead window —
+    Spark chains all four in a single Exchange because every step is
+    partitioned by the same key. The classic warehouse dimension-
+    maintenance job, expressed without any self-join.
+
+    Every window orders by the tie-broken (ts, event_id) so both engines
+    agree on run boundaries even for equal timestamps.
+    """
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") < 30, "low")
+        .when(F.col("value") < 70, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "ts", "event_id", tier.alias("tier")
+    ).withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(w).isNull() | (F.lag("tier").over(w) != F.col("tier")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "version",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    hist = runs.groupBy("user_id", "version").agg(
+        F.min("tier").alias("tier"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return hist.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "tier",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*)::BIGINT AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts: consecutive event-type bigrams per user in
+    event-time order — the next-action model input. One shuffle on user_id
+    for the lead window, then a short-key (type, type) hash-agg."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+    SELECT date_trunc('month', ts) AS month,
+           date_trunc('day', ts)   AS day,
+           date_trunc('hour', ts)  AS hour,
+           count(*)::BIGINT AS n_events,
+           sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('month', ts)),
+      (date_trunc('month', ts), date_trunc('day', ts)),
+      (date_trunc('month', ts), date_trunc('day', ts), date_trunc('hour', ts))
+    )
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour→day→month continuous-aggregate hierarchy in ONE pass (the
+    timeseries-DB "hypertable rollup" shape) via ROLLUP over derived
+    truncations. At scale this replaces three separate scans with one;
+    the rollup's partial aggregation reuses the finest granularity's
+    map-side combine."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    derived = events.select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    # GROUPING SETS ((m),(m,d),(m,d,h)) ≡ ROLLUP(m,d,h) minus the grand
+    # total; filter it out by the month key (never null in a real set)
+    return (
+        derived.rollup("month", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .filter(F.col("month").isNotNull())
+    )
+
+
+@register(
+    "dedup_triangles",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS idA, b.doc_id AS idB,
+             max(sa.n) AS nA, max(sb.n) AS nB, count(*) AS common
+      FROM sh a
+      JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT idA, idB FROM common
+      WHERE common * 1.0 / (nA + nB - common) >= 0.2
+    )
+    SELECT e1.idA AS a, e1.idB AS b, e2.idB AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.idA = e1.idB
+    JOIN edges e3 ON e3.idA = e1.idA AND e3.idB = e2.idB
+    """,
+)
+def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed triples (a<b<c) in the exact near-dup document graph
+    (3-gram Jaccard ≥ 0.2) — pairwise similarity promoted to clique
+    evidence, the standard triangle-join graph analytic.
+
+    Scale shape: with edges ordered a<b the triangle join degenerates to
+    two equi-joins on single node keys; edge lists are narrow (two longs),
+    and the near-dup graph is a union of small cliques, so the e1⋈e2
+    fan-out stays bounded by the largest cluster, not the corpus. The
+    edge frame is cached — it feeds all three join legs.
+    """
+    from bigdata_capstone_spark.operators.dedup import ngram_jaccard_pairs
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.2)
+        .select("idA", "idB")
+        .cache()
+    )
+    e1 = edges.select(F.col("idA").alias("a"), F.col("idB").alias("b"))
+    e2 = edges.select(F.col("idA").alias("b"), F.col("idB").alias("c"))
+    e3 = edges.select(F.col("idA").alias("a"), F.col("idB").alias("c"))
+    return e1.join(e2, on="b").join(e3, on=["a", "c"]).select("a", "b", "c")
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ),
+    tot AS (SELECT l_partkey, sum(qty) AS total FROM sp GROUP BY l_partkey)
+    SELECT s_suppkey, s_name, count(*)::BIGINT AS n_dominated_parts
+    FROM sp
+    JOIN tot ON sp.l_partkey = tot.l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE 2 * qty > total
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style correlated-aggregate filter: suppliers shipping
+    more than half of some part's total quantity, with how many parts
+    they dominate. The share predicate is ``2·qty > total`` in DECIMAL —
+    exact integer-like arithmetic, no 0.5·double boundary drift.
+
+    Scale shape: one (supp, part) hash-agg over the fact table, a part-key
+    re-aggregate for totals, then an equi-join back on part — both shuffle
+    keys are natural fact keys; the supplier dimension broadcasts.
+    """
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    tot = sp.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    dominated = (
+        sp.join(tot, on="l_partkey")
+        .filter(F.lit(2) * F.col("qty") > F.col("total"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+    return (
+        dominated.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            dominated.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_dominated_parts")
+    )
