@@ -57,8 +57,11 @@ def main() -> int:
     sf = float(m.group(1)) if m else None
 
     spark = build_session(app_name="bench")
-    # JVM/codegen warm-up on an unrelated trivial job (not counted)
+    # JVM/codegen warm-up on an unrelated trivial job (not counted), plus
+    # one tiny parquet scan so the first measured query doesn't absorb
+    # one-time parquet/datasource initialization
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
