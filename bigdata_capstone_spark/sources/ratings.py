@@ -38,11 +38,15 @@ def synthetic_ratings(
     seed: int = 42,
 ) -> DataFrame:
     """Zipf-skewed ratings table with the B1 edge cases appended."""
+    u1 = _u01(F.col("id"), seed + 1)
     base = spark.range(n_rows).select(
         (F.floor(_u01(F.col("id"), seed) * n_users)).alias("userId"),
         # cube the uniform → head-heavy movie popularity so twin candidates
-        # and <5-rating tail movies both exist
-        (F.floor(F.pow(_u01(F.col("id"), seed + 1), 3.0) * n_movies)).alias("movieId"),
+        # and <5-rating tail movies both exist. Explicit u·u·u, NOT pow(u,3):
+        # pow is correctly-rounded to the true cube while (u·u)·u rounds
+        # twice — engines' libm pow implementations differ in the last ulp,
+        # the two-multiply form is bit-identical everywhere (oracle CTE).
+        (F.floor(u1 * u1 * u1 * n_movies)).alias("movieId"),
         (0.5 + F.floor(_u01(F.col("id"), seed + 2) * 10) * 0.5).alias("rating"),
         (F.lit(1_500_000_000) + (salted_md5_long(F.col("id").cast("string"), seed + 3) % 100_000_000)).alias(
             "timestamp"
@@ -88,3 +92,66 @@ def synthetic_ratings(
         F.col("rating").cast("double"),
         F.col("timestamp").cast("long"),
     )
+
+
+def ratings_oracle_cte(
+    n_rows: int = 20_000,
+    n_users: int = 200,
+    n_movies: int = 300,
+    seed: int = 42,
+) -> str:
+    """DuckDB CTE body reproducing :func:`synthetic_ratings` bit-for-bit
+    (timestamp column omitted — no catalog query reads it).
+
+    Every pseudo-random draw is the same md5 PRF both engines evaluate
+    identically (functions/portable.py), so queries over the ratings
+    fixture get full value-hash oracles, not rows-only checks. Use as:
+    ``WITH {ratings_oracle_cte()}, mine AS (... FROM ratings ...)``.
+    """
+
+    def u(salt: int) -> str:
+        return (
+            f"(('0x' || substr(md5('{salt}:' || i::VARCHAR), 1, 15))::BIGINT"
+            f" / {float(MD5_LONG_MAX)!r})"
+        )
+
+    specials = []
+    twin_movies_a = [11, 23, 35, 47, 59, 71]
+    twin_movies_b = [12, 24, 36, 48, 60]
+    for i, m in enumerate(twin_movies_a):
+        specials.append((9001, m, 1.0 + 0.5 * i))
+        specials.append((9002, m, 1.5 + 0.5 * i))
+    for i, m in enumerate(twin_movies_b):
+        specials.append((9003, m, 5.0 - 0.5 * i))
+        specials.append((9004, m, 4.5 - 0.5 * i))
+    specials += [(9005, 101, 4.0), (9005, 102, 3.0), (9005, 103, 2.0),
+                 (9005, 104, 5.0), (9005, 105, 1.0),
+                 (9006, 101, 2.0), (9006, 111, 3.5), (9006, 112, 4.5),
+                 (9006, 113, 0.5), (9006, 114, 3.0)]
+    specials += [(9007, m, 3.0) for m in (11, 23, 35, 47, 59)]
+    specials += [(9008, 11, 4.0), (9008, 23, 2.0)]
+    special_rows = ", ".join(f"({u_}, {m}, {r!r})" for u_, m, r in specials)
+
+    return f"""
+    __r_base AS (
+      SELECT floor({u(seed)} * {n_users})::BIGINT AS userId,
+             floor({u(seed + 1)} * {u(seed + 1)} * {u(seed + 1)}
+                   * {n_movies})::BIGINT AS movieId,
+             (0.5 + floor({u(seed + 2)} * 10) * 0.5)::DOUBLE AS rating
+      FROM generate_series(0, {n_rows - 1}) t(i)
+    ),
+    __r_dedup AS (
+      SELECT userId, movieId, max(rating) AS rating
+      FROM __r_base GROUP BY userId, movieId
+    ),
+    __r_special (userId, movieId, rating) AS (VALUES {special_rows}),
+    ratings AS (
+      SELECT userId::BIGINT AS userId, movieId::BIGINT AS movieId,
+             rating::DOUBLE AS rating
+      FROM __r_dedup
+      UNION ALL
+      SELECT userId::BIGINT, movieId::BIGINT, rating::DOUBLE FROM __r_special
+      UNION ALL
+      SELECT * FROM (VALUES (9101::BIGINT, 11::BIGINT, NULL::DOUBLE),
+                            (9102::BIGINT, NULL::BIGINT, 3.0::DOUBLE))
+    )"""
