@@ -308,3 +308,118 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "n_dominated_parts")
     )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf_r
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf_r, term_rank FROM (
+      SELECT doc_id, tok, tfidf_r,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_r DESC, tok) AS term_rank
+      FROM scored
+    )
+    WHERE term_rank <= 5 AND doc_id < 100
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (docs 0-99): term frequency ×
+    ln(N/df), rounded BEFORE ranking so the per-doc order is engine-stable
+    (ties then break on the term itself).
+
+    Scale shape: one token explode feeds both the per-doc tf agg and the
+    document-frequency agg; idf joins back on the token (short-key
+    shuffle) and N arrives as a broadcast scalar. Document bodies never
+    shuffle. The doc_id filter prunes the OUTPUT, deliberately after
+    scoring — idf must see the whole corpus.
+    """
+    from bigdata_capstone_spark.operators.relational import grouped_top_k
+    from bigdata_capstone_spark.operators.textops import tokens_col
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, on="tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf_r"),
+        )
+    )
+    ranked = grouped_top_k(
+        scored,
+        ["doc_id"],
+        [F.desc("tfidf_r"), F.col("tok")],
+        5,
+        rank_col="term_rank",
+    ).withColumn("term_rank", F.col("term_rank").cast("long"))
+    return ranked.filter(F.col("doc_id") < 100).select(
+        "doc_id", "tok", "tfidf_r", "term_rank"
+    )
+
+
+@register(
+    "stratified_event_sample",
+    oracle="""
+    WITH frac AS (
+      SELECT *, CASE event_type WHEN 'view' THEN 50
+                                WHEN 'click' THEN 200
+                                ELSE 1000 END AS keep_permille
+      FROM events
+    ),
+    kept AS (
+      SELECT event_type, value FROM frac
+      WHERE ('0x' || substr(md5('samp:' || event_id::VARCHAR), 1, 15))::BIGINT
+              % 1000 < keep_permille
+    )
+    SELECT event_type, count(*)::BIGINT AS n_sampled,
+           sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+    FROM kept GROUP BY event_type
+    """,
+)
+def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the training-data
+    rebalancing op: per-stratum keep fractions (views 5%, clicks 20%,
+    everything else 100%) decided by a PRF on the row key, so the sample
+    is exactly reproducible on any engine, any partitioning, any rerun —
+    unlike ``sampleBy``, whose RNG stream is Spark-internal.
+
+    Scale shape: a pure map-side filter (no shuffle, no state); the
+    verification aggregate here is just the stable summary. At 100 TB the
+    same predicate runs inside the scan and composes with partition
+    pruning."""
+    from bigdata_capstone_spark.functions.portable import md5_long
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    keep = (
+        F.when(F.col("event_type") == "view", 50)
+        .when(F.col("event_type") == "click", 200)
+        .otherwise(1000)
+    )
+    h = md5_long(F.concat(F.lit("samp:"), F.col("event_id")))
+    kept = events.filter(h % 1000 < keep)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

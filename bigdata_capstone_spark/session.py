@@ -53,6 +53,10 @@ def build_session(
         # for the thread count, not like a cluster driver (8g for 32
         # threads thrashes GC under shuffle-heavy self-joins)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # ContextCleaner runs off GC; a big mostly-idle heap can defer GC
+        # for many minutes, piling up dead shuffle/broadcast state that
+        # slows later queries in long sessions. Default is 30min.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
