@@ -423,3 +423,40 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "record_breaking_events",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prior_high
+      FROM events
+    )
+    SELECT user_id, event_id, value, prior_high
+    FROM w WHERE prior_high IS NULL OR value > prior_high
+    """,
+)
+def record_breaking_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events that set a new per-user value high-watermark (a user's first
+    event always qualifies, prior_high null). This is the BATCH TWIN of
+    the arbitrary-stateful streaming detector
+    (streaming/stateful.high_value_alerts) — identical row set, so the
+    custom applyInPandasWithState operator is value-checked through this
+    oracle plus the stream≡batch test. One shuffle on user_id; the running
+    max is a frame-bounded window, no self-join."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = events.select(
+        "user_id", "event_id", "value", F.max("value").over(w).alias("prior_high")
+    )
+    return flagged.filter(
+        F.col("prior_high").isNull() | (F.col("value") > F.col("prior_high"))
+    )
