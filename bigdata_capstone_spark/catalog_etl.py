@@ -460,3 +460,67 @@ def record_breaking_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.filter(
         F.col("prior_high").isNull() | (F.col("value") > F.col("prior_high"))
     )
+
+
+@register(
+    "benchmark_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+                                   for i in range(1, len(t) - 6)])) AS sh
+      FROM toks WHERE len(t) >= 8
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+    train AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM train t JOIN bench b ON t.sh = b.sh
+      GROUP BY t.doc_id
+    )
+    SELECT h.doc_id, h.n_shared::BIGINT AS n_shared,
+           s.n_shingles::BIGINT AS n_shingles,
+           round(h.n_shared * 1.0 / s.n_shingles, 6) AS contamination_r
+    FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan — the eval-leakage check every
+    training corpus needs: training docs (doc_id ≥ 20) sharing any word
+    8-gram with the benchmark set (doc_id < 20), with the shared-shingle
+    ratio. 8-grams are the standard decontamination unit (long enough to
+    be distinctive, short enough to catch paraphrase-free reuse).
+
+    Scale shape: one shingle explode feeds both sides (cached); the
+    benchmark shingle set is tiny by definition (eval suites, not corpora)
+    → broadcast, so contamination is a MAP-SIDE semi-join against the
+    training corpus — no shuffle of corpus shingles; the only shuffle is
+    the per-doc count aggregation.
+    """
+    from bigdata_capstone_spark.operators.dedup import exploded_shingles
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "text", "doc_id", 8).cache()
+    bench = sh.filter(F.col("doc_id") < 20).select("sh").distinct()
+    train = sh.filter(F.col("doc_id") >= 20)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(bench), on="sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.join(sizes, on="doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_shingles",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+            "contamination_r"
+        ),
+    )

@@ -63,14 +63,16 @@ def _values_equal(a, b, rel_tol: float, abs_tol: float) -> bool:
 def compare_frames(
     spark_pdf: pd.DataFrame,
     oracle_pdf: pd.DataFrame,
-    rel_tol: float = 1e-9,
-    abs_tol: float = 1e-12,
+    rel_tol: float = 0.0,
+    abs_tol: float = 0.0,
 ) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = match).
 
-    Tolerances default tight (1e-9 relative): the engine's determinism
-    contract aims for bit-identical values; the tolerance only absorbs
-    pandas dtype round-trips, not algorithmic drift.
+    Defaults to BIT-EXACT comparison: the driver's gate is a value hash,
+    so any tolerance here would hide failures the driver will flag. The
+    determinism contract (decimal sums, pre-rank rounding, PRF hashes)
+    makes exactness achievable; pass tolerances only for known
+    order-dependent diagnostics.
     """
     problems: list[str] = []
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
@@ -98,8 +100,8 @@ def check_query_against_oracle(
     spark_df: DataFrame,
     oracle_sql: str,
     sf_dir: str,
-    rel_tol: float = 1e-9,
-    abs_tol: float = 1e-12,
+    rel_tol: float = 0.0,
+    abs_tol: float = 0.0,
 ) -> list[str]:
     """Run the oracle SQL on DuckDB and diff against the Spark result."""
     con = duckdb_connection(sf_dir)
