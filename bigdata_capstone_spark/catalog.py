@@ -555,24 +555,38 @@ def ranking_metrics_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").alias("price"),
             F.col("l_quantity").alias("qty"),
         )
-        # reused by seg_scores, cust_mean, and labels — without caching the
-        # fact join executes 3x (plan audit showed 16 scans)
+    )
+    # ONE aggregation pass over the fact join at (cust, part, seg) grain;
+    # seg_scores / cust_mean / labels are cheap regroups of the ~|cust×part|
+    # result instead of three full re-scans of the cached fact (decimal
+    # partial sums re-aggregate exactly, so values are unchanged). The
+    # grain table is cached — it feeds three consumers.
+    grain = (
+        sales.groupBy("cust", "part", "seg")
+        .agg(
+            F.sum(F.col("price").cast("decimal(18,2)")).alias("price_d"),
+            F.sum(F.col("qty").cast("decimal(18,2)")).alias("qty_d"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("qty").alias("max_qty"),
+        )
         .cache()
     )
-    seg_scores = sales.groupBy("seg", "part").agg(
-        (exact_sum("price", 2) / (F.count(F.lit(1)) + F.lit(100.0))).alias("score")
+    seg_scores = grain.groupBy("seg", "part").agg(
+        (
+            F.sum("price_d").cast("double")
+            / (F.sum("n") + F.lit(100.0))
+        ).alias("score")
     )
     preds = rel.grouped_top_k(
         seg_scores, ["seg"], [F.desc("score"), F.col("part")], 20, rank_col="rn"
     ).select("seg", "part", (F.col("rn") - 1).alias("pos"))
-    cust_mean = sales.groupBy("cust").agg(
-        (exact_sum("qty", 2) / F.count(F.lit(1))).alias("mq")
+    cust_mean = grain.groupBy("cust").agg(
+        (F.sum("qty_d").cast("double") / F.sum("n")).alias("mq")
     )
     labels = (
-        sales.join(cust_mean, on="cust")
-        .filter(F.col("qty") > F.col("mq"))
+        grain.join(F.broadcast(cust_mean), on="cust")
+        .filter(F.col("max_qty") > F.col("mq"))
         .select("cust", "part")
-        .distinct()
     )
     cust_preds = customer.select(
         F.col("c_custkey").alias("cust"), F.col("c_mktsegment").alias("seg")
