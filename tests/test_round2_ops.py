@@ -1,0 +1,147 @@
+"""Semantic invariants for the round-2 operators, beyond the value-hash
+oracle (which tests/test_catalog_oracle.py already applies to every
+registered query): planted-fixture recovery, structural properties of
+SCD2 intervals and triangles, and sampling bounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_movie_twins_exact_recovers_planted_pairs(spark):
+    """The ratings fixture plants two user pairs with IDENTICAL movie sets
+    (sources/ratings.py) — the reference's all-1.0-similarity observation
+    (capstone_final_report.pdf p.2) must reproduce: both pairs present at
+    similarity exactly 1.0."""
+    rows = {
+        (r["userA"], r["userB"]): r["similarity_r"]
+        for r in QUERIES["movie_twins_exact"](spark, SF).collect()
+    }
+    assert rows[(9001, 9002)] == 1.0
+    assert rows[(9003, 9004)] == 1.0
+
+
+def test_scd2_intervals_partition_each_users_history(spark):
+    """Per user: versions are 1..k contiguous, exactly one open interval
+    (is_current), and each closed interval ends where the next begins."""
+    out = QUERIES["scd2_user_tiers"](spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            # runs are maximal: adjacent versions change tier
+            assert a["tier"] != b["tier"]
+
+
+def test_scd2_event_counts_cover_all_events(spark):
+    out = QUERIES["scd2_user_tiers"](spark, SF)
+    total = out.agg(F.sum("n_events")).first()[0]
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    assert total == load_table(spark, SF, "events").count()
+
+
+def test_dedup_triangles_are_closed_and_ordered(spark):
+    tris = QUERIES["dedup_triangles"](spark, SF).collect()
+    edges = {
+        (r["idA"], r["idB"])
+        for r in QUERIES["dedup_ngram_jaccard_pairs"](spark, SF)
+        .filter(F.col("jaccard_r") >= 0.2)
+        .collect()
+    }
+    for t in tris:
+        a, b, c = t["a"], t["b"], t["c"]
+        assert a < b < c
+        assert (a, b) in edges and (b, c) in edges and (a, c) in edges
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    out1 = {
+        r["event_type"]: r["n_sampled"]
+        for r in QUERIES["stratified_event_sample"](spark, SF).collect()
+    }
+    out2 = {
+        r["event_type"]: r["n_sampled"]
+        for r in QUERIES["stratified_event_sample"](spark, SF).collect()
+    }
+    assert out1 == out2  # PRF: identical on rerun
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # non-downsampled strata keep every row; downsampled strata keep fewer
+    for et, n in totals.items():
+        if et in ("view", "click"):
+            assert out1.get(et, 0) < n
+        else:
+            assert out1[et] == n
+
+
+def test_contamination_excludes_benchmark_docs(spark):
+    out = QUERIES["benchmark_contamination"](spark, SF)
+    assert out.filter(F.col("doc_id") < 20).count() == 0
+    bad = out.filter(
+        (F.col("contamination_r") < 0) | (F.col("contamination_r") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_record_breaking_events_monotone_per_user(spark):
+    rows = QUERIES["record_breaking_events"](spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["event_id"])
+        # each alert's prior_high is the previous alert's value
+        for a, b in zip(rs, rs[1:]):
+            assert b["prior_high"] == pytest.approx(a["value"])
+        assert rs[0]["prior_high"] is None
+
+
+def test_tfidf_ranking_is_monotone_and_nonnegative(spark):
+    """Per doc: scores weakly decrease with rank; a term present in every
+    document has idf ln(1)=0 and can therefore never outscore a term with
+    any positive idf (so a rank-1 score of 0 implies ALL the doc's terms
+    are corpus-universal)."""
+    rows = QUERIES["doc_tfidf_top_terms"](spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r["tfidf_r"] >= 0
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["term_rank"])
+        scores = [r["tfidf_r"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_transition_matrix_totals(spark):
+    """Total transitions = total events - number of users (each user's last
+    event has no successor)."""
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    out = QUERIES["event_transition_matrix"](spark, SF)
+    total = out.agg(F.sum("n_transitions")).first()[0]
+    events = load_table(spark, SF, "events")
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert total == n_events - n_users
