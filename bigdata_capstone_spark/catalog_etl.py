@@ -524,3 +524,54 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination_r"
         ),
     )
+
+
+def _cluster_split_oracle() -> str:
+    from bigdata_capstone_spark.catalog import _clusters_oracle
+
+    return f"""
+    SELECT split, count(*)::BIGINT AS n_docs,
+           count(DISTINCT cluster_id)::BIGINT AS n_clusters
+    FROM (
+      SELECT cluster_id,
+             CASE WHEN ('0x' || substr(md5('split:' || cluster_id::VARCHAR),
+                                       1, 15))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'val' END AS split
+      FROM ({_clusters_oracle()}) labeled
+    )
+    GROUP BY split
+    """
+
+
+@register("cluster_aware_split", oracle=_cluster_split_oracle())
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val split: the split key is the NEAR-DUP CLUSTER
+    id, not the document id, so near-duplicates of a validation document
+    can never land in train — the failure mode a row-wise randomSplit
+    (splitting_data.py:24) cannot prevent on near-duplicated corpora.
+    Assignment is a md5 PRF on cluster_id (~80/20), so the split is
+    deterministic, engine-portable, and stable under repartitioning —
+    the whole pipeline (LSH pairs → connected components → PRF split) is
+    value-checked through the recursive-CTE oracle.
+
+    Scale shape: adds ONE map-side hash + a 2-row aggregate on top of the
+    clusters pipeline; the split itself shuffles nothing.
+    """
+    from bigdata_capstone_spark.functions.portable import md5_long
+    from bigdata_capstone_spark.operators.dedup import dedup_clusters
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = dedup_clusters(docs, n_perm=8, bands=4, min_jaccard=0.5)
+    split = F.when(
+        md5_long(F.concat(F.lit("split:"), F.col("cluster_id"))) % 100 < 80,
+        "train",
+    ).otherwise("val")
+    return (
+        labeled.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+        )
+    )
