@@ -71,6 +71,7 @@ def register(name: str, oracle: str | None = None):
     """,
 )
 def damped_part_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: damped mean popularity score per part (avg*n/(n+beta), Q9 formula) with deterministic top-50."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     scores = pop.damped_item_scores(
@@ -106,6 +107,7 @@ def damped_part_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate pricing summary with pure-decimal money arithmetic."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     # Pure-decimal arithmetic: the 3-factor charge product has 6 exact decimal

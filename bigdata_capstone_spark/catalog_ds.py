@@ -58,6 +58,7 @@ def _dec_sum(col: F.Column, scale: int = 4) -> F.Column:
     """,
 )
 def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: predicate-only scan aggregate of discounted revenue."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -99,6 +100,7 @@ def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate share of promo-part revenue."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
@@ -141,6 +143,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) matching the scalar max of per-supplier revenue."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -190,6 +193,7 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value exceeds a global-share scalar threshold."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     pv = li.groupBy("l_partkey").agg(
@@ -234,6 +238,7 @@ def important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of below-avg-quantity orders via correlated per-part average."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -283,6 +288,7 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on grouped fact quantity with star join-back to customers."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -331,6 +337,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rich_low_activity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders (anti-join + scalar avg)."""
     ensure_utc(spark)
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
@@ -376,6 +383,7 @@ def rich_low_activity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def thin_supply_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts supplied by fewer than 3 suppliers (grouped distinct-count HAVING filter)."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
@@ -412,6 +420,7 @@ def thin_supply_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def brand_type_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size) with NOT-IN exclusion."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
@@ -459,6 +468,7 @@ def brand_type_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: five-way star walk of cross-border supplier->customer revenue flows."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
@@ -518,6 +528,7 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: from_json over the props column, grouped stats per parsed field."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select("event_type", "props")
     k = F.from_json(F.col("props"), "k INT")["k"]
@@ -560,6 +571,7 @@ def event_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression aggregates per user: regr_slope/intercept/r2 of value against event time."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     x = (F.unix_timestamp("ts") - F.lit(820454400)) / 86400.0
@@ -600,6 +612,7 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint (base-256 polynomial fold, md5-free)."""
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     chars = F.split(F.col("text"), "")
@@ -635,6 +648,7 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values (sequential recurrence as a JVM window fold)."""
     from bigdata_capstone_spark.operators.temporal import ewma_by_key
 
     ensure_utc(spark)
@@ -671,6 +685,7 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_type_user_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack: per-user per-type counts back to long form (inverse of the fixed-list pivot)."""
     from bigdata_capstone_spark.catalog import QUERIES
 
     ensure_utc(spark)
@@ -717,6 +732,7 @@ def _curation_oracle() -> str:
 
 @register("docs_curation_pipeline", oracle=_curation_oracle())
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: language-ID -> quality filter -> exact dedup -> near-dup drop, composed from checked fragments."""
     from bigdata_capstone_spark.operators.dedup import (
         exact_dedup,
         minhash_near_dup_pairs,
@@ -788,6 +804,7 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: zero-filled hourly grid plus ignore-nulls forward carry of the last observed value."""
     from pyspark.sql.window import Window
 
     ensure_utc(spark)
@@ -853,6 +870,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream-shaped attribution: views joined to later purchases within a time bound (batch twin)."""
     from bigdata_capstone_spark.streaming.joins import followed_within
 
     ensure_utc(spark)
@@ -886,6 +904,7 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_part_per_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-free deterministic argmax: max_by struct per order (map-side combinable)."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     m = li.groupBy("l_orderkey").agg(
@@ -937,6 +956,7 @@ def top_part_per_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize->chunk: overlapping token windows per document with per-chunk hashes (training-example prep)."""
     from bigdata_capstone_spark.operators.textops import chunk_tokens
 
     ensure_utc(spark)
@@ -964,6 +984,7 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts where a late-shipment line EXISTS."""
     ensure_utc(spark)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
@@ -998,6 +1019,7 @@ def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def returnflag_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-split priority counts per return flag."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1034,6 +1056,7 @@ def returnflag_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count (left join + double grouping)."""
     ensure_utc(spark)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
@@ -1071,6 +1094,7 @@ def customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def brand_size_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate revenue (pushdown-friendly disjunction)."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select(
@@ -1134,6 +1158,7 @@ def brand_size_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters: top-token dominance and distinct-bigram ratio per document (Gopher/C4-style)."""
     from bigdata_capstone_spark.operators.dedup import shingles_col, tokenized
 
     ensure_utc(spark)
@@ -1184,6 +1209,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match within brand blocks: block-local levenshtein <= 2 candidate pairs."""
     ensure_utc(spark)
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     a = part.select(
@@ -1245,6 +1271,7 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (ppjoin-style): rarest-shingle candidates, full-set verify."""
     from bigdata_capstone_spark.operators.dedup import exploded_shingles
     from bigdata_capstone_spark.operators.similarity import (
         exact_jaccard_pairs_prefix,
@@ -1292,6 +1319,7 @@ def dedup_ngram_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 3: pigeonhole banding + popcount verify."""
     from bigdata_capstone_spark.operators.dedup import simhash_near_dup_pairs
 
     ensure_utc(spark)
@@ -1328,6 +1356,7 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active-user counts per day (windowed distinct via day-grid range join)."""
     from pyspark.sql.window import Window
 
     ensure_utc(spark)
@@ -1377,6 +1406,7 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flags: events beyond 3 sigma of their (user, type) moment estimates."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     n = F.count(F.lit(1))
@@ -1426,6 +1456,7 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of parts by cumulative revenue share (A/B/C bands)."""
     from pyspark.sql.window import Window
 
     ensure_utc(spark)
@@ -1476,6 +1507,7 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: first-seen week cohorts x weeks-since-first activity."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     first_seen = ev.groupBy("user_id").agg(
@@ -1527,6 +1559,7 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joinless funnel: per-user conditional min timestamps for view->click->purchase, one-pass conversion counts."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
 
@@ -1587,6 +1620,7 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift for co-purchased part pairs (support-pruned co-occurrence join, broadcast marginals)."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1660,6 +1694,7 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year."""
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"

@@ -145,3 +145,21 @@ def test_transition_matrix_totals(spark):
     n_events = events.count()
     n_users = events.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_bench_headline_queries_are_registered():
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_registry_docstrings_and_uniqueness():
+    """Every registered query has a docstring (QUERIES.md source) and every
+    oracle key refers to a registered query."""
+    from bigdata_capstone_spark.catalog import ORACLE_SQL
+
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    undocumented = [n for n, f in QUERIES.items() if not (f.__doc__ or "").strip()]
+    assert not undocumented, undocumented
