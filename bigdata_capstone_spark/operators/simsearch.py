@@ -28,8 +28,25 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_capstone_spark.functions.portable import cosine_similarity_col
+from bigdata_capstone_spark.functions.portable import (
+    cosine_similarity_col,
+    dot_product_col,
+)
 from bigdata_capstone_spark.operators.relational import grouped_top_k
+
+
+def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str,
+               id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, ||vec||) projection: the L2 norm is computed ONCE per
+    vector instead of once per compared pair — identical expression (sqrt
+    of the left-to-right self-dot), so downstream cosines are bit-identical
+    to the inline form, at a third of the flops. At 100 TB corpus scale
+    the norm column amortizes across every probe that touches the vector."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.sqrt(dot_product_col(F.col(vec_col), F.col(vec_col))).alias(norm_alias),
+    )
 
 
 def brute_force_topk(
@@ -46,19 +63,19 @@ def brute_force_topk(
     *before* ranking so the rank order itself is reproducible across
     engines (ties then break on vec_id).
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
-    )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    q = F.broadcast(_with_norm(queries, "query_id", "qv", "qn", id_col, vec_col))
+    c = _with_norm(corpus, id_col, "cv", "cn", id_col, vec_col)
     pairs = q.crossJoin(c)
     if not include_self:
         pairs = pairs.filter(F.col("query_id") != F.col(id_col))
     scored = pairs.select(
         "query_id",
         id_col,
-        F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 6).alias("cosine_r"),
+        F.round(
+            dot_product_col(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn")),
+            6,
+        ).alias("cosine_r"),
     )
     return grouped_top_k(
         scored,
@@ -157,17 +174,19 @@ def ann_topk(
         .select("query_id", id_col)
         .distinct()
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    q = _with_norm(queries, "query_id", "qv", "qn", id_col, vec_col)
+    c = _with_norm(corpus, id_col, "cv", "cn", id_col, vec_col)
     scored = (
         cand.join(F.broadcast(q), on="query_id")
         .join(c, on=id_col)
         .select(
             "query_id",
             id_col,
-            F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 6).alias(
-                "cosine_r"
-            ),
+            F.round(
+                dot_product_col(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cosine_r"),
         )
     )
     return grouped_top_k(
@@ -269,17 +288,19 @@ def embedding_near_dup_pairs(
         .select("idA", "idB")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("idA"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("idB"), F.col(vec_col).alias("vb"))
+    va = _with_norm(df, "idA", "va", "na", id_col, vec_col)
+    vb = _with_norm(df, "idB", "vb", "nb", id_col, vec_col)
     return (
         cand.join(va, on="idA")
         .join(vb, on="idB")
         .select(
             "idA",
             "idB",
-            F.round(cosine_similarity_col(F.col("va"), F.col("vb")), 6).alias(
-                "cosine_r"
-            ),
+            F.round(
+                dot_product_col(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine_r"),
         )
         .filter(F.col("cosine_r") >= min_cosine)
     )
