@@ -188,3 +188,161 @@ def hash_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg(F.round("c", 6)), 6).alias("avg_correlation"),
     )
+
+
+def _rm_oracle_at_k(k: int) -> str:
+    """The segment-popularity recommender eval oracle with the cutoff k
+    inlined (same pinned mllib semantics as ranking_metrics_popularity)."""
+    return f"""
+    WITH sales AS (
+      SELECT o_custkey AS cust, l_partkey AS part, c_mktsegment AS seg,
+             l_extendedprice AS price, l_quantity AS qty
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+    ),
+    seg_scores AS (
+      SELECT seg, part,
+             sum(CAST(price AS DECIMAL(18,2)))::DOUBLE / (count(*) + 100.0) AS score
+      FROM sales GROUP BY seg, part
+    ),
+    preds AS (
+      SELECT seg, part,
+             row_number() OVER (PARTITION BY seg ORDER BY score DESC, part) - 1 AS pos
+      FROM seg_scores
+      QUALIFY pos < {k}
+    ),
+    cust_mean AS (
+      SELECT cust, sum(CAST(qty AS DECIMAL(18,2)))::DOUBLE / count(*) AS mq
+      FROM sales GROUP BY cust
+    ),
+    labels AS (
+      SELECT DISTINCT s.cust, s.part
+      FROM sales s JOIN cust_mean m ON s.cust = m.cust
+      WHERE s.qty > m.mq
+    ),
+    label_counts AS (SELECT cust, count(*) AS m FROM labels GROUP BY cust),
+    cust_preds AS (
+      SELECT c.c_custkey AS cust, p.part, p.pos
+      FROM customer c JOIN preds p ON c.c_mktsegment = p.seg
+    ),
+    marked AS (
+      SELECT cp.cust, cp.pos,
+             CASE WHEN l.part IS NULL THEN 0 ELSE 1 END AS hit
+      FROM cust_preds cp
+      LEFT JOIN labels l ON cp.cust = l.cust AND cp.part = l.part
+    ),
+    scored AS (
+      SELECT cust, hit,
+             hit * (sum(hit) OVER (PARTITION BY cust ORDER BY pos)) / (pos + 1.0)
+               AS ap_contrib,
+             hit / ln(pos + 2.0) AS dcg_contrib
+      FROM marked
+    ),
+    per_user0 AS (
+      SELECT cust, sum(hit) AS hits, sum(ap_contrib) AS ap_num,
+             sum(dcg_contrib) AS dcg
+      FROM scored GROUP BY cust
+    ),
+    per_user AS (
+      SELECT p.cust,
+             hits / {k}.0 AS prec,
+             hits / (m * 1.0) AS rec,
+             ap_num / least(m, {k}) AS ap,
+             dcg / list_sum([1.0/ln(x + 1) for x in range(1, least(m, {k}) + 1)])
+               AS ndcg
+      FROM per_user0 p JOIN label_counts lc ON p.cust = lc.cust
+    )
+    SELECT {k}::BIGINT AS k, count(*)::BIGINT AS n_users,
+           round(avg(prec), 6) AS precision_at_k,
+           round(avg(rec), 6)  AS recall_at_k,
+           round(avg(ap), 6)   AS map_at_k,
+           round(avg(ndcg), 6) AS ndcg_at_k
+    FROM per_user
+    """
+
+
+@register(
+    "ranking_metrics_sweep",
+    oracle=" UNION ALL ".join(
+        f"SELECT * FROM ({_rm_oracle_at_k(k)})" for k in (5, 10, 20)
+    ),
+)
+def ranking_metrics_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P/Recall/MAP/NDCG at k ∈ {5, 10, 20} for the segment-popularity
+    recommender in ONE pass — the evaluation-sweep shape (the reference
+    re-ran its whole eval per grid point, popularity_model.py:73-97; this
+    computes every cutoff from a single exploded+windowed frame, one
+    shuffle on user). Oracle: the single-k oracle instantiated per k and
+    UNION ALL'd — three logical evals, but the Spark side pays one."""
+    from pyspark.sql import functions as FF
+
+    from bigdata_capstone_spark.operators.ranking_metrics import (
+        ranking_metrics_at_ks,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    sales = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            FF.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == FF.col("c_custkey"),
+        )
+        .select(
+            FF.col("c_custkey").alias("cust"),
+            FF.col("l_partkey").alias("part"),
+            FF.col("c_mktsegment").alias("seg"),
+            FF.col("l_extendedprice").alias("price"),
+            FF.col("l_quantity").alias("qty"),
+        )
+    )
+    grain = (
+        sales.groupBy("cust", "part", "seg")
+        .agg(
+            FF.sum(FF.col("price").cast("decimal(18,2)")).alias("price_d"),
+            FF.sum(FF.col("qty").cast("decimal(18,2)")).alias("qty_d"),
+            FF.count(FF.lit(1)).alias("n"),
+            FF.max("qty").alias("max_qty"),
+        )
+        .cache()
+    )
+    seg_scores = grain.groupBy("seg", "part").agg(
+        (FF.sum("price_d").cast("double") / (FF.sum("n") + FF.lit(100.0))).alias(
+            "score"
+        )
+    )
+    from bigdata_capstone_spark.operators import relational as rel
+
+    preds = rel.grouped_top_k(
+        seg_scores, ["seg"], [FF.desc("score"), FF.col("part")], 20, rank_col="rn"
+    ).select("seg", "part", (FF.col("rn") - 1).alias("pos"))
+    cust_mean = grain.groupBy("cust").agg(
+        (FF.sum("qty_d").cast("double") / FF.sum("n")).alias("mq")
+    )
+    labels = (
+        grain.join(FF.broadcast(cust_mean), on="cust")
+        .filter(FF.col("max_qty") > FF.col("mq"))
+        .select("cust", "part")
+    )
+    cust_preds = (
+        customer.select(
+            FF.col("c_custkey").alias("cust"), FF.col("c_mktsegment").alias("seg")
+        )
+        .join(FF.broadcast(preds), on="seg")
+        .select("cust", "part", "pos")
+    )
+    out = ranking_metrics_at_ks(
+        cust_preds, labels, [5, 10, 20], user_col="cust", item_col="part",
+        pos_col="pos",
+    )
+    return out.select(
+        FF.col("k").cast("long").alias("k"),
+        "n_users",
+        FF.round("precision_at_k", 6).alias("precision_at_k"),
+        FF.round("recall_at_k", 6).alias("recall_at_k"),
+        FF.round("map_at_k", 6).alias("map_at_k"),
+        FF.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+    )
