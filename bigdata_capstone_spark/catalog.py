@@ -388,7 +388,8 @@ def event_value_variance_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS n_points
     FROM events
     GROUP BY user_id
-    HAVING corr(value, epoch_us(ts)) IS NOT NULL AND count(*) >= 2
+    HAVING corr(value, epoch_us(ts)) IS NOT NULL
+       AND NOT isnan(corr(value, epoch_us(ts))) AND count(*) >= 2
     """,
 )
 def event_user_type_corr(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,13 +60,26 @@ def pearson_by_group(
     ``corr`` is null for <2 points (SURVEY Q6; customer_segmentation_2.py:38
     filters the nulls). We additionally expose the point count so callers
     can assert the ≥2-common-items invariant.
+
+    Computed as ``try_divide(covar_samp, stddev·stddev)`` rather than
+    ``F.corr``: under ANSI mode (Spark 4 default) ``corr`` RAISES
+    Division-by-zero when one side is constant within a group (zero
+    variance), whereas the reference's semantics — and every SQL oracle —
+    treat that as null-and-filtered. Identical value to within an ulp
+    (same co-moments, one extra division pair), and callers round for the
+    oracle anyway.
     """
     out = df.groupBy(*keys).agg(
-        F.corr(x, y).alias("correlation"),
+        F.expr(
+            f"try_divide(covar_samp({x}, {y}), "
+            f"stddev_samp({x}) * stddev_samp({y}))"
+        ).alias("correlation"),
         F.count(F.lit(1)).alias("n_points"),
     )
     return out.filter(
-        F.col("correlation").isNotNull() & (F.col("n_points") >= min_points)
+        F.col("correlation").isNotNull()
+        & ~F.isnan("correlation")
+        & (F.col("n_points") >= min_points)
     )
 
 

@@ -163,3 +163,11 @@ def test_registry_docstrings_and_uniqueness():
     assert set(ORACLE_SQL) <= set(QUERIES)
     undocumented = [n for n, f in QUERIES.items() if not (f.__doc__ or "").strip()]
     assert not undocumented, undocumented
+
+
+def test_twin_correlation_gap_is_positive(spark):
+    """The reference's central finding (report p.3: twins correlate more
+    than random pairs) must reproduce directionally on the fixture."""
+    r = QUERIES["twin_correlation_gap"](spark, SF).collect()[0]
+    assert r["n_twin_pairs"] >= 1 and r["n_random_pairs"] >= 1
+    assert r["corr_gap"] > 0
