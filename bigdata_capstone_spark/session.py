@@ -46,6 +46,11 @@ def build_session(
         # dimension tables at test scale are single-digit MB; the default
         # 10 MB threshold leaves some star-join dims on the shuffle path
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # runtime bloom-filter pushdown: a selective build side of a
+        # shuffle join prunes the probe side's SCAN — at 100 TB this is
+        # the difference between scanning a week and scanning a year of a
+        # fact table when the filtered dimension implies the subset
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
