@@ -575,3 +575,38 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("cluster_id").alias("n_clusters"),
         )
     )
+
+
+@register(
+    "streaming_hourly_windows",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING run through the value gate: the events parquet
+    is replayed as a file-source stream, the watermarked 1-hour tumbling
+    aggregation (streaming/windows.py) drains to completion into the
+    memory sink, and the sink table is returned — hash-compared against
+    the plain batch SQL. This promotes the stream≡batch property from a
+    library test to a driver-checked oracle result.
+
+    Scale shape: identical to the batch twin (one shuffle keyed by
+    (window, type)); streaming adds watermark-bounded state, sized by
+    windows-in-flight × types, not event volume."""
+    from bigdata_capstone_spark.streaming.windows import (
+        hourly_tumbling_agg,
+        run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+
+    ensure_utc(spark)
+    stream = stream_events_from_parquet(spark, sf_dir)
+    agg = hourly_tumbling_agg(stream)
+    run_stream_to_memory(agg, "streaming_hourly_windows_sink", "complete")
+    return spark.table("streaming_hourly_windows_sink")
