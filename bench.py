@@ -48,6 +48,11 @@ HEADLINE = [
     "nation_profit_by_year",       # Q9 shape: star join over both fact tables
     "waiting_sole_late_supplier",  # Q21 shape: quantifiers as window counts
     "heavy_hitter_parts_cms",      # portable count-min sketch grid + probes
+    "scd2_user_tiers",             # SCD2 history build (one-shuffle windows)
+    "events_time_rollup",          # hour→day→month hierarchy in one pass
+    "doc_tfidf_top_terms",         # TF-IDF scoring (shared token explode)
+    "benchmark_contamination",     # 8-gram eval-leakage scan (broadcast semi)
+    "dominant_part_suppliers",     # Q20 shape: correlated share-of-total
 ]
 
 
