@@ -136,14 +136,23 @@ def lsh_candidate_pairs(
     n_perm: int = 16,
     bands: int = 4,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` groups of
     ``n_perm/bands`` rows; docs sharing any band bucket become a candidate
     pair (idA < idB, dedup'd across bands).
 
     Scale shape: explode to (band, bucket_key) — |docs|·bands rows — then a
-    groupBy-join on the bucket key. Hot buckets (boilerplate docs) are the
-    blow-up risk; cap with a bucket-size threshold upstream if needed.
+    groupBy-join on the bucket key. Hot buckets (boilerplate docs, empty
+    documents) are the quadratic blow-up risk: ``max_bucket_size`` drops
+    buckets above the cap BEFORE the pair join (one count-window over the
+    bucket key — same shuffle the join needs anyway), bounding the join
+    fan-out at cap² per bucket. Documents in an over-full bucket still pair
+    through their other bands; at high duplication rates a cap trades a
+    little recall for quadratic cost, which is the standard production
+    dial (the exact top-of-cluster pairs are recovered by the
+    connected-components closure as long as SOME chain of capped buckets
+    links them).
     """
     rows = n_perm // bands
     band_keys = [
@@ -161,6 +170,16 @@ def lsh_candidate_pairs(
         id_col,
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        buckets = (
+            buckets.withColumn(
+                "__bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+            )
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
     a = buckets.select(F.col(id_col).alias("idA"), "bucket")
     b = buckets.select(F.col(id_col).alias("idB"), "bucket")
     return (

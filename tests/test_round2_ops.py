@@ -171,3 +171,27 @@ def test_twin_correlation_gap_is_positive(spark):
     r = QUERIES["twin_correlation_gap"](spark, SF).collect()[0]
     assert r["n_twin_pairs"] >= 1 and r["n_random_pairs"] >= 1
     assert r["corr_gap"] > 0
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """max_bucket_size: capped candidates are a subset of uncapped ones,
+    and a tiny cap on a heavily-duplicated corpus strictly reduces them."""
+    from bigdata_capstone_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sigs = minhash_signatures(docs, n_perm=8, shingle_n=3).cache()
+    full = {
+        (r["idA"], r["idB"])
+        for r in lsh_candidate_pairs(sigs, 8, 4).collect()
+    }
+    capped = {
+        (r["idA"], r["idB"])
+        for r in lsh_candidate_pairs(sigs, 8, 4, max_bucket_size=3).collect()
+    }
+    assert capped <= full
+    assert len(full) > 0
+    assert len(capped) < len(full)
