@@ -610,3 +610,52 @@ def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = hourly_tumbling_agg(stream)
     run_stream_to_memory(agg, "streaming_hourly_windows_sink", "complete")
     return spark.table("streaming_hourly_windows_sink")
+
+
+@register(
+    "lang_id_confusion",
+    oracle="""
+    WITH scores AS (
+      SELECT doc_id, lang,
+        len(list_intersect(list_distinct(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+            ['the','and','of','to','a','in','is','that','it','for'])) AS s_en,
+        len(list_intersect(list_distinct(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+            ['el','la','de','que','y','en','un','por','con','los'])) AS s_es,
+        len(list_intersect(list_distinct(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+            ['der','die','und','das','nicht','von','ist','mit','den','zu'])) AS s_de,
+        len(list_intersect(list_distinct(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+            ['le','la','et','les','des','en','un','du','une','est'])) AS s_fr
+      FROM documents
+    ),
+    guessed AS (
+      SELECT lang,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_guess
+      FROM scores
+    )
+    SELECT lang, lang_guess, count(*)::BIGINT AS n_docs
+    FROM guessed GROUP BY lang, lang_guess
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality report: confusion counts of the declared ``lang``
+    column against the function-word heuristic's guess — the accuracy
+    check a curation pipeline runs before trusting either label. Pure
+    map over the text column + a tiny (lang × guess) hash-agg."""
+    from bigdata_capstone_spark.operators.textops import lang_id_heuristic
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    guessed = lang_id_heuristic(docs).join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    )
+    return guessed.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
