@@ -1151,11 +1151,44 @@ def random_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")
+def _multimodal_oracle(n: int = 64, seed: int = 42) -> str:
+    """DuckDB replay of synthetic_assets + the deterministic fake kernel:
+    the kernel hashes the HEX of the payload (multimodal._fake_features),
+    so feature i is md5(i || ':' || lower(hex(media))) in any SQL engine —
+    the whole mapInPandas pipeline (blob synthesis → Arrow batches →
+    per-asset kernel) is value-checked, not just row-counted."""
+
+    def feat(i: int) -> str:
+        # ::REAL replays Spark's float32 storage (FEATURES_SCHEMA uses
+        # array<float>) before the widening back to double and round —
+        # without it ~6% of values would straddle a 1e-6 rounding boundary.
+        return (
+            f"round(((('0x' || substr(md5('{i}:' || lower(hex(media))), 1, 8))"
+            f"::BIGINT / 4294967296.0) - 0.5)::REAL::DOUBLE, 6)"
+        )
+
+    return f"""
+    WITH ids AS (SELECT unnest(range({n})) AS asset_id),
+    assets AS (
+      SELECT asset_id::BIGINT AS asset_id,
+             repeat(unhex(md5('{seed}:' || asset_id)),
+                    (4 + asset_id % 7)::INT) AS media
+      FROM ids
+    )
+    SELECT asset_id, octet_length(media)::BIGINT AS n_bytes,
+           {feat(0)} AS f0,
+           {feat(15)} AS f15
+    FROM assets
+    """
+
+
+@register("multimodal_features", oracle=_multimodal_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched mapInPandas feature extraction
     (deterministic fake kernel; real codecs stubbed — operators/multimodal).
-    Exercises the 100 TB plumbing: blobs stay in Arrow, output is narrow."""
+    Exercises the 100 TB plumbing: blobs stay in Arrow, output is narrow.
+    The fake kernel is md5-over-hex, so the DuckDB oracle reproduces the
+    full pipeline bit-for-bit (first + last feature checked)."""
     from bigdata_capstone_spark.operators.multimodal import (
         extract_features,
         synthetic_assets,
@@ -1163,7 +1196,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = synthetic_assets(spark, n=64)
     feats = extract_features(assets, decoder="deterministic_fake")
-    return feats.select("asset_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0"))
+    # widen float32 → double BEFORE round: round() on a FloatType stays
+    # float32, whose nearest value to the 6-decimal result differs from
+    # the double the oracle computes
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 16).cast("double"), 6).alias("f15"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1636,7 +1677,10 @@ _SHINGLE_CTES = """
 
 
 def _minhash_lsh_pairs_oracle(
-    n_perm: int = 8, bands: int = 4, min_jaccard: float = 0.35
+    n_perm: int = 8,
+    bands: int = 4,
+    min_jaccard: float = 0.35,
+    max_bucket_size: int | None = None,
 ) -> str:
     rows = n_perm // bands
     mins = ",\n             ".join(
@@ -1651,6 +1695,24 @@ def _minhash_lsh_pairs_oracle(
         + "), 1, 15))::BIGINT AS bucket FROM sigs"
         for b in range(bands)
     )
+    # Mirror of dedup.lsh_candidate_pairs' hot-bucket cap: buckets above
+    # the cap are dropped before candidate generation (same groupBy-count
+    # + semi-join the Spark side runs), so the oracle replays the capped
+    # path hash-for-hash.
+    if max_bucket_size is not None:
+        cap_ctes = f"""
+    bucket_sizes AS (
+      SELECT bucket, count(*) AS bn FROM raw_buckets GROUP BY bucket
+    ),
+    buckets AS (
+      SELECT rb.doc_id, rb.bucket
+      FROM raw_buckets rb
+      JOIN bucket_sizes bs ON bs.bucket = rb.bucket
+      WHERE bs.bn <= {max_bucket_size}
+    ),"""
+    else:
+        cap_ctes = """
+    buckets AS (SELECT * FROM raw_buckets),"""
     return f"""
     WITH {_SHINGLE_CTES},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1659,9 +1721,9 @@ def _minhash_lsh_pairs_oracle(
              {mins}
       FROM sh GROUP BY doc_id
     ),
-    buckets AS (
+    raw_buckets AS (
       {band_selects}
-    ),
+    ),{cap_ctes}
     cands AS (
       SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
       FROM buckets a JOIN buckets b
@@ -1684,21 +1746,27 @@ def _minhash_lsh_pairs_oracle(
     """
 
 
-@register("dedup_minhash_lsh_pairs", oracle=_minhash_lsh_pairs_oracle(8, 4, 0.35))
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=_minhash_lsh_pairs_oracle(8, 4, 0.35, max_bucket_size=100),
+)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash-LSH near-dup dedup: signatures (8 perms) → 4-band
-    bucketing → candidate pairs via bucket equi-join → exact shingle-Jaccard
-    verify (bucket-local, never all-pairs) → threshold 0.35.
+    bucketing → candidate pairs via bucket equi-join (hot buckets capped at
+    100 docs — the production skew dial, mirrored in the oracle) → exact
+    shingle-Jaccard verify (bucket-local, never all-pairs) → threshold 0.35.
 
     This is THE scale path for document dedup: the only shuffles are on
     band-bucket keys and doc ids; pair verification touches candidates
-    only. The oracle replays banding hash-for-hash, so the driver check
-    verifies candidate generation — not just final similarity values."""
+    only. The oracle replays banding AND the bucket cap hash-for-hash, so
+    the driver check verifies candidate generation — not just final
+    similarity values."""
     from bigdata_capstone_spark.operators.dedup import minhash_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     out = minhash_near_dup_pairs(
-        docs, n_perm=8, bands=4, shingle_n=3, min_jaccard=0.35
+        docs, n_perm=8, bands=4, shingle_n=3, min_jaccard=0.35,
+        max_bucket_size=100,
     )
     return out.select("idA", "idB", F.round("jaccard", 6).alias("jaccard_r"))
 
@@ -2201,7 +2269,7 @@ def _clusters_oracle() -> str:
     from a; cluster id = min reachable node. The DuckDB-side check of the
     engine's ITERATIVE min-label propagation — recursion replaces the
     loop, same fixed point."""
-    pairs = _minhash_lsh_pairs_oracle(8, 4, 0.5)
+    pairs = _minhash_lsh_pairs_oracle(8, 4, 0.5, max_bucket_size=100)
     return f"""
     WITH RECURSIVE pairs AS ({pairs}),
     edges(src, dst) AS (
@@ -2237,7 +2305,9 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_capstone_spark.operators.dedup import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_clusters(docs, n_perm=8, bands=4, min_jaccard=0.5)
+    return dedup_clusters(
+        docs, n_perm=8, bands=4, min_jaccard=0.5, max_bucket_size=100
+    )
 
 
 

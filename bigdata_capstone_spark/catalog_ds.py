@@ -745,7 +745,9 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     keep_exact = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    pairs = minhash_near_dup_pairs(docs, n_perm=8, bands=4, min_jaccard=0.35)
+    pairs = minhash_near_dup_pairs(
+        docs, n_perm=8, bands=4, min_jaccard=0.35, max_bucket_size=100
+    )
     drop_near = (
         pairs.filter(F.round("jaccard", 6) >= 0.6)
         .select(F.col("idB").alias("doc_id"))

@@ -188,7 +188,10 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     # GROUPING SETS ((m),(m,d),(m,d,h)) ≡ ROLLUP(m,d,h) minus the grand
-    # total; filter it out by the month key (never null in a real set)
+    # total. Identify the grand-total row by grouping_id() == 7 (all three
+    # keys aggregated away), NOT by `month IS NULL`: a null-ts event row
+    # would produce a REAL null-month group that the oracle's GROUPING
+    # SETS keeps, and keying on nullness would silently drop it here.
     return (
         derived.rollup("month", "day", "hour")
         .agg(
@@ -196,8 +199,10 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
             .alias("sum_value"),
+            F.grouping_id().alias("__gid"),
         )
-        .filter(F.col("month").isNotNull())
+        .filter(F.col("__gid") != 7)
+        .drop("__gid")
     )
 
 
@@ -562,7 +567,9 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    labeled = dedup_clusters(docs, n_perm=8, bands=4, min_jaccard=0.5)
+    labeled = dedup_clusters(
+        docs, n_perm=8, bands=4, min_jaccard=0.5, max_bucket_size=100
+    )
     split = F.when(
         md5_long(F.concat(F.lit("split:"), F.col("cluster_id"))) % 100 < 80,
         "train",

@@ -145,14 +145,19 @@ def lsh_candidate_pairs(
     Scale shape: explode to (band, bucket_key) — |docs|·bands rows — then a
     groupBy-join on the bucket key. Hot buckets (boilerplate docs, empty
     documents) are the quadratic blow-up risk: ``max_bucket_size`` drops
-    buckets above the cap BEFORE the pair join (one count-window over the
-    bucket key — same shuffle the join needs anyway), bounding the join
-    fan-out at cap² per bucket. Documents in an over-full bucket still pair
-    through their other bands; at high duplication rates a cap trades a
-    little recall for quadratic cost, which is the standard production
-    dial (the exact top-of-cluster pairs are recovered by the
-    connected-components closure as long as SOME chain of capped buckets
-    links them).
+    buckets above the cap BEFORE the pair join, bounding the join fan-out
+    at cap² per bucket. The cap is computed as a ``groupBy(bucket).count``
+    + semi-join back — NOT a ``count(*) OVER (PARTITION BY bucket)``
+    window, which would funnel every row of the hottest bucket into a
+    single window task (the exact straggler the cap exists to defuse);
+    the groupBy partial-aggregates map-side, so the hot key arrives at
+    the reducer as a handful of partial counts, and the semi-join shares
+    the bucket-key shuffle the pair join needs anyway. Documents in an
+    over-full bucket still pair through their other bands; at high
+    duplication rates a cap trades a little recall for quadratic cost,
+    which is the standard production dial (the exact top-of-cluster pairs
+    are recovered by the connected-components closure as long as SOME
+    chain of capped buckets links them).
     """
     rows = n_perm // bands
     band_keys = [
@@ -171,15 +176,13 @@ def lsh_candidate_pairs(
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
     )
     if max_bucket_size is not None:
-        from pyspark.sql.window import Window
-
-        buckets = (
-            buckets.withColumn(
-                "__bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-            )
+        small = (
+            buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bucket_n"))
             .filter(F.col("__bucket_n") <= max_bucket_size)
-            .drop("__bucket_n")
+            .select("bucket")
         )
+        buckets = buckets.join(small, on="bucket", how="left_semi")
     a = buckets.select(F.col(id_col).alias("idA"), "bucket")
     b = buckets.select(F.col(id_col).alias("idB"), "bucket")
     return (
@@ -198,10 +201,18 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     min_jaccard: float = 0.7,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline with exact verification: candidates
     from banding, then true shingle-Jaccard computed only for candidates
     (the verify join is bucket-local, never all-pairs).
+
+    ``max_bucket_size`` (default 2000) is the hot-bucket cap threaded into
+    :func:`lsh_candidate_pairs` — ON by default because this is the
+    production entry point and an uncapped banding join is the documented
+    quadratic risk at 100 TB (a boilerplate storm puts millions of docs in
+    one bucket → cap² = bounded ~4M pairs instead of 10¹²). Pass ``None``
+    to disable when the corpus is known clean.
 
     The exploded shingle frame feeds three consumers (signatures, sizes,
     the verify join's two sides) — it is cached (memory-and-disk, spills
@@ -209,7 +220,7 @@ def minhash_near_dup_pairs(
     (profiled at sf0.1: 398s uncached → ~20s cached)."""
     sh = exploded_shingles(df, text_col, id_col, shingle_n).cache()
     sigs = _signatures_from_shingles(sh, id_col, n_perm)
-    cands = lsh_candidate_pairs(sigs, n_perm, bands, id_col)
+    cands = lsh_candidate_pairs(sigs, n_perm, bands, id_col, max_bucket_size)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.join(sizes, on=id_col).select(
         F.col(id_col).alias("idA"), F.col("sh"), F.col("n").alias("nA")
@@ -346,26 +357,38 @@ def connected_components(
     labels = nodes.withColumn("component", F.col("node"))
     sym = sym.localCheckpoint(eager=True)
 
+    comp_type = dict(labels.dtypes)["component"]
     for _ in range(max_iter):
         # candidate labels flowing along edges: neighbor's current label
         neighbor_labels = (
             sym.join(labels, on=F.col("dst") == F.col("node"))
             .select(F.col("src").alias("node"), "component")
         )
+        # Fold the convergence signal INTO the label aggregate: the self
+        # row carries its current label as `old` (max() ignores the nulls
+        # on neighbor rows), so after the groupBy each node knows both its
+        # new and previous label. The changed-check is then a narrow scan
+        # of the just-checkpointed partitions with a limit-1 early exit —
+        # no second join job per round (previously: labels⋈new_labels +
+        # count, a full extra shuffle per iteration).
+        merged = labels.select(
+            "node", "component", F.col("component").alias("old")
+        ).unionByName(
+            neighbor_labels.withColumn("old", F.lit(None).cast(comp_type))
+        )
         new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            merged.groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.max("old").alias("old"),
+            )
         ).localCheckpoint(eager=True)
         changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), on="node"
-            )
-            .filter(F.col("component") != F.col("old"))
+            new_labels.filter(F.col("component") != F.col("old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.drop("old")
         if changed == 0:
             break
     return labels
@@ -380,13 +403,20 @@ def dedup_clusters(
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
     max_iter: int = 20,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Near-dup clusters: minhash-LSH pairs → connected components →
     (doc_id, cluster_id, cluster_size). Docs with no near-dup partner get
     their own singleton cluster. ``cluster_id`` is the minimum doc_id in
-    the cluster — the canonical "keep" representative."""
+    the cluster — the canonical "keep" representative.
+
+    ``max_bucket_size`` is the hot-bucket cap (ON by default, see
+    :func:`minhash_near_dup_pairs`); the component closure recovers
+    top-of-cluster links a capped bucket drops, as long as some chain of
+    under-cap buckets connects them."""
     pairs = minhash_near_dup_pairs(
-        df, text_col, id_col, n_perm, bands, shingle_n, min_jaccard
+        df, text_col, id_col, n_perm, bands, shingle_n, min_jaccard,
+        max_bucket_size,
     )
     comp = connected_components(pairs.select("idA", "idB"), "idA", "idB", max_iter)
     all_docs = df.select(F.col(id_col))

@@ -50,14 +50,21 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _fake_features(data: bytes) -> list[float]:
-    """Deterministic FEATURE_DIM-dim pseudo-feature vector from md5(bytes).
+    """Deterministic FEATURE_DIM-dim pseudo-feature vector from
+    md5("{i}:" + hex(bytes)).
 
     Stands in for a real decode→embed kernel; stable across runs/engines so
-    the distributed plumbing is testable without codecs.
+    the distributed plumbing is testable without codecs. Hashing the HEX
+    encoding of the payload (rather than the raw bytes) is deliberate:
+    SQL engines' md5() typically takes strings, so the kernel output is
+    reproducible as ``md5(i || ':' || lower(hex(media)))`` — which lets the
+    driver hash-compare the whole mapInPandas pipeline against a DuckDB
+    oracle instead of a weaker rows-only check.
     """
+    hx = data.hex().encode()
     out = []
     for i in range(FEATURE_DIM):
-        h = hashlib.md5(i.to_bytes(4, "big") + data).digest()
+        h = hashlib.md5(f"{i}:".encode() + hx).digest()
         out.append(int.from_bytes(h[:4], "big") / 2**32 - 0.5)
     return out
 

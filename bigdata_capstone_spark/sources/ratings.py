@@ -94,6 +94,50 @@ def synthetic_ratings(
     )
 
 
+def synthetic_structured_ratings(
+    spark: SparkSession,
+    n_rows: int = 20_000,
+    n_users: int = 200,
+    n_movies: int = 300,
+    latent_dim: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Ratings with genuine LATENT-FACTOR structure (deterministic).
+
+    The plain :func:`synthetic_ratings` fixture draws rating independent
+    of (user, movie) — pure noise, on which a personalized model cannot
+    beat a global ranking. The reference's model-comparison finding (ALS
+    NDCG 0.9720 > popularity 0.7879 on MovieLens, capstone_final_report
+    p.5-6) needs preference structure to reproduce: here each user and
+    movie gets a ``latent_dim``-dim PRF vector with entries in [-1, 1],
+    and rating = half-star rounding of ``3 + 0.75·(p_u·q_m)`` clipped to
+    [0.5, 5]. ALS can recover the factors; a single global popularity
+    ordering cannot, so the directional gap is structural, not luck.
+    Fully determined by ``seed`` (md5 PRF, distributed generation).
+    """
+
+    def latent(col, who: str, d: int):
+        return _u01(F.concat(F.lit(f"{who}{d}:"), col.cast("string")), seed + 100 + d) * 2 - 1
+
+    base = spark.range(n_rows).select(
+        (F.floor(_u01(F.col("id"), seed) * n_users)).alias("userId"),
+        (F.floor(_u01(F.col("id"), seed + 1) * n_movies)).alias("movieId"),
+    ).dropDuplicates(["userId", "movieId"])
+    dot = None
+    for d in range(latent_dim):
+        term = latent(F.col("userId"), "u", d) * latent(F.col("movieId"), "m", d)
+        dot = term if dot is None else dot + term
+    raw = F.lit(3.0) + F.lit(0.75) * dot
+    clipped = F.greatest(F.lit(0.5), F.least(F.lit(5.0), raw))
+    rating = F.floor(clipped * 2 + 0.5) / 2
+    return base.select(
+        F.col("userId").cast("long"),
+        F.col("movieId").cast("long"),
+        rating.cast("double").alias("rating"),
+        F.lit(1_500_000_000).alias("timestamp"),
+    )
+
+
 def ratings_oracle_cte(
     n_rows: int = 20_000,
     n_users: int = 200,

@@ -123,8 +123,16 @@ RATINGS_SCHEMA = T.StructType(
 
 def _parquet_ts_unit(path: str, field: str) -> str | None:
     """Physical timestamp unit ('ns'/'us'/'ms') of a parquet column, read
-    from the file footer (no data scan). Returns None if unreadable."""
+    from the file footer (no data scan).
+
+    Returns ``"unknown"`` (with a warning naming the cause) when the
+    footer CANNOT be inspected — pyarrow missing, file unreadable — which
+    callers must treat as "possibly ns". Collapsing unreadable to "not
+    ns" would silently route a genuine TIMESTAMP(NANOS) file down the
+    native reader, which throws PARQUET_TYPE_ILLEGAL only at scan time
+    with no hint of the real cause."""
     import os
+    import warnings
 
     try:
         import pyarrow.parquet as pq
@@ -132,12 +140,17 @@ def _parquet_ts_unit(path: str, field: str) -> str | None:
         if os.path.isdir(path):
             cands = [p for p in os.listdir(path) if p.endswith(".parquet")]
             if not cands:
-                return None
+                return "unknown"
             path = os.path.join(path, sorted(cands)[0])
         typ = pq.ParquetFile(path).schema_arrow.field(field).type
         return getattr(typ, "unit", None)
-    except Exception:
-        return None
+    except Exception as exc:
+        warnings.warn(
+            f"cannot inspect parquet footer of {path!r} ({type(exc).__name__}:"
+            f" {exc}); assuming timestamp unit may be ns",
+            stacklevel=2,
+        )
+        return "unknown"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -156,7 +169,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events" and _parquet_ts_unit(f"{sf_dir}/events.parquet", "ts") == "ns":
+    # "unknown" (footer uninspectable, e.g. no pyarrow) falls back to the
+    # ns path: the driver's events data ships as TIMESTAMP(NANOS), and the
+    # native reader would reject exactly that case at scan time.
+    if name == "events" and _parquet_ts_unit(
+        f"{sf_dir}/events.parquet", "ts"
+    ) in ("ns", "unknown"):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw_schema = T.StructType(
             [

@@ -73,6 +73,16 @@ def compare_frames(
     determinism contract (decimal sums, pre-rank rounding, PRF hashes)
     makes exactness achievable; pass tolerances only for known
     order-dependent diagnostics.
+
+    HARD INVARIANT for catalog queries — round BEFORE any double
+    aggregation whose accumulation order is engine-dependent: a double
+    that is averaged (e.g. avg of per-pair correlations, avg of per-user
+    metrics) must be ``round(x, 6)``-ed at the per-row stage, so both
+    engines average the SAME 6-decimal values and the final avg differs
+    by at most n·ulp — far below the 6-decimal output rounding. Rounding
+    only the final avg is NOT safe: a value landing within float-sum
+    drift of a 0.5e-6 boundary would flake the gate nondeterministically.
+    Exact (decimal) sums need no rounding; plain double sums/avgs do.
     """
     problems: list[str] = []
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)

@@ -88,6 +88,45 @@ def test_popularity_grid_search_m8(spark, clean):
     assert len({r["beta"] for r in results}) == 3
 
 
+def test_als_beats_popularity_ndcg(spark):
+    """The report's model-comparison conclusion (capstone_final_report.pdf
+    p.5-6 / BASELINE.md: ALS NDCG 0.9720 vs popularity 0.7879) must
+    reproduce DIRECTIONALLY: a personalized rank-10 ALS model
+    (als_recommendation.py:37-42) out-ranks the single global
+    damped-popularity ordering (popularity_model.py:61-67).
+
+    Runs on the latent-factor-structured fixture: the plain fixture's
+    ratings are independent of (user, movie), so there is no preference
+    signal for ANY personalized model to learn and the comparison would
+    be vacuous. MovieLens has real structure; synthetic_structured_ratings
+    plants the same kind deterministically."""
+    from bigdata_capstone_spark.operators.als import train_als_recommend
+    from bigdata_capstone_spark.sources.ratings import (
+        synthetic_structured_ratings,
+    )
+
+    k = 20
+    ratings = synthetic_structured_ratings(spark).cache()
+    labels = ground_truth(ratings)
+
+    pop_scores = damped_item_scores(ratings, 100.0)
+    pop_recs = recommend_top_k(ratings, pop_scores, k=k)
+    pop_preds = pop_recs.select(
+        "userId", "movieId", (F.col("rank") - 1).alias("pos")
+    )
+    pop_ndcg = ranking_metrics(pop_preds, labels, k).collect()[0]["ndcg_at_k"]
+
+    als_preds = train_als_recommend(
+        ratings, k=k, rank=10, max_iter=10, seed=42
+    ).recommendations
+    als_ndcg = ranking_metrics(als_preds, labels, k).collect()[0]["ndcg_at_k"]
+
+    assert 0.0 < pop_ndcg < 1.0
+    # strict, with margin: the gap on the reference data is ~0.19; real
+    # personalization on structured preferences should clear 10%.
+    assert als_ndcg > pop_ndcg * 1.10, (als_ndcg, pop_ndcg)
+
+
 def test_csv_roundtrip(spark, clean, tmp_path):
     """S1/S2: schema'd CSV sink + scan roundtrip preserves rows exactly."""
     from bigdata_capstone_spark.sources.sinks import write_csv

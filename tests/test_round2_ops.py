@@ -195,3 +195,35 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
     assert capped <= full
     assert len(full) > 0
     assert len(capped) < len(full)
+
+
+def test_bucket_cap_threads_through_production_entry_points(spark):
+    """The cap must reach the PRODUCTION paths (minhash_near_dup_pairs /
+    dedup_clusters), not just the low-level primitive: a tiny cap must
+    strictly shrink the verified pair set, and the default-on cap (2000)
+    must be a no-op at this scale (identical to uncapped)."""
+    from bigdata_capstone_spark.operators.dedup import minhash_near_dup_pairs
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    key = lambda r: (r["idA"], r["idB"])  # noqa: E731
+    uncapped = {
+        key(r)
+        for r in minhash_near_dup_pairs(
+            docs, n_perm=8, bands=4, min_jaccard=0.35, max_bucket_size=None
+        ).collect()
+    }
+    default = {
+        key(r)
+        for r in minhash_near_dup_pairs(
+            docs, n_perm=8, bands=4, min_jaccard=0.35
+        ).collect()
+    }
+    tiny = {
+        key(r)
+        for r in minhash_near_dup_pairs(
+            docs, n_perm=8, bands=4, min_jaccard=0.35, max_bucket_size=1
+        ).collect()
+    }
+    assert default == uncapped  # cap=2000 never fires on the clean fixture
+    assert tiny < uncapped  # cap=1 kills every multi-doc bucket
