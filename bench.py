@@ -2,11 +2,17 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: sec, ...}, "sf": ..., "runs": n}
 
 Execution is measured end-to-end per query (plan + run) into the `noop`
 sink, so results are fully materialized without pandas/driver-collect cost
 and without letting Catalyst prune work a count() would skip.
+
+Wall-clock on a shared box is noisy (3-6× swings between runs observed),
+so the whole suite is run ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3)
+and per-query MEDIANS are reported; each query still runs cold-cache
+(clearCache between queries), so the median reflects steady-state JIT,
+not warm-data shortcuts.
 """
 
 from __future__ import annotations
@@ -14,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -68,21 +75,28 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").collect()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
-        # queries that cache shared subplans (dedup shingles, twins) would
-        # otherwise accumulate executor memory across the run and distort
-        # later measurements; measure each query cold-cache instead
-        spark.catalog.clearCache()
-        # nudge the ContextCleaner: with a large driver heap, GC (which
-        # drives shuffle/broadcast cleanup) can lag for minutes, and stale
-        # shuffle state from a heavy query distorts the next measurements
-        spark._jvm.System.gc()
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for run in range(n_runs):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            samples[name].append(dt)
+            print(f"# run{run + 1} {name}: {dt}s", file=sys.stderr, flush=True)
+            # queries that cache shared subplans (dedup shingles, twins) would
+            # otherwise accumulate executor memory across the run and distort
+            # later measurements; measure each query cold-cache instead
+            spark.catalog.clearCache()
+            # nudge the ContextCleaner: with a large driver heap, GC (which
+            # drives shuffle/broadcast cleanup) can lag for minutes, and stale
+            # shuffle state from a heavy query distorts the next measurements
+            spark._jvm.System.gc()
 
+    times = {
+        name: round(statistics.median(vals), 3)
+        for name, vals in samples.items()
+    }
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -92,6 +106,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "runs": n_runs,
             }
         )
     )

@@ -620,6 +620,246 @@ def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_windows",
+    oracle="""
+    SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000
+                          - k * 900000000) AS window_start,
+           make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000
+                          - k * 900000000 + 3600000000) AS window_end,
+           event_type,
+           count(*)::BIGINT AS n_events
+    FROM events CROSS JOIN generate_series(0, 3) g(k)
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window / 15 min slide) DRAINED AS A
+    REAL STREAM through the value gate: each event lands in window/slide=4
+    panes; the oracle replays Spark's epoch-aligned pane assignment in
+    microsecond arithmetic (pane k start = ts - ts mod slide - k·slide),
+    so the streamed sink is hash-compared pane-for-pane.
+
+    Scale shape: the pane fan-out is a map-side explode (×4 rows), then
+    one shuffle keyed by (window, type); watermark bounds state to
+    (watermark + window)/slide panes per type."""
+    from bigdata_capstone_spark.streaming.windows import (
+        run_stream_to_memory,
+        sliding_window_agg,
+        stream_events_from_parquet,
+    )
+
+    ensure_utc(spark)
+    stream = stream_events_from_parquet(spark, sf_dir)
+    agg = sliding_window_agg(stream, "1 hour", "15 minutes")
+    run_stream_to_memory(agg, "streaming_sliding_windows_sink", "complete")
+    return spark.table("streaming_sliding_windows_sink")
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*)::BIGINT AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-min gap) DRAINED AS A REAL STREAM
+    through the value gate. The oracle replays gap-close semantics with
+    the islands formulation — note ``>=`` on the gap: Spark's session
+    interval is [start, last_event + gap), so an event landing exactly at
+    the gap boundary opens a NEW session (the batch-twin `user_sessions`
+    query deliberately uses ``>``; the two differ only on exact-boundary
+    events, absent from µs-random data). session_end = last event + gap.
+
+    Scale shape: one shuffle on user_id; streaming state = open sessions
+    per user, closed by the watermark."""
+    from bigdata_capstone_spark.streaming.windows import (
+        run_stream_to_memory,
+        session_window_agg,
+        stream_events_from_parquet,
+    )
+
+    ensure_utc(spark)
+    stream = stream_events_from_parquet(spark, sf_dir)
+    agg = session_window_agg(stream, "30 minutes")
+    run_stream_to_memory(agg, "streaming_session_windows_sink", "complete")
+    return spark.table("streaming_session_windows_sink")
+
+
+@register(
+    "streaming_view_purchase_join",
+    oracle="""
+    SELECT a.user_id AS key,
+           a.event_id AS a_id, b.event_id AS b_id,
+           a.ts AS a_ts, b.ts AS b_ts
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join through the value gate: views and
+    purchases replayed as two file-source streams, joined on user with a
+    30-min range bound (streaming/joins.followed_within), drained in
+    append mode, hash-compared against the plain batch theta-join.
+
+    Scale shape: both streams shuffle on user_id; the range bound + both
+    watermarks cap per-key join state at (watermark + Δt) of events —
+    without the bound, stream-stream join state grows forever."""
+    from bigdata_capstone_spark.streaming.joins import followed_within
+    from bigdata_capstone_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+
+    ensure_utc(spark)
+    views = stream_events_from_parquet(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = stream_events_from_parquet(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = followed_within(views, purchases, gap="30 minutes")
+    run_stream_to_memory(joined, "streaming_view_purchase_sink", "append")
+    return spark.table("streaming_view_purchase_sink")
+
+
+@register(
+    "streaming_high_value_alerts",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prior_high
+      FROM events
+    )
+    SELECT user_id, event_id, value,
+           coalesce(prior_high, '-infinity'::DOUBLE) AS prior_high
+    FROM ordered
+    WHERE prior_high IS NULL OR value > prior_high
+    """,
+)
+def streaming_high_value_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState) through
+    the value gate: the per-user record-breaker detector (alert whenever
+    an event sets a new value high-watermark) drained in append mode and
+    hash-compared against the running-max window formulation — promoting
+    the arbitrary-stateful API from batch-twin tests to a driver-checked
+    oracle result.
+
+    Scale shape: state is one double per user, partitioned like a
+    groupBy; event volume never accumulates in state."""
+    from bigdata_capstone_spark.streaming.stateful import high_value_alerts
+    from bigdata_capstone_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+
+    ensure_utc(spark)
+    stream = stream_events_from_parquet(spark, sf_dir)
+    alerts = high_value_alerts(stream)
+    run_stream_to_memory(alerts, "streaming_high_value_alerts_sink", "append")
+    return spark.table("streaming_high_value_alerts_sink")
+
+
+@register(
+    "doc_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[0-9]{9,}'))::BIGINT AS n_long_numbers,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '[0-9]{9,}', '<NUM>', 'g')) AS scrub_hash
+    FROM documents
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, long digit runs → typed placeholders) with
+    per-document redaction counts — the scrub step a pretraining pipeline
+    runs before tokenization. The scrubbed text is value-checked via its
+    md5 in the oracle, so the driver verifies the actual redaction output
+    byte-for-byte, not just the counts. Narrow JVM regexp map, no
+    shuffle."""
+    from bigdata_capstone_spark.operators.textops import pii_scrub
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_scrub(docs)
+
+
+@register(
+    "streaming_running_totals",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           (sum(round(value * 100)::BIGINT) / 100.0)::DOUBLE AS sum_value,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL running totals (applyInPandasWithState, update
+    mode) through the value gate: per-user (count, exact cents-sum, max)
+    accumulated across micro-batches; the FINAL emission per user (update
+    mode re-emits a key whenever it appears — the row with the highest
+    n_events is the complete state) must equal the plain batch groupBy
+    the oracle runs. State is integer cents, so cross-batch accumulation
+    is order-independent and engine-portable.
+
+    Scale shape: state is 3 numbers per user, hash-partitioned like a
+    groupBy; emission volume is keys-per-batch, not event volume."""
+    from pyspark.sql.window import Window
+
+    from bigdata_capstone_spark.streaming.stateful import running_user_totals
+    from bigdata_capstone_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+
+    ensure_utc(spark)
+    stream = stream_events_from_parquet(spark, sf_dir)
+    totals = running_user_totals(stream)
+    run_stream_to_memory(totals, "streaming_running_totals_sink", "update")
+    sink = spark.table("streaming_running_totals_sink")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "sum_value", "max_value")
+    )
+
+
+@register(
     "lang_id_confusion",
     oracle="""
     WITH scores AS (

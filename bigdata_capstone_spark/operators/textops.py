@@ -188,3 +188,44 @@ def chunk_tokens(
         ),
         F.md5(F.col("chunk_text")).alias("chunk_hash"),
     )
+
+
+# Engine-portable redaction patterns (same semantics in Java regex and
+# RE2/DuckDB: character classes, bounded repetition — no lookarounds).
+PII_EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_LONG_NUMBER_REGEX = "[0-9]{9,}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass a pretraining-data pipeline runs before
+    training: replace email addresses and long digit runs (phone/account
+    ids) with typed placeholders, and report per-document redaction
+    counts. Emails are redacted FIRST so digit runs inside an address
+    aren't double-counted.
+
+    Pure JVM regexp map — no shuffle, no Python; the patterns avoid
+    constructs whose semantics differ between regex engines, so the
+    scrubbed text (and its hash) is reproducible in the DuckDB oracle.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_REGEX, "<EMAIL>"),
+        PII_LONG_NUMBER_REGEX,
+        "<NUM>",
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_REGEX), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(t, PII_EMAIL_REGEX, "<EMAIL>"),
+                F.lit(PII_LONG_NUMBER_REGEX),
+                0,
+            )
+        )
+        .cast("long")
+        .alias("n_long_numbers"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )

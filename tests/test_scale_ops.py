@@ -111,3 +111,66 @@ def test_stream_static_join_matches_batch(spark, sf_small):
         for r in dim.withColumnRenamed("user_total_events", "n").collect()
     }
     assert got == want
+
+
+def test_boilerplate_storm_soak(spark, sf_small):
+    """Dedup soak under a BOILERPLATE STORM (thousands of identical docs —
+    the documented quadratic risk for LSH banding at 100 TB): the
+    default-on hot-bucket cap must keep candidate generation bounded where
+    the uncapped path explodes to ~N²/2 pairs, while near-dup recall on
+    the clean part of the corpus is untouched. Measured wall-times for
+    both paths are recorded in SCALE.md ("Round-3 dedup soak")."""
+    import time
+
+    from bigdata_capstone_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_near_dup_pairs,
+        minhash_signatures,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    storm_n = 3000
+    boiler = (
+        "subscribe to our newsletter for the latest updates terms of "
+        "service privacy policy all rights reserved contact us about"
+    )
+    storm = spark.range(storm_n).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit(boiler).alias("text"),
+    )
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(storm)
+
+    sigs = minhash_signatures(corpus, n_perm=8, shingle_n=3).cache()
+    sigs.count()
+
+    t0 = time.time()
+    uncapped_n = lsh_candidate_pairs(sigs, 8, 4).count()
+    t_uncapped = time.time() - t0
+    t0 = time.time()
+    capped_n = lsh_candidate_pairs(sigs, 8, 4, max_bucket_size=2000).count()
+    t_capped = time.time() - t0
+
+    # every storm pair is a candidate uncapped: ≥ N·(N-1)/2
+    assert uncapped_n >= storm_n * (storm_n - 1) // 2
+    # capped: the storm bucket (3000 > 2000) is dropped entirely
+    assert capped_n < 100_000
+    print(
+        f"\nsoak: uncapped {uncapped_n} cands in {t_uncapped:.1f}s; "
+        f"capped {capped_n} cands in {t_capped:.1f}s"
+    )
+
+    # the PRODUCTION path with its default cap completes and still finds
+    # the clean corpus's near-dup pairs (storm docs are identical — exact
+    # dedup's job upstream, not LSH's)
+    t0 = time.time()
+    pairs = minhash_near_dup_pairs(
+        corpus, n_perm=8, bands=4, min_jaccard=0.5
+    )
+    clean_pairs = pairs.filter(F.col("idA") < 10_000_000).count()
+    t_prod = time.time() - t0
+    baseline_pairs = minhash_near_dup_pairs(
+        docs, n_perm=8, bands=4, min_jaccard=0.5
+    ).count()
+    assert clean_pairs == baseline_pairs
+    print(f"soak: production path {t_prod:.1f}s, {clean_pairs} clean pairs")
