@@ -784,6 +784,181 @@ def streaming_high_value_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_lang_rebalance",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_before FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(n_before) AS total, count(*) AS n_langs FROM counts
+    ),
+    fracs AS (
+      SELECT lang, n_before,
+             least(1.0, (total * 1.0 / n_langs) / n_before) AS frac
+      FROM counts CROSS JOIN tot
+    ),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN fracs f ON f.lang = d.lang
+      WHERE (('0x' || substr(md5('mix:' || d.doc_id), 1, 15))::BIGINT)
+              % 1000000 < round(f.frac * 1000000)::BIGINT
+    )
+    SELECT f.lang, f.n_before::BIGINT AS n_before,
+           count(k.lang)::BIGINT AS n_kept,
+           round(f.frac, 6) AS frac_r
+    FROM fracs f LEFT JOIN kept k ON k.lang = f.lang
+    GROUP BY f.lang, f.n_before, f.frac
+    """,
+)
+def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-MIXTURE rebalancing — the down-sampling step that hits a
+    target language (or source/domain) mixture before training: target =
+    uniform share per language; per-language keep fraction =
+    min(1, target/actual); membership decided by a md5 PRF on doc_id, so
+    the sample is deterministic, engine-portable, and stable under
+    repartitioning. The fixture's langs are skewed (en ~3× fr), so the
+    fractions genuinely bite.
+
+    Scale shape: one tiny groupBy for the counts, broadcast of the
+    |langs|-row fraction table onto the doc scan, map-side PRF filter —
+    the sample itself shuffles NOTHING at any corpus size."""
+    from bigdata_capstone_spark.functions.portable import md5_long
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    tot = counts.agg(
+        F.sum("n_before").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    fracs = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_before",
+        F.least(
+            F.lit(1.0),
+            (F.col("total") / F.col("n_langs")) / F.col("n_before"),
+        ).alias("frac"),
+    )
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(fracs), on="lang")
+        .filter(
+            md5_long(F.concat(F.lit("mix:"), F.col("doc_id"))) % 1_000_000
+            < F.round(F.col("frac") * 1_000_000, 0).cast("long")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return fracs.join(kept, on="lang", how="left").select(
+        "lang",
+        "n_before",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.round("frac", 6).alias("frac_r"),
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS nf FROM toks GROUP BY tok),
+    tot AS (SELECT sum(nf) AS total FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             round(log10(f.nf * 1.0 / tot.total), 6) AS lp
+      FROM toks t JOIN freq f ON f.tok = t.tok CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           round(sum(round(lp * 1000000)::BIGINT) / 1000000.0 / count(*), 6)
+             AS avg_logprob_r
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM fluency proxy — the poor man's perplexity filter
+    a pretraining pipeline runs when no trained LM is available: score =
+    mean log10 corpus frequency of the document's tokens (gibberish and
+    rare-token spam score low, ordinary prose scores high).
+
+    Determinism: per-token logprobs are rounded to 6dp, then summed as
+    exact integer micro-units (the decimal-sum discipline), so the
+    per-document mean is reduction-order independent and bit-equal in
+    both engines despite being a double average.
+
+    Scale shape: one token explode feeding both the frequency table and
+    the scoring join (both shuffle on the token key); the 1-row total is
+    a broadcast cross join. The frequency join is the classic vocab-sized
+    shuffle — AQE handles the stopword skew."""
+    from bigdata_capstone_spark.operators.textops import tokens_col
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("nf"))
+    tot = freq.agg(F.sum("nf").alias("total"))
+    scored = (
+        toks.join(freq, on="tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log10(F.col("nf") / F.col("total")), 6).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.round(F.col("lp") * 1_000_000, 0).cast("long"))
+            / 1_000_000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob_r"),
+    )
+
+
+def _sample_weights_oracle() -> str:
+    from bigdata_capstone_spark.catalog import _clusters_oracle
+
+    return f"""
+    SELECT doc_id, cluster_id,
+           round(1.0 / cluster_size, 6) AS weight_r
+    FROM ({_clusters_oracle()})
+    """
+
+
+@register("dedup_sample_weights", oracle=_sample_weights_oracle())
+def dedup_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware TRAINING WEIGHTS: instead of hard-dropping near
+    duplicates, weight each document by 1/|its near-dup cluster| so every
+    distinct content item contributes equally to the loss — the soft
+    alternative to dedup-then-train (common when near-dups carry real
+    signal, e.g. quoted news). Built on the value-checked clusters
+    pipeline (LSH pairs → connected components), so the weights are
+    oracle-exact through the recursive-CTE closure.
+
+    Scale shape: identical to dedup_clusters_minhash plus one map-side
+    division — no extra shuffle."""
+    from bigdata_capstone_spark.operators.dedup import dedup_clusters
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = dedup_clusters(
+        docs, n_perm=8, bands=4, min_jaccard=0.5, max_bucket_size=100
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight_r"),
+    )
+
+
+@register(
     "doc_pii_scrub",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,82 @@
+"""Physical-plan hygiene regression tests (the `.explain` discipline,
+pinned): pushdown, pruning, broadcasts, and JVM-only hot paths are
+properties the 100 TB posture depends on — a silent plan regression (a
+lost broadcast, a widened scan, a Python eval sneaking into a hot path)
+should fail the suite, not wait for a bench diff.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bigdata_capstone_spark.catalog import QUERIES
+
+SF = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    return qe.explainString(mode.fromString("formatted"))
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """regional_revenue joins facts to region/nation/customer dims: every
+    dim side must broadcast — a SortMergeJoin against a 5-row region table
+    would shuffle the whole fact table at scale."""
+    plan = plan_of(spark, "regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_narrow_projection_prunes_scan(spark):
+    """doc_quality touches only (doc_id, text): the parquet ReadSchema must
+    not include lang/source/n_chars (column pruning reached the scan)."""
+    plan = plan_of(spark, "doc_quality")
+    import re
+
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert reads, plan[:2000]
+    for r in reads:
+        cols = {c.split(":")[0] for c in r.split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """expensive_or_large_parts filters on part attributes: PushedFilters
+    on the parquet scan must be non-empty."""
+    import re
+
+    plan = plan_of(spark, "expensive_or_large_parts")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pricing_summary",
+        "regional_revenue",
+        "top_orders_per_customer",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_near_pairs",
+        "embedding_ann_lsh",
+        "doc_quality",
+        "doc_pii_scrub",
+        "doc_unigram_logprob",
+        "docs_lang_rebalance",
+        "docs_curation_pipeline",
+        "events_hourly_windows",
+    ],
+)
+def test_no_python_in_hot_paths(spark, name):
+    """Headline analytics/dedup/text queries must stay entirely JVM-side:
+    any BatchEvalPython/ArrowEvalPython in the plan means a row-at-a-time
+    or per-batch Python round-trip crept into a hot path. (Multimodal is
+    the one deliberate Arrow mapInPandas user and is excluded.)"""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+    assert "MapInPandas" not in plan, name
