@@ -1926,6 +1926,77 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _ann_ivf_prf_oracle(n_centroids: int = 16, n_probe: int = 2,
+                        k: int = 10) -> str:
+    """Full PRF-medoid IVF replay: medoid pick (smallest md5 of id), cell
+    assignment (argmax cosine, tie-break cell), probe choice, exact
+    re-rank — every stage of the approximate index is value-checked."""
+    cos = (
+        "(list_sum(list_transform(generate_series(1, len(a)), "
+        "i -> a[i] * b[i])) / "
+        "(sqrt(list_sum(list_transform(generate_series(1, len(a)), "
+        "i -> a[i] * a[i]))) * "
+        "sqrt(list_sum(list_transform(generate_series(1, len(b)), "
+        "i -> b[i] * b[i])))))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    med AS (
+      SELECT (row_number() OVER (
+                ORDER BY (('0x' || substr(md5('ivf:' || vec_id), 1, 15))::BIGINT),
+                         vec_id) - 1)::INT AS cell,
+             v AS center
+      FROM e QUALIFY cell < {n_centroids}
+    ),
+    sims AS (
+      SELECT e.vec_id, e.v, m.cell, {cos} AS sim
+      FROM e CROSS JOIN med m,
+      LATERAL (SELECT e.v AS a, m.center AS b) ab
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims WHERE vec_id < 5
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, round({cos}, 6) AS cosine_r
+      FROM probes p
+      JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id,
+      LATERAL (SELECT p.qv AS a, a.v AS b) ab
+    )
+    SELECT query_id, vec_id, cosine_r, rank FROM (
+      SELECT *, (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_r DESC, vec_id))::INT AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("embedding_ann_ivf_prf", oracle=_ann_ivf_prf_oracle(16, 2, 10))
+def embedding_ann_ivf_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic PRF-medoid centroids — the value-checked
+    twin of the KMeans IVF path (`embedding_ann_ivf`, rows-only): medoid
+    selection, Voronoi cell assignment, n-probe choice, and exact cosine
+    re-rank are ALL replayed in the DuckDB oracle, so the approximate
+    index structure itself is hash-verified, not just its arithmetic."""
+    from bigdata_capstone_spark.operators.simsearch import ivf_topk_prf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_prf(emb, queries, k=10, n_centroids=16, n_probe=2)
+
+
 @register("dedup_embedding_cosine",
           oracle=_embedding_cosine_oracle(6, 2, 64, 0.3))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

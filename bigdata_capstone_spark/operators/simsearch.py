@@ -268,6 +268,93 @@ def ivf_topk(
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def ivf_topk_prf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with DETERMINISTIC PRF-medoid centroids.
+
+    Same inverted-file search shape as :func:`ivf_topk` (coarse cells →
+    probe n nearest cells → exact re-rank), but the coarse quantizer is
+    the ``n_centroids`` corpus vectors with the smallest md5 PRF hash of
+    their id — a uniform random medoid sample with NO RNG state and no
+    Lloyd iterations. Quality sits below a converged KMeans (cells are
+    Voronoi around random medoids), which is the price for being exactly
+    reproducible in any engine: the DuckDB oracle replays medoid
+    selection, cell assignment (argmax cosine, tie-break by cell), probe
+    choice, and re-rank bit-for-bit. Production guidance: use
+    :func:`ivf_topk` (KMeans) for best recall/cost; use this variant when
+    index determinism across engines/runs is a requirement (and for the
+    value-checked gate).
+
+    Scale shape: medoid selection is a TakeOrdered(n_centroids) on a
+    narrow (hash, id) projection — no full sort; assignment is one
+    broadcast cross-join map pass (corpus × n_centroids); the search
+    touches ~n_probe/n_centroids of the corpus per query.
+    """
+    from bigdata_capstone_spark.functions.portable import md5_long
+    from pyspark.sql.window import Window
+
+    hashed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        md5_long(
+            F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    )
+    picked = hashed.orderBy("__h", id_col).limit(n_centroids)
+    w = Window.orderBy("__h", id_col)
+    medoids = (
+        picked.withColumn("cell", (F.row_number().over(w) - 1).cast("int"))
+        .select("cell", F.col(vec_col).alias("center"))
+    )
+
+    sims = corpus.crossJoin(F.broadcast(medoids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cell",
+        cosine_similarity_col(F.col(vec_col), F.col("center")).alias("_sim"),
+    )
+    assigned = grouped_top_k(
+        sims, [id_col], [F.desc("_sim"), F.col("cell")], 1, rank_col="_arn"
+    ).select(F.col(id_col), F.col(vec_col).alias("cv"), "cell")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probed = grouped_top_k(
+        q.crossJoin(F.broadcast(medoids)).select(
+            "query_id",
+            "qv",
+            "cell",
+            cosine_similarity_col(F.col("qv"), F.col("center")).alias("_sim"),
+        ),
+        ["query_id"],
+        [F.desc("_sim"), F.col("cell")],
+        n_probe,
+        rank_col="_prn",
+    ).select("query_id", "qv", "cell")
+
+    scored = (
+        F.broadcast(probed)
+        .join(assigned, on="cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 6).alias(
+                "cosine_r"
+            ),
+        )
+    )
+    return grouped_top_k(
+        scored, ["query_id"], [F.desc("cosine_r"), F.col(id_col)], k, rank_col="rank"
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -174,6 +174,33 @@ def test_ann_recall_vs_bruteforce(spark, sf_small):
     assert sum(recalls) / len(recalls) >= 0.3, recalls
 
 
+def test_ivf_prf_recall_vs_bruteforce(spark, sf_small):
+    """PRF-medoid IVF (the oracle-checked variant): same recall floor as
+    the KMeans path — probing 3/8 random-medoid cells must still beat
+    blind sampling on structured embeddings."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_topk_prf,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ivf_topk_prf(emb, queries, k=10, n_centroids=8, n_probe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_small):
     from bigdata_capstone_spark.operators.simsearch import brute_force_topk, ivf_topk
     from bigdata_capstone_spark.sources.tables import load_table

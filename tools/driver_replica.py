@@ -19,12 +19,34 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
-    # deliberately a plain session (driver won't use our build_session)
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
-        .appName("driver_replica")
-        .getOrCreate()
+    # Adversarial-session knobs (SCALE.md "Adversarial-session invariance"):
+    #   REPLICA_TZ_POISON=America/New_York  - poison session TZ before EVERY
+    #       query; each builder must re-pin UTC itself (ensure_utc)
+    #   REPLICA_SHUFFLE=7   - odd, small shuffle partition count; surfaces
+    #       any reduction-order / partition-count dependence
+    #   REPLICA_THREADS=16  - different parallelism than the default 32
+    tz_poison = os.environ.get("REPLICA_TZ_POISON")
+    threads = os.environ.get(
+        "REPLICA_THREADS", os.environ.get("SPARK_GRAFT_CPUS", "*")
     )
+
+    # deliberately a plain session (driver won't use our build_session)
+    builder = (
+        SparkSession.builder.master(f"local[{threads}]")
+        .appName("driver_replica")
+    )
+    if os.environ.get("REPLICA_SHUFFLE"):
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", os.environ["REPLICA_SHUFFLE"]
+        )
+    # REPLICA_DRIVER_MEM: the plain session defaults to a 1g driver heap
+    # (matching the external driver, which only runs sf0.01); larger SFs
+    # need more, e.g. REPLICA_DRIVER_MEM=8g for the sf0.1 invariance run.
+    if os.environ.get("REPLICA_DRIVER_MEM"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ["REPLICA_DRIVER_MEM"]
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
@@ -45,6 +67,8 @@ def main() -> int:
     for name, fn in sorted(queries.items()):
         t0 = time.time()
         try:
+            if tz_poison:
+                spark.conf.set("spark.sql.session.timeZone", tz_poison)
             df = fn(spark, sf_dir)
             if name in oracles:
                 problems = check_query_against_oracle(df, oracles[name], sf_dir)
