@@ -1111,6 +1111,70 @@ def ratings_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, ["split", "n_rows"])
 
 
+def _split_prf_oracle() -> str:
+    from bigdata_capstone_spark.sources.ratings import ratings_oracle_cte
+
+    return f"""
+    WITH {ratings_oracle_cte()},
+    clean AS (
+      SELECT userId, movieId, rating FROM ratings
+      WHERE userId IS NOT NULL AND movieId IS NOT NULL
+        AND rating IS NOT NULL
+    ),
+    active AS (
+      SELECT movieId FROM clean GROUP BY movieId
+      HAVING count(rating) >= 5
+    ),
+    filtered AS (
+      SELECT c.* FROM clean c
+      WHERE c.movieId IN (SELECT movieId FROM active)
+    ),
+    assigned AS (
+      SELECT userId, movieId, rating,
+             CASE WHEN h < 80 THEN 'train'
+                  WHEN h < 90 THEN 'val'
+                  ELSE 'test' END AS part
+      FROM (
+        SELECT *,
+               (('0x' || substr(md5('split:' || userId || ':' || movieId),
+                                1, 15))::BIGINT % 100) AS h
+        FROM filtered
+      )
+    ),
+    folded AS (
+      SELECT userId, movieId, rating,
+             CASE WHEN part <> 'train'
+                   AND (('0x' || substr(md5('fold:' || movieId), 1, 15))
+                          ::BIGINT % 100) < 40
+                  THEN 'train' ELSE part END AS split
+      FROM assigned
+    )
+    SELECT split,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT userId)::BIGINT AS n_users,
+           count(DISTINCT movieId)::BIGINT AS n_items
+    FROM folded GROUP BY split
+    """
+
+
+@register("ratings_split_prf_sizes", oracle=_split_prf_oracle())
+def ratings_split_prf_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M5 split recipe (null-drop → ≥5-ratings filter → 80/10/10 →
+    40% item fold-back) with every random draw replaced by a md5 PRF —
+    the value-checked twin of `ratings_split_sizes` (randomSplit, which
+    is per-partition-seeded and only invariant-checkable). The oracle
+    replays the ENTIRE pipeline on the fixture CTE, so filter, split
+    assignment, and fold-back all get hash-verified."""
+    from bigdata_capstone_spark.operators.split import split_ratings_prf
+
+    labeled = split_ratings_prf(_ratings(spark))
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("userId").alias("n_users"),
+        F.count_distinct("movieId").alias("n_items"),
+    )
+
+
 @register("als_recommendations")
 def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS top-10 per user on the ratings fixture (als_recommendation.py

@@ -874,8 +874,8 @@ def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            count(*)::BIGINT AS n_tokens,
-           round(sum(round(lp * 1000000)::BIGINT) / 1000000.0 / count(*), 6)
-             AS avg_logprob_r
+           round(sum(round(lp * 1000000)::BIGINT) * 1.0 / count(*))::BIGINT
+             / 1000000.0 AS avg_logprob_r
     FROM scored GROUP BY doc_id
     """,
 )
@@ -888,7 +888,13 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-token logprobs are rounded to 6dp, then summed as
     exact integer micro-units (the decimal-sum discipline), so the
     per-document mean is reduction-order independent and bit-equal in
-    both engines despite being a double average.
+    both engines despite being a double average. The mean itself is
+    rounded in INTEGER micro-unit space (round(s/n) then /1e6), not with
+    round(x, 6) on the fraction: when s/n lands exactly on k+0.5 micro
+    units the half-case is an exactly-representable double and both
+    engines round it away from zero, whereas decimal rounding of the
+    k/1e6 fraction diverges across engines at that boundary (hit once at
+    sf0.001).
 
     Scale shape: one token explode feeding both the frequency table and
     the scoring join (both shuffle on the token key); the 1-row total is
@@ -913,11 +919,13 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(
-            F.sum(F.round(F.col("lp") * 1_000_000, 0).cast("long"))
-            / 1_000_000.0
-            / F.count(F.lit(1)),
-            6,
+        (
+            F.round(
+                F.sum(F.round(F.col("lp") * 1_000_000, 0).cast("long"))
+                / F.count(F.lit(1)),
+                0,
+            ).cast("long")
+            / F.lit(1_000_000.0)
         ).alias("avg_logprob_r"),
     )
 
@@ -990,6 +998,39 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return pii_scrub(docs)
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE over an at-least-once feed, through the value gate:
+    the events file is replayed as TWO unioned streams (every event
+    arrives twice — the retry/replay duplication a real feed produces),
+    stateful ``dropDuplicates`` on event_id keeps the first occurrence,
+    and the drained sink must equal the original table exactly — the
+    dedup state machine is hash-verified, not just row-counted.
+
+    Scale shape: state is one marker per event id, hash-partitioned by
+    id; the bounded-memory production variant is
+    dropDuplicatesWithinWatermark (streaming/dedup.py), same plan shape
+    with watermark-evicted state."""
+    from bigdata_capstone_spark.streaming.dedup import dedup_events_exact
+    from bigdata_capstone_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+
+    ensure_utc(spark)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    s1 = stream_events_from_parquet(spark, sf_dir).select(*cols)
+    s2 = stream_events_from_parquet(spark, sf_dir).select(*cols)
+    deduped = dedup_events_exact(s1.unionByName(s2), ["event_id"])
+    run_stream_to_memory(deduped, "streaming_dedup_events_sink", "append")
+    return spark.table("streaming_dedup_events_sink")
 
 
 @register(

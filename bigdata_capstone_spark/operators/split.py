@@ -91,3 +91,62 @@ def split_invariants(
     }
     overlap = val.intersect(test).count()
     return {**sizes, "val_test_row_overlap": overlap}
+
+
+def split_ratings_prf(
+    ratings: DataFrame,
+    user_col: str = "userId",
+    item_col: str = "movieId",
+    rating_col: str = "rating",
+    min_item_ratings: int = 5,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    foldback_pct: int = 40,
+) -> DataFrame:
+    """Deterministic PRF twin of :func:`split_ratings`: same pipeline
+    (null-drop → ≥5-ratings item filter → 80/10/10 split → 40% item
+    fold-back into train) with every random draw replaced by a md5 PRF —
+    row assignment hashes (user, item); fold-back hashes the item id — so
+    the split is identical on any engine, any partitioning, any cluster,
+    and the whole recipe gets a full value oracle (randomSplit itself is
+    per-partition-seeded and can only be invariant-checked).
+
+    One behavioral difference from the reference recipe, documented: the
+    reference draws fold-back items independently per split (40% of val
+    items, 40% of test items); the PRF folds ~40% of ALL items uniformly,
+    which subsumes both draws in one deterministic rule.
+
+    Returns one frame with a ``split`` column (train/val/test) — callers
+    filter; the assignment is a pure map, so materializing three frames
+    costs three filters over one scan, no shuffle.
+    """
+    from bigdata_capstone_spark.functions.portable import md5_long
+
+    clean = ratings.dropna(subset=[user_col, item_col, rating_col])
+    active_items = (
+        clean.groupBy(item_col)
+        .agg(F.count(rating_col).alias("n"))
+        .filter(F.col("n") >= min_item_ratings)
+        .select(item_col)
+    )
+    filtered = semi_join(clean, active_items, on=item_col)
+    h_row = md5_long(
+        F.concat(
+            F.lit("split:"),
+            F.col(user_col).cast("string"),
+            F.lit(":"),
+            F.col(item_col).cast("string"),
+        )
+    ) % 100
+    part = (
+        F.when(h_row < train_pct, "train")
+        .when(h_row < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    h_item = md5_long(
+        F.concat(F.lit("fold:"), F.col(item_col).cast("string"))
+    ) % 100
+    split = F.when(
+        (part != "train") & (h_item < foldback_pct), "train"
+    ).otherwise(part)
+    return filtered.withColumn("split", split)
