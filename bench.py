@@ -60,6 +60,7 @@ HEADLINE = [
     "doc_tfidf_top_terms",         # TF-IDF scoring (shared token explode)
     "benchmark_contamination",     # 8-gram eval-leakage scan (broadcast semi)
     "dominant_part_suppliers",     # Q20 shape: correlated share-of-total
+    "doc_pack_sequences",          # concat-and-chunk training-batch packing
 ]
 
 

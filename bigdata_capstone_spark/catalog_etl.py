@@ -1122,3 +1122,174 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return guessed.groupBy("lang", "lang_guess").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): the curated-corpus → dense training
+# batches step. pack_sequences (operators/textops.py) PRF-shards each lang
+# stream so the running-token-sum window is bounded per partition; this
+# entry reports per-pack occupancy, which is what a data loader consumes
+# and what an engineer inspects for fill-ratio regressions.
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS n_tokens,
+             (('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT)
+               % 8 AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT lang, shard, (cum_before // 512)::BIGINT AS pack_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS pack_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c
+    GROUP BY lang, shard, pack_id
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-(lang, shard) token streams cut
+    into 512-token packs; one row per pack with doc count, token occupancy
+    and the covering doc-id range. PRF sharding keeps every window
+    partition bounded (scale knob: n_shards), so the assignment is one
+    shuffle however large the corpus."""
+    from bigdata_capstone_spark.operators.textops import pack_sequences
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, capacity=512, n_shards=8)
+    return packed.groupBy("lang", "shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus health report: exact-duplication rate per source. The number a
+# data-acquisition team watches per crawl/source — distinct digests vs
+# rows. Shuffles 32-char digests only, never bodies; the ratio of two
+# exact BIGINTs divides identically in both engines (no rounding needed).
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(text))::BIGINT AS n_unique,
+           1.0 - count(DISTINCT md5(text)) / (count(*) * 1.0) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplication rate per source: 1 - distinct(md5(text))/count.
+    The per-crawl corpus-health number; digests shuffle, bodies do not."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    uniq = F.countDistinct(F.md5("text"))
+    return docs.groupBy("source").agg(
+        n.alias("n_docs"),
+        uniq.alias("n_unique"),
+        (F.lit(1.0) - uniq / (n * F.lit(1.0))).alias("dup_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Global-quantile length-band filter: drop the shortest 5% and longest 5%
+# of documents by n_chars — the outlier-trim a quality pipeline applies
+# before training. Thresholds are DISCRETE order statistics computed from
+# the length HISTOGRAM (distinct n_chars values), not a global row sort:
+# the cumulative-count frame is |distinct lengths| rows however many
+# documents exist, so the "global sort" is over a tiny domain and the
+# thresholds are integer-exact in both engines (no percentile
+# interpolation ulp hazards). At 100 TB this beats approx_percentile:
+# exact AND cheaper when the value domain is bounded.
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_length_band_filter",
+    oracle="""
+    WITH hist AS (
+      SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT n_chars,
+             sum(cnt) OVER (ORDER BY n_chars) AS cum_cnt,
+             sum(cnt) OVER () AS total
+      FROM hist
+    ),
+    thresholds AS (
+      SELECT min(CASE WHEN cum_cnt >= ceil(0.05 * total) THEN n_chars END)
+               AS lo,
+             min(CASE WHEN cum_cnt >= ceil(0.95 * total) THEN n_chars END)
+               AS hi
+      FROM cum
+    )
+    SELECT lang, lo, hi,
+           count(*)::BIGINT AS n_kept,
+           sum(d.n_chars)::BIGINT AS kept_chars
+    FROM documents d CROSS JOIN thresholds
+    WHERE d.n_chars BETWEEN lo AND hi
+    GROUP BY lang, lo, hi
+    """,
+)
+def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P05-P95 length-band filter via discrete order statistics over the
+    length histogram; per-lang kept counts with the integer thresholds.
+    The histogram cumsum runs over |distinct n_chars| rows (bounded
+    domain), then the 1-row threshold frame broadcasts onto the scan."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n_chars",
+        F.sum("cnt").over(wc).alias("cum_cnt"),
+        F.sum("cnt").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    thresholds = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum_cnt") >= F.ceil(F.lit(0.05) * F.col("total")),
+                F.col("n_chars"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum_cnt") >= F.ceil(F.lit(0.95) * F.col("total")),
+                F.col("n_chars"),
+            )
+        ).alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(thresholds))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .groupBy("lang", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdata_capstone_spark.functions.portable import perm_md5_long
 
@@ -228,4 +229,61 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("n_long_numbers"),
         F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign documents to fixed-token
+    training packs — the step that turns a curated corpus into dense
+    pretraining batches (no padding waste).
+
+    Semantics (GPT-style packing): within each (group, shard) stream,
+    documents are concatenated in ``id_col`` order and the token stream is
+    cut every ``capacity`` tokens; a document's ``pack_id`` is the pack its
+    FIRST token lands in (documents may straddle a boundary — the loader
+    splits them, exactly like pretraining concat-packing).
+
+    Scale shape: ``shard`` is an engine-portable PRF of the document id, so
+    each window partition holds ~|docs|/(|groups|·n_shards) rows — the
+    running-sum sort is bounded and the whole pack assignment is one
+    shuffle, embarrassingly parallel across shards. At 100 TB raise
+    ``n_shards`` until a shard fits an executor core; determinism is
+    unaffected (order within a shard is by id).
+
+    Returns one row per document:
+    ``(id, group, shard, n_tokens, pack_id, pack_offset)``.
+    """
+    from bigdata_capstone_spark.functions.portable import md5_long
+
+    n_tok = F.size(tokens_col(text_col)).cast("long")
+    shard = F.pmod(
+        md5_long(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        shard.alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.withColumn("cum_before", cum_before).select(
+        id_col,
+        group_col,
+        "shard",
+        "n_tokens",
+        F.expr(f"cum_before div {capacity}").alias("pack_id"),
+        (F.col("cum_before") % capacity).alias("pack_offset"),
     )

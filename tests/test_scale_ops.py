@@ -174,3 +174,28 @@ def test_boilerplate_storm_soak(spark, sf_small):
     ).count()
     assert clean_pairs == baseline_pairs
     print(f"soak: production path {t_prod:.1f}s, {clean_pairs} clean pairs")
+
+
+def test_pack_sequences_invariants(spark, sf_small):
+    """Every doc lands in exactly one pack; packs within a (lang, shard)
+    stream are contiguous from 0; a doc's pack is its first token's
+    position div capacity (concat-and-chunk semantics)."""
+    from bigdata_capstone_spark.operators.textops import pack_sequences
+
+    docs = load_table(spark, sf_small, "documents")
+    cap = 128
+    packed = pack_sequences(docs, capacity=cap, n_shards=4).cache()
+
+    assert packed.count() == docs.count()  # one row per doc, none dropped
+
+    rows = packed.orderBy("lang", "shard", "doc_id").collect()
+    streams: dict[tuple, list] = {}
+    for r in rows:
+        streams.setdefault((r["lang"], r["shard"]), []).append(r)
+    for stream in streams.values():
+        cum = 0
+        for r in stream:
+            assert r["pack_id"] == cum // cap
+            assert r["pack_offset"] == cum % cap
+            cum += r["n_tokens"]
+    packed.unpersist()
