@@ -1271,6 +1271,62 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_plan_oracle(n: int = 64, max_dim: int = 16, every_ms: int = 1000) -> str:
+    """DuckDB replay of the metadata-only decode PLAN (synthetic_assets
+    metadata formulas → resize targets + frame-sample fan-out). No bytes
+    are generated — the point of the plan stage is that it never touches
+    blobs, and the oracle mirrors that."""
+    return f"""
+    WITH ids AS (SELECT unnest(range({n})) AS i),
+    meta AS (
+      SELECT i::BIGINT AS asset_id,
+             (8 + i % 32)::INT AS width,
+             (8 + (i * 3) % 32)::INT AS height,
+             CASE WHEN i % 3 = 0 THEN (500 * (1 + i % 9))::BIGINT END
+               AS duration_ms
+      FROM ids
+    ),
+    scaled AS (
+      SELECT *, least(1.0, {max_dim} / greatest(width, height)) AS scale
+      FROM meta
+    )
+    SELECT asset_id, width, height,
+           greatest(floor(width * scale + 0.5)::INT, 1) AS target_width,
+           greatest(floor(height * scale + 0.5)::INT, 1) AS target_height,
+           (scale < 1.0) AS needs_resize,
+           coalesce(duration_ms // {every_ms} + 1, 0)::BIGINT AS n_frames
+    FROM scaled
+    """
+
+
+@register("multimodal_decode_plan", oracle=_multimodal_plan_oracle())
+def multimodal_decode_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only decode plan per asset: aspect-preserving resize targets
+    plus the frame-sampling fan-out count — the costing pass a multimodal
+    pipeline runs BEFORE the expensive byte-touching decode stage (filter/
+    budget on this, then decode). Pure JVM arithmetic over the narrow
+    metadata columns; blobs are never read."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        frame_sample_plan,
+        resize_targets,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, n=64)
+    resize = resize_targets(assets, max_dim=16)
+    frames = frame_sample_plan(assets, every_ms=1000).groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        resize.join(frames, on="asset_id", how="left")
+        .withColumn("n_frames", F.coalesce(F.col("n_frames"), F.lit(0)))
+        .select(
+            "asset_id", "width", "height", "target_width", "target_height",
+            "needs_resize", "n_frames",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Temporal joins (operators/temporal.py) + OLAP extras — common analytics
 # patterns absent from the reference (SURVEY §2.3 "absent join types"),

@@ -89,7 +89,19 @@ def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
     rows = []
     for i in range(n):
         blob = hashlib.md5(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
-        rows.append((i, bytearray(blob), "image/fake", 8 + i % 32, 8 + (i * 3) % 32, None))
+        # every 3rd asset is a "video" with a deterministic duration so the
+        # frame-sampling planner has real fan-out to cost
+        is_video = i % 3 == 0
+        rows.append(
+            (
+                i,
+                bytearray(blob),
+                "video/fake" if is_video else "image/fake",
+                8 + i % 32,
+                8 + (i * 3) % 32,
+                500 * (1 + i % 9) if is_video else None,
+            )
+        )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
@@ -146,16 +158,22 @@ def resize_targets(
         F.lit(1.0),
         F.lit(max_dim) / F.greatest(F.col("width"), F.col("height")),
     )
+
+    # explicit HALF-UP via floor(x + 0.5): engines disagree on round(DOUBLE)
+    # midpoint direction, floor does not — keeps the plan oracle-replayable
+    def half_up(c):
+        return F.floor(c + F.lit(0.5)).cast("int")
+
     return assets.filter(
         F.col("width").isNotNull() & F.col("height").isNotNull()
     ).select(
         "asset_id",
         "width",
         "height",
-        F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1)).alias(
+        F.greatest(half_up(F.col("width") * scale), F.lit(1)).alias(
             "target_width"
         ),
-        F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1)).alias(
+        F.greatest(half_up(F.col("height") * scale), F.lit(1)).alias(
             "target_height"
         ),
         (scale < 1.0).alias("needs_resize"),
