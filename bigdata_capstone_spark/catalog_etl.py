@@ -1293,3 +1293,148 @@ def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("kept_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MERGE / upsert (operators/merge.py): SCD1 dimension refresh as one
+# full-outer join — what Delta/Iceberg MERGE executes underneath. The
+# changeset here is derived from events: purchase totals ADD to existing
+# customer balances (combine override), signup totals create NEW customers
+# under a staged key range (insert branch); untouched customers pass
+# through. Both MERGE branches are value-checked by the oracle.
+# --------------------------------------------------------------------------
+
+@register(
+    "customer_balance_merge",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id AS c_custkey,
+             sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS delta
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    signup AS (
+      SELECT 10000 + user_id AS c_custkey,
+             'NEW#' || (10000 + user_id)::VARCHAR AS c_name,
+             (user_id % 25)::INT AS c_nationkey,
+             sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS c_acctbal,
+             'SIGNUP' AS c_mktsegment
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    updates AS (
+      SELECT p.c_custkey, c.c_name, c.c_nationkey,
+             c.c_acctbal + p.delta AS c_acctbal, c.c_mktsegment
+      FROM purch p JOIN customer c USING (c_custkey)
+      UNION ALL
+      SELECT * FROM signup
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM updates
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM updates)
+    """,
+)
+def customer_balance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE of an event-derived changeset into the customer dimension:
+    purchase totals add to matched balances, signups insert staged new
+    customers, everyone else passes through. One full-outer join on the
+    key (broadcast — changesets are small); both branches oracle-checked."""
+    from bigdata_capstone_spark.functions.portable import exact_sum
+    from bigdata_capstone_spark.operators.merge import merge_upsert
+
+    ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("c_custkey"))
+        .agg(exact_sum("value", 2).alias("delta"))
+    )
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy((F.lit(10000) + F.col("user_id")).alias("c_custkey"))
+        .agg(exact_sum("value", 2).alias("c_acctbal"))
+        .select(
+            "c_custkey",
+            F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")).alias(
+                "c_name"
+            ),
+            ((F.col("c_custkey") - 10000) % 25).cast("int").alias("c_nationkey"),
+            "c_acctbal",
+            F.lit("SIGNUP").alias("c_mktsegment"),
+        )
+    )
+    # matched-update rows carry the DELTA in c_acctbal; the combine lambda
+    # adds it to the target balance at merge time
+    upd = purch.select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.col("delta").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    ).unionByName(signup)
+    return merge_upsert(
+        cust,
+        upd,
+        on=["c_custkey"],
+        combine={
+            "c_acctbal": lambda t, u: t + u,
+            "c_name": lambda t, u: t,
+            "c_nationkey": lambda t, u: t,
+            "c_mktsegment": lambda t, u: t,
+        },
+        broadcast_updates=True,
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance: prove the partial-state merge. Daily
+# stats are computed per ingest batch (PRF split of events), the partial
+# states merged (count+count, sum+sum, min/min, max/max), and the oracle
+# recomputes the same stats in ONE direct pass — value-checking the
+# mergeable-state property every incremental/streaming aggregation at
+# 100 TB depends on (new batches fold into yesterday's state; nothing is
+# ever recomputed from raw history).
+# --------------------------------------------------------------------------
+
+@register(
+    "events_incremental_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           count(value)::BIGINT AS n,
+           sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY day
+    """,
+)
+def events_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event stats maintained INCREMENTALLY: per-batch partial states
+    (PRF batch split) merged state-by-state; the oracle computes the same
+    stats directly, so the merge's correctness is hash-checked. Decimal
+    sums make the partial merge exact (order/assignment independent)."""
+    from bigdata_capstone_spark.functions.portable import md5_long
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    batch = F.pmod(md5_long(F.col("event_id").cast("string")), F.lit(2))
+    partials = (
+        ev.withColumn("batch", batch)
+        .groupBy("day", "batch")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    return partials.groupBy("day").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").cast("double").alias("total_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    )

@@ -199,3 +199,30 @@ def test_pack_sequences_invariants(spark, sf_small):
             assert r["pack_offset"] == cum % cap
             cum += r["n_tokens"]
     packed.unpersist()
+
+
+def test_merge_upsert_branches(spark):
+    """All three MERGE branches, including rows whose payload is
+    legitimately NULL (presence flags, not value nullness, must drive
+    the branch choice)."""
+    from bigdata_capstone_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "c", None)],
+        ["k", "name", "bal"],
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 5.0), (3, None, 7.0), (9, "new", 99.0)],
+        ["k", "name", "bal"],
+    )
+    out = {
+        r["k"]: r
+        for r in merge_upsert(
+            target, updates, on=["k"], combine={"bal": lambda t, u: t + u}
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 9}
+    assert (out[1]["name"], out[1]["bal"]) == ("a", 10.0)      # kept
+    assert (out[2]["name"], out[2]["bal"]) == ("b2", 25.0)     # update+combine
+    assert out[3]["name"] is None and out[3]["bal"] is None    # null + combine
+    assert (out[9]["name"], out[9]["bal"]) == ("new", 99.0)    # insert
