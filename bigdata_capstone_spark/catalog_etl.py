@@ -1438,3 +1438,129 @@ def events_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn").alias("min_value"),
         F.max("mx").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming maintenance through the value gate (streaming/upsert.py): the
+# CDC → serving-table snapshot and the incrementally-maintained aggregate
+# table, both drained as REAL streams into versioned parquet snapshots and
+# hash-compared against direct batch SQL.
+# --------------------------------------------------------------------------
+
+@register(
+    "streaming_upsert_snapshot",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC)
+               AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → serving table: the event stream drained through the
+    foreachBatch last-write-wins upsert sink into an epoch-versioned
+    parquet snapshot (streaming/upsert.py — the MVCC pattern ACID table
+    formats package); the final snapshot is one row per user (their
+    latest event by ts, unique in this dataset) and is hash-compared
+    against the direct argmax SQL."""
+    import tempfile
+
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot,
+        start_upsert_snapshot,
+    )
+    from bigdata_capstone_spark.streaming.windows import (
+        stream_events_from_parquet,
+    )
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="upsert_snapshot_")
+    stream = stream_events_from_parquet(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    q = start_upsert_snapshot(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        key_cols=["user_id"],
+        order_col="ts",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_latest_snapshot(spark, f"{work}/state").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+
+
+@register(
+    "streaming_incremental_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           count(value)::BIGINT AS n,
+           sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY day
+    """,
+)
+def streaming_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance, value-checked: events are
+    re-sharded into 4 files and streamed one file per micro-batch; each
+    batch's PARTIAL daily states (count / decimal sum / min / max) fold
+    into the previous snapshot via merge_upsert with associative+
+    commutative combines, so the final table is independent of the batch
+    split — and hash-equal to the oracle's one direct pass. The state
+    table is |days| rows however many events stream through."""
+    import tempfile
+
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot,
+        start_aggregate_maintenance,
+    )
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="incr_daily_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+        .select(F.date_trunc("day", F.col("ts")).alias("day"), "value")
+    )
+    q = start_aggregate_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        key_cols=["day"],
+        partial_aggs=[
+            F.count("value").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        ],
+        combines={
+            "n": lambda t, u: t + u,
+            "s": lambda t, u: t + u,
+            "min_value": lambda t, u: F.least(t, u),
+            "max_value": lambda t, u: F.greatest(t, u),
+        },
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_latest_snapshot(spark, f"{work}/state").select(
+        "day",
+        "n",
+        F.col("s").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )

@@ -88,3 +88,49 @@ def start_upsert_snapshot(
         .outputMode("append")
         .start()
     )
+
+
+def start_aggregate_maintenance(
+    stream: DataFrame,
+    base_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    partial_aggs: "list",
+    combines: "dict",
+):
+    """Incrementally maintain a keyed aggregate table from a stream: each
+    micro-batch computes its PARTIAL aggregate states (``partial_aggs``
+    over ``key_cols``) and folds them into the previous snapshot with
+    :func:`~bigdata_capstone_spark.operators.merge.merge_upsert` using the
+    per-column ``combines`` (count+count, decimal-sum+sum, min/min,
+    max/max, ...).
+
+    This is the streaming materialized-view maintenance contract: state
+    size is |keys|, each batch touches only its own partials, and because
+    every combine is associative+commutative over exact types the final
+    table is INDEPENDENT of how rows were split into batches — which is
+    what lets an oracle value-check it against one direct batch pass.
+    Snapshots are epoch-versioned like :func:`start_upsert_snapshot`
+    (idempotent retries, no in-place mutation).
+    """
+    from bigdata_capstone_spark.operators.merge import merge_upsert
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy(*key_cols).agg(*partial_aggs)
+        old = read_latest_snapshot(spark, base_path)
+        merged = (
+            partial
+            if old is None
+            else merge_upsert(old, partial, on=key_cols, combine=combines)
+        )
+        merged.write.mode("overwrite").parquet(f"{base_path}/v_{epoch_id:010d}")
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
