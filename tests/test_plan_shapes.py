@@ -80,3 +80,28 @@ def test_no_python_in_hot_paths(spark, name):
     assert "BatchEvalPython" not in plan, name
     assert "ArrowEvalPython" not in plan, name
     assert "MapInPandas" not in plan, name
+
+
+def test_pack_sequences_single_exchange(spark):
+    """doc_pack_sequences: the window and the pack groupBy must share ONE
+    hash partitioning on (lang, shard) — a second Exchange would mean the
+    pack aggregation re-shuffles what the running-sum window already
+    partitioned."""
+    plan = plan_of(spark, "doc_pack_sequences")
+    import re
+
+    exchanges = [
+        ln for ln in plan.splitlines() if re.match(r"\s*\(\d+\) Exchange", ln)
+    ]
+    assert len(exchanges) == 1, plan[:3000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_upsert_broadcasts_changeset(spark):
+    """customer_balance_merge: the changeset side of the full-outer MERGE
+    join is marked broadcast; the dimension must not shuffle for a
+    changeset orders of magnitude smaller."""
+    plan = plan_of(spark, "customer_balance_merge")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        plan[:3000]
+    )

@@ -215,14 +215,19 @@ def test_merge_upsert_branches(spark):
         [(2, "b2", 5.0), (3, None, 7.0), (9, "new", 99.0)],
         ["k", "name", "bal"],
     )
-    out = {
-        r["k"]: r
-        for r in merge_upsert(
-            target, updates, on=["k"], combine={"bal": lambda t, u: t + u}
-        ).collect()
-    }
-    assert set(out) == {1, 2, 3, 9}
-    assert (out[1]["name"], out[1]["bal"]) == ("a", 10.0)      # kept
-    assert (out[2]["name"], out[2]["bal"]) == ("b2", 25.0)     # update+combine
-    assert out[3]["name"] is None and out[3]["bal"] is None    # null + combine
-    assert (out[9]["name"], out[9]["bal"]) == ("new", 99.0)    # insert
+    for broadcast in (False, True):  # full-outer and decomposed strategies
+        out = {
+            r["k"]: r
+            for r in merge_upsert(
+                target,
+                updates,
+                on=["k"],
+                combine={"bal": lambda t, u: t + u},
+                broadcast_updates=broadcast,
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 9}
+        assert (out[1]["name"], out[1]["bal"]) == ("a", 10.0)   # kept
+        assert (out[2]["name"], out[2]["bal"]) == ("b2", 25.0)  # update+combine
+        assert out[3]["name"] is None and out[3]["bal"] is None # null + combine
+        assert (out[9]["name"], out[9]["bal"]) == ("new", 99.0) # insert
