@@ -1304,10 +1304,8 @@ def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through. Both MERGE branches are value-checked by the oracle.
 # --------------------------------------------------------------------------
 
-@register(
-    "customer_balance_merge",
-    oracle="""
-    WITH purch AS (
+_MERGED_CUSTOMER_CTES = """
+    purch AS (
       SELECT user_id AS c_custkey,
              sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS delta
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
@@ -1326,13 +1324,24 @@ def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM purch p JOIN customer c USING (c_custkey)
       UNION ALL
       SELECT * FROM signup
+    ),
+    merged AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM updates
+      UNION ALL
+      SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+             c.c_mktsegment
+      FROM customer c
+      WHERE c.c_custkey NOT IN (SELECT c_custkey FROM updates)
     )
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-    FROM updates
-    UNION ALL
-    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
-    FROM customer c
-    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM updates)
+"""
+
+
+@register(
+    "customer_balance_merge",
+    oracle=f"""
+    WITH {_MERGED_CUSTOMER_CTES}
+    SELECT * FROM merged
     """,
 )
 def customer_balance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1563,4 +1572,86 @@ def streaming_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("total_value"),
         "min_value",
         "max_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Reconciliation (operators/reconcile.py): row-level diff of two snapshot
+# versions — the "did the backfill/migration preserve the data" report.
+# Here: customer dimension before vs after the MERGE changeset; the oracle
+# rebuilds the merged snapshot in SQL and diffs with IS DISTINCT FROM
+# (the null-safe twin of eqNullSafe).
+# --------------------------------------------------------------------------
+
+@register(
+    "customer_merge_reconciliation",
+    oracle=f"""
+    WITH {_MERGED_CUSTOMER_CTES},
+    d AS (
+      SELECT CASE WHEN c.c_custkey IS NULL THEN 'added'
+                  WHEN m.c_custkey IS NULL THEN 'removed'
+                  WHEN m.c_name       IS DISTINCT FROM c.c_name
+                    OR m.c_nationkey  IS DISTINCT FROM c.c_nationkey
+                    OR m.c_acctbal    IS DISTINCT FROM c.c_acctbal
+                    OR m.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+                  THEN 'changed' ELSE 'unchanged' END AS status
+      FROM customer c FULL OUTER JOIN merged m USING (c_custkey)
+    )
+    SELECT status, count(*)::BIGINT AS n_rows FROM d GROUP BY status
+    """,
+)
+def customer_merge_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation report for the MERGE: null-safe row diff of the
+    customer dimension against its post-changeset snapshot — counts of
+    added / changed / unchanged keys (removed would flag a MERGE bug; the
+    oracle confirms none appear). One key-shuffle full-outer join."""
+    from bigdata_capstone_spark.operators.reconcile import (
+        snapshot_diff_summary,
+    )
+
+    ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    merged = customer_balance_merge(spark, sf_dir)
+    return snapshot_diff_summary(cust, merged, on=["c_custkey"])
+
+
+# --------------------------------------------------------------------------
+# One-pass data profiling: the table-health report (null fractions, exact
+# cardinalities, ranges) a platform publishes per ingest. Multiple exact
+# count(DISTINCT) in one aggregate costs one Expand pass (input ×k) —
+# acceptable for a profiling job; at 100 TB swap exact distincts for the
+# HLL sketch (operators/sketches.py) column by column.
+# --------------------------------------------------------------------------
+
+@register(
+    "events_profile",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           count(DISTINCT user_id)::BIGINT AS user_id_distinct,
+           count(DISTINCT event_type)::BIGINT AS event_type_distinct,
+           (count(*) - count(value))::BIGINT AS value_nulls,
+           min(value) AS value_min,
+           max(value) AS value_max,
+           (count(*) - count(ts))::BIGINT AS ts_nulls,
+           min(ts) AS ts_min,
+           max(ts) AS ts_max
+    FROM events
+    """,
+)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profiling row for the events table: row count, exact
+    per-column cardinalities, null counts, value/time ranges."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    return ev.agg(
+        n.alias("n_rows"),
+        F.countDistinct("user_id").alias("user_id_distinct"),
+        F.countDistinct("event_type").alias("event_type_distinct"),
+        (n - F.count("value")).alias("value_nulls"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        (n - F.count("ts")).alias("ts_nulls"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
     )
