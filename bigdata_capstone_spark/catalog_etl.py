@@ -1655,3 +1655,56 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("ts_min"),
         F.max("ts").alias("ts_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering key (operators/zorder.py): the Morton interleave is
+# value-checked here — per z-tile stats prove each bucket covers one small
+# 2-D tile of the (orderkey, partkey) plane (ranges ≤ 16 per side for
+# 8-bit keys bucketed by the top 8 bits), which is exactly the property
+# that makes multi-column file pruning work.
+# --------------------------------------------------------------------------
+
+def _zorder_oracle() -> str:
+    from bigdata_capstone_spark.operators.zorder import zorder_key_sql
+
+    z = zorder_key_sql(["l_orderkey % 256", "l_partkey % 256"], bits=8)
+    return f"""
+    WITH keyed AS (
+      SELECT (l_orderkey % 256) AS x, (l_partkey % 256) AS y,
+             {z} AS z
+      FROM lineitem
+    )
+    SELECT (z >> 8)::BIGINT AS z_bucket,
+           count(*)::BIGINT AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM keyed GROUP BY z_bucket
+    """
+
+
+@register("lineitem_zorder_buckets", oracle=_zorder_oracle())
+def lineitem_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over (orderkey, partkey) truncated
+    to 8 bits each, bucketed by the top 8 key bits: per-bucket row counts
+    and per-dimension min/max prove each bucket is one 16x16 tile — the
+    2-D locality that lets footer stats prune files on EITHER column.
+    Cluster-write on this key via write_clustered_parquet for the real
+    pruning path (footer test in test_storage.py)."""
+    from bigdata_capstone_spark.operators.zorder import zorder_key
+
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        (F.col("l_orderkey") % 256).alias("x"),
+        (F.col("l_partkey") % 256).alias("y"),
+    ).withColumn("z", zorder_key([F.col("x"), F.col("y")], bits=8))
+    return keyed.groupBy(
+        F.shiftright("z", 8).cast("long").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
