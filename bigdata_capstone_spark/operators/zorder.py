@@ -32,6 +32,11 @@ def zorder_key(cols: list[Column], bits: int = 8) -> Column:
     (key width = k·bits ≤ 63). Bit b of column i lands at position
     ``b·k + i``."""
     k = len(cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"z-key width {k}*{bits} exceeds a signed 64-bit long; "
+            "lower bits or interleave fewer columns"
+        )
     mask = (1 << bits) - 1
     terms: list[Column] = []
     for i, c in enumerate(cols):
