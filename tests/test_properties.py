@@ -106,3 +106,29 @@ def test_incremental_dedup_disjoint_and_complete(spark, sf_small):
         for r in new.select(F.md5("text").alias("text_hash")).collect()
     }
     assert set(surv_hashes) == all_new - seen_set
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """Spark's generated bit-interleave equals a direct Python Morton
+    encode for every (x, y) in a 32x32 grid, and the key de-interleaves
+    back to the inputs (bijectivity on the truncated domain)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_capstone_spark.operators.zorder import zorder_key
+
+    def morton(x: int, y: int, bits: int = 8) -> int:
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    grid = [(x, y) for x in range(0, 256, 8) for y in range(0, 256, 8)]
+    df = spark.createDataFrame(grid, ["x", "y"]).withColumn(
+        "z", zorder_key([F.col("x"), F.col("y")], bits=8)
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+    seen = set()
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z)
+        assert z not in seen
+        seen.add(z)
