@@ -1891,6 +1891,104 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("idA", "idB", F.round("jaccard", 6).alias("jaccard_r"))
 
 
+_XC_PRF = "(('0x' || substr(md5('xc:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10)"
+
+
+def _cross_corpus_oracle(
+    n_perm: int = 8,
+    bands: int = 4,
+    min_jaccard: float = 0.35,
+    max_bucket_size: int = 100,
+) -> str:
+    """Replays cross_corpus_near_dup_pairs over a PRF 90/10 split of
+    documents: signatures/buckets computed once over all docs (identical
+    per-doc either way), sides split by the PRF, combined-count bucket
+    cap, corpus × reference candidate join, exact-Jaccard verify."""
+    rows = n_perm // bands
+    mins = ",\n             ".join(
+        f"min(('0x' || substr(md5('{p // 2}:' || sh), {1 + 15 * (p % 2)}, 15))::BIGINT) AS h{p}"
+        for p in range(n_perm)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, ('0x' || substr(md5('"
+        + str(b)
+        + ":' || "
+        + " || ':' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + "), 1, 15))::BIGINT AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    raw_buckets AS (
+      {band_selects}
+    ),
+    bucket_sizes AS (
+      SELECT bucket, count(*) AS bn FROM raw_buckets GROUP BY bucket
+    ),
+    buckets AS (
+      SELECT rb.doc_id, rb.bucket
+      FROM raw_buckets rb
+      JOIN bucket_sizes bs ON bs.bucket = rb.bucket
+      WHERE bs.bn <= {max_bucket_size}
+    ),
+    cands AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, r.doc_id AS ref_id
+      FROM buckets c JOIN buckets r ON c.bucket = r.bucket
+      WHERE {_XC_PRF.replace('doc_id', 'c.doc_id')} <> 0
+        AND {_XC_PRF.replace('doc_id', 'r.doc_id')} = 0
+    ),
+    common AS (
+      SELECT c.corpus_id, c.ref_id, max(sa.n) AS nA, max(sb.n) AS nB,
+             count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.corpus_id
+      JOIN sh b ON b.doc_id = c.ref_id AND b.sh = a.sh
+      JOIN sizes sa ON sa.doc_id = c.corpus_id
+      JOIN sizes sb ON sb.doc_id = c.ref_id
+      GROUP BY 1, 2
+    )
+    SELECT corpus_id, ref_id,
+           round(n_common * 1.0 / (nA + nB - n_common), 6) AS jaccard_r
+    FROM common
+    WHERE n_common * 1.0 / (nA + nB - n_common) >= {min_jaccard}
+    """
+
+
+@register("cross_corpus_contamination", oracle=_cross_corpus_oracle())
+def cross_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH decontamination join between a training corpus and a
+    held-out reference set (PRF 90/10 split of documents): near-dup pairs
+    across the two sides at Jaccard ≥ 0.35, paraphrase-level overlap the
+    exact 8-gram scan (benchmark_contamination) misses. The bucket join
+    is corpus × reference only; the combined-count hot-bucket cap (100)
+    and banding are replayed hash-exactly by the oracle."""
+    from bigdata_capstone_spark.functions.portable import md5_long
+    from bigdata_capstone_spark.operators.dedup import (
+        cross_corpus_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prf = md5_long(F.concat(F.lit("xc:"), F.col("doc_id").cast("string"))) % 10
+    out = cross_corpus_near_dup_pairs(
+        docs.filter(prf != 0),
+        docs.filter(prf == 0),
+        n_perm=8,
+        bands=4,
+        shingle_n=3,
+        min_jaccard=0.35,
+        max_bucket_size=100,
+    )
+    return out.select(
+        "corpus_id", "ref_id", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
 def _rp_weight_sql(t: int, p: int) -> str:
     """DuckDB expr for the ±1 hyperplane weight at (table t, plane p, dim
     d-1), matching simsearch._plane_weights (md5 of 't:p:d', first 8 hex)."""

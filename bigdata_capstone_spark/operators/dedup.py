@@ -159,22 +159,7 @@ def lsh_candidate_pairs(
     are recovered by the connected-components closure as long as SOME
     chain of capped buckets links them).
     """
-    rows = n_perm // bands
-    band_keys = [
-        md5_long(
-            F.concat_ws(
-                ":",
-                F.lit(str(b)),
-                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    keyed = sigs.select(F.col(id_col), *band_keys)
-    buckets = keyed.select(
-        id_col,
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
-    )
+    buckets = _band_buckets(sigs, n_perm, bands, id_col)
     if max_bucket_size is not None:
         small = (
             buckets.groupBy("bucket")
@@ -240,6 +225,101 @@ def minhash_near_dup_pairs(
         (F.col("common") / (F.col("nA") + F.col("nB") - F.col("common"))).alias(
             "jaccard"
         ),
+    ).filter(F.col("jaccard") >= min_jaccard)
+
+
+def _band_buckets(
+    sigs: DataFrame, n_perm: int, bands: int, id_col: str
+) -> DataFrame:
+    """(id, bucket) rows: md5-derived bucket key per signature band."""
+    rows = n_perm // bands
+    band_keys = [
+        md5_long(
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    keyed = sigs.select(F.col(id_col), *band_keys)
+    return keyed.select(
+        id_col,
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(bands)])
+        ).alias("bucket"),
+    )
+
+
+def cross_corpus_near_dup_pairs(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.7,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """MinHash-LSH near-dup join BETWEEN two corpora — the decontamination
+    scale path: drop training documents that near-duplicate a held-out
+    reference/eval set (``benchmark_contamination`` is the exact-8-gram
+    twin; this catches paraphrase-level overlap the exact scan misses).
+
+    Same banding/verify machinery as :func:`minhash_near_dup_pairs`, but
+    the bucket join is corpus × reference (never corpus × corpus), so the
+    fan-out is bounded by the reference side — usually tiny next to the
+    training corpus. The hot-bucket cap counts BOTH sides' members per
+    bucket (an empty-doc bucket is hot regardless of which side fills it).
+
+    Returns (corpus_id, ref_id, jaccard) for verified pairs ≥ threshold.
+    """
+    sh_c = exploded_shingles(corpus, text_col, id_col, shingle_n).cache()
+    sh_r = exploded_shingles(reference, text_col, id_col, shingle_n).cache()
+    bk_c = _band_buckets(
+        _signatures_from_shingles(sh_c, id_col, n_perm), n_perm, bands, id_col
+    )
+    bk_r = _band_buckets(
+        _signatures_from_shingles(sh_r, id_col, n_perm), n_perm, bands, id_col
+    )
+    if max_bucket_size is not None:
+        small = (
+            bk_c.unionByName(bk_r)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bucket_n"))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        bk_c = bk_c.join(small, on="bucket", how="left_semi")
+        bk_r = bk_r.join(small, on="bucket", how="left_semi")
+    cands = (
+        bk_c.select(F.col(id_col).alias("corpus_id"), "bucket")
+        .join(bk_r.select(F.col(id_col).alias("ref_id"), "bucket"), on="bucket")
+        .select("corpus_id", "ref_id")
+        .distinct()
+    )
+    size_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("nA"))
+    size_r = sh_r.groupBy(id_col).agg(F.count(F.lit(1)).alias("nB"))
+    a = sh_c.join(size_c, on=id_col).select(
+        F.col(id_col).alias("corpus_id"), "sh", "nA"
+    )
+    b = sh_r.join(size_r, on=id_col).select(
+        F.col(id_col).alias("ref_id"), "sh", "nB"
+    )
+    common = (
+        cands.join(a, on="corpus_id")
+        .join(b, on=["ref_id", "sh"])
+        .groupBy("corpus_id", "ref_id", "nA", "nB")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return common.select(
+        "corpus_id",
+        "ref_id",
+        (
+            F.col("common") / (F.col("nA") + F.col("nB") - F.col("common"))
+        ).alias("jaccard"),
     ).filter(F.col("jaccard") >= min_jaccard)
 
 
