@@ -227,3 +227,30 @@ def test_bucket_cap_threads_through_production_entry_points(spark):
     }
     assert default == uncapped  # cap=2000 never fires on the clean fixture
     assert tiny < uncapped  # cap=1 kills every multi-doc bucket
+
+
+def test_cross_corpus_near_dups_find_planted_paraphrase(spark):
+    """A reference doc and its one-word-changed paraphrase in the corpus
+    must pair across sides; unrelated docs must not; same-side near-dups
+    must NOT appear (the join is strictly corpus x reference)."""
+    from bigdata_capstone_spark.operators.dedup import (
+        cross_corpus_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame(
+        [
+            (1, base.replace("lazy", "sleepy")),          # paraphrase → hit
+            (2, "completely unrelated text about spark physical plans"),
+            (3, base.replace("lazy", "sleepy")),          # same-side dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+    reference = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    pairs = cross_corpus_near_dup_pairs(
+        corpus, reference, n_perm=8, bands=4, shingle_n=3, min_jaccard=0.5
+    ).collect()
+    got = {(r["corpus_id"], r["ref_id"]) for r in pairs}
+    assert (1, 100) in got and (3, 100) in got
+    assert all(c != 2 for c, _ in got)
+    assert all(ref == 100 for _, ref in got)  # no corpus-side pairs leak
