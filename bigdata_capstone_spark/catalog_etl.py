@@ -1310,13 +1310,15 @@ _MERGED_CUSTOMER_CTES = """
              sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS delta
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
+    mx AS (SELECT max(c_custkey) AS mx FROM customer),
     signup AS (
-      SELECT 10000 + user_id AS c_custkey,
-             'NEW#' || (10000 + user_id)::VARCHAR AS c_name,
+      SELECT mx + 1 + user_id AS c_custkey,
+             'NEW#' || (mx + 1 + user_id)::VARCHAR AS c_name,
              (user_id % 25)::INT AS c_nationkey,
              sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS c_acctbal,
              'SIGNUP' AS c_mktsegment
-      FROM events WHERE event_type = 'signup' GROUP BY user_id
+      FROM events CROSS JOIN mx
+      WHERE event_type = 'signup' GROUP BY mx, user_id
     ),
     updates AS (
       SELECT p.c_custkey, c.c_name, c.c_nationkey,
@@ -1360,16 +1362,22 @@ def customer_balance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("user_id").alias("c_custkey"))
         .agg(exact_sum("value", 2).alias("delta"))
     )
+    # staged new-customer ids allocated after the current max key, so the
+    # insert branch can never collide with an existing customer at any SF
+    # (a fixed offset did exactly that at sf0.1 — caught by the 10x gate)
+    mx = cust.agg(F.max("c_custkey").alias("mx"))
     signup = (
         ev.filter(F.col("event_type") == "signup")
-        .groupBy((F.lit(10000) + F.col("user_id")).alias("c_custkey"))
+        .groupBy("user_id")
         .agg(exact_sum("value", 2).alias("c_acctbal"))
+        .crossJoin(F.broadcast(mx))
+        .withColumn("c_custkey", F.col("mx") + 1 + F.col("user_id"))
         .select(
             "c_custkey",
             F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")).alias(
                 "c_name"
             ),
-            ((F.col("c_custkey") - 10000) % 25).cast("int").alias("c_nationkey"),
+            (F.col("user_id") % 25).cast("int").alias("c_nationkey"),
             "c_acctbal",
             F.lit("SIGNUP").alias("c_mktsegment"),
         )
