@@ -1716,3 +1716,77 @@ def lineitem_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("y_min"),
         F.max("y").alias("y_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-damped mixture (alpha = 0.5): the multilingual-pretraining
+# sampling scheme — downsample common languages toward the rarest with a
+# square-root damping, so the mixture flattens WITHOUT collapsing to
+# uniform (rare langs keep 1.0, a 9x-bigger lang keeps 1/3, not 1/9).
+# alpha is pinned at 0.5 deliberately: sqrt is correctly-rounded IEEE in
+# every engine while pow(x, alpha) is not, so the keep fractions (and the
+# micro-unit PRF thresholds derived from them) are bit-identical in Spark
+# and DuckDB with no cross-group float sums anywhere.
+# --------------------------------------------------------------------------
+
+@register(
+    "docs_temperature_rebalance",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_before FROM documents GROUP BY lang
+    ),
+    mn AS (SELECT min(n_before) AS n_min FROM counts),
+    fracs AS (
+      SELECT lang, n_before,
+             least(1.0, sqrt(n_min * 1.0 / n_before)) AS frac
+      FROM counts CROSS JOIN mn
+    ),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN fracs f ON f.lang = d.lang
+      WHERE (('0x' || substr(md5('temp:' || d.doc_id), 1, 15))::BIGINT)
+              % 1000000 < round(f.frac * 1000000)::BIGINT
+    )
+    SELECT f.lang, f.n_before::BIGINT AS n_before,
+           count(k.lang)::BIGINT AS n_kept,
+           round(f.frac, 6) AS frac_r
+    FROM fracs f LEFT JOIN kept k ON k.lang = f.lang
+    GROUP BY f.lang, f.n_before, f.frac
+    """,
+)
+def docs_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-damped (alpha=0.5) language rebalance: keep fraction
+    min(1, sqrt(n_min/n_lang)) per language, membership by md5 PRF —
+    deterministic, engine-portable, shuffle-free (broadcast of the
+    |langs|-row fraction table onto the scan). The sqrt keeps the mixture
+    between natural and uniform, the standard multilingual-pretraining
+    dial."""
+    from bigdata_capstone_spark.functions.portable import md5_long
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    mn = counts.agg(F.min("n_before").alias("n_min"))
+    fracs = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_before",
+        F.least(
+            F.lit(1.0), F.sqrt(F.col("n_min") / F.col("n_before"))
+        ).alias("frac"),
+    )
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(fracs), on="lang")
+        .filter(
+            md5_long(F.concat(F.lit("temp:"), F.col("doc_id"))) % 1_000_000
+            < F.round(F.col("frac") * 1_000_000, 0).cast("long")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return fracs.join(kept, on="lang", how="left").select(
+        "lang",
+        "n_before",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.round("frac", 6).alias("frac_r"),
+    )
