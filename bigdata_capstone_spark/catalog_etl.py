@@ -1790,3 +1790,67 @@ def docs_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.round("frac", 6).alias("frac_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted (soft) sampling: keep probability = the document's
+# quality score instead of a hard threshold — the softer curation dial
+# that keeps a long tail of mid-quality text instead of cliff-dropping
+# it. Membership is the same PRF mechanism as the mixture rebalances, but
+# the threshold is PER-DOCUMENT (round(quality * 1e6) micro-units, exact
+# in both engines because the score itself is gate-proven 6dp-identical).
+# --------------------------------------------------------------------------
+
+def _quality_sample_oracle() -> str:
+    from bigdata_capstone_spark.catalog import ORACLE_SQL
+
+    return f"""
+    WITH qual AS ({ORACLE_SQL["doc_quality"]}),
+    base AS (
+      SELECT d.doc_id, d.lang, q.quality
+      FROM documents d JOIN qual q USING (doc_id)
+    ),
+    kept AS (
+      SELECT * FROM base
+      WHERE (('0x' || substr(md5('qs:' || doc_id), 1, 15))::BIGINT)
+              % 1000000 < round(quality * 1000000)::BIGINT
+    )
+    SELECT b.lang,
+           count(DISTINCT b.doc_id)::BIGINT AS n_docs,
+           count(DISTINCT k.doc_id)::BIGINT AS n_kept,
+           sum(CAST(k.quality AS DECIMAL(18,6)))::DOUBLE AS kept_quality_sum
+    FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id
+    GROUP BY b.lang
+    """
+
+
+@register("docs_quality_weighted_sample", oracle=_quality_sample_oracle())
+def docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality curation: each document is kept with probability equal
+    to its composite quality score (PRF vs per-doc micro-unit threshold)
+    — no cliff at an arbitrary cutoff. Per-lang report: corpus size, kept
+    size, exact decimal sum of kept quality. Map-side filter; nothing
+    shuffles but the |langs|-row summary."""
+    from bigdata_capstone_spark.functions.portable import exact_sum, md5_long
+    from bigdata_capstone_spark.operators.textops import quality_score
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang").join(quality_score(docs), on="doc_id")
+    kept = base.filter(
+        md5_long(F.concat(F.lit("qs:"), F.col("doc_id"))) % 1_000_000
+        < F.round(F.col("quality") * 1_000_000, 0).cast("long")
+    )
+    totals = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        exact_sum("quality", 6).alias("kept_quality_sum"),
+    )
+    return totals.join(kept_agg, on="lang", how="left").select(
+        "lang",
+        "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("kept_quality_sum"), F.lit(0.0)).alias(
+            "kept_quality_sum"
+        ),
+    )
