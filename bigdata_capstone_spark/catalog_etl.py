@@ -1854,3 +1854,72 @@ def docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_quality_sum"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space dedup clusters: the cosine near-dup pair graph closed
+# under transitivity with the SAME iterative min-label components the
+# minhash clusters use — semantic dedup's final step (drop all but one
+# per embedding cluster). Composition of two independently gate-checked
+# pieces; the oracle closes the same graph with a recursive CTE.
+# --------------------------------------------------------------------------
+
+def _embedding_clusters_oracle() -> str:
+    from bigdata_capstone_spark.catalog import _embedding_cosine_oracle
+
+    pairs = _embedding_cosine_oracle(6, 2, 64, 0.3)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges(src, dst) AS (
+      SELECT idA, idB FROM pairs UNION ALL SELECT idB, idA FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(a, b) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    labeled AS (
+      SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id
+      FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*)::BIGINT AS cluster_size
+      FROM labeled GROUP BY cluster_id
+    )
+    SELECT l.vec_id, l.cluster_id, s.cluster_size
+    FROM labeled l JOIN sizes s ON s.cluster_id = l.cluster_id
+    """
+
+
+@register("embedding_dup_clusters", oracle=_embedding_clusters_oracle())
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup clusters: hyperplane-LSH cosine
+    near-dup pairs closed under transitivity via the iterative min-label
+    components — every vector labeled with its cluster id (= min vec_id)
+    and cluster size. Same scale shape as the minhash closure: pair graph
+    edges shuffle as (id, id); rounds = component diameter."""
+    from bigdata_capstone_spark.operators.dedup import connected_components
+    from bigdata_capstone_spark.operators.simsearch import (
+        embedding_near_dup_pairs,
+    )
+
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, dim=64, min_cosine=0.3, n_planes=6, n_tables=2
+    )
+    comp = connected_components(pairs, a_col="idA", b_col="idB")
+    labeled = emb.select("vec_id").join(
+        comp.withColumnRenamed("node", "vec_id"), on="vec_id", how="left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster_id"),
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, on="cluster_id").select(
+        "vec_id", "cluster_id", "cluster_size"
+    )

@@ -414,9 +414,15 @@ def connected_components(
     standard MapReduce/Spark formulation — see e.g. the large-star/
     small-star family, Kiveris et al., "Connected Components in MapReduce
     and Beyond"): every node starts labeled with its own id; each round
-    every node adopts the minimum label in its neighborhood; converged
-    when no label changes. Rounds = O(graph diameter); near-dup graphs
-    are unions of small dense cliques, so 2-3 rounds in practice.
+    every node adopts the minimum label in its neighborhood, then takes a
+    POINTER-JUMP shortcut (the label of its label), which squares the
+    propagation distance per round — convergence in O(log diameter)
+    rounds instead of O(diameter). Dense near-dup cliques converge in
+    2-3 rounds either way; the jump is what keeps long CHAIN components
+    (e.g. embedding-space graphs near the similarity threshold, where a
+    1000-node path is realistic) inside the iteration budget — a
+    plain-propagation run at sf0.1 left exactly such a component
+    unconverged at 20 rounds, caught by the 10x oracle gate.
 
     Scale shape per round: one join (labels ⋈ edges) + one groupBy(min) —
     both shuffle on node id, and AQE handles the skew of giant
@@ -456,11 +462,27 @@ def connected_components(
         ).unionByName(
             neighbor_labels.withColumn("old", F.lit(None).cast(comp_type))
         )
+        propagated = merged.groupBy("node").agg(
+            F.min("component").alias("component"),
+            F.max("old").alias("old"),
+        )
+        # pointer jump: follow my label to ITS label (labels are node ids,
+        # so the lookup table is `propagated` itself keyed by node). The
+        # left join misses only when my label is already a component root
+        # whose own row carries the same id — coalesce keeps it.
+        lut = propagated.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("component2"),
+        )
         new_labels = (
-            merged.groupBy("node")
-            .agg(
-                F.min("component").alias("component"),
-                F.max("old").alias("old"),
+            propagated.join(lut, on="component", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("component2"), F.col("component")),
+                ).alias("component"),
+                "old",
             )
         ).localCheckpoint(eager=True)
         changed = (
