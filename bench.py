@@ -61,6 +61,8 @@ HEADLINE = [
     "benchmark_contamination",     # 8-gram eval-leakage scan (broadcast semi)
     "dominant_part_suppliers",     # Q20 shape: correlated share-of-total
     "doc_pack_sequences",          # concat-and-chunk training-batch packing
+    "embedding_pq_topk",           # product-quantization ANN (ADC + re-rank)
+    "bpe_merge_pairs",             # vocab-collapsed BPE pair counting
 ]
 
 

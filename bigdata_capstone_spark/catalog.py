@@ -2608,3 +2608,4 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 from bigdata_capstone_spark import catalog_ds  # noqa: E402,F401
 from bigdata_capstone_spark import catalog_etl  # noqa: E402,F401
 from bigdata_capstone_spark import catalog_ml  # noqa: E402,F401
+from bigdata_capstone_spark import catalog_train  # noqa: E402,F401

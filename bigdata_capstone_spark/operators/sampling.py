@@ -51,3 +51,84 @@ def seeded_random_pairs(
         F.least("a", "b").alias("userA"), F.greatest("a", "b").alias("userB")
     )
     return pairs
+
+
+def shuffle_shards(
+    df: DataFrame, key_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle + fixed sharding for training export.
+
+    Training runs need the corpus in a random-but-REPRODUCIBLE order,
+    pre-split into a fixed number of shards (one per output file /
+    reader). Both decisions are pure functions of a seeded PRF hash of
+    the key: ``shard = h % n_shards``, ``pos`` = the row's rank within
+    its shard by (h, key). No RNG state, independent of input
+    partitioning, and any engine can replay it — rerunning the export
+    yields byte-identical shard files.
+
+    Scale shape: ONE hash shuffle on ``shard`` + a per-shard sort (the
+    window). Shard count is the parallelism dial: at 100 TB you run
+    thousands of shards (shard ~ output file of a few GB), so each
+    per-shard sort fits an executor; writing is then
+    ``partitionBy(shard)`` with zero further movement.
+    """
+    h = salted_md5_long(F.col(key_col).cast("string"), seed)
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .drop("__h")
+    )
+
+
+def epoch_repeat_factors(
+    df: DataFrame,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Repeat-factor epoch mixture: UP-sample low-resource groups to the
+    size of the largest one, fractionally — the complement of the
+    temperature DOWN-sampling dial (`docs_temperature_rebalance`). Each
+    group's repeat factor is ``f = sqrt(n_max / n_group)`` (>= 1; 1 for
+    the largest group; sqrt = alpha=0.5 damping, pinned because sqrt is
+    correctly-rounded IEEE in every engine while pow is not). A document
+    is emitted ``floor(f)`` times plus one more iff its per-doc PRF
+    micro-unit draw falls under ``frac(f)`` — so group totals land
+    within 1 of ``n_group * f`` in expectation with zero RNG state.
+
+    Scale shape: group sizes are a tiny aggregate broadcast back onto the
+    scan; the copy decision is a map-side expression — no shuffle of the
+    corpus at any size. Returns per-doc (key, group, n_copies,
+    repeat_factor_r); materializing the copies is
+    ``explode(sequence(1, n_copies))`` at write time.
+    """
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmax = sizes.agg(F.max("__n").alias("__nmax"))
+    factors = sizes.crossJoin(F.broadcast(nmax)).select(
+        group_col,
+        (F.sqrt(F.col("__nmax").cast("double") / F.col("__n").cast("double"))
+         ).alias("__f"),
+    )
+    draw = F.pmod(
+        salted_md5_long(F.col(key_col).cast("string"), seed), F.lit(1000000)
+    )
+    return (
+        df.join(F.broadcast(factors), on=group_col)
+        .select(
+            key_col,
+            group_col,
+            (
+                F.floor("__f")
+                + F.when(
+                    draw
+                    < F.floor((F.col("__f") - F.floor("__f")) * 1e6).cast(
+                        "long"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_copies"),
+            F.round("__f", 6).alias("repeat_factor_r"),
+        )
+    )

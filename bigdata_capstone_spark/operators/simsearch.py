@@ -391,3 +391,199 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_r") >= min_cosine)
     )
+
+
+def _sq_l2_col(a, b):
+    """Squared L2 distance of two float-array slices, accumulated in array
+    order as doubles — the DuckDB twin is
+    ``list_sum(list_transform(generate_series(1, n), i -> (a[i]-b[i])*(a[i]-b[i])))``
+    (same left-to-right fold, so results are bit-identical)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codes_prf(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011) with DETERMINISTIC PRF-anchor
+    codebooks: the vector space is split into ``m`` subspaces of
+    ``dim/m`` dims; each subspace's ``k_codes`` centroids are the slices
+    of the ``k_codes`` corpus vectors with the smallest md5 PRF hash of
+    their id (a uniform sample — no KMeans RNG state), so the whole index
+    is replayable in any engine. Each vector is encoded as ``m`` code ids
+    (argmin squared-L2 per subspace, tie-break smallest code).
+
+    Returns the LONG-form code table ``(id, s, code)`` — ``m`` rows per
+    vector. This IS the compressed index: at 100 TB, ``m`` small ints per
+    vector replace ``4*dim`` bytes (64x compression at dim=64/m=4), and
+    every later search touches only this narrow table plus the broadcast
+    codebook — the corpus floats are read once, at encode time.
+
+    Scale shape: codebook selection is TakeOrdered(k_codes) on a narrow
+    (hash, id) projection; encoding is one broadcast cross-join map pass
+    (corpus x k_codes, all JVM expressions) + one argmin shuffle keyed
+    (id, s) — no skew (every key has exactly k_codes rows).
+    """
+    from bigdata_capstone_spark.functions.portable import md5_long
+    from pyspark.sql.window import Window
+
+    dsub = dim // m
+    hashed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        md5_long(
+            F.concat(F.lit("pq:"), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    )
+    picked = hashed.orderBy("__h", id_col).limit(k_codes)
+    w = Window.orderBy("__h", id_col)
+    codebook = (
+        picked.withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+        .select("code", F.col(vec_col).alias("center"))
+    )
+
+    pairs = corpus.crossJoin(F.broadcast(codebook)).select(
+        F.col(id_col),
+        "code",
+        F.array(
+            *[
+                _sq_l2_col(
+                    F.slice(F.col(vec_col), s * dsub + 1, dsub),
+                    F.slice(F.col("center"), s * dsub + 1, dsub),
+                )
+                for s in range(m)
+            ]
+        ).alias("__subd"),
+    )
+    long = pairs.select(
+        id_col, "code", F.posexplode("__subd").alias("s", "d")
+    )
+    return grouped_top_k(
+        long, [id_col, "s"], [F.col("d"), F.col("code")], 1, rank_col="__rn"
+    ).select(id_col, "s", "code")
+
+
+def pq_topk_prf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    m: int = 16,
+    k_codes: int = 32,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k: asymmetric distance computation (ADC) builds
+    a per-query shortlist from the compressed codes alone, then the
+    ``rerank`` shortlist survivors get an exact cosine re-rank — the
+    standard IVFADC+re-rank pipeline. The query stays exact; each corpus
+    vector is approximated by its PQ codes, so the query-to-vector
+    distance is the sum over subspaces of the query-slice-to-assigned-
+    centroid distance, looked up from a per-query distance table of only
+    ``m * k_codes`` entries.
+
+    Scale shape: the distance table (|Q| * m * k_codes rows) is broadcast
+    onto the code table — the ADC scan side carries only (id, s, code);
+    the per-(query, id) ADC sum folds the ``m`` partial distances in
+    subspace order (collect_list + array_sort + ordered aggregate), which
+    keeps the double accumulation order engine-identical for the oracle
+    hash. Raw vectors are touched only for the ``|Q| * rerank`` shortlist
+    rows (a semi-join-sized lookup), never for the full corpus — that is
+    the memory/IO win PQ exists for. Smaller ADC = nearer; the final
+    ranks are exact-cosine descending with id tie-break.
+    """
+    codes = pq_codes_prf(corpus, dim, m, k_codes, id_col, vec_col)
+
+    from bigdata_capstone_spark.functions.portable import md5_long
+    from pyspark.sql.window import Window
+
+    dsub = dim // m
+    hashed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        md5_long(
+            F.concat(F.lit("pq:"), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    )
+    picked = hashed.orderBy("__h", id_col).limit(k_codes)
+    w = Window.orderBy("__h", id_col)
+    codebook = (
+        picked.withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+        .select("code", F.col(vec_col).alias("center"))
+    )
+
+    qtable = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id",
+            "code",
+            F.posexplode(
+                F.array(
+                    *[
+                        _sq_l2_col(
+                            F.slice(F.col("qv"), s * dsub + 1, dsub),
+                            F.slice(F.col("center"), s * dsub + 1, dsub),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("s", "qd"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qtable), on=["s", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("s", "qd"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["qd"],
+                ),
+                6,
+            ).alias("adc_r")
+        )
+    )
+    shortlist = grouped_top_k(
+        scored, ["query_id"], [F.col("adc_r"), F.col(id_col)], rerank,
+        rank_col="__srn",
+    ).select("query_id", id_col)
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    reranked = (
+        shortlist.join(F.broadcast(qv), on="query_id")
+        .join(cv, on=id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine_similarity_col(F.col("qv"), F.col("cv")), 6
+            ).alias("cosine_r"),
+        )
+    )
+    return grouped_top_k(
+        reranked, ["query_id"], [F.desc("cosine_r"), F.col(id_col)], k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("int"))

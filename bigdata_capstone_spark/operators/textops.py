@@ -287,3 +287,104 @@ def pack_sequences(
         F.expr(f"cum_before div {capacity}").alias("pack_id"),
         (F.col("cum_before") % capacity).alias("pack_offset"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 40
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the counting core of one BPE
+    tokenizer-training iteration (Sennrich et al. 2016): the pair with
+    the highest corpus count is the next merge. Symbols here are single
+    characters (iteration 0); iterating merges is a driver loop over this
+    same counting shape.
+
+    The scale trick is the two-stage count: the corpus collapses to its
+    VOCABULARY first (word -> freq, one word-count shuffle with map-side
+    combine), and pair explosion runs over vocab rows weighted by freq —
+    after stage 1 the cost is corpus-size-INDEPENDENT (|vocab| * avg word
+    length), which is what makes BPE training feasible at 100 TB.
+
+    Returns the ``top_n`` pairs as (pair, pair_count, rank), exact BIGINT
+    counts, (count DESC, pair) tie-break.
+    """
+    words = df.select(F.explode(tokens_col(text_col)).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), F.col("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def zipf_rank_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+    fit_n: int = 100,
+) -> DataFrame:
+    """Zipf rank-frequency fingerprint of a corpus: the ``top_n`` tokens
+    with (rank, freq, log10 coords) plus the fitted log-log slope over
+    the top ``fit_n`` ranks — the standard corpus-health check (natural
+    text sits near slope -1; boilerplate-heavy or synthetic corpora
+    deviate sharply).
+
+    Determinism: the least-squares slope is computed over MICRO-UNIT
+    integer logs (round(log10(x)*1e6)) with exact BIGINT sums —
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) — so the regression is
+    order-independent and engine-exact; only the final division is
+    rounded. Scale shape: one word-count shuffle; ranking the top slice
+    is a TakeOrdered over the (bounded) vocabulary; the 1-row slope frame
+    broadcasts back onto it.
+    """
+    words = df.select(F.explode(tokens_col(text_col)).alias("token"))
+    vocab = words.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.col("token"))
+    ranked = (
+        vocab.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= fit_n)
+        .withColumn(
+            "lr", F.round(F.log10(F.col("rank").cast("double")) * 1e6).cast("long")
+        )
+        .withColumn(
+            "lf", F.round(F.log10(F.col("freq").cast("double")) * 1e6).cast("long")
+        )
+        .cache()
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lr").alias("sx"),
+        F.sum("lf").alias("sy"),
+        F.sum(F.col("lr") * F.col("lf")).alias("sxy"),
+        F.sum(F.col("lr") * F.col("lr")).alias("sxx"),
+    ).select(
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope_r")
+    )
+    return (
+        ranked.filter(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            F.round(F.col("lr") / 1e6, 6).alias("log10_rank_r"),
+            F.round(F.col("lf") / 1e6, 6).alias("log10_freq_r"),
+            "zipf_slope_r",
+        )
+    )

@@ -395,3 +395,48 @@ def test_als_implicit_feedback_shape(spark, clean):
         F.min("count"), F.max("count")
     ).collect()[0]
     assert per_user[0] == 5 and per_user[1] == 5
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_small):
+    """PQ/ADC (4x16 PRF-anchor codebooks over 64 dims): the compressed
+    index must keep meaningful neighbor recall vs exact cosine — the
+    compression is 64x, so the floor is modest but must beat blind
+    sampling (10/ N ~ 0.1) clearly."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        brute_force_topk,
+        pq_topk_prf,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = pq_topk_prf(
+        emb, queries, k=10, dim=64, m=16, k_codes=32, rerank=50
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_codes_shape(spark, sf_small):
+    """Every corpus vector gets exactly one code per subspace, and codes
+    stay inside the codebook range."""
+    from bigdata_capstone_spark.operators.simsearch import pq_codes_prf
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    codes = pq_codes_prf(emb, dim=64, m=16, k_codes=32).cache()
+    assert codes.count() == n * 16
+    assert codes.select("vec_id", "s").distinct().count() == n * 16
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= 32)).count()
+    assert bad == 0

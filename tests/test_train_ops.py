@@ -1,0 +1,153 @@
+"""Semantic tests for the wave-3 training-pipeline operators
+(catalog_train.py): BPE pair counting, Zipf fit, shuffle-sharding, and
+epoch mixture — pure-Python parity plus the invariants the oracle hash
+can't express (partition invariance, balance, bounds)."""
+
+from __future__ import annotations
+
+import collections
+import math
+import re
+
+import duckdb
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.sources.tables import load_table
+
+
+def _doc_texts(sf_dir: str) -> list[str]:
+    con = duckdb.connect()
+    try:
+        return [
+            r[0]
+            for r in con.execute(
+                f"SELECT text FROM '{sf_dir}/documents.parquet'"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+
+
+def test_bpe_pair_counts_python_parity(spark, sf_small):
+    """The distributed two-stage (vocab-collapsed) count must equal a
+    direct single-machine BPE pair count."""
+    from bigdata_capstone_spark.operators.textops import bpe_pair_counts
+
+    vocab: collections.Counter = collections.Counter()
+    for text in _doc_texts(sf_small):
+        for w in re.split(r"\s+", text.lower()):
+            if w:
+                vocab[w] += 1
+    pairs: collections.Counter = collections.Counter()
+    for w, freq in vocab.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += freq
+    expected = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+
+    docs = load_table(spark, sf_small, "documents")
+    got = [
+        (r["pair"], r["pair_count"])
+        for r in bpe_pair_counts(docs, top_n=40).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_zipf_slope_python_parity(spark, sf_small):
+    """Micro-unit integer regression must equal the same fit done in
+    plain Python over the same rank/freq table, and natural-ish text
+    must fit a negative slope."""
+    from bigdata_capstone_spark.operators.textops import zipf_rank_frequency
+
+    vocab: collections.Counter = collections.Counter()
+    for text in _doc_texts(sf_small):
+        for w in re.split(r"\s+", text.lower()):
+            if w:
+                vocab[w] += 1
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    lr = [round(math.log10(i + 1) * 1e6) for i in range(len(ranked))]
+    lf = [round(math.log10(f) * 1e6) for _, f in ranked]
+    n = len(ranked)
+    num = n * sum(x * y for x, y in zip(lr, lf)) - sum(lr) * sum(lf)
+    den = n * sum(x * x for x in lr) - sum(lr) ** 2
+    expected_slope = round(num / den, 6)
+
+    docs = load_table(spark, sf_small, "documents")
+    rows = zipf_rank_frequency(docs, top_n=50, fit_n=100).collect()
+    slopes = {r["zipf_slope_r"] for r in rows}
+    assert slopes == {expected_slope}
+    assert expected_slope < 0
+
+
+def test_shuffle_shards_partition_invariance(spark, sf_small):
+    """Shard assignment and within-shard position are pure PRF functions
+    of the key — repartitioning the input must not change a single row;
+    positions are dense 1..|shard|."""
+    from bigdata_capstone_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id")
+    a = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(docs, "doc_id", 8, seed=7).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(
+            docs.repartition(3, "doc_id"), "doc_id", 8, seed=7
+        ).collect()
+    }
+    assert a == b
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] >= len(a) // 8 - 25 and sizes[-1] <= len(a) // 8 + 25
+
+
+def test_epoch_repeat_factors_bounds(spark, sf_small):
+    """Largest group keeps factor exactly 1 (one copy each); every doc
+    gets floor(f) or floor(f)+1 copies; group copy totals track n*f."""
+    from bigdata_capstone_spark.operators.sampling import epoch_repeat_factors
+
+    docs = load_table(spark, sf_small, "documents")
+    out = epoch_repeat_factors(docs, "lang", "doc_id", seed=11).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    biggest = max(by_lang, key=lambda g: len(by_lang[g]))
+    assert all(r["n_copies"] == 1 for r in by_lang[biggest])
+    for lang, rows in by_lang.items():
+        f = rows[0]["repeat_factor_r"]
+        assert all(
+            r["n_copies"] in (math.floor(f), math.floor(f) + 1) for r in rows
+        ), lang
+        total = sum(r["n_copies"] for r in rows)
+        # PRF draw is uniform; allow generous binomial slack at n<=250
+        assert abs(total - len(rows) * f) <= max(10, 0.35 * len(rows)), (
+            lang,
+            total,
+            len(rows) * f,
+        )
+
+
+def test_source_cap_keeps_longest(spark, sf_small):
+    from bigdata_capstone_spark.catalog import QUERIES
+
+    rows = QUERIES["docs_source_cap"](spark, sf_small).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    docs = load_table(spark, sf_small, "documents").collect()
+    full: dict[str, list] = {}
+    for d in docs:
+        full.setdefault(d["source"], []).append(d)
+    for src, kept in by_src.items():
+        assert len(kept) <= 15
+        expected = sorted(
+            full[src], key=lambda d: (-d["n_chars"], d["doc_id"])
+        )[:15]
+        assert sorted(r["doc_id"] for r in kept) == sorted(
+            d["doc_id"] for d in expected
+        )
