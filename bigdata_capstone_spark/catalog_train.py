@@ -311,3 +311,271 @@ def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         15,
         rank_col="rn",
     ).withColumn("rn", F.col("rn").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Curation follow-through: what to KEEP once dedup/quality/token budgets
+# are known, plus corpus-health and experimentation primitives.
+# --------------------------------------------------------------------------
+
+def _keep_best_oracle() -> str:
+    from bigdata_capstone_spark.catalog import ORACLE_SQL, _clusters_oracle
+
+    return f"""
+    SELECT cluster_id, doc_id AS kept_doc_id, cluster_size,
+           quality AS quality_r
+    FROM (
+      SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM ({_clusters_oracle()}) c
+      JOIN ({ORACLE_SQL["doc_quality"]}) q ON q.doc_id = c.doc_id
+    ) WHERE rn = 1
+    """
+
+
+@register("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for every near-dup cluster (minhash
+    LSH + connected components, same parameters as
+    `dedup_clusters_minhash`), keep the HIGHEST-QUALITY member rather
+    than the min-id one — what a production dedup actually ships
+    (discarding a better-written duplicate because its id is larger loses
+    data quality for free). Argmax on the 6dp-rounded quality with doc_id
+    tie-break keeps the choice engine-exact; the oracle replays LSH,
+    the recursive-CTE closure, the quality score, and the argmax.
+
+    Scale shape: adds ONE narrow join (doc_id -> quality, computed in the
+    same scan pipeline) and a per-cluster top-1 window on top of the
+    existing clusters output; cluster sizes are bounded by the default-on
+    hot-bucket cap upstream, so the window has no skew tail."""
+    from bigdata_capstone_spark.operators.dedup import dedup_clusters
+    from bigdata_capstone_spark.operators.relational import grouped_top_k
+    from bigdata_capstone_spark.operators.textops import quality_score
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs, n_perm=8, bands=4, min_jaccard=0.5, max_bucket_size=100
+    )
+    qual = quality_score(docs)
+    joined = clusters.join(qual, on="doc_id")
+    return grouped_top_k(
+        joined,
+        ["cluster_id"],
+        [F.desc("quality"), F.col("doc_id")],
+        1,
+        rank_col="__rn",
+    ).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        "cluster_size",
+        F.col("quality").alias("quality_r"),
+    )
+
+
+def _token_budget_oracle(budget: int) -> str:
+    from bigdata_capstone_spark.catalog import ORACLE_SQL
+
+    return f"""
+    WITH qual AS ({ORACLE_SQL["doc_quality"]}),
+    toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS ws_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id, q.quality, t.ws_tokens,
+             sum(t.ws_tokens) OVER (
+               PARTITION BY d.source
+               ORDER BY q.quality DESC, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )::BIGINT AS cum_tokens
+      FROM documents d
+      JOIN qual q ON q.doc_id = d.doc_id
+      JOIN toks t ON t.doc_id = d.doc_id
+    )
+    SELECT source, doc_id, quality AS quality_r, ws_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= {budget}
+    """
+
+
+@register("docs_token_budget_fill", oracle=_token_budget_oracle(800))
+def docs_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget fill: each source contributes its best documents
+    (quality DESC, doc_id tie-break) until an 800-token budget is
+    exhausted — the standard 'take N billion tokens per crawl' mixture
+    primitive, as a running-sum window + filter. Budgets are absolute
+    token counts, so the contract is SF-independent.
+
+    Scale shape: quality + token count ride the same scan; the only
+    shuffle is the per-source window (many bounded groups). At 100 TB the
+    budget cut prunes everything past the threshold — downstream stages
+    see budget-bounded data regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    from bigdata_capstone_spark.operators.textops import (
+        quality_score,
+        token_count,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    qual = quality_score(docs)
+    toks = token_count(docs).select("doc_id", "ws_tokens")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        docs.select("source", "doc_id")
+        .join(qual, on="doc_id")
+        .join(toks, on="doc_id")
+        .withColumn("cum_tokens", F.sum("ws_tokens").over(w).cast("long"))
+    )
+    return ranked.filter(F.col("cum_tokens") <= 800).select(
+        "source",
+        "doc_id",
+        F.col("quality").alias("quality_r"),
+        "ws_tokens",
+        "cum_tokens",
+    )
+
+
+@register(
+    "doc_fertility_by_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS ws_tokens,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS re_tokens
+      FROM documents
+    )
+    SELECT d.lang,
+           count(*)::BIGINT AS n_docs,
+           sum(t.ws_tokens)::BIGINT AS ws_tokens,
+           sum(t.re_tokens)::BIGINT AS re_tokens,
+           sum(d.n_chars)::BIGINT AS n_chars,
+           round(sum(t.re_tokens) * 1.0 / sum(t.ws_tokens), 6)
+             AS fertility_r,
+           round(sum(d.n_chars) * 1.0 / sum(t.re_tokens), 6)
+             AS chars_per_token_r
+    FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def doc_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: regex-subtokens per whitespace
+    word and chars per subtoken — the multilingual cost signal (a
+    language with high fertility pays more sequence length per word, the
+    standard argument for tokenizer/mixture rebalancing). All counts are
+    exact BIGINTs; only the final ratios are rounded divisions — the
+    aggregation is order-independent by construction.
+
+    Scale shape: a narrow map over the text column feeding one 5-group
+    aggregate — map-side combined, no data movement beyond the final
+    tiny shuffle."""
+    from bigdata_capstone_spark.operators.textops import token_count
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_count(docs)
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(toks, on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("re_tokens").alias("re_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "re_tokens",
+            "n_chars",
+            F.round(F.col("re_tokens") / F.col("ws_tokens"), 6).alias(
+                "fertility_r"
+            ),
+            F.round(F.col("n_chars") / F.col("re_tokens"), 6).alias(
+                "chars_per_token_r"
+            ),
+        )
+    )
+
+
+@register(
+    "events_ab_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT *, ({md5_long_sql("'ab:' || user_id")} % 2)::INT AS arm
+      FROM events
+    ),
+    per_arm AS (
+      SELECT arm,
+             count(DISTINCT user_id)::BIGINT AS n_users,
+             count(*)::BIGINT AS n_events,
+             round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS value_sum,
+             round(sum(value::DECIMAL(18,2))::DOUBLE / count(*), 6)
+               AS value_avg_r
+      FROM assigned GROUP BY arm
+    ),
+    srm AS (
+      SELECT round(
+        ((max(n_users) - min(n_users)) * (max(n_users) - min(n_users)))::DOUBLE
+        / sum(n_users), 6) AS srm_chi2_r
+      FROM per_arm
+    )
+    SELECT arm, n_users, n_events, value_sum, value_avg_r, srm_chi2_r
+    FROM per_arm CROSS JOIN srm
+    """,
+)
+def events_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment bucketing over the event stream: users hash into
+    two arms by PRF (sticky, engine-replayable, no assignment table),
+    with per-arm exact metrics and the sample-ratio-mismatch chi-square
+    ((nA-nB)^2 / N for two equal-split arms) — the guardrail every
+    experimentation pipeline computes before trusting a metric delta.
+
+    Scale shape: assignment is a map-side expression; per-arm metrics are
+    one 2-group aggregate (count-distinct expands, acceptable at 2
+    groups — swap for the HLL sketch at extreme scale); the 1-row SRM
+    frame broadcasts back onto the 2-row result."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    assigned = events.withColumn(
+        "arm",
+        F.pmod(
+            md5_long(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+            F.lit(2),
+        ).cast("int"),
+    )
+    per_arm = assigned.groupBy("arm").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("value_sum"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("value_avg_r"),
+    )
+    srm = per_arm.agg(
+        F.round(
+            (
+                (F.max("n_users") - F.min("n_users"))
+                * (F.max("n_users") - F.min("n_users"))
+            ).cast("double")
+            / F.sum("n_users"),
+            6,
+        ).alias("srm_chi2_r")
+    )
+    return per_arm.crossJoin(F.broadcast(srm))

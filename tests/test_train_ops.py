@@ -151,3 +151,83 @@ def test_source_cap_keeps_longest(spark, sf_small):
         assert sorted(r["doc_id"] for r in kept) == sorted(
             d["doc_id"] for d in expected
         )
+
+
+def test_keep_best_is_cluster_argmax(spark, sf_small):
+    """Exactly one kept doc per cluster; it is a member and no member has
+    higher (quality, -doc_id) priority."""
+    from bigdata_capstone_spark.catalog import QUERIES
+    from bigdata_capstone_spark.operators.dedup import dedup_clusters
+    from bigdata_capstone_spark.operators.textops import quality_score
+
+    docs = load_table(spark, sf_small, "documents")
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(
+            docs, n_perm=8, bands=4, min_jaccard=0.5, max_bucket_size=100
+        ).collect()
+    }
+    quality = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    kept = QUERIES["dedup_keep_best"](spark, sf_small).collect()
+    assert len(kept) == len(set(clusters.values()))
+    for r in kept:
+        cid = r["cluster_id"]
+        members = [d for d, c in clusters.items() if c == cid]
+        assert r["kept_doc_id"] in members
+        best = min(members, key=lambda d: (-quality[d], d))
+        assert r["kept_doc_id"] == best
+
+
+def test_token_budget_fill_maximal(spark, sf_small):
+    """Kept prefix per source respects the budget and is maximal: the
+    first excluded doc would overflow it."""
+    from bigdata_capstone_spark.catalog import QUERIES
+    from bigdata_capstone_spark.operators.textops import (
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    qual = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    toks = {r["doc_id"]: r["ws_tokens"] for r in token_count(docs).collect()}
+    by_source: dict[str, list[int]] = {}
+    for d in docs.select("source", "doc_id").collect():
+        by_source.setdefault(d["source"], []).append(d["doc_id"])
+    kept_rows = QUERIES["docs_token_budget_fill"](spark, sf_small).collect()
+    kept: dict[str, set[int]] = {}
+    for r in kept_rows:
+        kept.setdefault(r["source"], set()).add(r["doc_id"])
+        assert r["cum_tokens"] <= 800
+    for src, ids in by_source.items():
+        order = sorted(ids, key=lambda d: (-qual[d], d))
+        cum, expect = 0, set()
+        for d in order:
+            cum += toks[d]
+            if cum > 800:
+                break
+            expect.add(d)
+        assert kept.get(src, set()) == expect, src
+
+
+def test_ab_assignment_partitions_users(spark, sf_small):
+    from bigdata_capstone_spark.catalog import QUERIES
+
+    events = load_table(spark, sf_small, "events")
+    total_users = events.select("user_id").distinct().count()
+    total_events = events.count()
+    rows = QUERIES["events_ab_assignment"](spark, sf_small).collect()
+    assert sorted(r["arm"] for r in rows) == [0, 1]
+    assert sum(r["n_users"] for r in rows) == total_users
+    assert sum(r["n_events"] for r in rows) == total_events
+    srm = {r["srm_chi2_r"] for r in rows}
+    assert len(srm) == 1 and next(iter(srm)) < 30.0
+
+
+def test_fertility_totals(spark, sf_small):
+    from bigdata_capstone_spark.catalog import QUERIES
+
+    rows = QUERIES["doc_fertility_by_lang"](spark, sf_small).collect()
+    docs = load_table(spark, sf_small, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["fertility_r"] > 0 and r["chars_per_token_r"] > 0
