@@ -83,13 +83,14 @@ def _pq_topk_oracle(k: int, m: int, k_codes: int, dsub: int,
       ) WHERE rn = 1
     ),
     qtable AS (
-      SELECT q.vec_id AS query_id, subs.s, cb.code, {qd} AS qd
+      SELECT q.vec_id AS query_id, subs.s, cb.code,
+             round({qd} * 1e6)::BIGINT AS qdm
       FROM e q CROSS JOIN cb CROSS JOIN subs
       WHERE q.vec_id < 5
     ),
     adc AS (
       SELECT t.query_id, c.vec_id,
-             round(list_sum(list(t.qd ORDER BY t.s)), 6) AS adc_r
+             round(sum(t.qdm) / 1e6, 6) AS adc_r
       FROM codes c JOIN qtable t ON t.s = c.s AND t.code = c.code
       WHERE c.vec_id <> t.query_id
       GROUP BY t.query_id, c.vec_id
@@ -579,3 +580,95 @@ def events_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("srm_chi2_r")
     )
     return per_arm.crossJoin(F.broadcast(srm))
+
+
+def _pq_incremental_oracle(m: int, k_codes: int, dsub: int,
+                           base_below: int) -> str:
+    d = _pq_sub_dist_sql("e.v", "cb.center", "subs.s", dsub)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT (row_number() OVER (
+                ORDER BY {md5_long_sql("'pq:' || vec_id")}, vec_id) - 1)::INT
+               AS code,
+             v AS center
+      FROM e WHERE vec_id < {base_below} QUALIFY code < {k_codes}
+    ),
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS s)
+    SELECT vec_id, s, code FROM (
+      SELECT e.vec_id, subs.s, cb.code,
+             row_number() OVER (PARTITION BY e.vec_id, subs.s
+                                ORDER BY {d}, cb.code) AS rn
+      FROM e CROSS JOIN cb CROSS JOIN subs
+      WHERE e.vec_id >= {base_below}
+    ) WHERE rn = 1
+    """
+
+
+@register("embedding_pq_incremental",
+          oracle=_pq_incremental_oracle(16, 32, 4, 400))
+def embedding_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index maintenance: the codebook is trained on the
+    BASE corpus (vec_id < 400) and stays frozen; only the new-arrivals
+    batch (vec_id >= 400) is encoded — its codes append to the existing
+    code table with zero re-encoding of the old corpus. This is the
+    continuous-ingest property a 100 TB vector index needs: index updates
+    cost O(batch), not O(corpus). The oracle replays the frozen-codebook
+    selection and the new-batch assignment."""
+    from bigdata_capstone_spark.operators.simsearch import pq_codes_prf
+
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    new_batch = emb.filter(F.col("vec_id") >= 400)
+    return pq_codes_prf(
+        new_batch, dim=64, m=16, k_codes=32, train_on=base
+    )
+
+
+@register(
+    "multimodal_shard_packing",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(range(64)) AS asset_id),
+    assets AS (
+      SELECT asset_id::BIGINT AS asset_id,
+             octet_length(repeat(unhex(md5('42:' || asset_id)),
+                                 (4 + asset_id % 7)::INT))::BIGINT AS n_bytes
+      FROM ids
+    ),
+    ordered AS (
+      SELECT asset_id, n_bytes,
+             {md5_long_sql("'13:' || asset_id")} AS h
+      FROM assets
+    ),
+    packed AS (
+      SELECT asset_id, n_bytes,
+             coalesce(sum(n_bytes) OVER (
+               ORDER BY h, asset_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0)::BIGINT AS bytes_before, h
+      FROM ordered
+    )
+    SELECT asset_id, (bytes_before // 1000)::INT AS shard,
+           (row_number() OVER (PARTITION BY bytes_before // 1000
+                               ORDER BY h, asset_id))::INT AS pos,
+           n_bytes
+    FROM packed
+    """,
+)
+def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budgeted shard packing over the synthetic asset table (1000-
+    byte shards): deterministic PRF layout, contiguous first-fit, shard
+    membership and order fully replayed by the oracle — the WebDataset-
+    style export-planning stage for multimodal training data (see
+    `multimodal.shard_packing_plan`)."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        shard_packing_plan,
+        synthetic_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_assets(spark, n=64)
+    sized = extract_features(assets).select("asset_id", "n_bytes")
+    return shard_packing_plan(sized, budget_bytes=1000)

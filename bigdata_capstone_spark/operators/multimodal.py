@@ -178,3 +178,49 @@ def resize_targets(
         ),
         (scale < 1.0).alias("needs_resize"),
     )
+
+
+def shard_packing_plan(
+    assets: DataFrame,
+    budget_bytes: int,
+    id_col: str = "asset_id",
+    bytes_col: str = "n_bytes",
+    seed: int = 13,
+) -> DataFrame:
+    """WebDataset-style shard packing *plan*: assets are laid out in a
+    deterministic PRF order and packed CONTIGUOUSLY into byte-budgeted
+    shards — ``shard = floor(bytes_before_me / budget)``, so an asset that
+    straddles a budget boundary belongs to the shard where it started
+    (streaming first-fit, same contract as ``textops.pack_sequences``).
+    Metadata-only: the plan costs one window over (id, n_bytes); the
+    byte-moving write stage consumes it afterwards, already knowing every
+    shard's exact membership and size.
+
+    Scale shape: the global PRF-ordered running sum is the one
+    sort+window; at 100 TB pre-split by a PRF super-shard first (exactly
+    like pack_sequences' n_shards dial) so each window partition is
+    bounded, then pack within super-shards — contiguity within a
+    super-shard is preserved and no coordination crosses them.
+    """
+    from bigdata_capstone_spark.functions.portable import salted_md5_long
+    from pyspark.sql.window import Window
+
+    h = salted_md5_long(F.col(id_col).cast("string"), seed)
+    before = (
+        Window.orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        assets.withColumn("__h", h)
+        .withColumn(
+            "__before",
+            F.coalesce(F.sum(bytes_col).over(before), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "shard", F.floor(F.col("__before") / budget_bytes).cast("int")
+        )
+    )
+    pos = Window.partitionBy("shard").orderBy("__h", id_col)
+    return packed.withColumn(
+        "pos", F.row_number().over(pos).cast("int")
+    ).select(id_col, "shard", "pos", bytes_col)

@@ -410,6 +410,27 @@ def _sq_l2_col(a, b):
     )
 
 
+def _sub_dists_col(a, b, m: int, dsub: int):
+    """Array of the ``m`` per-subspace squared-L2 distances between two
+    full vectors, as ``m`` independent slice+fold expressions. Each array
+    element is touched exactly once across the whole array.
+
+    Deliberately NOT a shared zip_with over the full vectors with
+    per-subspace slices of the result: Catalyst's CollapseProject
+    re-inlines a projected intermediate into every consumer, so the
+    "shared" diff array would be re-evaluated once per subspace —
+    measured 2x slower than this form on the sf0.1 encode."""
+    return F.array(
+        *[
+            _sq_l2_col(
+                F.slice(a, s * dsub + 1, dsub),
+                F.slice(b, s * dsub + 1, dsub),
+            )
+            for s in range(m)
+        ]
+    )
+
+
 def pq_codes_prf(
     corpus: DataFrame,
     dim: int,
@@ -417,6 +438,7 @@ def pq_codes_prf(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_on: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codes (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011) with DETERMINISTIC PRF-anchor
@@ -433,6 +455,13 @@ def pq_codes_prf(
     every later search touches only this narrow table plus the broadcast
     codebook — the corpus floats are read once, at encode time.
 
+    ``train_on`` (default: the corpus itself) is the frame the codebook
+    anchors are drawn from. Passing the BASE corpus while encoding only a
+    new-arrivals batch gives INCREMENTAL index maintenance: the codebook
+    stays frozen, so new codes append to the existing code table without
+    re-encoding a byte of the old corpus — the property that makes a PQ
+    index cheap to keep current under continuous ingest.
+
     Scale shape: codebook selection is TakeOrdered(k_codes) on a narrow
     (hash, id) projection; encoding is one broadcast cross-join map pass
     (corpus x k_codes, all JVM expressions) + one argmin shuffle keyed
@@ -442,7 +471,7 @@ def pq_codes_prf(
     from pyspark.sql.window import Window
 
     dsub = dim // m
-    hashed = corpus.select(
+    hashed = (train_on if train_on is not None else corpus).select(
         F.col(id_col),
         F.col(vec_col),
         md5_long(
@@ -459,22 +488,20 @@ def pq_codes_prf(
     pairs = corpus.crossJoin(F.broadcast(codebook)).select(
         F.col(id_col),
         "code",
-        F.array(
-            *[
-                _sq_l2_col(
-                    F.slice(F.col(vec_col), s * dsub + 1, dsub),
-                    F.slice(F.col("center"), s * dsub + 1, dsub),
-                )
-                for s in range(m)
-            ]
-        ).alias("__subd"),
+        _sub_dists_col(F.col(vec_col), F.col("center"), m, dsub).alias(
+            "__subd"
+        ),
     )
     long = pairs.select(
         id_col, "code", F.posexplode("__subd").alias("s", "d")
     )
-    return grouped_top_k(
-        long, [id_col, "s"], [F.col("d"), F.col("code")], 1, rank_col="__rn"
-    ).select(id_col, "s", "code")
+    # per-(vector, subspace) argmin as a HASH aggregate (min_by over the
+    # unique (d, code) struct — deterministic tie-break), NOT a window:
+    # map-side partial aggregation collapses the corpus x k_codes rows
+    # before the shuffle, where a window would sort all of them.
+    return long.groupBy(id_col, "s").agg(
+        F.min_by("code", F.struct("d", "code")).alias("code")
+    )
 
 
 def pq_topk_prf(
@@ -527,6 +554,10 @@ def pq_topk_prf(
         .select("code", F.col(vec_col).alias("center"))
     )
 
+    # Distance-table entries are rounded to MICRO-UNIT INTEGERS before the
+    # per-(query, id) sum: integer sums are order-independent, so the ADC
+    # reduce is a plain map-side-combined hash aggregate — no ordered fold
+    # needed for engine-exactness (round-before-aggregate invariant).
     qtable = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -536,16 +567,14 @@ def pq_topk_prf(
             "query_id",
             "code",
             F.posexplode(
-                F.array(
-                    *[
-                        _sq_l2_col(
-                            F.slice(F.col("qv"), s * dsub + 1, dsub),
-                            F.slice(F.col("center"), s * dsub + 1, dsub),
-                        )
-                        for s in range(m)
-                    ]
-                )
+                _sub_dists_col(F.col("qv"), F.col("center"), m, dsub)
             ).alias("s", "qd"),
+        )
+        .select(
+            "query_id",
+            "code",
+            "s",
+            F.round(F.col("qd") * 1e6).cast("long").alias("qdm"),
         )
     )
     scored = (
@@ -553,14 +582,7 @@ def pq_topk_prf(
         .filter(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", id_col)
         .agg(
-            F.round(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("s", "qd"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["qd"],
-                ),
-                6,
-            ).alias("adc_r")
+            F.round(F.sum("qdm") / 1e6, 6).alias("adc_r")
         )
     )
     shortlist = grouped_top_k(

@@ -231,3 +231,51 @@ def test_fertility_totals(spark, sf_small):
     assert sum(r["n_docs"] for r in rows) == docs.count()
     for r in rows:
         assert r["fertility_r"] > 0 and r["chars_per_token_r"] > 0
+
+
+def test_pq_incremental_batch_split_independent(spark, sf_small):
+    """Frozen codebook => encoding the new batch in one go or in two
+    sub-batches yields identical codes (the O(batch) ingest property)."""
+    from bigdata_capstone_spark.operators.simsearch import pq_codes_prf
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400).cache()
+    new = emb.filter(F.col("vec_id") >= 400)
+    whole = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in pq_codes_prf(new, dim=64, m=16, k_codes=32, train_on=base).collect()
+    }
+    split = {}
+    for part in (
+        new.filter(F.col("vec_id") < 450),
+        new.filter(F.col("vec_id") >= 450),
+    ):
+        for r in pq_codes_prf(part, dim=64, m=16, k_codes=32, train_on=base).collect():
+            split[(r["vec_id"], r["s"])] = r["code"]
+    assert whole == split
+    assert all(0 <= c < 32 for c in whole.values())
+
+
+def test_shard_packing_python_parity(spark):
+    """Contiguous first-fit in PRF order: shard boundaries and positions
+    must equal a direct Python pack of the same (hash, id, bytes) list."""
+    import hashlib
+
+    from bigdata_capstone_spark.catalog import QUERIES
+
+    rows = QUERIES["multimodal_shard_packing"](spark, "unused").collect()
+    got = {r["asset_id"]: (r["shard"], r["pos"], r["n_bytes"]) for r in rows}
+    assets = [
+        (i, int(hashlib.md5(f"13:{i}".encode()).hexdigest()[:15], 16), 16 * (4 + i % 7))
+        for i in range(64)
+    ]
+    assets.sort(key=lambda t: (t[1], t[0]))
+    cum, per_shard = 0, {}
+    expect = {}
+    for i, _, nb in assets:
+        shard = cum // 1000
+        pos = per_shard.get(shard, 0) + 1
+        per_shard[shard] = pos
+        expect[i] = (shard, pos, nb)
+        cum += nb
+    assert got == expect
