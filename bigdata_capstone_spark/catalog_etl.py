@@ -1923,3 +1923,86 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.join(sizes, on="cluster_id").select(
         "vec_id", "cluster_id", "cluster_size"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming SKETCH-state maintenance: HLL registers are mergeable state
+# (max per bucket — associative+commutative), so a distinct-count sketch
+# can be kept current per micro-batch exactly like the daily aggregates
+# above, and the batch oracle value-checks the drained snapshot.
+# --------------------------------------------------------------------------
+
+def _streaming_hll_oracle() -> str:
+    from bigdata_capstone_spark.functions.portable import md5_long_sql
+    from bigdata_capstone_spark.operators.sketches import (
+        HLL_ALPHA_64,
+        HLL_M,
+        HLL_M_BITS,
+    )
+
+    h = md5_long_sql("user_id::VARCHAR")
+    value_bits = 60 - HLL_M_BITS
+    return f"""
+    WITH regs AS (
+      SELECT ({h}) % {HLL_M} AS bucket,
+             max({value_bits + 1} - length(bin(({h}) >> {HLL_M_BITS})))
+               AS rho_max
+      FROM events
+      GROUP BY 1
+    )
+    SELECT round({HLL_ALPHA_64} * {HLL_M * HLL_M} /
+                 (list_reduce(list(power(2.0, -rho_max) ORDER BY bucket),
+                              (a, x) -> a + x)::DOUBLE
+                  + ({HLL_M} - count(*))::DOUBLE), 4) AS hll_estimate,
+           count(*)::BIGINT AS n_registers
+    FROM regs
+    """
+
+
+@register("streaming_distinct_users_hll", oracle=_streaming_hll_oracle())
+def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketch maintenance, value-checked: events
+    stream in 4 micro-batches; each batch computes its partial HLL
+    registers (bucket -> max rho, a 64-row state) which fold into the
+    snapshot via merge_upsert with greatest() — register merge is
+    associative+commutative, so the drained sketch is independent of the
+    batch split and hash-equal to the oracle's one-pass batch HLL. This
+    is how a 100 TB pipeline keeps cardinality dashboards current:
+    constant-size state, O(batch) updates, no distinct shuffle ever."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.sketches import (
+        hll_bucket_rho,
+        hll_estimate_from_registers,
+    )
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot,
+        start_aggregate_maintenance,
+    )
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_hll_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    bucket, rho = hll_bucket_rho(F.col("user_id").cast("string"))
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+    )
+    q = start_aggregate_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        key_cols=["bucket"],
+        partial_aggs=[F.max("rho").alias("rho_max")],
+        combines={"rho_max": lambda t, u: F.greatest(t, u)},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    regs = read_latest_snapshot(spark, f"{work}/state")
+    return hll_estimate_from_registers(regs, [])

@@ -39,6 +39,16 @@ HLL_M = 1 << HLL_M_BITS
 _VALUE_BITS = 60 - HLL_M_BITS
 
 
+def hll_bucket_rho(key_col: Column) -> tuple[Column, Column]:
+    """(bucket, rho) columns for one key — the map-side HLL observation.
+    Exposed so STREAMING register maintenance can compute per-batch
+    partials with the identical expressions the batch sketch uses."""
+    h = md5_long(key_col)
+    v = F.shiftright(h, HLL_M_BITS)
+    rho = F.lit(_VALUE_BITS + 1) - F.length(F.bin(v))
+    return (h % HLL_M), rho
+
+
 def hll_registers(
     df: DataFrame, group_cols: list[str], key_col: Column
 ) -> DataFrame:
@@ -50,11 +60,9 @@ def hll_registers(
     The ``max`` aggregate is map-side combinable, so at 100 TB each
     executor emits at most groups×64 rows into the shuffle.
     """
-    h = md5_long(key_col)
-    v = F.shiftright(h, HLL_M_BITS)
-    rho = F.lit(_VALUE_BITS + 1) - F.length(F.bin(v))
+    bucket, rho = hll_bucket_rho(key_col)
     return (
-        df.select(*group_cols, (h % HLL_M).alias("bucket"), rho.alias("rho"))
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho_max"))
     )
@@ -69,6 +77,16 @@ def hll_estimate(
     1:1). Empty registers contribute 2^0 = 1 to the harmonic sum.
     """
     regs = hll_registers(df, group_cols, key_col)
+    return hll_estimate_from_registers(regs, group_cols)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Estimate from an existing (group..., bucket, rho_max) register
+    table — the read side of register-state maintenance: registers merge
+    under max (associative+commutative), so a snapshot folded from any
+    batch split estimates identically to one batch pass."""
     terms = F.transform(
         F.sort_array(F.collect_list(F.struct("bucket", "rho_max"))),
         lambda s: F.pow(F.lit(2.0), -s["rho_max"]),

@@ -269,3 +269,52 @@ def test_foreachbatch_upsert_snapshot_last_write_wins(spark, sf_small, tmp_path)
     expect = {**b1, **b2}
     got = {r["user_id"]: r["ts"] for r in snap.collect()}
     assert got == expect
+
+
+def test_streaming_hll_split_independent(spark, sf_small):
+    """HLL register maintenance is batch-split independent: streaming the
+    events in 7 micro-batches yields the exact estimate of one batch pass
+    (registers merge under max)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdata_capstone_spark.operators.sketches import (
+        hll_bucket_rho,
+        hll_estimate,
+        hll_estimate_from_registers,
+    )
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS, load_table
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot,
+        start_aggregate_maintenance,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    batch = hll_estimate(ev, [], F.col("user_id").cast("string")).collect()
+
+    work = tempfile.mkdtemp(prefix="hll7_")
+    ev.repartition(7).write.mode("overwrite").parquet(f"{work}/in")
+    bucket, rho = hll_bucket_rho(F.col("user_id").cast("string"))
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+    )
+    q = start_aggregate_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        key_cols=["bucket"],
+        partial_aggs=[F.max("rho").alias("rho_max")],
+        combines={"rho_max": lambda t, u: F.greatest(t, u)},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = hll_estimate_from_registers(
+        read_latest_snapshot(spark, f"{work}/state"), []
+    ).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
