@@ -2006,3 +2006,90 @@ def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     regs = read_latest_snapshot(spark, f"{work}/state")
     return hll_estimate_from_registers(regs, [])
+
+
+def _streaming_cms_oracle(d: int = 4, top_n: int = 20) -> str:
+    return f"""
+    WITH salts AS (SELECT unnest(generate_series(0, {d - 1})) AS r),
+    counters AS (
+      SELECT r,
+             ('0x' || substr(md5(user_id::VARCHAR), 1 + 2 * r, 2))::INT AS slot,
+             count(*) AS cnt
+      FROM events CROSS JOIN salts
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT user_id, count(*)::BIGINT AS exact_cnt
+      FROM events GROUP BY 1
+      ORDER BY exact_cnt DESC, user_id LIMIT {top_n}
+    ),
+    probes AS (
+      SELECT c.user_id, c.exact_cnt, s.r,
+             ('0x' || substr(md5(c.user_id::VARCHAR), 1 + 2 * s.r, 2))::INT
+               AS slot
+      FROM cand c CROSS JOIN salts s
+    )
+    SELECT p.user_id, p.exact_cnt, min(ct.cnt)::BIGINT AS cms_estimate
+    FROM probes p
+    JOIN counters ct ON ct.r = p.r AND ct.slot = p.slot
+    GROUP BY 1, 2
+    """
+
+
+@register("streaming_heavy_hitters_cms", oracle=_streaming_cms_oracle())
+def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitter sketch maintenance, value-checked: the
+    Count-Min counter grid is mergeable state under ADDITION — each
+    micro-batch contributes its partial (r, slot) counts, folded into the
+    4x256 snapshot via merge_upsert(+). Like the HLL twin, the drained
+    grid is batch-split independent, so the oracle's one-pass batch CMS
+    probes it hash-exactly. Probed for the top-20 users by exact count
+    (the candidate set a real pipeline gets from a per-batch top-k or an
+    external list). Constant ~1k-row state however many events stream."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.sketches import (
+        _cms_slot,
+        cms_point_estimates,
+    )
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot,
+        start_aggregate_maintenance,
+    )
+
+    d = 4
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_cms_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+        .select(
+            F.md5(F.col("user_id").cast("string")).alias("__h"),
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+        )
+        .select("r", _cms_slot(F.col("__h"), F.col("r")).alias("slot"))
+    )
+    q = start_aggregate_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        key_cols=["r", "slot"],
+        partial_aggs=[F.count(F.lit(1)).alias("cnt")],
+        combines={"cnt": lambda t, u: t + u},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counters = read_latest_snapshot(spark, f"{work}/state")
+    cand = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.col("user_id"))
+        .limit(20)
+    )
+    return cms_point_estimates(counters, cand, "user_id", d)

@@ -105,3 +105,54 @@ def test_merge_upsert_broadcasts_changeset(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
         plan[:3000]
     )
+
+
+def test_pq_encode_no_window_sort(spark):
+    """The PQ per-(vector, subspace) argmin must plan as a hash aggregate
+    (min_by with map-side partials), not a window sort over the
+    corpus x k_codes explosion; the codebook side must broadcast."""
+    from pyspark.sql import functions as F
+
+    from bigdata_capstone_spark.operators.simsearch import pq_codes_prf
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    codes = pq_codes_prf(emb, dim=64, m=16, k_codes=32)
+    qe = codes._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = qe.explainString(mode.fromString("formatted"))
+    import re
+
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:2000]
+    )
+    assert "min_by" in plan, plan[:2000]
+    # the only Window is the 32-row codebook ranking; the corpus-side
+    # argmin must NOT add one
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 1, plan[:2000]
+
+
+def test_bpe_vocab_collapse_before_pairs(spark):
+    """bpe_merge_pairs must aggregate the corpus to its vocabulary BEFORE
+    exploding pairs: the plan's explode (Generate) node must sit above
+    the word-count aggregate, never directly on the scan."""
+    plan = plan_of(spark, "bpe_merge_pairs")
+    gen = plan.find("Generate")          # first explode = token explode
+    # the pair explode is the SECOND Generate; the word-count HashAggregate
+    # must appear between the two
+    second_gen = plan.find("Generate", gen + 1)
+    agg_between = plan.find("HashAggregate", gen, second_gen)
+    assert gen >= 0 and second_gen > gen, plan[:2000]
+    assert agg_between > 0, plan[:2000]
+
+
+def test_token_budget_single_window_exchange(spark):
+    """docs_token_budget_fill: quality + token count + running sum share
+    the per-source window; no Python evals anywhere in the pipeline."""
+    plan = plan_of(spark, "docs_token_budget_fill")
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan, (
+        plan[:2000]
+    )
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan[:2000]
