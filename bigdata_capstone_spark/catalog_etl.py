@@ -2093,3 +2093,99 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_point_estimates(counters, cand, "user_id", d)
+
+
+def _streaming_bloom_oracle(m_bits: int = 12, k: int = 4,
+                            n_probe: int = 300) -> str:
+    m = 1 << m_bits
+    return f"""
+    WITH pos AS (
+      SELECT unnest(list_transform(generate_series(0, {k - 1}),
+             i -> ('0x' || substr(md5(user_id::VARCHAR), 1 + 4 * i, 4))::BIGINT
+                  % {m})) AS pos
+      FROM events
+    ),
+    words AS (
+      SELECT (pos // 64)::INT AS widx,
+             bit_or(CASE WHEN (pos % 64) = 63
+                         THEN (-9223372036854775807 - 1)::BIGINT
+                         ELSE 1::BIGINT << (pos % 64)::INT END) AS word
+      FROM pos GROUP BY 1
+    ),
+    cand AS (SELECT unnest(range({n_probe}))::BIGINT AS probe_id),
+    pp AS (
+      SELECT c.probe_id,
+             ('0x' || substr(md5(c.probe_id::VARCHAR), 1 + 4 * i.i, 4))::BIGINT
+               % {m} AS pos
+      FROM cand c CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i) i
+    ),
+    hit AS (
+      SELECT p.probe_id,
+             coalesce((w.word >> (p.pos % 64)::INT) & 1, 0) AS bit
+      FROM pp p LEFT JOIN words w ON w.widx = (p.pos // 64)::INT
+    )
+    SELECT probe_id FROM hit GROUP BY probe_id HAVING min(bit) = 1
+    """
+
+
+@register("streaming_bloom_users", oracle=_streaming_bloom_oracle())
+def streaming_bloom_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom-filter maintenance, value-checked — the third
+    mergeable-sketch family (HLL: max, CMS: +, Bloom: bitwise OR): each
+    micro-batch contributes its partial (word-index, word) bit entries,
+    folded via merge_upsert(|). The drained filter probes a 300-id
+    candidate list with zero false negatives; the oracle replays bit
+    positions, word packing, OR-merge, and the probe, so membership is
+    hash-exact. The production use is shuffle pruning: build over the
+    small side's keys per batch, broadcast ~KBs, drop big-side rows
+    before they pay the shuffle."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.sketches import (
+        _bloom_positions,
+        bloom_entries_to_bitmap,
+        bloom_probe,
+    )
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot,
+        start_aggregate_maintenance,
+    )
+
+    m_bits, k = 12, 4
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_bloom_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    pos_cols = _bloom_positions(F.col("user_id").cast("string"), m_bits, k)
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+        .select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .select(
+            F.shiftright("pos", 6).cast("int").alias("widx"),
+            (F.col("pos") % 64).cast("int").alias("bit"),
+        )
+    )
+    q = start_aggregate_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        key_cols=["widx"],
+        partial_aggs=[
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word")
+        ],
+        combines={"word": lambda t, u: t.bitwiseOR(u)},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    bitmap = bloom_entries_to_bitmap(
+        read_latest_snapshot(spark, f"{work}/state"), m_bits
+    )
+    cand = spark.range(300).withColumnRenamed("id", "probe_id")
+    return bloom_probe(
+        cand, bitmap, F.col("probe_id").cast("string"), m_bits, k
+    )

@@ -220,13 +220,25 @@ def bloom_build(
         .groupBy("widx")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word"))
     )
+    return bloom_entries_to_bitmap(entries, m_bits)
+
+
+def bloom_entries_to_bitmap(entries: DataFrame, m_bits: int) -> DataFrame:
+    """Assemble sparse (widx, word) entries into the dense 1-row bitmap
+    array ``bloom_probe`` consumes. Exposed so STREAMING maintenance can
+    keep the entries as mergeable state (words merge under bitwise OR)
+    and densify only at read time."""
+    n_words = (1 << m_bits) >> 6
+    # element_at on a MAP looks up BY KEY (unlike the 1-based positional
+    # lookup on arrays): dense array slot i must read map key i, so that
+    # the probe's 1-based element_at(bloom, widx + 1) lands on word widx.
     return entries.agg(
         F.map_from_entries(F.collect_list(F.struct("widx", "word"))).alias("m")
     ).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_words - 1)),
             lambda i: F.coalesce(
-                F.element_at("m", i + 1), F.lit(0).cast("long")
+                F.element_at("m", i), F.lit(0).cast("long")
             ),
         ).alias("bloom")
     )

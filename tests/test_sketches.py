@@ -77,3 +77,34 @@ def test_cms_never_underestimates_and_is_tight_here(spark, zipf_counts):
     # that at least the top key should be exact.
     top = max(rows, key=lambda r: r.exact_cnt)
     assert top.cms_estimate == top.exact_cnt
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, sf_small):
+    """Every inserted key must probe as present (no false negatives —
+    the Bloom contract); false positives over a disjoint candidate set
+    stay near the analytic k,m,n bound. Regression test for the
+    element_at-on-map off-by-one that silently shifted every word of the
+    dense bitmap (map lookup is BY KEY, not 1-based position)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_capstone_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    keys = ev.select(F.col("user_id").cast("string").alias("k")).distinct()
+    n = keys.count()
+    bm = bloom_build(keys, F.col("k"), 12, 4)
+    present = bloom_probe(keys, bm, F.col("k"), 12, 4).count()
+    assert present == n  # no false negatives
+    absent = spark.range(1_000_000, 1_001_000).select(
+        F.col("id").cast("string").alias("k")
+    )
+    fp = bloom_probe(absent, bm, F.col("k"), 12, 4).count()
+    # analytic FP ~ (1 - exp(-k n / m))^k; generous 5x headroom
+    import math
+
+    p = (1 - math.exp(-4 * n / 4096)) ** 4
+    assert fp <= max(5, 5 * p * 1000), (fp, p)
