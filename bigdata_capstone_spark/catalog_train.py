@@ -672,3 +672,108 @@ def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = synthetic_assets(spark, n=64)
     sized = extract_features(assets).select("asset_id", "n_bytes")
     return shard_packing_plan(sized, budget_bytes=1000)
+
+
+@register(
+    "warehouse_expectations",
+    oracle="""
+    SELECT check_name, n_violations,
+           CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM (
+      SELECT 'customer_pk_not_null' AS check_name,
+             count(*) FILTER (c_custkey IS NULL)::BIGINT AS n_violations
+      FROM customer
+      UNION ALL
+      SELECT 'customer_pk_unique',
+             coalesce(sum(n - 1), 0)::BIGINT
+      FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
+      UNION ALL
+      SELECT 'orders_pk_unique',
+             coalesce(sum(n - 1), 0)::BIGINT
+      FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'orders_custkey_fk',
+             count(*)::BIGINT
+      FROM orders o
+      WHERE o.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk',
+             count(*)::BIGINT
+      FROM lineitem l
+      WHERE l.l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'lineitem_quantity_range',
+             count(*) FILTER (NOT coalesce(l_quantity BETWEEN 1 AND 50,
+                                           false))::BIGINT
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_discount_range',
+             count(*) FILTER (NOT coalesce(l_discount BETWEEN 0 AND 0.1,
+                                           false))::BIGINT
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_price_positive',
+             count(*) FILTER (NOT coalesce(l_extendedprice > 0,
+                                           false))::BIGINT
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_status_domain',
+             count(*) FILTER (NOT coalesce(o_orderstatus IN ('O','F','P'),
+                                           false))::BIGINT
+      FROM orders
+    )
+    """,
+)
+def warehouse_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (deequ/dbt-test shape) over the
+    warehouse fixture: primary-key nullability + uniqueness, referential
+    integrity orders->customer and lineitem->orders, value-range and
+    domain constraints, and price positivity —
+    one (check, n_violations, status) row each, all value-checked. The
+    gate every load/refresh runs before consumers trust the tables; at
+    100 TB each check is a narrow one-scan aggregate or a key-only
+    anti-join count (see operators/expectations.py)."""
+    from bigdata_capstone_spark.operators import expectations as X
+
+    ensure_utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return X.run_suite(
+        [
+            X.check_not_null(customer, "customer_pk_not_null", "c_custkey"),
+            X.check_unique(customer, "customer_pk_unique", ["c_custkey"]),
+            X.check_unique(orders, "orders_pk_unique", ["o_orderkey"]),
+            X.check_referential(
+                orders, "orders_custkey_fk", "o_custkey", customer, "c_custkey"
+            ),
+            X.check_referential(
+                li, "lineitem_orderkey_fk", "l_orderkey", orders, "o_orderkey",
+                broadcast_parent=False,
+            ),
+            X.check_condition(
+                li,
+                "lineitem_quantity_range",
+                F.col("l_quantity").between(1, 50),
+            ),
+            X.check_condition(
+                li,
+                "lineitem_discount_range",
+                F.col("l_discount").between(0, 0.1),
+            ),
+            X.check_condition(
+                li,
+                "lineitem_price_positive",
+                F.col("l_extendedprice") > 0,
+            ),
+            X.check_condition(
+                orders,
+                "orders_status_domain",
+                F.col("o_orderstatus").isin("O", "F", "P"),
+            ),
+        ]
+    )

@@ -279,3 +279,33 @@ def test_shard_packing_python_parity(spark):
         expect[i] = (shard, pos, nb)
         cum += nb
     assert got == expect
+
+
+def test_expectations_count_planted_violations(spark):
+    """Each check type must count exactly the violations planted in a
+    hand-built fixture (nulls, dup keys, orphans, out-of-range, and the
+    null-fails-constraint rule)."""
+    from bigdata_capstone_spark.operators import expectations as X
+
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, -5.0), (None, 7.0), (9, None)],
+        "k INT, v DOUBLE",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "k INT")
+    report = {
+        r["check_name"]: (r["n_violations"], r["status"])
+        for r in X.run_suite(
+            [
+                X.check_not_null(child, "k_not_null", "k"),
+                X.check_unique(child, "k_unique", ["k"]),
+                X.check_referential(child, "k_fk", "k", parent, "k"),
+                X.check_condition(
+                    child, "v_positive", F.col("v") > 0
+                ),
+            ]
+        ).collect()
+    }
+    assert report["k_not_null"] == (1, "fail")
+    assert report["k_unique"] == (1, "fail")      # one extra row for k=1
+    assert report["k_fk"] == (1, "fail")          # k=9 orphan (null k skipped)
+    assert report["v_positive"] == (2, "fail")    # -5.0 and the NULL value
