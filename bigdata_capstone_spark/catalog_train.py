@@ -777,3 +777,140 @@ def warehouse_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# Training-prep for representation / recommender models: hard negatives
+# from the embedding space, PRF negative sampling from the ratings matrix.
+# --------------------------------------------------------------------------
+
+def _hard_negatives_oracle(k: int) -> str:
+    cos = (
+        "(list_sum(list_transform(generate_series(1, len(a)), "
+        "i -> a[i] * b[i])) / "
+        "(sqrt(list_sum(list_transform(generate_series(1, len(a)), "
+        "i -> a[i] * a[i]))) * "
+        "sqrt(list_sum(list_transform(generate_series(1, len(b)), "
+        "i -> b[i] * b[i])))))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id, c.label AS neg_label,
+             round({cos}, 6) AS cosine_r
+      FROM e q JOIN e c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label,
+      LATERAL (SELECT q.v AS a, c.v AS b) ab
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, vec_id, neg_label, cosine_r, rank FROM (
+      SELECT *, (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_r DESC, vec_id))::INT
+               AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("embedding_hard_negatives", oracle=_hard_negatives_oracle(10))
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over the labeled embedding table: for each
+    query (vec_id < 5) the 10 most-similar vectors with a DIFFERENT
+    label — the near-miss negatives a contrastive/metric-learning loss
+    trains on. Exact scan here (the mining oracle); at 100 TB the same
+    label-mismatch filter + re-rank rides the LSH/IVF/PQ candidate
+    paths (see `simsearch.hard_negatives_topk`)."""
+    from bigdata_capstone_spark.operators.simsearch import hard_negatives_topk
+
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return hard_negatives_topk(emb, queries, k=10)
+
+
+def _negative_samples_oracle(n_pop: int, k: int) -> str:
+    from bigdata_capstone_spark.sources.ratings import ratings_oracle_cte
+
+    prf = md5_long_sql("'neg:' || userId || ':' || movieId")
+    return f"""
+    WITH {ratings_oracle_cte()},
+    clean AS (
+      SELECT userId, movieId, rating FROM ratings
+      WHERE userId IS NOT NULL AND movieId IS NOT NULL
+        AND rating IS NOT NULL
+    ),
+    ui AS (SELECT DISTINCT userId, movieId FROM clean),
+    pop AS (
+      SELECT movieId FROM (
+        SELECT movieId, count(*) AS c FROM ui GROUP BY 1
+        ORDER BY c DESC, movieId LIMIT {n_pop}
+      )
+    ),
+    users AS (SELECT DISTINCT userId FROM clean),
+    cand AS (
+      SELECT u.userId, p.movieId
+      FROM users u CROSS JOIN pop p
+      WHERE NOT EXISTS (SELECT 1 FROM ui
+                        WHERE ui.userId = u.userId
+                          AND ui.movieId = p.movieId)
+    )
+    SELECT userId, movieId, rank FROM (
+      SELECT userId, movieId,
+             (row_number() OVER (PARTITION BY userId
+                                 ORDER BY {prf}, movieId))::INT AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ratings_negative_samples", oracle=_negative_samples_oracle(50, 5))
+def ratings_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRF negative sampling for implicit-feedback training: for every
+    user, 5 pseudo-random movies they have NOT rated, drawn from the 50
+    most-popular (popularity-biased negatives — the standard choice, as
+    uniform negatives are too easy). The draw is a pure md5 PRF of
+    (user, movie), so the sample is reproducible anywhere with no RNG
+    state — unlike the reference's driver-side random.sample
+    (customer_segmentation_2.py:62-69).
+
+    Scale shape: the popularity head is a tiny broadcast; candidates are
+    users x 50 (bounded), the rated-pair anti-join shuffles only (user,
+    movie) keys, and the per-user top-5 window partitions are exactly 50
+    rows each — no skew possible."""
+    from bigdata_capstone_spark.operators.relational import grouped_top_k
+    from bigdata_capstone_spark.sources.ratings import synthetic_ratings
+
+    clean = synthetic_ratings(spark).dropna(
+        subset=["userId", "movieId", "rating"]
+    )
+    ui = clean.select("userId", "movieId").distinct().cache()
+    pop = (
+        ui.groupBy("movieId")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.col("movieId"))
+        .limit(50)
+        .select("movieId")
+    )
+    users = clean.select("userId").distinct()
+    cand = users.crossJoin(F.broadcast(pop)).join(
+        ui, on=["userId", "movieId"], how="left_anti"
+    )
+    prf = md5_long(
+        F.concat(
+            F.lit("neg:"),
+            F.col("userId").cast("string"),
+            F.lit(":"),
+            F.col("movieId").cast("string"),
+        )
+    )
+    ranked = grouped_top_k(
+        cand.withColumn("__prf", prf),
+        ["userId"],
+        [F.col("__prf"), F.col("movieId")],
+        5,
+        rank_col="rank",
+    )
+    return ranked.select(
+        "userId", "movieId", F.col("rank").cast("int").alias("rank")
+    )

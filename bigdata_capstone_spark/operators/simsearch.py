@@ -609,3 +609,60 @@ def pq_topk_prf(
         reranked, ["query_id"], [F.desc("cosine_r"), F.col(id_col)], k,
         rank_col="rank",
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    near-miss examples a metric-learning loss gets the most signal from
+    (easy negatives are far away; hard ones sit just across the class
+    boundary).
+
+    Same broadcast-queries x streamed-corpus shape as
+    :func:`brute_force_topk` with the label-mismatch filter applied
+    BEFORE scoring, so mismatched pairs never pay the dot product. At
+    100 TB swap the exact scan for the LSH/IVF/PQ candidate paths and
+    keep the same filter + re-rank tail.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.sqrt(dot_product_col(F.col(vec_col), F.col(vec_col))).alias("qn"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot_product_col(F.col(vec_col), F.col(vec_col))).alias("cn"),
+        F.col(label_col).alias("clabel"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(
+            (F.col("query_id") != F.col(id_col))
+            & (F.col("qlabel") != F.col("clabel"))
+        )
+        .select(
+            "query_id",
+            id_col,
+            F.col("clabel").alias("neg_label"),
+            F.round(
+                dot_product_col(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cosine_r"),
+        )
+    )
+    return grouped_top_k(
+        scored, ["query_id"], [F.desc("cosine_r"), F.col(id_col)], k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("int"))

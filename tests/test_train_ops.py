@@ -309,3 +309,62 @@ def test_expectations_count_planted_violations(spark):
     assert report["k_unique"] == (1, "fail")      # one extra row for k=1
     assert report["k_fk"] == (1, "fail")          # k=9 orphan (null k skipped)
     assert report["v_positive"] == (2, "fail")    # -5.0 and the NULL value
+
+
+def test_hard_negatives_cross_label_only(spark, sf_small):
+    """Every mined negative has a different label than its query, and is
+    the true cross-label cosine top-k (checked against brute force with
+    the label filter applied after scoring)."""
+    from bigdata_capstone_spark.catalog import QUERIES
+    from bigdata_capstone_spark.operators.simsearch import brute_force_topk
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    out = QUERIES["embedding_hard_negatives"](spark, sf_small).collect()
+    for r in out:
+        assert labels[r["vec_id"]] != labels[r["query_id"]]
+        assert r["neg_label"] == labels[r["vec_id"]]
+    # brute force over the full corpus with a large k, filter labels after
+    queries = emb.filter(F.col("vec_id") < 5)
+    full = brute_force_topk(emb, queries, k=emb.count() - 1).collect()
+    expect: dict[int, list[int]] = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        if labels[r["vec_id"]] != labels[r["query_id"]]:
+            lst = expect.setdefault(r["query_id"], [])
+            if len(lst) < 10:
+                lst.append(r["vec_id"])
+    got: dict[int, list[int]] = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert got == expect
+
+
+def test_negative_samples_are_unrated_and_popular(spark, sf_small):
+    """Negatives never collide with a user's rated set, come from the
+    popularity head, and are exactly 5 per user (PRF-deterministic
+    across runs)."""
+    from bigdata_capstone_spark.catalog import QUERIES
+    from bigdata_capstone_spark.sources.ratings import synthetic_ratings
+
+    clean = synthetic_ratings(spark).dropna(
+        subset=["userId", "movieId", "rating"]
+    )
+    rated = {
+        (r["userId"], r["movieId"])
+        for r in clean.select("userId", "movieId").distinct().collect()
+    }
+    from collections import Counter
+
+    pop = Counter(m for _, m in rated)
+    top50 = {
+        m
+        for m, _ in sorted(pop.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    }
+    a = QUERIES["ratings_negative_samples"](spark, sf_small).collect()
+    b = QUERIES["ratings_negative_samples"](spark, sf_small).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_user = Counter(r["userId"] for r in a)
+    assert all(n == 5 for n in per_user.values())
+    for r in a:
+        assert (r["userId"], r["movieId"]) not in rated
+        assert r["movieId"] in top50
