@@ -63,6 +63,7 @@ HEADLINE = [
     "doc_pack_sequences",          # concat-and-chunk training-batch packing
     "embedding_pq_topk",           # product-quantization ANN (ADC + re-rank)
     "bpe_merge_pairs",             # vocab-collapsed BPE pair counting
+    "docs_training_prep_pipeline", # full prep chain: gate→dedup→budget→shard
 ]
 
 

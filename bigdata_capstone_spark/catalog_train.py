@@ -914,3 +914,199 @@ def ratings_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "userId", "movieId", F.col("rank").cast("int").alias("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Flagship composite: the WHOLE training-data prep pipeline in one
+# oracle-checked query — every stage is an operator that already has its
+# own verified entry; this proves they compose.
+# --------------------------------------------------------------------------
+
+def _training_prep_oracle() -> str:
+    from bigdata_capstone_spark.catalog import (
+        ORACLE_SQL,
+        _minhash_lsh_pairs_oracle,
+    )
+
+    pairs = _minhash_lsh_pairs_oracle(8, 4, 0.5, max_bucket_size=100).replace(
+        "FROM documents",
+        "FROM documents WHERE doc_id IN (SELECT doc_id FROM dkeep)",
+    )
+    return f"""
+    WITH RECURSIVE qual AS ({ORACLE_SQL["doc_quality"]}),
+    lang AS ({ORACLE_SQL["doc_lang_id"]}),
+    toksz AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS ws_tokens
+      FROM documents
+    ),
+    dkeep AS (
+      SELECT d.doc_id, d.source, l.lang_guess, q.quality
+      FROM documents d
+      JOIN qual q ON q.doc_id = d.doc_id
+      JOIN lang l ON l.doc_id = d.doc_id
+      WHERE q.quality >= 0.42 AND l.lang_guess <> 'und'
+    ),
+    pairs AS ({pairs}),
+    edges(src, dst) AS (
+      SELECT idA, idB FROM pairs UNION ALL SELECT idB, idA FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(a, b) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    labeled AS (
+      SELECT k.*, coalesce(c.cluster_id, k.doc_id) AS cluster_id
+      FROM dkeep k LEFT JOIN comp c ON c.doc_id = k.doc_id
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY quality DESC, doc_id) AS brn
+        FROM labeled
+      ) WHERE brn = 1
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY quality DESC, doc_id) AS crn
+        FROM best
+      ) WHERE crn <= 15
+    ),
+    budgeted AS (
+      SELECT * FROM (
+        SELECT c.*, t.ws_tokens,
+               sum(t.ws_tokens) OVER (
+                 PARTITION BY c.source
+                 ORDER BY c.quality DESC, c.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cum_tokens
+        FROM capped c JOIN toksz t ON t.doc_id = c.doc_id
+      ) WHERE cum_tokens <= 800
+    ),
+    sizes AS (SELECT lang_guess, count(*) AS n FROM budgeted GROUP BY 1),
+    nmax AS (SELECT max(n) AS nmax FROM sizes),
+    factors AS (
+      SELECT lang_guess, sqrt(nmax::DOUBLE / n::DOUBLE) AS f
+      FROM sizes CROSS JOIN nmax
+    ),
+    final AS (
+      SELECT b.doc_id, b.source, b.lang_guess,
+             round(b.quality, 6) AS quality_r, b.ws_tokens,
+             (floor(f) + CASE
+                WHEN ({md5_long_sql("'11:' || b.doc_id")} % 1000000)
+                     < floor((f - floor(f)) * 1e6)::BIGINT
+                THEN 1 ELSE 0 END)::BIGINT AS n_copies,
+             {md5_long_sql("'7:' || b.doc_id")} AS h
+      FROM budgeted b JOIN factors USING (lang_guess)
+    )
+    SELECT doc_id, source, lang_guess, quality_r, ws_tokens, n_copies,
+           (h % 4)::INT AS shard,
+           (row_number() OVER (PARTITION BY h % 4
+                               ORDER BY h, doc_id))::INT AS pos
+    FROM final
+    """
+
+
+@register("docs_training_prep_pipeline", oracle=_training_prep_oracle())
+def docs_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data prep pipeline, end to end, hash-checked:
+    language-ID + quality gate -> minhash-LSH near-dup clusters (capped
+    banding) -> keep-best retention -> per-source cap (15) -> 800-token
+    budget fill -> sqrt epoch repeat factors -> PRF shuffle-sharding
+    (4 shards). Every stage is an operator with its own verified entry;
+    this entry proves they COMPOSE — the DuckDB oracle replays the full
+    chain including the recursive-CTE closure, so the final per-doc
+    disposition (kept, copies, shard, position) is value-exact.
+
+    Scale shape is the union of its parts (each documented at its own
+    entry): text is scanned once for quality/lang/tokens; the dedup
+    shuffle carries digests; everything after retention operates on the
+    budget-bounded survivor set."""
+    from pyspark.sql.window import Window
+
+    from bigdata_capstone_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+    from bigdata_capstone_spark.operators.relational import grouped_top_k
+    from bigdata_capstone_spark.operators.sampling import epoch_repeat_factors
+    from bigdata_capstone_spark.operators.textops import (
+        lang_id_heuristic,
+        quality_score,
+        token_count,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    qual = quality_score(docs)
+    lang = lang_id_heuristic(docs)
+    dkeep = (
+        docs.select("doc_id", "source")
+        .join(qual, on="doc_id")
+        .join(lang.select("doc_id", "lang_guess"), on="doc_id")
+        .filter((F.col("quality") >= 0.42) & (F.col("lang_guess") != "und"))
+        .cache()
+    )
+    pairs = minhash_near_dup_pairs(
+        docs.join(dkeep.select("doc_id"), on="doc_id", how="left_semi"),
+        n_perm=8,
+        bands=4,
+        min_jaccard=0.5,
+        max_bucket_size=100,
+    )
+    comp = connected_components(pairs, a_col="idA", b_col="idB")
+    labeled = dkeep.join(
+        comp.withColumnRenamed("node", "doc_id"), on="doc_id", how="left"
+    ).select(
+        "doc_id",
+        "source",
+        "lang_guess",
+        "quality",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+    best = grouped_top_k(
+        labeled, ["cluster_id"], [F.desc("quality"), F.col("doc_id")], 1,
+        rank_col="__brn",
+    ).drop("__brn")
+    capped = grouped_top_k(
+        best, ["source"], [F.desc("quality"), F.col("doc_id")], 15,
+        rank_col="__crn",
+    ).drop("__crn")
+    toks = token_count(docs).select("doc_id", "ws_tokens")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = (
+        capped.join(toks, on="doc_id")
+        .withColumn("cum_tokens", F.sum("ws_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 800)
+        .cache()
+    )
+    copies = epoch_repeat_factors(
+        budgeted, group_col="lang_guess", key_col="doc_id", seed=11
+    ).select("doc_id", "n_copies")
+    h = md5_long(F.concat(F.lit("7:"), F.col("doc_id").cast("string")))
+    wp = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    return (
+        budgeted.join(copies, on="doc_id")
+        .withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(4)).cast("int"))
+        .withColumn("pos", F.row_number().over(wp).cast("int"))
+        .select(
+            "doc_id",
+            "source",
+            "lang_guess",
+            F.round("quality", 6).alias("quality_r"),
+            "ws_tokens",
+            "n_copies",
+            "shard",
+            "pos",
+        )
+    )
