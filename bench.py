@@ -63,8 +63,12 @@ HEADLINE = [
     "doc_pack_sequences",          # concat-and-chunk training-batch packing
     "embedding_pq_topk",           # product-quantization ANN (ADC + re-rank)
     "bpe_merge_pairs",             # vocab-collapsed BPE pair counting
-    "docs_training_prep_pipeline", # full prep chain: gate→dedup→budget→shard
 ]
+# docs_training_prep_pipeline (the end-to-end composite) is deliberately
+# NOT in the headline: its cost at bench scale is the fixed per-round
+# overhead of the iterative closure (~20s for 300 surviving rows — see
+# SCALE.md), which would read as a perf signal when it is a composition
+# showcase; its stages are all benchmarked individually above.
 
 
 def main() -> int:

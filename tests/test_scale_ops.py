@@ -231,3 +231,54 @@ def test_merge_upsert_branches(spark):
         assert (out[2]["name"], out[2]["bal"]) == ("b2", 25.0)  # update+combine
         assert out[3]["name"] is None and out[3]["bal"] is None # null + combine
         assert (out[9]["name"], out[9]["bal"]) == ("new", 99.0) # insert
+
+
+def test_pq_soak_20k_vectors(spark):
+    """PQ soak at 10x the sf0.1 embedding count: 20k deterministic
+    PRF-synthesized 64-dim vectors encode into 16x64 codebooks and serve
+    an ADC+re-rank search — completes with full shape invariants (the
+    wall-time envelope is recorded in SCALE.md; here we assert
+    completion and structure, not timing)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_capstone_spark.functions.portable import md5_long
+    from bigdata_capstone_spark.operators.simsearch import (
+        pq_codes_prf,
+        pq_topk_prf,
+    )
+
+    n = 20_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                (
+                    md5_long(
+                        F.concat(
+                            F.lit("v:"),
+                            F.col("id").cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                        )
+                    )
+                    % 2000
+                ).cast("double")
+                / 1000.0
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    ).cache()
+    codes = pq_codes_prf(corpus, dim=64, m=16, k_codes=64)
+    assert codes.count() == n * 16
+    queries = corpus.filter(F.col("vec_id") < 10)
+    out = pq_topk_prf(
+        corpus, queries, k=10, dim=64, m=16, k_codes=64, rerank=100
+    )
+    rows = out.collect()
+    assert len(rows) == 100  # 10 queries x top-10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+    corpus.unpersist()
