@@ -412,7 +412,7 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_small):
     queries = emb.filter(F.col("vec_id") < 5)
     exact = brute_force_topk(emb, queries, k=10).collect()
     approx = pq_topk_prf(
-        emb, queries, k=10, dim=64, m=16, k_codes=32, rerank=50
+        emb, queries, k=10, dim=64, m=16, k_codes=16, rerank=100
     ).collect()
     exact_sets = {}
     for r in exact:
