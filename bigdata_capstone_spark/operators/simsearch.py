@@ -431,6 +431,35 @@ def _sub_dists_col(a, b, m: int, dsub: int):
     )
 
 
+def pq_codebook_prf(
+    train_on: DataFrame,
+    k_codes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(code, center) PRF-anchor codebook: the ``k_codes`` training
+    vectors with the smallest md5 hash of their id, numbered in hash
+    order. Build ONCE (and cache) when both the encode side and a
+    distance table consume it — independent derivations re-scan the
+    training corpus each time."""
+    from bigdata_capstone_spark.functions.portable import md5_long
+    from pyspark.sql.window import Window
+
+    hashed = train_on.select(
+        F.col(id_col),
+        F.col(vec_col),
+        md5_long(
+            F.concat(F.lit("pq:"), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    )
+    picked = hashed.orderBy("__h", id_col).limit(k_codes)
+    w = Window.orderBy("__h", id_col)
+    return (
+        picked.withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+        .select("code", F.col(vec_col).alias("center"))
+    )
+
+
 def pq_codes_prf(
     corpus: DataFrame,
     dim: int,
@@ -439,6 +468,7 @@ def pq_codes_prf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_on: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codes (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011) with DETERMINISTIC PRF-anchor
@@ -467,23 +497,12 @@ def pq_codes_prf(
     (corpus x k_codes, all JVM expressions) + one argmin shuffle keyed
     (id, s) — no skew (every key has exactly k_codes rows).
     """
-    from bigdata_capstone_spark.functions.portable import md5_long
-    from pyspark.sql.window import Window
-
     dsub = dim // m
-    hashed = (train_on if train_on is not None else corpus).select(
-        F.col(id_col),
-        F.col(vec_col),
-        md5_long(
-            F.concat(F.lit("pq:"), F.col(id_col).cast("string"))
-        ).alias("__h"),
-    )
-    picked = hashed.orderBy("__h", id_col).limit(k_codes)
-    w = Window.orderBy("__h", id_col)
-    codebook = (
-        picked.withColumn("code", (F.row_number().over(w) - 1).cast("int"))
-        .select("code", F.col(vec_col).alias("center"))
-    )
+    if codebook is None:
+        codebook = pq_codebook_prf(
+            train_on if train_on is not None else corpus, k_codes,
+            id_col, vec_col,
+        )
 
     pairs = corpus.crossJoin(F.broadcast(codebook)).select(
         F.col(id_col),
@@ -534,25 +553,15 @@ def pq_topk_prf(
     the memory/IO win PQ exists for. Smaller ADC = nearer; the final
     ranks are exact-cosine descending with id tie-break.
     """
-    codes = pq_codes_prf(corpus, dim, m, k_codes, id_col, vec_col)
-
-    from bigdata_capstone_spark.functions.portable import md5_long
-    from pyspark.sql.window import Window
+    # ONE codebook derivation shared by encode and distance table — each
+    # independent derivation re-scans the training corpus (plan audit
+    # found 10 embedding scans in the catalog entry before this).
+    codebook = pq_codebook_prf(corpus, k_codes, id_col, vec_col).cache()
+    codes = pq_codes_prf(
+        corpus, dim, m, k_codes, id_col, vec_col, codebook=codebook
+    )
 
     dsub = dim // m
-    hashed = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        md5_long(
-            F.concat(F.lit("pq:"), F.col(id_col).cast("string"))
-        ).alias("__h"),
-    )
-    picked = hashed.orderBy("__h", id_col).limit(k_codes)
-    w = Window.orderBy("__h", id_col)
-    codebook = (
-        picked.withColumn("code", (F.row_number().over(w) - 1).cast("int"))
-        .select("code", F.col(vec_col).alias("center"))
-    )
 
     # Distance-table entries are rounded to MICRO-UNIT INTEGERS before the
     # per-(query, id) sum: integer sums are order-independent, so the ADC
