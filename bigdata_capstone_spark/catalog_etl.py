@@ -1538,7 +1538,7 @@ def streaming_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
     from bigdata_capstone_spark.streaming.upsert import (
-        read_latest_snapshot,
+        read_latest_snapshot_or_empty,
         start_aggregate_maintenance,
     )
 
@@ -1574,7 +1574,12 @@ def streaming_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return read_latest_snapshot(spark, f"{work}/state").select(
+    return read_latest_snapshot_or_empty(
+        spark,
+        f"{work}/state",
+        "day TIMESTAMP, n BIGINT, s DECIMAL(28,2), "
+        "min_value DOUBLE, max_value DOUBLE",
+    ).select(
         "day",
         "n",
         F.col("s").cast("double").alias("total_value"),
@@ -1977,7 +1982,7 @@ def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
     from bigdata_capstone_spark.streaming.upsert import (
-        read_latest_snapshot,
+        read_latest_snapshot_or_empty,
         start_aggregate_maintenance,
     )
 
@@ -2004,7 +2009,9 @@ def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    regs = read_latest_snapshot(spark, f"{work}/state")
+    regs = read_latest_snapshot_or_empty(
+        spark, f"{work}/state", "bucket BIGINT, rho_max INT"
+    )
     return hll_estimate_from_registers(regs, [])
 
 
@@ -2054,7 +2061,7 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
     from bigdata_capstone_spark.streaming.upsert import (
-        read_latest_snapshot,
+        read_latest_snapshot_or_empty,
         start_aggregate_maintenance,
     )
 
@@ -2085,7 +2092,9 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    counters = read_latest_snapshot(spark, f"{work}/state")
+    counters = read_latest_snapshot_or_empty(
+        spark, f"{work}/state", "r INT, slot INT, cnt BIGINT"
+    )
     cand = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
@@ -2148,7 +2157,7 @@ def streaming_bloom_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
     from bigdata_capstone_spark.streaming.upsert import (
-        read_latest_snapshot,
+        read_latest_snapshot_or_empty,
         start_aggregate_maintenance,
     )
 
@@ -2183,7 +2192,10 @@ def streaming_bloom_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     bitmap = bloom_entries_to_bitmap(
-        read_latest_snapshot(spark, f"{work}/state"), m_bits
+        read_latest_snapshot_or_empty(
+            spark, f"{work}/state", "widx INT, word BIGINT"
+        ),
+        m_bits,
     )
     cand = spark.range(300).withColumnRenamed("id", "probe_id")
     return bloom_probe(

@@ -1036,7 +1036,10 @@ def docs_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_near_dup_pairs,
     )
     from bigdata_capstone_spark.operators.relational import grouped_top_k
-    from bigdata_capstone_spark.operators.sampling import epoch_repeat_factors
+    from bigdata_capstone_spark.operators.sampling import (
+        epoch_repeat_factors,
+        shuffle_shards,
+    )
     from bigdata_capstone_spark.operators.textops import (
         lang_id_heuristic,
         quality_score,
@@ -1094,13 +1097,10 @@ def docs_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = epoch_repeat_factors(
         budgeted, group_col="lang_guess", key_col="doc_id", seed=11
     ).select("doc_id", "n_copies")
-    h = md5_long(F.concat(F.lit("7:"), F.col("doc_id").cast("string")))
-    wp = Window.partitionBy("shard").orderBy("__h", "doc_id")
     return (
-        budgeted.join(copies, on="doc_id")
-        .withColumn("__h", h)
-        .withColumn("shard", F.pmod(F.col("__h"), F.lit(4)).cast("int"))
-        .withColumn("pos", F.row_number().over(wp).cast("int"))
+        shuffle_shards(
+            budgeted.join(copies, on="doc_id"), "doc_id", n_shards=4, seed=7
+        )
         .select(
             "doc_id",
             "source",

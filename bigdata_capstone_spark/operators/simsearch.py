@@ -36,7 +36,8 @@ from bigdata_capstone_spark.operators.relational import grouped_top_k
 
 
 def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str,
-               id_col: str, vec_col: str) -> DataFrame:
+               id_col: str, vec_col: str, extra: list | None = None
+               ) -> DataFrame:
     """(id, vec, ||vec||) projection: the L2 norm is computed ONCE per
     vector instead of once per compared pair — identical expression (sqrt
     of the left-to-right self-dot), so downstream cosines are bit-identical
@@ -46,6 +47,7 @@ def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str,
         F.col(id_col).alias(id_alias),
         F.col(vec_col).alias(vec_alias),
         F.sqrt(dot_product_col(F.col(vec_col), F.col(vec_col))).alias(norm_alias),
+        *(extra or []),
     )
 
 
@@ -497,6 +499,8 @@ def pq_codes_prf(
     (corpus x k_codes, all JVM expressions) + one argmin shuffle keyed
     (id, s) — no skew (every key has exactly k_codes rows).
     """
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     dsub = dim // m
     if codebook is None:
         codebook = pq_codebook_prf(
@@ -545,17 +549,20 @@ def pq_topk_prf(
 
     Scale shape: the distance table (|Q| * m * k_codes rows) is broadcast
     onto the code table — the ADC scan side carries only (id, s, code);
-    the per-(query, id) ADC sum folds the ``m`` partial distances in
-    subspace order (collect_list + array_sort + ordered aggregate), which
-    keeps the double accumulation order engine-identical for the oracle
-    hash. Raw vectors are touched only for the ``|Q| * rerank`` shortlist
+    the per-(query, id) ADC sum adds the ``m`` partial distances as
+    MICRO-UNIT INTEGERS (each rounded to 1e-6 before the sum), so the
+    reduce is an order-independent hash aggregate that both engines
+    compute identically — no ordered fold needed. Raw vectors are touched only for the ``|Q| * rerank`` shortlist
     rows (a semi-join-sized lookup), never for the full corpus — that is
     the memory/IO win PQ exists for. Smaller ADC = nearer; the final
     ranks are exact-cosine descending with id tie-break.
     """
     # ONE codebook derivation shared by encode and distance table — each
     # independent derivation re-scans the training corpus (plan audit
-    # found 10 embedding scans in the catalog entry before this).
+    # found 10 embedding scans in the catalog entry before this). The
+    # cache is session-scoped by design: it must outlive the returned
+    # lazy plan, so the caller's session (bench/tests clearCache between
+    # queries) owns its lifetime.
     codebook = pq_codebook_prf(corpus, k_codes, id_col, vec_col).cache()
     codes = pq_codes_prf(
         corpus, dim, m, k_codes, id_col, vec_col, codebook=codebook
@@ -635,24 +642,21 @@ def hard_negatives_topk(
     boundary).
 
     Same broadcast-queries x streamed-corpus shape as
-    :func:`brute_force_topk` with the label-mismatch filter applied
-    BEFORE scoring, so mismatched pairs never pay the dot product. At
+    :func:`brute_force_topk` with the label filter applied BEFORE
+    scoring, so SAME-label pairs (the non-negatives) never pay the dot
+    product. At
     100 TB swap the exact scan for the LSH/IVF/PQ candidate paths and
     keep the same filter + re-rank tail.
     """
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.sqrt(dot_product_col(F.col(vec_col), F.col(vec_col))).alias("qn"),
-            F.col(label_col).alias("qlabel"),
+        _with_norm(
+            queries, "query_id", "qv", "qn", id_col, vec_col,
+            extra=[F.col(label_col).alias("qlabel")],
         )
     )
-    c = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("cv"),
-        F.sqrt(dot_product_col(F.col(vec_col), F.col(vec_col))).alias("cn"),
-        F.col(label_col).alias("clabel"),
+    c = _with_norm(
+        corpus, id_col, "cv", "cn", id_col, vec_col,
+        extra=[F.col(label_col).alias("clabel")],
     )
     scored = (
         q.crossJoin(c)

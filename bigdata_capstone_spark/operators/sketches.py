@@ -208,7 +208,6 @@ def bloom_build(
     """One-row DataFrame holding the bitmap: (bloom: array<long>, 2^m_bits
     bits packed 64 per word). The bit_or aggregate combines map-side, so
     the shuffle carries at most partitions × (2^m_bits / 64) words."""
-    n_words = (1 << m_bits) >> 6
     pos = df.select(
         F.explode(F.array(*_bloom_positions(key_col, m_bits, k))).alias("pos")
     )

@@ -134,3 +134,17 @@ def start_aggregate_maintenance(
         .outputMode("append")
         .start()
     )
+
+
+def read_latest_snapshot_or_empty(
+    spark, base_path: str, schema_ddl: str
+) -> DataFrame:
+    """Snapshot read that degrades to an EMPTY frame of the declared
+    schema when no epoch was ever written (an all-empty stream takes the
+    isEmpty early-return in every batch, so no v_* dir exists). Callers
+    that aggregate the state (sketch estimates, reports) then produce an
+    empty/zero result instead of crashing on None."""
+    snap = read_latest_snapshot(spark, base_path)
+    if snap is not None:
+        return snap
+    return spark.createDataFrame([], schema_ddl)
