@@ -1112,3 +1112,49 @@ def docs_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
         )
     )
+
+
+def _changelog_oracle() -> str:
+    from bigdata_capstone_spark.catalog_etl import _MERGED_CUSTOMER_CTES
+
+    return f"""
+    WITH {_MERGED_CUSTOMER_CTES},
+    j AS (
+      SELECT coalesce(c.c_custkey, m.c_custkey) AS c_custkey,
+             c.c_acctbal AS old_c_acctbal,
+             c.c_mktsegment AS old_c_mktsegment,
+             m.c_acctbal AS new_c_acctbal,
+             m.c_mktsegment AS new_c_mktsegment,
+             CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                  WHEN m.c_custkey IS NULL THEN 'delete'
+                  WHEN c.c_acctbal    IS DISTINCT FROM m.c_acctbal
+                    OR c.c_mktsegment IS DISTINCT FROM m.c_mktsegment
+                  THEN 'update' END AS op
+      FROM customer c FULL OUTER JOIN merged m USING (c_custkey)
+    )
+    SELECT op, c_custkey, old_c_acctbal, old_c_mktsegment,
+           new_c_acctbal, new_c_mktsegment
+    FROM j WHERE op IS NOT NULL
+    """
+
+
+@register("customer_merge_changelog", oracle=_changelog_oracle())
+def customer_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC feed for the customer MERGE: the insert/update/delete
+    stream (with old/new balance and segment) that transforms the
+    pre-merge dimension into the post-merge snapshot — what a lakehouse
+    change-data feed publishes so downstream consumers can apply the
+    delta incrementally instead of re-reading the table. Output is
+    bounded by change volume, not table size (see `reconcile.changelog`)."""
+    from bigdata_capstone_spark.catalog_etl import customer_balance_merge
+    from bigdata_capstone_spark.operators.reconcile import changelog
+
+    ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    merged = customer_balance_merge(spark, sf_dir)
+    return changelog(
+        cust,
+        merged,
+        on=["c_custkey"],
+        compare_cols=["c_acctbal", "c_mktsegment"],
+    )

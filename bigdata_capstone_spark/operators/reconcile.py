@@ -65,3 +65,58 @@ def snapshot_diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def changelog(
+    old: DataFrame,
+    new: DataFrame,
+    on: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change-data feed between two snapshot versions — the
+    REVERSE of MERGE: given (old, new), emit the insert/update/delete
+    stream that transforms one into the other (what lakehouse CDC feeds
+    publish to downstream incremental consumers). Unchanged keys are
+    dropped; each emitted row carries the key, ``op`` in
+    insert|update|delete, and ``old_<col>`` / ``new_<col>`` for every
+    compared column. Null-safe comparison (eqNullSafe / IS NOT DISTINCT
+    FROM), same contract as :func:`snapshot_diff`.
+
+    Scale shape: one key-shuffle full-outer join; output is bounded by
+    the CHANGE volume, not the table size — the property incremental
+    consumers depend on."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in on
+        ]
+    o = old.select(
+        *on,
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(1).alias("_o_present"),
+    )
+    n = new.select(
+        *on,
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(1).alias("_n_present"),
+    )
+    joined = o.join(n, on=on, how="full_outer")
+    any_changed: Column = F.lit(False)
+    for c in compare_cols:
+        any_changed = any_changed | ~F.col(f"old_{c}").eqNullSafe(
+            F.col(f"new_{c}")
+        )
+    op = (
+        F.when(F.col("_o_present").isNull(), "insert")
+        .when(F.col("_n_present").isNull(), "delete")
+        .when(any_changed, "update")
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            *on,
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -368,3 +368,31 @@ def test_negative_samples_are_unrated_and_popular(spark, sf_small):
     for r in a:
         assert (r["userId"], r["movieId"]) not in rated
         assert r["movieId"] in top50
+
+
+def test_changelog_roundtrip_applies(spark):
+    """Applying the emitted changelog to the old snapshot must reproduce
+    the new snapshot exactly (insert adds, update replaces, delete
+    removes) — the CDC contract."""
+    from bigdata_capstone_spark.operators.reconcile import changelog
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C")],
+        "k INT, bal DOUBLE, seg STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 25.0, "B"), (4, 40.0, "D")],
+        "k INT, bal DOUBLE, seg STRING",
+    )
+    log = changelog(old, new, on=["k"]).collect()
+    ops = {r["k"]: r["op"] for r in log}
+    assert ops == {2: "update", 3: "delete", 4: "insert"}
+    # apply
+    state = {r["k"]: (r["bal"], r["seg"]) for r in old.collect()}
+    for r in log:
+        if r["op"] == "delete":
+            state.pop(r["k"])
+        else:
+            state[r["k"]] = (r["new_bal"], r["new_seg"])
+    expect = {r["k"]: (r["bal"], r["seg"]) for r in new.collect()}
+    assert state == expect
