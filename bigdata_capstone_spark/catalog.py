@@ -917,13 +917,14 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
-@register("embedding_ann_ivf")
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF coarse quantizer (KMeans cells +
-    n_probe nearest-cell search, exact-cosine re-rank). Rows-only check
-    (KMeans is not SQL-expressible); recall vs brute force asserted in
-    tests. Complements the LSH path: IVF adapts to the data distribution
-    where fixed hyperplanes cannot."""
+    n_probe nearest-cell search, exact-cosine re-rank). NOT registered:
+    the capability is value-checked by ``embedding_ann_ivf_prf`` (same
+    IVF search over a PRF-medoid index, hash-exact vs DuckDB), so a
+    rows-only registry twin added nothing — this KMeans variant stays a
+    tests-only function (recall gate: test_ivf_recall_vs_bruteforce)
+    and the production choice when adaptivity beats determinism."""
     from bigdata_capstone_spark.operators.simsearch import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1001,6 +1002,64 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_partition_pruned_windows",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1, 2
+    """,
+)
+def events_partition_pruned_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly windows over ONE WEEK of a date-partitioned events layout —
+    the partition-pruned fact-table path SCALE.md promises: the events
+    table is written Hive-partitioned by event_date
+    (sinks.write_date_partitioned_parquet), read back through the
+    load_partitioned_table choke point with a date-range partition
+    filter, and aggregated. The filter references only the partition
+    column, so Catalyst prunes ~23/30 day-directories at planning time
+    (PartitionFilters in the scan — pinned by a plan-shape test); at
+    100 TB this is the difference between scanning a week and scanning
+    three years. Value-checked against the flat-file oracle."""
+    import tempfile
+
+    from bigdata_capstone_spark.sources.sinks import (
+        write_date_partitioned_parquet,
+    )
+    from bigdata_capstone_spark.sources.tables import load_partitioned_table
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="events_by_date_")
+    write_date_partitioned_parquet(
+        load_table(spark, sf_dir, "events"), f"{work}/events", ts_col="ts"
+    )
+    pruned = load_partitioned_table(
+        spark,
+        f"{work}/events",
+        "events",
+        partition_filter=F.col("event_date").between(
+            F.to_date(F.lit("2024-01-08")), F.to_date(F.lit("2024-01-14"))
+        ),
+    )
+    return (
+        pruned.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             exact_sum("value", 2).alias("sum_value"),
@@ -2342,13 +2401,16 @@ def customer_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def monthly_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue trend with month-over-month deltas: date_trunc
-    aggregation + lag over the aggregated series. The unpartitioned window
-    runs AFTER aggregation on a months-sized frame (dozens of rows at any
-    SF) — the one place a global sort is safe by construction."""
+    aggregation, then LAG expressed as an equi-join on consecutive ranks
+    from a distributed row_number (identical lag-over-present-rows
+    semantics, no unpartitioned WindowExec — the months frame is small,
+    but the plan shape stays scale-clean by the same mechanism as every
+    other global ordering in the catalog)."""
     ensure_utc(spark)
-    from pyspark.sql.window import Window
-
     from bigdata_capstone_spark.functions.portable import exact_sum
+    from bigdata_capstone_spark.operators.relational import (
+        partitioned_row_number,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     monthly = orders.groupBy(
@@ -2357,14 +2419,23 @@ def monthly_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         exact_sum("o_totalprice", 2).alias("revenue"),
     )
-    w = Window.orderBy("month_start")
-    prev = F.lag("revenue").over(w)
-    return monthly.select(
-        "month_start",
-        "n_orders",
-        "revenue",
-        F.round(F.col("revenue") - prev, 2).alias("revenue_delta"),
-        F.round(F.col("revenue") / prev - 1, 6).alias("mom_growth"),
+    idx = partitioned_row_number(monthly, [F.col("month_start")], "__rn")
+    prev = idx.select(
+        (F.col("__rn") + 1).alias("__rn"), F.col("revenue").alias("__prev")
+    )
+    return (
+        idx.join(F.broadcast(prev), on="__rn", how="left")
+        .select(
+            "month_start",
+            "n_orders",
+            "revenue",
+            F.round(F.col("revenue") - F.col("__prev"), 2).alias(
+                "revenue_delta"
+            ),
+            F.round(F.col("revenue") / F.col("__prev") - 1, 6).alias(
+                "mom_growth"
+            ),
+        )
     )
 
 

@@ -1429,9 +1429,12 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Pareto / ABC classification: parts ranked by revenue, cumulative share
-# thresholds 80%/95% → A/B/C. One aggregate + one global-ordered window —
-# the window is a single-partition sort over |parts| rows (dimension
-# cardinality, driver-safe at any fact size; the FACT never sorts).
+# thresholds 80%/95% → A/B/C. One aggregate + a DISTRIBUTED prefix sum
+# (range-partitioned slices + broadcast slice offsets — see
+# relational.partitioned_prefix_sum): no single-partition WindowExec, so
+# the ranking scales to a billion-row part dimension. The running sum
+# accumulates in DECIMAL (exact, order-independent) so the regrouped
+# distributed sum is bit-identical to the oracle's sequential window.
 # --------------------------------------------------------------------------
 
 @register(
@@ -1440,15 +1443,16 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pr AS (
       SELECT l_partkey,
              sum(CAST(l_extendedprice * (1 - l_discount)
-                      AS DECIMAL(18,4)))::DOUBLE AS revenue
+                      AS DECIMAL(18,4))) AS rev_dec
       FROM lineitem GROUP BY l_partkey
     ), tot AS (
       SELECT sum(CAST(l_extendedprice * (1 - l_discount)
                       AS DECIMAL(18,4)))::DOUBLE AS total FROM lineitem
     ), ranked AS (
-      SELECT l_partkey, revenue,
-             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
-                                ROWS UNBOUNDED PRECEDING) / total AS cum_share
+      SELECT l_partkey, rev_dec::DOUBLE AS revenue,
+             (sum(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+                                 ROWS UNBOUNDED PRECEDING))::DOUBLE / total
+               AS cum_share
       FROM pr, tot
     )
     SELECT l_partkey, revenue, round(cum_share, 9) AS cum_share,
@@ -1459,22 +1463,25 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC classification of parts by cumulative revenue share (A/B/C bands)."""
-    from pyspark.sql.window import Window
-
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    pr = li.groupBy("l_partkey").agg(_dec_sum(rev_expr).alias("revenue"))
-    tot = li.agg(_dec_sum(rev_expr).alias("total"))
-    w = Window.orderBy(F.desc("revenue"), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
     )
-    ranked = pr.crossJoin(F.broadcast(tot)).withColumn(
-        "cum_share", F.sum("revenue").over(w) / F.col("total")
+    pr = li.groupBy("l_partkey").agg(F.sum(rev_dec).alias("rev_dec"))
+    tot = li.agg(F.sum(rev_dec).cast("double").alias("total"))
+    cum = rel.partitioned_prefix_sum(
+        pr,
+        [F.desc("rev_dec"), F.col("l_partkey")],
+        F.col("rev_dec"),
+        "cum_dec",
+    )
+    ranked = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.col("cum_dec").cast("double") / F.col("total")
     )
     return ranked.select(
         "l_partkey",
-        "revenue",
+        F.col("rev_dec").cast("double").alias("revenue"),
         F.round("cum_share", 9).alias("cum_share"),
         F.when(F.col("cum_share") <= 0.80, "A")
         .when(F.col("cum_share") <= 0.95, "B")

@@ -1255,21 +1255,19 @@ def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     length histogram; per-lang kept counts with the integer thresholds.
     The histogram cumsum runs over |distinct n_chars| rows (bounded
     domain), then the 1-row threshold frame broadcasts onto the scan."""
+    from bigdata_capstone_spark.operators.relational import (
+        partitioned_prefix_sum,
+    )
+
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
-    wc = Window.orderBy("n_chars").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select(
-        "n_chars",
-        F.sum("cnt").over(wc).alias("cum_cnt"),
-        F.sum("cnt").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
-    )
+    # distributed histogram cumsum (exact BIGINT) + a broadcast 1-row
+    # total — no unpartitioned window even over the bounded length domain
+    total = hist.agg(F.sum("cnt").alias("total"))
+    cum = partitioned_prefix_sum(
+        hist, [F.col("n_chars")], F.col("cnt"), "cum_cnt"
+    ).crossJoin(F.broadcast(total))
     thresholds = cum.agg(
         F.min(
             F.when(
@@ -1955,10 +1953,11 @@ def _streaming_hll_oracle() -> str:
       FROM events
       GROUP BY 1
     )
-    SELECT round({HLL_ALPHA_64} * {HLL_M * HLL_M} /
-                 (list_reduce(list(power(2.0, -rho_max) ORDER BY bucket),
-                              (a, x) -> a + x)::DOUBLE
-                  + ({HLL_M} - count(*))::DOUBLE), 4) AS hll_estimate,
+    SELECT CASE WHEN count(*) = 0 THEN 0.0 ELSE
+             round({HLL_ALPHA_64} * {HLL_M * HLL_M} /
+                   (list_reduce(list(power(2.0, -rho_max) ORDER BY bucket),
+                                (a, x) -> a + x)::DOUBLE
+                    + ({HLL_M} - count(*))::DOUBLE), 4) END AS hll_estimate,
            count(*)::BIGINT AS n_registers
     FROM regs
     """

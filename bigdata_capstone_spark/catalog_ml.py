@@ -25,9 +25,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from bigdata_capstone_spark.catalog import register
+from bigdata_capstone_spark.operators import relational as rel
 from bigdata_capstone_spark.functions.portable import md5_long
 from bigdata_capstone_spark.sources.ratings import (
     ratings_oracle_cte,
@@ -155,9 +155,9 @@ def hash_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "userId", md5_long(F.concat(F.lit("pair:"), F.col("userId"))).alias("h")
     )
     top100 = hashed.orderBy("h", "userId").limit(100)
-    sampled = top100.select(
-        "userId", F.row_number().over(Window.orderBy("h", "userId")).alias("rn")
-    )
+    sampled = rel.partitioned_row_number(
+        top100, [F.col("h"), F.col("userId")], "rn"
+    ).select("userId", "rn")
     a = sampled.select(F.col("userId").alias("userA"), F.col("rn").alias("rnA"))
     b = sampled.select(F.col("userId").alias("userB"), F.col("rn").alias("rnB"))
     pairs = (
@@ -496,13 +496,11 @@ def twin_correlation_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = active.select(
         "userId", md5_long(F.concat(F.lit("pair:"), F.col("userId"))).alias("h")
     )
-    sampled = (
-        hashed.orderBy("h", "userId")
-        .limit(100)
-        .select(
-            "userId", F.row_number().over(Window.orderBy("h", "userId")).alias("rn")
-        )
-    )
+    sampled = rel.partitioned_row_number(
+        hashed.orderBy("h", "userId").limit(100),
+        [F.col("h"), F.col("userId")],
+        "rn",
+    ).select("userId", "rn")
     rand_pairs = (
         sampled.select(F.col("userId").alias("userA"), F.col("rn").alias("rnA"))
         .join(

@@ -130,8 +130,8 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the re-rank — the whole compressed index is hash-verified. At 100 TB
     the scan side never touches the raw vectors: 16 small ints per corpus
     row replace 256 bytes of floats; raw floats are fetched only for the
-    |Q| x 50 shortlist (the missing compression rung under the exact /
-    LSH / IVF paths)."""
+    |Q| x 100 re-rank shortlist (the missing compression rung under the
+    exact / LSH / IVF paths)."""
     from bigdata_capstone_spark.operators.simsearch import pq_topk_prf
 
     ensure_utc(spark)
@@ -181,6 +181,69 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return bpe_pair_counts(docs, top_n=40)
+
+
+def _bpe_iterations_oracle(k: int) -> str:
+    """Unrolled k-iteration BPE oracle: each iteration is the counting
+    shape of ``bpe_merge_pairs`` plus a wrapped-string replace merge
+    (see ``textops.bpe_merge_iterations`` for why replace == greedy
+    left-to-right BPE)."""
+    sql = f"""
+    WITH toks AS ({_TOKS_SQL}),
+    vocab AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+    v0 AS (SELECT freq,
+                  regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+                    AS s
+           FROM vocab)"""
+    for i in range(1, k + 1):
+        sql += f""",
+    parts{i} AS (
+      SELECT freq,
+             string_split(substring(s, 2, length(s) - 2),
+                          chr(31) || chr(31)) AS p
+      FROM v{i - 1}
+    ),
+    pairs{i} AS (
+      SELECT freq,
+             unnest(list_transform(generate_series(1, len(p) - 1),
+                    j -> chr(31) || p[j] || chr(31) || chr(31) ||
+                         p[j + 1] || chr(31))) AS pair
+      FROM parts{i} WHERE len(p) >= 2
+    ),
+    best{i} AS (
+      SELECT {i} AS it, pair, sum(freq)::BIGINT AS pair_count
+      FROM pairs{i} GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1
+    ),
+    v{i} AS (
+      SELECT freq, replace(s, b.pair,
+                           replace(b.pair, chr(31) || chr(31), '')) AS s
+      FROM v{i - 1}, best{i} b
+    )"""
+    union = " UNION ALL ".join(
+        f"SELECT * FROM best{i}" for i in range(1, k + 1)
+    )
+    sql += f"""
+    SELECT it,
+           trim(replace(pair, chr(31) || chr(31), ' '), chr(31))
+             AS merge_pair,
+           pair_count
+    FROM ({union})"""
+    return sql
+
+
+@register("bpe_merge_iterations", oracle=_bpe_iterations_oracle(3))
+def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full BPE training iterations over the document corpus —
+    count, merge, recount — value-checked end to end (the iterated loop
+    ``bpe_merge_pairs``'s docstring describes; see
+    ``textops.bpe_merge_iterations``)."""
+    from bigdata_capstone_spark.operators.textops import (
+        bpe_merge_iterations as bpe_iter,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_iter(docs, k=3)
 
 
 @register(
@@ -883,9 +946,12 @@ def ratings_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_capstone_spark.operators.relational import grouped_top_k
     from bigdata_capstone_spark.sources.ratings import synthetic_ratings
 
+    ensure_utc(spark)
     clean = synthetic_ratings(spark).dropna(
         subset=["userId", "movieId", "rating"]
     )
+    # session-scoped cache (same lifetime contract as pq_topk_prf's
+    # codebook): reused by the candidate anti-join below
     ui = clean.select("userId", "movieId").distinct().cache()
     pop = (
         ui.groupBy("movieId")

@@ -69,16 +69,129 @@ def _fake_features(data: bytes) -> list[float]:
     return out
 
 
+def _pixel_features(w: int, h: int, pixels: list[tuple[int, int, int]]) -> list[float]:
+    """FEATURE_DIM-dim feature vector from decoded RGB pixels (row-major).
+
+    All statistics accumulate in exact integers before one final float
+    division, so the vector is bit-deterministic across platforms:
+    [w, h, mean_rgb×3, first_pixel×3, last_pixel×3, min/max/mean gray,
+    var_gray, n_pixels] — first/last pixel exposure is what lets tests
+    value-check the decode against the raw image bytes.
+    """
+    n = len(pixels)
+    sr = sum(p[0] for p in pixels)
+    sg = sum(p[1] for p in pixels)
+    sb = sum(p[2] for p in pixels)
+    grays = [p[0] + p[1] + p[2] for p in pixels]  # 0..765 ints
+    sgray = sum(grays)
+    s2gray = sum(g * g for g in grays)
+    var = (s2gray / n) - (sgray / n) ** 2
+    return [
+        float(w),
+        float(h),
+        sr / n / 255.0,
+        sg / n / 255.0,
+        sb / n / 255.0,
+        pixels[0][0] / 255.0,
+        pixels[0][1] / 255.0,
+        pixels[0][2] / 255.0,
+        pixels[-1][0] / 255.0,
+        pixels[-1][1] / 255.0,
+        pixels[-1][2] / 255.0,
+        min(grays) / 765.0,
+        max(grays) / 765.0,
+        sgray / n / 765.0,
+        var / (765.0 * 765.0),
+        float(n),
+    ]
+
+
+def _ppm_features(data: bytes) -> list[float]:
+    """REAL image decode: binary PPM (P6, maxval 255) — the one raster
+    format parseable with zero codec dependencies. Header tokens may be
+    separated by any whitespace/comments per the netpbm spec."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: magic, width, height, maxval (comments start '#')
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(data[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval} != 255 unsupported")
+    raster = data[i : i + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    pixels = [
+        (raster[3 * p], raster[3 * p + 1], raster[3 * p + 2])
+        for p in range(w * h)
+    ]
+    return _pixel_features(w, h, pixels)
+
+
+def _bmp_features(data: bytes) -> list[float]:
+    """REAL image decode: uncompressed 24-bit BI_RGB BMP (the Windows
+    default). Rows are stored bottom-up, BGR, padded to 4 bytes — decoded
+    here to the same row-major RGB pixel list as the PPM path, so the
+    same image in either container yields the identical feature vector
+    (asserted in tests)."""
+    if not data.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    pixels = []
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = off + src_row * stride
+        for x in range(w):
+            b, g, r = data[base + 3 * x : base + 3 * x + 3]
+            pixels.append((r, g, b))
+    return _pixel_features(w, h, pixels)
+
+
 def _strict_decode(data: bytes) -> list[float]:
+    """Decode REAL formats implementable without codec libraries (binary
+    PPM, uncompressed 24-bit BMP); raise for anything needing Pillow/
+    torchaudio/ffmpeg — strict mode turns a silently-fake feature into a
+    loud error on a cluster missing codecs."""
+    if data.startswith(b"P6"):
+        return _ppm_features(data)
+    if data.startswith(b"BM"):
+        return _bmp_features(data)
     raise NotImplementedError(
-        "media decode requires codec libraries (Pillow/torchaudio/ffmpeg) "
-        "not present in this container; install them on the cluster image "
-        "and register a real kernel in DECODERS"
+        "media decode beyond PPM/BMP requires codec libraries "
+        "(Pillow/torchaudio/ffmpeg) not present in this container; "
+        "install them on the cluster image and register a real kernel "
+        "in DECODERS"
     )
 
 
 DECODERS = {
     "deterministic_fake": _fake_features,
+    "ppm": _ppm_features,
+    "bmp": _bmp_features,
     "strict": _strict_decode,
 }
 
@@ -102,6 +215,23 @@ def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
                 500 * (1 + i % 9) if is_video else None,
             )
         )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def synthetic_ppm_assets(
+    spark: SparkSession, n: int = 16, seed: int = 42
+) -> DataFrame:
+    """Asset table whose payloads are REAL binary PPM (P6) images with
+    deterministic md5-derived pixels — the fixture for the strict-mode
+    decode path (no codec library needed to parse P6)."""
+    rows = []
+    for i in range(n):
+        w, h = 4 + i % 5, 3 + i % 4
+        raster = bytearray()
+        for p in range(w * h):
+            raster += hashlib.md5(f"{seed}:{i}:{p}".encode()).digest()[:3]
+        blob = f"P6\n{w} {h}\n255\n".encode() + bytes(raster)
+        rows.append((i, bytearray(blob), "image/x-portable-pixmap", w, h, None))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
@@ -186,39 +316,44 @@ def shard_packing_plan(
     id_col: str = "asset_id",
     bytes_col: str = "n_bytes",
     seed: int = 13,
+    num_partitions: int = 32,
 ) -> DataFrame:
     """WebDataset-style shard packing *plan*: assets are laid out in a
     deterministic PRF order and packed CONTIGUOUSLY into byte-budgeted
     shards — ``shard = floor(bytes_before_me / budget)``, so an asset that
     straddles a budget boundary belongs to the shard where it started
     (streaming first-fit, same contract as ``textops.pack_sequences``).
-    Metadata-only: the plan costs one window over (id, n_bytes); the
+    Metadata-only: the plan costs one prefix sum over (id, n_bytes); the
     byte-moving write stage consumes it afterwards, already knowing every
     shard's exact membership and size.
 
-    Scale shape: the global PRF-ordered running sum is the one
-    sort+window; at 100 TB pre-split by a PRF super-shard first (exactly
-    like pack_sequences' n_shards dial) so each window partition is
-    bounded, then pack within super-shards — contiguity within a
-    super-shard is preserved and no coordination crosses them.
+    Scale shape: the global PRF-ordered running sum is a DISTRIBUTED
+    prefix sum (``relational.partitioned_prefix_sum``: range-partitioned
+    slices + broadcast slice offsets), NOT a single-partition window — so
+    the GLOBAL contiguous packing semantics survive unchanged at any asset
+    count; ``num_partitions`` bounds the per-task sort. This supersedes
+    the earlier super-shard design (which bounded the window by giving up
+    cross-super-shard contiguity): exact byte sums make the distributed
+    prefix bit-identical to the sequential layout, so no semantics trade
+    is needed. The per-shard ``pos`` window is partitioned by shard —
+    bounded by budget/min-asset-size rows per partition.
     """
     from bigdata_capstone_spark.functions.portable import salted_md5_long
+    from bigdata_capstone_spark.operators.relational import (
+        partitioned_prefix_sum,
+    )
     from pyspark.sql.window import Window
 
     h = salted_md5_long(F.col(id_col).cast("string"), seed)
-    before = (
-        Window.orderBy("__h", id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = (
-        assets.withColumn("__h", h)
-        .withColumn(
-            "__before",
-            F.coalesce(F.sum(bytes_col).over(before), F.lit(0)).cast("long"),
-        )
-        .withColumn(
-            "shard", F.floor(F.col("__before") / budget_bytes).cast("int")
-        )
+    packed = partitioned_prefix_sum(
+        assets.withColumn("__h", h),
+        [F.col("__h"), F.col(id_col)],
+        F.col(bytes_col).cast("long"),
+        "__before",
+        num_partitions=num_partitions,
+        inclusive=False,
+    ).withColumn(
+        "shard", F.floor(F.col("__before") / budget_bytes).cast("int")
     )
     pos = Window.partitionBy("shard").orderBy("__h", id_col)
     return packed.withColumn(

@@ -115,6 +115,92 @@ def salted_join(
     return l_salted.join(r_salted, on=on + ["__salt"], how=how).drop("__salt")
 
 
+def partitioned_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value: Column,
+    alias: str,
+    num_partitions: int = 32,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed running sum of ``value`` over the total order ``order_by``
+    — the scale-safe replacement for ``Window.orderBy(...)`` with no
+    ``partitionBy`` (which plans as a SINGLE-partition sort of the whole
+    input: the classic 100 TB anti-pattern this module exists to avoid).
+
+    Shape: ``repartitionByRange`` on the order keys gives each partition a
+    contiguous slice of the global order; a window PARTITIONED by
+    ``spark_partition_id`` computes per-slice running sums in parallel; the
+    per-slice totals (``num_partitions`` rows) get exclusive prefix offsets
+    via a tiny broadcast theta-join (no window), and each row's global
+    prefix is ``within-slice running sum + slice offset``. Every stage is
+    parallel; nothing ever sorts more than |rows|/num_partitions in one
+    task.
+
+    Correctness contract (why the result is bit-identical to the global
+    window): ``order_by`` MUST be a total order (include a tie-break), and
+    ``value`` must sum EXACTLY (BIGINT or DECIMAL — never raw double,
+    whose addition is not associative and would make the regrouped sum
+    diverge from a sequential oracle). Under those two conditions the
+    prefix set of every row is identical however the range boundaries
+    fall, so the output is deterministic and partition-count-invariant.
+
+    ``inclusive=False`` gives the "bytes/rows BEFORE me" exclusive variant
+    (first row of the order gets 0). With ``value=F.lit(1)`` and
+    ``inclusive=True`` this is a distributed ``row_number`` over a total
+    order.
+
+    The range-partitioned frame is cached (session-scoped, like every
+    catalog intermediate) so the totals pass and the main pass see one
+    consistent set of partition ids.
+    """
+    pidded = (
+        df.withColumn("__psv", value)
+        .repartitionByRange(num_partitions, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    totals = pidded.groupBy("__pid").agg(F.sum("__psv").alias("__ptot"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.sum(F.coalesce(F.col("b.__ptot"), F.lit(0))).alias("__off"))
+    )
+    end = Window.currentRow if inclusive else -1
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    run = F.coalesce(F.sum("__psv").over(w), F.lit(0))
+    return (
+        pidded.join(F.broadcast(offsets), on="__pid")
+        .withColumn(alias, run + F.coalesce(F.col("__off"), F.lit(0)))
+        .drop("__pid", "__psv", "__off")
+    )
+
+
+def partitioned_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    alias: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Distributed ``row_number`` over a TOTAL order: prefix sum of ones.
+
+    Use after a ``top_k`` pre-selection (TakeOrdered) when ranks are needed
+    on a bounded slice, or directly on unbounded input — either way no
+    single-partition WindowExec appears in the plan.
+    """
+    ranked = partitioned_prefix_sum(
+        df, order_by, F.lit(1).cast("long"), "__pps_rn", num_partitions
+    )
+    return ranked.withColumn(alias, F.col("__pps_rn").cast("int")).drop(
+        "__pps_rn"
+    )
+
+
 def union_all(*dfs: DataFrame) -> DataFrame:
     """By-name union (bag semantics), hardening the reference's positional
     ``union`` chain (splitting_data.py:35)."""

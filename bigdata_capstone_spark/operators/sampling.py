@@ -29,16 +29,28 @@ def seeded_random_pairs(
 ) -> DataFrame:
     """n disjoint random (a, b) pairs with a < b, fully distributed.
 
-    Takes 2n hash-sampled rows, indexes them with row_number over the hash
-    order, and mates row 2i with row 2i+1 — the distributed replacement for
-    the reference's driver-side ``random.sample(users, 2)`` loop, with an
-    explicit seed (Q4 fix).
+    Takes 2n hash-sampled rows, indexes them with a DISTRIBUTED row_number
+    over the hash order (relational.partitioned_row_number — no
+    single-partition WindowExec even on the bounded sample), and mates row
+    2i with row 2i+1 — the distributed replacement for the reference's
+    driver-side ``random.sample(users, 2)`` loop, with an explicit seed
+    (Q4 fix).
     """
-    sample = seeded_sample_n(population.select(key_col).distinct(), key_col, 2 * n_pairs, seed)
-    w = Window.orderBy(
-        salted_md5_long(F.col(key_col).cast("string"), seed), F.col(key_col)
+    from bigdata_capstone_spark.operators.relational import (
+        partitioned_row_number,
     )
-    indexed = sample.withColumn("__idx", F.row_number().over(w) - 1)
+
+    sample = seeded_sample_n(population.select(key_col).distinct(), key_col, 2 * n_pairs, seed)
+    hashed = sample.withColumn(
+        "__h", salted_md5_long(F.col(key_col).cast("string"), seed)
+    )
+    indexed = (
+        partitioned_row_number(
+            hashed, [F.col("__h"), F.col(key_col)], "__rn"
+        )
+        .withColumn("__idx", F.col("__rn") - 1)
+        .drop("__h", "__rn")
+    )
     left = indexed.filter(F.col("__idx") % 2 == 0).select(
         (F.col("__idx") / 2).cast("long").alias("__pair"),
         F.col(key_col).alias("a"),

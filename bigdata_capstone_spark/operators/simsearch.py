@@ -32,7 +32,10 @@ from bigdata_capstone_spark.functions.portable import (
     cosine_similarity_col,
     dot_product_col,
 )
-from bigdata_capstone_spark.operators.relational import grouped_top_k
+from bigdata_capstone_spark.operators.relational import (
+    grouped_top_k,
+    partitioned_row_number,
+)
 
 
 def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str,
@@ -300,7 +303,6 @@ def ivf_topk_prf(
     touches ~n_probe/n_centroids of the corpus per query.
     """
     from bigdata_capstone_spark.functions.portable import md5_long
-    from pyspark.sql.window import Window
 
     hashed = corpus.select(
         F.col(id_col),
@@ -310,9 +312,9 @@ def ivf_topk_prf(
         ).alias("__h"),
     )
     picked = hashed.orderBy("__h", id_col).limit(n_centroids)
-    w = Window.orderBy("__h", id_col)
     medoids = (
-        picked.withColumn("cell", (F.row_number().over(w) - 1).cast("int"))
+        partitioned_row_number(picked, [F.col("__h"), F.col(id_col)], "__rn")
+        .withColumn("cell", (F.col("__rn") - 1).cast("int"))
         .select("cell", F.col(vec_col).alias("center"))
     )
 
@@ -445,7 +447,6 @@ def pq_codebook_prf(
     distance table consume it — independent derivations re-scan the
     training corpus each time."""
     from bigdata_capstone_spark.functions.portable import md5_long
-    from pyspark.sql.window import Window
 
     hashed = train_on.select(
         F.col(id_col),
@@ -455,9 +456,9 @@ def pq_codebook_prf(
         ).alias("__h"),
     )
     picked = hashed.orderBy("__h", id_col).limit(k_codes)
-    w = Window.orderBy("__h", id_col)
     return (
-        picked.withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+        partitioned_row_number(picked, [F.col("__h"), F.col(id_col)], "__rn")
+        .withColumn("code", (F.col("__rn") - 1).cast("int"))
         .select("code", F.col(vec_col).alias("center"))
     )
 

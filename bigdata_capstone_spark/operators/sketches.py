@@ -86,7 +86,12 @@ def hll_estimate_from_registers(
     """Estimate from an existing (group..., bucket, rho_max) register
     table — the read side of register-state maintenance: registers merge
     under max (associative+commutative), so a snapshot folded from any
-    batch split estimates identically to one batch pass."""
+    batch split estimates identically to one batch pass.
+
+    Zero registers (an all-empty stream through the GLOBAL group_cols=[]
+    path — grouped paths simply emit no row) estimate 0, not the
+    alpha*m^2/m ≈ 45 artifact raw HLL would produce from 64 phantom empty
+    registers; the oracle twin pins the same rule."""
     terms = F.transform(
         F.sort_array(F.collect_list(F.struct("bucket", "rho_max"))),
         lambda s: F.pow(F.lit(2.0), -s["rho_max"]),
@@ -94,10 +99,13 @@ def hll_estimate_from_registers(
     z = F.aggregate(terms, F.lit(0.0), lambda a, x: a + x) + (
         F.lit(float(HLL_M)) - F.size(terms)
     )
-    est = F.lit(HLL_ALPHA_64 * HLL_M * HLL_M) / z
+    n_regs = F.count(F.lit(1))
+    est = F.when(
+        n_regs > 0, F.round(F.lit(HLL_ALPHA_64 * HLL_M * HLL_M) / z, 4)
+    ).otherwise(F.lit(0.0))
     return regs.groupBy(*group_cols).agg(
-        F.round(est, 4).alias("hll_estimate"),
-        F.count(F.lit(1)).alias("n_registers"),
+        est.alias("hll_estimate"),
+        n_regs.alias("n_registers"),
     )
 
 

@@ -321,11 +321,112 @@ def bpe_pair_counts(
             ).alias("pair"),
         )
     )
+    from bigdata_capstone_spark.operators.relational import (
+        partitioned_row_number,
+    )
+
     agg = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
-    w = Window.orderBy(F.desc("pair_count"), F.col("pair"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_n)
+    # TakeOrdered pre-selection (per-partition heaps, no global sort), then
+    # a distributed row_number over the bounded survivors — no
+    # single-partition WindowExec even though the pair domain (~charset²)
+    # is itself bounded.
+    top = agg.orderBy(F.desc("pair_count"), F.col("pair")).limit(top_n)
+    return partitioned_row_number(
+        top, [F.desc("pair_count"), F.col("pair")], "rank"
+    ).select("pair", "pair_count", "rank")
+
+
+#: Unit separator — wraps every BPE symbol (``\x1fsym\x1f``) so merge
+#: application is a plain string ``replace``: the pattern
+#: ``\x1fa\x1f\x1fb\x1f`` can only match a FULL adjacent symbol pair
+#: (never a symbol suffix), and SQL replace's leftmost-non-overlapping
+#: scan IS greedy left-to-right BPE merge order in both engines.
+BPE_SEP = "\x1f"
+
+
+def bpe_merge_iterations(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """k full BPE tokenizer-training iterations (Sennrich et al. 2016):
+    count adjacent-symbol pairs over the freq-weighted VOCABULARY, apply
+    the best merge (count DESC, pair tie-break), recount — the driver
+    loop ``bpe_pair_counts`` documents, actually iterated. Returns one
+    row per iteration: (it, merge_pair "a b", pair_count).
+
+    Engine-portable representation: each word's symbol sequence is a
+    single string with every symbol wrapped in ``BPE_SEP``; applying a
+    merge is ``replace(s, '\\x1fa\\x1f\\x1fb\\x1f', '\\x1fab\\x1f')`` —
+    leftmost-non-overlapping replace-all, which equals greedy
+    left-to-right BPE merging (verified against a pure-Python reference
+    in tests). Everything is JVM expressions; the per-iteration driver
+    step only assembles the plan (the 1-row best-pair frame is a
+    broadcast, never a collect).
+
+    Scale shape: as in ``bpe_pair_counts``, the corpus collapses to its
+    vocabulary ONCE; each iteration re-counts over |vocab| rows
+    (corpus-size-independent) and caches the merged vocab so iteration
+    i+1 reads i's result, not the whole lineage.
+    """
+    s1, s2 = BPE_SEP, BPE_SEP * 2
+    words = df.select(F.explode(tokens_col(text_col)).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    cur = vocab.select(
+        "freq",
+        F.regexp_replace("w", "(.)", f"{s1}$1{s1}").alias("s"),
+    ).cache()
+    merges = []
+    for it in range(1, k + 1):
+        parts = cur.select(
+            "freq",
+            F.split(
+                F.expr("substring(s, 2, length(s) - 2)"), s2
+            ).alias("p"),
+        ).filter(F.size("p") >= 2)
+        pairs = parts.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("p") - 1),
+                    lambda j: F.concat(
+                        F.lit(s1),
+                        F.element_at(F.col("p"), j),
+                        F.lit(s2),
+                        F.element_at(F.col("p"), j + 1),
+                        F.lit(s1),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.col("pair"))
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(it).alias("it"), "pair", "pair_count"
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("pair")))
+            .select(
+                "freq",
+                F.expr(
+                    "replace(s, pair, replace(pair, '\x1f\x1f', ''))"
+                ).alias("s"),
+            )
+            .cache()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "it",
+        F.expr(
+            "trim(BOTH '\x1f' FROM replace(pair, '\x1f\x1f', ' '))"
+        ).alias("merge_pair"),
+        F.col("pair_count").cast("long").alias("pair_count"),
     )
 
 
@@ -345,16 +446,21 @@ def zipf_rank_frequency(
     integer logs (round(log10(x)*1e6)) with exact BIGINT sums —
     (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) — so the regression is
     order-independent and engine-exact; only the final division is
-    rounded. Scale shape: one word-count shuffle; ranking the top slice
-    is a TakeOrdered over the (bounded) vocabulary; the 1-row slope frame
-    broadcasts back onto it.
+    rounded. Scale shape: one word-count shuffle; the top ``fit_n`` slice
+    is an actual ``orderBy().limit()`` (plans as TakeOrderedAndProject —
+    per-partition heaps, never a full-vocabulary sort), ranks come from a
+    distributed row_number over the bounded survivors, and the 1-row
+    slope frame broadcasts back onto them.
     """
+    from bigdata_capstone_spark.operators.relational import (
+        partitioned_row_number,
+    )
+
     words = df.select(F.explode(tokens_col(text_col)).alias("token"))
     vocab = words.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.desc("freq"), F.col("token"))
+    top = vocab.orderBy(F.desc("freq"), F.col("token")).limit(fit_n)
     ranked = (
-        vocab.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= fit_n)
+        partitioned_row_number(top, [F.desc("freq"), F.col("token")], "rank")
         .withColumn(
             "lr", F.round(F.log10(F.col("rank").cast("double")) * 1e6).cast("long")
         )

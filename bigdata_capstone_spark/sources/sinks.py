@@ -50,6 +50,33 @@ def write_csv(
     out.write.mode(mode).option("header", header).csv(path)
 
 
+def write_date_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    date_col: str = "event_date",
+    mode: str = "overwrite",
+) -> None:
+    """Date-partitioned fact layout: derive ``date_col`` from ``ts_col``
+    and write one Hive-style directory per day — the default 100 TB fact
+    layout (SCALE.md "Scans and sinks"). Readers that filter on
+    ``date_col`` (see ``tables.load_partitioned_table``) prune whole
+    directories at PLANNING time: a "last 7 days" query over 3 years of
+    events opens 7/1095 of the files before a single row is read.
+
+    ``to_date`` uses the session timezone — callers must have pinned UTC
+    (session.ensure_utc) so the day boundary is engine-portable.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn(date_col, F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy(date_col)
+        .parquet(path)
+    )
+
+
 def write_clustered_parquet(
     df: DataFrame,
     path: str,

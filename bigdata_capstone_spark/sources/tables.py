@@ -191,6 +191,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    partition_filter: F.Column | None = None,
+    date_col: str = "event_date",
+) -> DataFrame:
+    """Read a date-partitioned layout (``sinks.write_date_partitioned_
+    parquet``) of a known table, injecting ``partition_filter`` at the
+    scan — the partition-pruning choke point SCALE.md promises: because
+    the filter references only the Hive partition column, Catalyst
+    resolves it against directory names at PLANNING time
+    (``PartitionFilters`` in the scan node) and never opens a pruned
+    file's footer, let alone its data.
+
+    The schema is the table's declared schema plus the DATE partition
+    column — passed explicitly so partition-value inference can't drift
+    types (a ``event_date=2024-01-01`` directory name must parse as DATE,
+    not string, for range predicates to prune).
+    """
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    schema = T.StructType(
+        list(TABLE_SCHEMAS[name].fields)
+        + [T.StructField(date_col, T.DateType())]
+    )
+    df = spark.read.schema(schema).parquet(path)
+    if partition_filter is not None:
+        df = df.filter(partition_filter)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read several tables at once: ``load_tables(spark, d, 'orders', 'lineitem')``."""
     return {n: load_table(spark, sf_dir, n) for n in names or TABLE_NAMES}

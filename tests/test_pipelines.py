@@ -111,6 +111,39 @@ def test_lsh_finds_twins_and_matches_exact(spark, clean):
         assert abs(exact[pair] - sim) < 1e-9
 
 
+def test_lsh_recall_gate(spark, clean):
+    """Parameter-regression gate on the fixture (reference semantics
+    customer_segmentation_1.py:27-31, whose numHashTables=5 exists
+    precisely to control recall): MinHashLSH must recover >= 0.9 of ALL
+    exact Jaccard >= 0.5 pairs — a banding/hash-count regression that
+    halves recall fails here instead of silently thinning
+    movie_twins_lsh's top-100."""
+    from bigdata_capstone_spark.operators.similarity import (
+        exact_jaccard_pairs,
+        lsh_similar_pairs,
+        user_item_sets,
+    )
+
+    exact_pairs = {
+        (r["userA"], r["userB"])
+        for r in exact_jaccard_pairs(
+            clean, min_similarity=0.5, min_items=5
+        ).collect()
+    }
+    assert exact_pairs, "fixture must plant twin pairs"
+    sets = user_item_sets(clean, min_items=5)
+    lsh_pairs = {
+        (r["userA"], r["userB"])
+        for r in lsh_similar_pairs(
+            sets, threshold=0.5, num_hash_tables=5, k=None
+        ).collect()
+    }
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.9, (
+        f"LSH recall {recall:.3f} < 0.9 over {len(exact_pairs)} exact pairs"
+    )
+
+
 def test_twins_correlate_more_than_random(spark, clean):
     """The reference's headline semantic check (report p.3: 0.1041 twins vs
     0.0409 random) — reproduce the gap directionally on the fixture."""
@@ -247,7 +280,8 @@ def test_multimodal_feature_plumbing(spark):
     assert {r["asset_id"]: r["features"] for r in rows} == {
         r["asset_id"]: r["features"] for r in rows2
     }
-    # strict decoder surfaces the stub clearly
+    # strict decoder surfaces the stub clearly for formats with no
+    # in-container parser (the synthetic_assets blobs are raw md5 bytes)
     with pytest.raises(Exception) as exc_info:
         extract_features(assets, decoder="strict").collect()
     assert "NotImplementedError" in str(exc_info.value) or "codec" in str(
@@ -257,6 +291,78 @@ def test_multimodal_feature_plumbing(spark):
     with_duration = assets.withColumn("duration_ms", F.lit(3000).cast("long"))
     plan = frame_sample_plan(with_duration, every_ms=1000)
     assert plan.count() == 32 * 4
+
+
+def test_real_ppm_decode_value_checked(spark):
+    """Strict mode DECODES real binary PPM through the same mapInPandas
+    path (no codec library): width/height and the first/last pixel of
+    the feature vector must equal the raw raster bytes."""
+    import hashlib
+
+    from bigdata_capstone_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        synthetic_ppm_assets,
+    )
+
+    assets = synthetic_ppm_assets(spark, n=6, seed=42)
+    out = {
+        r["asset_id"]: r["features"]
+        for r in extract_features(assets, decoder="strict").collect()
+    }
+    assert len(out) == 6
+    for i in (0, 5):
+        w, h = 4 + i % 5, 3 + i % 4
+        first = hashlib.md5(f"42:{i}:0".encode()).digest()[:3]
+        last = hashlib.md5(f"42:{i}:{w * h - 1}".encode()).digest()[:3]
+        feats = out[i]
+        assert len(feats) == FEATURE_DIM
+        assert (feats[0], feats[1], feats[15]) == (w, h, w * h)
+        assert [round(f * 255) for f in feats[5:8]] == list(first)
+        assert [round(f * 255) for f in feats[8:11]] == list(last)
+
+
+def test_bmp_decode_matches_ppm(spark):
+    """The BMP parser (bottom-up, BGR, 4-byte row padding) must produce
+    the IDENTICAL feature vector as the PPM parser for the same image —
+    and strict mode still raises on formats it cannot honestly decode."""
+    import pytest as _pytest
+
+    from bigdata_capstone_spark.operators.multimodal import DECODERS
+
+    w, h = 5, 3
+    pixels = [((7 * p) % 256, (11 * p) % 256, (13 * p) % 256) for p in range(w * h)]
+    ppm = f"P6\n{w} {h}\n255\n".encode() + bytes(
+        b for px in pixels for b in px
+    )
+    stride = (3 * w + 3) // 4 * 4
+    raster = bytearray()
+    for row in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for x in range(w):
+            r, g, b = pixels[row * w + x]
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    off = 54
+    header = (
+        b"BM"
+        + (off + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    bmp = header + bytes(raster)
+    assert DECODERS["strict"](ppm) == DECODERS["strict"](bmp)
+    with _pytest.raises(NotImplementedError):
+        DECODERS["strict"](b"\x89PNG\r\n\x1a\nnot-actually-decodable")
 
 
 def test_multimodal_resize_targets(spark):

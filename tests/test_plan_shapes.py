@@ -146,6 +146,55 @@ def test_bpe_vocab_collapse_before_pairs(spark):
     assert agg_between > 0, plan[:2000]
 
 
+def test_partition_pruning_reaches_scan(spark):
+    """events_partition_pruned_windows reads a date-partitioned layout
+    with a partition-column range filter: the scan must carry it as
+    PartitionFilters (directory pruning at planning time), NOT as a
+    post-scan data filter — and the pruned scan must touch only the 7
+    requested day-directories."""
+    import re
+
+    plan = plan_of(spark, "events_partition_pruned_windows")
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("event_date" in p for p in pf), plan[:3000]
+    # the partition predicate must NOT degrade into a row-level filter
+    df_filters = re.findall(r"DataFilters: \[([^\]]*)\]", plan)
+    assert all("event_date" not in d for d in df_filters), plan[:3000]
+    # count the day-directories the scan will open: 7 of ~30
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:
+        assert int(m.group(1)) == 7, plan[:3000]
+
+
+def test_no_unpartitioned_window_anywhere(spark):
+    """NO catalog query may plan a WindowExec without a partition spec —
+    an unpartitioned window is a single-partition sort of its whole input
+    (the `WARN WindowExec: No Partition Defined` anti-pattern), the one
+    plan shape that cannot survive a 100× scale-up. Global running sums
+    must go through relational.partitioned_prefix_sum; global ranks
+    through TakeOrdered pre-selection + partitioned_row_number.
+
+    Detection: in `windowspecdefinition(part..., sort ASC/DESC, frame)`
+    the partition columns precede the sort specs — if the FIRST argument
+    is itself a sort spec (token immediately followed by ASC/DESC), the
+    partition list is empty.
+    """
+    import re
+
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, sf)
+        qe = df._jdf.queryExecution()
+        plan = qe.optimizedPlan().toString()
+        hits = re.findall(
+            r"windowspecdefinition\((\S+) (?:ASC|DESC) NULLS", plan
+        )
+        if hits:
+            bad[name] = hits
+    assert not bad, f"unpartitioned windows in: {bad}"
+
+
 def test_token_budget_single_window_exchange(spark):
     """docs_token_budget_fill: quality + token count + running sum share
     the per-source window; no Python evals anywhere in the pipeline."""

@@ -40,6 +40,20 @@ def test_hll_duplicates_are_free(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, thrice.collect()))
 
 
+def test_hll_empty_registers_estimate_zero(spark):
+    # An all-empty stream leaves ZERO registers; the global estimator must
+    # report 0 distinct, not alpha*m^2/m ≈ 45 from 64 phantom empty
+    # registers (the read_latest_snapshot_or_empty path of
+    # streaming_distinct_users_hll).
+    empty = spark.createDataFrame([], "bucket BIGINT, rho_max INT")
+    [(est, nreg)] = sk.hll_estimate_from_registers(empty, []).collect()
+    assert est == 0.0 and nreg == 0
+    # grouped path: no groups -> no rows, never a phantom estimate
+    assert sk.hll_estimate_from_registers(
+        empty.withColumn("grp", F.lit("g")), ["grp"]
+    ).count() == 0
+
+
 def test_hll_registers_merge_across_partitions(spark):
     # Mergeability: registers of (A ∪ B) == element-wise max of registers.
     a, b = _ids_df(spark, 800, "g"), _ids_df(spark, 800, "h").withColumn(

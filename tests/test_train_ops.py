@@ -52,6 +52,55 @@ def test_bpe_pair_counts_python_parity(spark, sf_small):
     assert got == expected
 
 
+def test_bpe_merge_iterations_python_parity(spark, sf_small):
+    """k iterated merges (count -> apply best merge greedily left-to-
+    right -> recount) must equal a pure-Python BPE trainer over the same
+    corpus, including the (count DESC, wrapped-pair ASC) tie-break."""
+    from bigdata_capstone_spark.operators.textops import (
+        BPE_SEP,
+        bpe_merge_iterations,
+    )
+
+    vocab: dict[str, int] = collections.Counter()
+    for text in _doc_texts(sf_small):
+        for w in re.split(r"\s+", text.lower()):
+            if w:
+                vocab[w] += 1
+    syms = {w: [c for c in w] for w in vocab}
+    expected = []
+    for it in range(1, 4):
+        cnt: collections.Counter = collections.Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                cnt[(a, b)] += f
+        (a, b), c = sorted(
+            cnt.items(),
+            key=lambda kv: (
+                -kv[1],
+                BPE_SEP + kv[0][0] + BPE_SEP * 2 + kv[0][1] + BPE_SEP,
+            ),
+        )[0]
+        expected.append((it, f"{a} {b}", c))
+        for w in syms:
+            s, new, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            syms[w] = new
+
+    docs = load_table(spark, sf_small, "documents")
+    got = [
+        (r["it"], r["merge_pair"], r["pair_count"])
+        for r in bpe_merge_iterations(docs, k=3).orderBy("it").collect()
+    ]
+    assert got == expected
+
+
 def test_zipf_slope_python_parity(spark, sf_small):
     """Micro-unit integer regression must equal the same fit done in
     plain Python over the same rank/freq table, and natural-ish text
