@@ -1246,15 +1246,64 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.recommendations
 
 
-@register("random_pair_correlation")
+def _random_pair_corr_oracle() -> str:
+    from bigdata_capstone_spark.functions.portable import salted_md5_long_sql
+    from bigdata_capstone_spark.sources.ratings import ratings_oracle_cte
+
+    h = salted_md5_long_sql("userId::VARCHAR", 42)
+    return f"""
+    WITH {ratings_oracle_cte()},
+    clean AS (
+      SELECT userId, movieId, rating FROM ratings
+      WHERE userId IS NOT NULL AND movieId IS NOT NULL
+        AND rating IS NOT NULL
+    ),
+    active AS (
+      SELECT userId FROM clean GROUP BY userId HAVING count(*) >= 5
+    ),
+    hashed AS (SELECT userId, {h} AS h FROM active),
+    sampled AS (
+      SELECT userId, row_number() OVER (ORDER BY h, userId) AS rn
+      FROM (SELECT * FROM hashed ORDER BY h, userId LIMIT 100)
+    ),
+    pairs AS (
+      SELECT least(a.userId, b.userId) AS userA,
+             greatest(a.userId, b.userId) AS userB
+      FROM sampled a JOIN sampled b ON b.rn = a.rn + 1
+      WHERE a.rn % 2 = 1
+    ),
+    joined AS (
+      SELECT p.userA, p.userB, ra.rating AS ratingA, rb.rating AS ratingB
+      FROM pairs p
+      JOIN clean ra ON ra.userId = p.userA
+      JOIN clean rb ON rb.userId = p.userB AND rb.movieId = ra.movieId
+    ),
+    corrs AS (
+      SELECT userA, userB, corr(ratingA, ratingB) AS c
+      FROM joined GROUP BY 1, 2
+      HAVING count(*) >= 2 AND corr(ratingA, ratingB) IS NOT NULL
+         AND NOT isnan(corr(ratingA, ratingB))
+    )
+    SELECT count(*)::BIGINT AS n_pairs,
+           round(avg(round(c, 6)), 6) AS avg_correlation
+    FROM corrs
+    """
+
+
+@register("random_pair_correlation", oracle=_random_pair_corr_oracle())
 def random_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's twins-vs-random validation (customer_segmentation_2):
     seeded random user pairs → per-pair Pearson corr over common movies →
-    global average. Seeded + distributed (Q4 fix) but rand-hash ordering is
-    engine-specific → rows-only; the twins>random gap is asserted in tests."""
+    global average. The sampling is a salted-md5 PRF rank
+    (operators/sampling.seeded_random_pairs — the Q4 fix), which any
+    engine can replay, so even the "random" pairing is value-checked:
+    the oracle re-derives the top-100 hash sample, the rank-2k−1↔2k
+    mating, and the corr average (per-pair round-before-avg per the
+    determinism contract)."""
     from bigdata_capstone_spark.operators.aggregates import pearson_by_group
     from bigdata_capstone_spark.operators.sampling import seeded_random_pairs
 
+    ensure_utc(spark)
     ratings = _ratings(spark).dropna(subset=["userId", "movieId", "rating"])
     active = ratings.groupBy("userId").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") >= 5
@@ -1270,7 +1319,7 @@ def random_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = pearson_by_group(joined, ["userA", "userB"], "ratingA", "ratingB")
     return corr.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.avg("correlation"), 6).alias("avg_correlation"),
+        F.round(F.avg(F.round("correlation", 6)), 6).alias("avg_correlation"),
     )
 
 

@@ -620,6 +620,100 @@ def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_late_data",
+    oracle="""
+    WITH b1 AS (
+      SELECT * FROM events
+      WHERE ts < TIMESTAMP '2024-01-15' AND event_id % 5 <> 0
+    ),
+    b2 AS (
+      SELECT * FROM events
+      WHERE NOT (ts < TIMESTAMP '2024-01-15' AND event_id % 5 <> 0)
+    ),
+    wm1 AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM b1),
+    kept AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT b2.* FROM b2, wm1
+      WHERE date_trunc('hour', b2.ts) + INTERVAL 1 HOUR > wm1.w
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA SEMANTICS through the value gate: events replay
+    in two controlled micro-batches — batch 1 is the "on-time" flow
+    (everything before Jan 15 except each 5th event), batch 2 mixes the
+    genuinely-new tail with the held-back stragglers, whose windows mostly
+    closed long ago. With a 2-hour watermark, batch 2 is judged against
+    W1 = max(batch-1 event time) − 2h (Spark finalizes the watermark at
+    the END of a batch and applies it to the NEXT): straggler rows whose
+    1-hour window end <= W1 are DROPPED; rows in still-open windows are
+    folded in. Two far-future nudge rows then push the watermark past
+    every real window so append mode emits all finalized windows (the
+    nudges' own windows never finalize and never appear). The drained
+    sink hash-matches the batch twin minus exactly the provably-late
+    rows — the drop/keep boundary is value-checked, not assumed.
+
+    Scale shape: identical to streaming_hourly_windows; the point here is
+    STATE CORRECTNESS — the watermark is what bounds state at 100 TB/day,
+    and this pins the exact boundary it enforces."""
+    import tempfile
+    from datetime import timedelta
+
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.windows import hourly_tumbling_agg
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_late_")
+    indir = f"{work}/in"
+    ev = load_table(spark, sf_dir, "events")
+    on_time = (F.col("ts") < F.to_timestamp(F.lit("2024-01-15"))) & (
+        F.col("event_id") % 5 != 0
+    )
+    ev.filter(on_time).coalesce(1).write.mode("append").parquet(indir)
+    stream = spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(indir)
+    agg = hourly_tumbling_agg(stream, watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("streaming_late_data_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 -> watermark W1
+        ev.filter(~on_time).coalesce(1).write.mode("append").parquet(indir)
+        q.processAllAvailable()  # batch 2: stragglers judged against W1
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        # nudge 1 advances the watermark past every real window; nudge 2
+        # (SAME timestamp — no further advance, so the nudge window itself
+        # never finalizes) triggers the batch that applies it and flushes
+        # the finalized windows into the append sink
+        for i in (1, 2):
+            spark.createDataFrame(
+                [
+                    (
+                        -i,
+                        max_ts + timedelta(hours=10),
+                        -1,
+                        "late_nudge",
+                        0.0,
+                        None,
+                    )
+                ],
+                TABLE_SCHEMAS["events"],
+            ).coalesce(1).write.mode("append").parquet(indir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("streaming_late_data_sink")
+
+
+@register(
     "streaming_sliding_windows",
     oracle="""
     SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000

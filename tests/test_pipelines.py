@@ -184,6 +184,27 @@ def test_als_recommendations_shape(spark, clean):
     assert sorted(r["pos"] for r in poss) == [0, 1, 2, 3, 4]
 
 
+def test_als_ndcg_within_recorded_band(spark, clean):
+    """Drift gate for the rows-only als_recommendations entry: with the
+    catalog's exact settings (k=10, rank=8, max_iter=5, seed=42) on the
+    fixture, NDCG@10 vs the above-own-mean ground truth is 0.1761
+    (recorded; bit-stable across repeated same-session runs). A ±0.02
+    band catches a silent ALS/seed/fixture regression that the rows-only
+    driver check cannot."""
+    from bigdata_capstone_spark.operators.als import train_als_recommend
+    from bigdata_capstone_spark.operators.popularity import ground_truth
+    from bigdata_capstone_spark.operators.ranking_metrics import (
+        ranking_metrics,
+    )
+
+    labels = ground_truth(clean)
+    recs = train_als_recommend(
+        clean, k=10, rank=8, max_iter=5, seed=42
+    ).recommendations
+    ndcg = ranking_metrics(recs, labels, 10).collect()[0]["ndcg_at_k"]
+    assert abs(ndcg - 0.1761) <= 0.02, ndcg
+
+
 # -- ANN vs brute force -------------------------------------------------------
 
 def test_ann_recall_vs_bruteforce(spark, sf_small):
