@@ -1816,6 +1816,69 @@ def lineitem_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bucketed co-located join: orders and lineitem hash-bucketed by the join
+# key into managed tables → the fact⋈fact join AND the follow-on groupBy
+# on the same key run with ZERO exchange (plan-pinned). Bucketing is the
+# layout lever that amortizes across queries: at 100 TB every repeated
+# orderkey join stops shuffling both fact tables.
+# --------------------------------------------------------------------------
+
+@register(
+    "bucketed_order_revenue",
+    oracle="""
+    SELECT o.o_orderkey,
+           max(o.o_totalprice) AS o_totalprice,
+           count(*)::BIGINT AS n_items,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4)))::DOUBLE AS net_revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order net revenue off BUCKETED fact tables: orders and
+    lineitem are written ``bucketBy(orderkey) + sortBy`` as managed
+    tables, and the sort-merge join (hinted — a broadcast would hide the
+    point) plus the groupBy on the bucket key both reuse the on-disk
+    hash distribution: the WHOLE plan has zero shuffle Exchange and zero
+    explicit Sort (pinned by test_bucketed_join_no_exchange). The same
+    aggregation over flat files is the oracle — layout must never change
+    values."""
+    from bigdata_capstone_spark.sources.sinks import write_bucketed_table
+
+    ensure_utc(spark)
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders"),
+        "bucketed_orders",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "lineitem"),
+        "bucketed_lineitem",
+        ["l_orderkey"],
+        8,
+        sort_cols=["l_orderkey"],
+    )
+    o = spark.table("bucketed_orders").select("o_orderkey", "o_totalprice")
+    li = spark.table("bucketed_lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).cast("decimal(18,4)").alias("net"),
+    )
+    joined = o.hint("merge").join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.max("o_totalprice").alias("o_totalprice"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("net").cast("double").alias("net_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Temperature-damped mixture (alpha = 0.5): the multilingual-pretraining
 # sampling scheme — downsample common languages toward the rarest with a
 # square-root damping, so the mixture flattens WITHOUT collapsing to
@@ -2294,3 +2357,106 @@ def streaming_bloom_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_probe(
         cand, bitmap, F.col("probe_id").cast("string"), m_bits, k
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile-bin sketch (operators/sketches.py, fourth mergeable family):
+# exact fixed-width bin counts, quantiles as discrete order statistics
+# over the bins — batch entry + streaming maintenance twin, both
+# hash-exact vs DuckDB because every count is an exact BIGINT and the
+# bin edges are powers of two (exact float ops in any engine).
+# --------------------------------------------------------------------------
+
+_QUANTILE_ORACLE = """
+    WITH bins AS (
+      SELECT event_type, floor(value / 2.0)::BIGINT AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM bins
+    )
+    SELECT event_type,
+           max(total)::BIGINT AS n_rows,
+           round((min(CASE WHEN cum >= ceil(0.5 * total) THEN bin END) + 1)
+                 * 2.0, 6) AS p50,
+           round((min(CASE WHEN cum >= ceil(0.9 * total) THEN bin END) + 1)
+                 * 2.0, 6) AS p90,
+           round((min(CASE WHEN cum >= ceil(0.99 * total) THEN bin END) + 1)
+                 * 2.0, 6) AS p99
+    FROM cum GROUP BY event_type
+    """
+
+
+@register("event_value_quantiles", oracle=_QUANTILE_ORACLE)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value per type via the QUANTILE-BIN sketch
+    (bin width 2.0): the per-type latency/value dashboard computed from
+    |types| x |occupied bins| rows of constant state instead of a
+    per-type sort. Error is one-sided and bounded by the bin width (the
+    reported value is the holding bin's upper edge); counts are exact,
+    so the sketch — unlike t-digest — is deterministic and
+    engine-replayable."""
+    from bigdata_capstone_spark.operators.sketches import (
+        quantile_bins,
+        quantiles_from_bins,
+    )
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bins = quantile_bins(ev, ["event_type"], F.col("value"), 2.0)
+    return quantiles_from_bins(bins, ["event_type"], 2.0, (0.5, 0.9, 0.99))
+
+
+@register("streaming_value_quantiles", oracle=_QUANTILE_ORACLE)
+def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile-sketch maintenance, value-checked: per-batch
+    partial bin counts fold into the snapshot via merge_upsert(+) —
+    bin counts are mergeable state exactly like CMS counters, so the
+    drained sketch is batch-split independent and the one-pass batch
+    oracle reads it hash-exactly. Constant |types| x |bins| state
+    however many events stream; this is how a value-distribution
+    dashboard stays current at 100 TB/day without ever sorting."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.sketches import (
+        quantiles_from_bins,
+    )
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot_or_empty,
+        start_aggregate_maintenance,
+    )
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_quant_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+        .select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(2.0)).cast("long").alias("bin"),
+        )
+    )
+    q = start_aggregate_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        key_cols=["event_type", "bin"],
+        partial_aggs=[F.count(F.lit(1)).alias("cnt")],
+        combines={"cnt": lambda t, u: t + u},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    bins = read_latest_snapshot_or_empty(
+        spark, f"{work}/state", "event_type STRING, bin BIGINT, cnt BIGINT"
+    )
+    return quantiles_from_bins(bins, ["event_type"], 2.0, (0.5, 0.9, 0.99))

@@ -202,7 +202,17 @@ def minhash_near_dup_pairs(
     The exploded shingle frame feeds three consumers (signatures, sizes,
     the verify join's two sides) — it is cached (memory-and-disk, spills
     at scale) so tokenize/shingle/hash runs ONCE, not per branch
-    (profiled at sf0.1: 398s uncached → ~20s cached)."""
+    (profiled at sf0.1: 398s uncached → ~20s cached).
+
+    Measured dead end (round 4, n=5 at sf0.1): semi-joining the shingle
+    frame down to candidate doc ids before the verify join — the
+    "obvious" shuffle-volume cut — ran 4.4s steady vs 2.9s for this
+    shape, because materializing candidates as a barrier stage costs
+    more than the verify join's candidate-key-filtered shuffles save
+    (the cands⋈a broadcast already prunes the probe side; only the
+    b-side shingle shuffle is corpus-wide, and it overlaps other
+    stages). Revisit only if profiling a REAL corpus shows the b-side
+    shuffle dominating."""
     sh = exploded_shingles(df, text_col, id_col, shingle_n).cache()
     sigs = _signatures_from_shingles(sh, id_col, n_perm)
     cands = lsh_candidate_pairs(sigs, n_perm, bands, id_col, max_bucket_size)

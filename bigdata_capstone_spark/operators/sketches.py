@@ -268,3 +268,72 @@ def bloom_probe(
     return probed.filter(F.expr(cond)).drop(
         "__bloom", *[f"__p{i}" for i in range(k)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable quantile sketch — fixed-width bin histogram (fourth mergeable
+# family: HLL merges under max, CMS under +, Bloom under |, quantile bins
+# under +). Bin counts are exact BIGINTs, so the sketch is deterministic,
+# engine-portable, and batch-split-independent; quantile answers are
+# discrete order statistics over the bins (error <= bin_width, one-sided:
+# the reported value is the upper edge of the bin holding the target
+# rank). At 100 TB the sketch is |groups| x |occupied bins| rows however
+# many values stream through — the per-group value distribution
+# dashboard at constant state. Pick bin_width a power of two (0.25,
+# 0.5 ...) so value/width and (bin+1)*width are EXACT float ops in every
+# engine.
+# ---------------------------------------------------------------------------
+
+
+def quantile_bins(
+    df: DataFrame, group_cols: list[str], value_col: Column, bin_width: float
+) -> DataFrame:
+    """Per-group fixed-width histogram: (group..., bin, cnt) with
+    ``bin = floor(value / bin_width)``. The map-side-combined count is
+    the whole sketch; merging two sketches is adding counts per bin."""
+    b = F.floor(value_col / F.lit(bin_width)).cast("long")
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantiles_from_bins(
+    bins: DataFrame,
+    group_cols: list[str],
+    bin_width: float,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates from a bin sketch: for each q, the
+    upper edge of the first bin whose cumulative count reaches
+    ``ceil(q * total)``. The cumsum window partitions by group (bounded
+    by occupied bins per group); totals broadcast back as a tiny
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.withColumn("cum", F.sum("cnt").over(w))
+    totals = bins.groupBy(*group_cols).agg(F.sum("cnt").alias("total"))
+    j = cum.join(F.broadcast(totals), on=group_cols)
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("total")),
+                F.col("bin"),
+            )
+        ).alias(f"__b{int(q * 100)}")
+        for q in qs
+    ]
+    out = j.groupBy(*group_cols).agg(*aggs, F.max("total").alias("n_rows"))
+    for q in qs:
+        p = int(q * 100)
+        out = out.withColumn(
+            f"p{p}",
+            F.round((F.col(f"__b{p}") + 1) * F.lit(bin_width), 6),
+        ).drop(f"__b{p}")
+    return out

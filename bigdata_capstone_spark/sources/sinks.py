@@ -11,6 +11,9 @@ take a directory, not a file name.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 
 
@@ -75,6 +78,42 @@ def write_date_partitioned_parquet(
         .partitionBy(date_col)
         .parquet(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (+ optionally sorted) managed parquet table — the
+    CO-LOCATED JOIN layout: two tables bucketed by the same key into the
+    same bucket count join with ZERO exchange (each bucket pair joins
+    locally), and with ``sort_cols`` the sort-merge join also skips its
+    sorts. At 100 TB this converts every repeated fact⋈fact join on the
+    bucket key from a full-table shuffle into a metadata decision —
+    bucketing is the one layout lever that amortizes across QUERIES, not
+    just scans (partitioning prunes, clustering skips row groups,
+    bucketing deletes shuffles). Requires ``saveAsTable`` (bucket
+    metadata lives in the catalog, not the files).
+    """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # a previous SESSION's managed-table directory survives in the
+        # warehouse while the (in-memory) catalog forgot the table —
+        # saveAsTable then refuses with LOCATION_ALREADY_EXISTS; clear
+        # both the catalog entry and any orphaned location first
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), name.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)
 
 
 def write_clustered_parquet(

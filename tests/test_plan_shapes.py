@@ -166,6 +166,24 @@ def test_partition_pruning_reaches_scan(spark):
         assert int(m.group(1)) == 7, plan[:3000]
 
 
+def test_bucketed_join_no_exchange(spark):
+    """bucketed_order_revenue joins two tables bucketBy'd on the join key
+    and groups by that key: the physical plan must contain ZERO shuffle
+    Exchange nodes — the on-disk hash distribution replaces every
+    shuffle. (BroadcastExchange would also be absent: the join is hinted
+    merge precisely so the property is the bucketing, not a broadcast.)"""
+    import re
+
+    plan = plan_of(spark, "bucketed_order_revenue")
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if re.match(r"\s*\(\d+\) (Broadcast)?Exchange", ln)
+    ]
+    assert exchanges == [], plan[:3000]
+    assert "SortMergeJoin" in plan, plan[:2000]
+
+
 def test_no_unpartitioned_window_anywhere(spark):
     """NO catalog query may plan a WindowExec without a partition spec —
     an unpartitioned window is a single-partition sort of its whole input

@@ -71,6 +71,39 @@ def test_hll_registers_merge_across_partitions(spark):
     )
 
 
+def test_quantile_bins_merge_and_accuracy(spark):
+    # Mergeability: bins of (A ∪ B) == per-bin sum of separate sketches;
+    # accuracy: every reported quantile is within one bin width above the
+    # exact order statistic.
+    import numpy as np
+
+    vals = [float(v) for v in np.random.RandomState(7).gamma(4.0, 25.0, 4000)]
+    half = len(vals) // 2
+    a = spark.createDataFrame([("g", v) for v in vals[:half]], ["grp", "v"])
+    b = spark.createDataFrame([("g", v) for v in vals[half:]], ["grp", "v"])
+    u = a.union(b)
+    w = 2.0
+    union_bins = sk.quantile_bins(u, ["grp"], F.col("v"), w)
+    merged = (
+        sk.quantile_bins(a, ["grp"], F.col("v"), w)
+        .union(sk.quantile_bins(b, ["grp"], F.col("v"), w))
+        .groupBy("grp", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, union_bins.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    [row] = sk.quantiles_from_bins(union_bins, ["grp"], w).collect()
+    assert row["n_rows"] == len(vals)
+    svals = sorted(vals)
+    import math
+
+    for q in (0.5, 0.9, 0.99):
+        exact = svals[math.ceil(q * len(svals)) - 1]
+        est = row[f"p{int(q * 100)}"]
+        assert exact <= est <= exact + w, (q, exact, est)
+
+
 @pytest.fixture(scope="module")
 def zipf_counts(spark):
     # Skewed frequencies: key i appears (50 - i) times for i in 0..49.
