@@ -188,6 +188,20 @@ def _bpe_iterations_oracle(k: int) -> str:
     shape of ``bpe_merge_pairs`` plus a wrapped-string replace merge
     (see ``textops.bpe_merge_iterations`` for why replace == greedy
     left-to-right BPE)."""
+    union = " UNION ALL ".join(
+        f"SELECT * FROM best{i}" for i in range(1, k + 1)
+    )
+    return _bpe_train_ctes(k) + f"""
+    SELECT it,
+           trim(replace(pair, chr(31) || chr(31), ' '), chr(31))
+             AS merge_pair,
+           pair_count
+    FROM ({union})"""
+
+
+def _bpe_train_ctes(k: int) -> str:
+    """The shared CTE prefix (toks → vocab → v0 → ... → v{k}) of the
+    unrolled BPE training replay."""
     sql = f"""
     WITH toks AS ({_TOKS_SQL}),
     vocab AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
@@ -219,16 +233,35 @@ def _bpe_iterations_oracle(k: int) -> str:
                            replace(b.pair, chr(31) || chr(31), '')) AS s
       FROM v{i - 1}, best{i} b
     )"""
-    union = " UNION ALL ".join(
-        f"SELECT * FROM best{i}" for i in range(1, k + 1)
-    )
-    sql += f"""
-    SELECT it,
-           trim(replace(pair, chr(31) || chr(31), ' '), chr(31))
-             AS merge_pair,
-           pair_count
-    FROM ({union})"""
     return sql
+
+
+def _bpe_compression_oracle(k: int) -> str:
+    chars = "length(replace(s, chr(31), ''))"
+    return _bpe_train_ctes(k) + f"""
+    SELECT count(*)::BIGINT AS n_vocab,
+           sum(freq)::BIGINT AS total_words,
+           sum(freq * {chars})::BIGINT AS total_chars,
+           (sum(freq * (length(s) - {chars})) // 2)::BIGINT
+             AS total_symbols,
+           round((sum(freq * (length(s) - {chars})) // 2)
+                 / sum(freq * {chars})::DOUBLE, 6) AS compression_r
+    FROM v{k}"""
+
+
+@register("bpe_compression_stats", oracle=_bpe_compression_oracle(3))
+def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compression after the first 3 learned BPE merges — symbols
+    per word before/after, the metric tokenizer training optimizes; the
+    oracle replays training AND application and checks the exact
+    freq-weighted totals (see ``textops.bpe_compression_stats``)."""
+    from bigdata_capstone_spark.operators.textops import (
+        bpe_compression_stats as bpe_stats,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_stats(docs, k=3)
 
 
 @register("bpe_merge_iterations", oracle=_bpe_iterations_oracle(3))

@@ -367,6 +367,24 @@ def bpe_merge_iterations(
     (corpus-size-independent) and caches the merged vocab so iteration
     i+1 reads i's result, not the whole lineage.
     """
+    merges, _ = _bpe_train(df, text_col, k)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "it",
+        F.expr(
+            "trim(BOTH '\x1f' FROM replace(pair, '\x1f\x1f', ' '))"
+        ).alias("merge_pair"),
+        F.col("pair_count").cast("long").alias("pair_count"),
+    )
+
+
+def _bpe_train(
+    df: DataFrame, text_col: str, k: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE training loop: returns (per-iteration best-pair frames,
+    final merged vocabulary (freq, s) in the wrapped-symbol encoding)."""
     s1, s2 = BPE_SEP, BPE_SEP * 2
     words = df.select(F.explode(tokens_col(text_col)).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
@@ -418,15 +436,43 @@ def bpe_merge_iterations(
             )
             .cache()
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.select(
-        "it",
-        F.expr(
-            "trim(BOTH '\x1f' FROM replace(pair, '\x1f\x1f', ' '))"
-        ).alias("merge_pair"),
-        F.col("pair_count").cast("long").alias("pair_count"),
+    return merges, cur
+
+
+def bpe_compression_stats(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Corpus compression achieved by the first ``k`` learned BPE merges —
+    the metric a tokenizer-training run is actually optimizing: total
+    symbols per corpus word before (= characters) and after applying the
+    merges, freq-weighted over the vocabulary. One row:
+    (n_vocab, total_words, total_chars, total_symbols,
+    round(total_symbols/total_chars, 6) AS compression_r).
+
+    Symbol counts come off the wrapped encoding arithmetically: a word
+    with n symbols wrapped as ``\\x1fsym\\x1f...`` has
+    ``n = (length(s) - n_chars) / 2`` where n_chars is the sum of symbol
+    lengths — both exact integers, so the stats are engine-replayable.
+    """
+    _, cur = _bpe_train(df, text_col, k)
+    n_chars = F.length(F.regexp_replace("s", BPE_SEP, ""))
+    # 2*symbols = wrapped length - chars; keep every sum in exact BIGINT
+    # and halve once at the end (the sum of even numbers stays even)
+    syms2 = F.length("s") - n_chars
+    agg = cur.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("freq").cast("long").alias("total_words"),
+        F.sum(F.col("freq") * n_chars).cast("long").alias("total_chars"),
+        F.sum(F.col("freq") * syms2).cast("long").alias("__syms2"),
+    )
+    return agg.select(
+        "n_vocab",
+        "total_words",
+        "total_chars",
+        F.expr("__syms2 div 2").alias("total_symbols"),
+        F.round(
+            F.expr("__syms2 div 2") / F.col("total_chars").cast("double"), 6
+        ).alias("compression_r"),
     )
 
 

@@ -100,6 +100,23 @@ def test_bpe_merge_iterations_python_parity(spark, sf_small):
     ]
     assert got == expected
 
+    # compression stats must equal the same Python trainer's totals
+    from bigdata_capstone_spark.operators.textops import (
+        bpe_compression_stats,
+    )
+
+    total_words = sum(vocab.values())
+    total_chars = sum(len(w) * f for w, f in vocab.items())
+    total_symbols = sum(len(s) * vocab[w] for w, s in syms.items())
+    [row] = bpe_compression_stats(docs, k=3).collect()
+    assert (
+        row["n_vocab"],
+        row["total_words"],
+        row["total_chars"],
+        row["total_symbols"],
+    ) == (len(vocab), total_words, total_chars, total_symbols)
+    assert abs(row["compression_r"] - total_symbols / total_chars) < 1e-6
+
 
 def test_zipf_slope_python_parity(spark, sf_small):
     """Micro-unit integer regression must equal the same fit done in
