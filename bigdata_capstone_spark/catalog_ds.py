@@ -2225,3 +2225,66 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), F.col("node"))
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-pruned semi-join: the sketch family used as a JOIN OPTIMIZATION.
+# Build the filter over the SMALL side's keys (one map-side-combinable
+# bit_or aggregate), broadcast the ~8 KB bitmap, drop big-side
+# non-members BEFORE the exact semi-join's shuffle. False positives
+# survive the probe and die in the exact join, so the result is
+# row-identical to the plain semi-join — which is exactly what the
+# oracle checks. At 100 TB the probe converts the big side's semi-join
+# shuffle from |orders| rows to |probable members| rows at the cost of a
+# broadcast no bigger than a dimension table.
+# --------------------------------------------------------------------------
+
+@register(
+    "bloom_pruned_segment_orders",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           count(*)::BIGINT AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM customer
+      WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+    )
+    GROUP BY 1
+    """,
+)
+def bloom_pruned_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order volume for BUILDING-segment customers, with the
+    fact side pre-filtered through a portable Bloom filter of the
+    segment's custkeys before the exact semi-join. The oracle is the
+    PLAIN semi-join — proving the bloom probe changes cost, never
+    results (no false negatives; false positives removed by the exact
+    join)."""
+    from bigdata_capstone_spark.functions.portable import exact_sum
+    from bigdata_capstone_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    ensure_utc(spark)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    bitmap = bloom_build(cust, F.col("c_custkey").cast("string"), m_bits=14, k=4)
+    probable = bloom_probe(
+        orders, bitmap, F.col("o_custkey").cast("string"), m_bits=14, k=4
+    )
+    exact = rel.semi_join(
+        probable,
+        cust.select(F.col("c_custkey").alias("o_custkey")),
+        on="o_custkey",
+    )
+    return exact.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice", 2).alias("revenue"),
+    )

@@ -132,3 +132,57 @@ def test_zorder_key_matches_python_reference(spark):
         assert z == morton(x, y), (x, y, z)
         assert z not in seen
         seen.add(z)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.sampled_from([1, 3, 8, 32]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_partitioned_prefix_sum_equals_sequential(spark, vals, nparts):
+    """The distributed prefix sum must equal a sequential Python prefix
+    sum over the same total order, for ANY partition count — the
+    bit-identity contract every no-single-partition-window rewrite
+    relies on. Duplicate order keys get a unique tie-break id, values
+    may repeat and be zero."""
+    from bigdata_capstone_spark.operators.relational import (
+        partitioned_prefix_sum,
+    )
+
+    rows = [(i, k, v) for i, (k, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["id", "k", "v"])
+    got = {
+        r["id"]: (r["cum"], r["before"])
+        for r in partitioned_prefix_sum(
+            df,
+            [F.desc("k"), F.col("id")],
+            F.col("v").cast("long"),
+            "cum",
+            num_partitions=nparts,
+        )
+        .join(
+            partitioned_prefix_sum(
+                df,
+                [F.desc("k"), F.col("id")],
+                F.col("v").cast("long"),
+                "before",
+                num_partitions=nparts,
+                inclusive=False,
+            ).select("id", "before"),
+            on="id",
+        )
+        .collect()
+    }
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    run = 0
+    for i, _, v in ordered:
+        assert got[i] == (run + v, run), (i, got[i], run, v)
+        run += v
