@@ -63,6 +63,9 @@ HEADLINE = [
     "doc_pack_sequences",          # concat-and-chunk training-batch packing
     "embedding_pq_topk",           # product-quantization ANN (ADC + re-rank)
     "bpe_merge_pairs",             # vocab-collapsed BPE pair counting
+    "event_value_quantiles",       # mergeable quantile-bin sketch
+    "events_partition_pruned_windows",  # date-partitioned layout + pruning
+    "bloom_pruned_segment_orders", # bloom pre-filter before exact semi-join
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

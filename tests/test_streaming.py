@@ -318,3 +318,36 @@ def test_streaming_hll_split_independent(spark, sf_small):
         read_latest_snapshot(spark, f"{work}/state"), []
     ).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_late_data_gate_is_nonvacuous(sf_small):
+    """streaming_late_data's oracle equals the drained sink (driver
+    gate); this pins that the scenario actually DROPS something — if a
+    fixture regeneration ever made the straggler batch empty, the
+    watermark check would silently become a no-op."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"'{sf_small}/events.parquet'"
+        )
+        [(dropped,)] = con.execute(
+            """
+            WITH b1 AS (
+              SELECT * FROM events
+              WHERE ts < TIMESTAMP '2024-01-15' AND event_id % 5 <> 0
+            ),
+            b2 AS (
+              SELECT * FROM events
+              WHERE NOT (ts < TIMESTAMP '2024-01-15' AND event_id % 5 <> 0)
+            ),
+            wm1 AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM b1)
+            SELECT count(*) FROM b2, wm1
+            WHERE date_trunc('hour', b2.ts) + INTERVAL 1 HOUR <= wm1.w
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    assert dropped > 0, "late-data scenario must drop at least one row"
