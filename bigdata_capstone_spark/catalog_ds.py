@@ -1468,8 +1468,12 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
-    pr = li.groupBy("l_partkey").agg(F.sum(rev_dec).alias("rev_dec"))
-    tot = li.agg(F.sum(rev_dec).cast("double").alias("total"))
+    # pr is cached and the grand total derives from it (exact decimal →
+    # identical value), so lineitem is scanned ONCE — the oracle keeps
+    # computing total from the raw table; decimal addition makes the two
+    # formulations bit-equal
+    pr = li.groupBy("l_partkey").agg(F.sum(rev_dec).alias("rev_dec")).cache()
+    tot = pr.agg(F.sum("rev_dec").cast("double").alias("total"))
     cum = rel.partitioned_prefix_sum(
         pr,
         [F.desc("rev_dec"), F.col("l_partkey")],

@@ -1355,7 +1355,9 @@ def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    # hist is cached: it feeds the cumsum AND the total — uncached, the
+    # documents scan would run twice
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt")).cache()
     # distributed histogram cumsum (exact BIGINT) + a broadcast 1-row
     # total — no unpartitioned window even over the bounded length domain
     total = hist.agg(F.sum("cnt").alias("total"))

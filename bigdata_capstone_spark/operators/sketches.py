@@ -309,9 +309,12 @@ def quantiles_from_bins(
     upper edge of the first bin whose cumulative count reaches
     ``ceil(q * total)``. The cumsum window partitions by group (bounded
     by occupied bins per group); totals broadcast back as a tiny
-    aggregate."""
+    aggregate. The bin frame feeds both consumers, so it is cached
+    (sketch-sized by definition) — without this the upstream fact scan
+    would run TWICE (once for the cumsum, once for the totals)."""
     from pyspark.sql.window import Window
 
+    bins = bins.cache()
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("bin")
