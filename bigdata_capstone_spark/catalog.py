@@ -2246,7 +2246,8 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank hash-for-hash; recall vs brute force is asserted in tests."""
     from bigdata_capstone_spark.operators.simsearch import ann_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # cached: buckets + exact re-rank read the corpus twice each side
+    emb = load_table(spark, sf_dir, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=4)
 
@@ -2334,7 +2335,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold exercises a non-trivial survivor set."""
     from bigdata_capstone_spark.operators.simsearch import embedding_near_dup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # cached: bucketing and the exact cosine verify share one scan
+    emb = load_table(spark, sf_dir, "embeddings").cache()
     return embedding_near_dup_pairs(
         emb, dim=64, min_cosine=0.3, n_planes=6, n_tables=2
     )

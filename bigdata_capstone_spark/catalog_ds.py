@@ -743,7 +743,9 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_utc(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # cached once for the four stages (exact dedup, near-dup, lang-ID,
+    # quality) — uncached, each composed fragment re-scans the corpus
+    docs = load_table(spark, sf_dir, "documents").cache()
     keep_exact = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     pairs = minhash_near_dup_pairs(
         docs, n_perm=8, bands=4, min_jaccard=0.35, max_bucket_size=100
@@ -820,7 +822,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value"
             ),
         )
-    )
+    ).cache()  # |types|x|hours| rows; span, grid, and carry all reuse it
     span = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     hours = span.select(
         F.explode(

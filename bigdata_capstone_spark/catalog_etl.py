@@ -356,7 +356,12 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    # the exploded token frame is cached (memory-and-disk, spills at
+    # scale) so tokenize+explode runs once for the tf and df branches —
+    # same discipline as dedup's shingle cache
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).cache()
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -920,7 +925,11 @@ def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    # counts cached (|langs| rows): mn/tot + fracs + the result join all
+    # reuse it — uncached, each reuse re-scans the documents corpus
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_before")
+    ).cache()
     tot = counts.agg(
         F.sum("n_before").alias("total"), F.count(F.lit(1)).alias("n_langs")
     )
@@ -998,9 +1007,11 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # cached: the frequency table and the scoring join share one
+    # tokenize+explode (see doc_tfidf_top_terms)
     toks = docs.select(
         "doc_id", F.explode(tokens_col("text")).alias("tok")
-    )
+    ).cache()
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("nf"))
     tot = freq.agg(F.sum("nf").alias("total"))
     scored = (
@@ -1449,8 +1460,12 @@ def customer_balance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_capstone_spark.operators.merge import merge_upsert
 
     ensure_utc(spark)
-    cust = load_table(spark, sf_dir, "customer")
-    ev = load_table(spark, sf_dir, "events")
+    # cached: the dimension feeds the staged-key max, the merge target,
+    # and (in the changelog/reconciliation variants) the before-image;
+    # events feed two changeset aggregations — uncached each consumer
+    # re-scans
+    cust = load_table(spark, sf_dir, "customer").cache()
+    ev = load_table(spark, sf_dir, "events").cache()
     purch = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(F.col("user_id").alias("c_custkey"))
@@ -1927,7 +1942,10 @@ def docs_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    # counts cached (|langs| rows) — see docs_lang_rebalance
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_before")
+    ).cache()
     mn = counts.agg(F.min("n_before").alias("n_min"))
     fracs = counts.crossJoin(F.broadcast(mn)).select(
         "lang",
@@ -1998,7 +2016,14 @@ def docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "lang").join(quality_score(docs), on="doc_id")
+    # base cached: the totals branch and the kept branch both consume the
+    # joined quality frame — uncached, the corpus scan + quality scoring
+    # run twice
+    base = (
+        docs.select("doc_id", "lang")
+        .join(quality_score(docs), on="doc_id")
+        .cache()
+    )
     kept = base.filter(
         md5_long(F.concat(F.lit("qs:"), F.col("doc_id"))) % 1_000_000
         < F.round(F.col("quality") * 1_000_000, 0).cast("long")

@@ -135,7 +135,9 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_capstone_spark.operators.simsearch import pq_topk_prf
 
     ensure_utc(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # cached: codebook anchors, encode, and the re-rank's raw-vector
+    # fetch share one physical scan of the corpus
+    emb = load_table(spark, sf_dir, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") < 5)
     return pq_topk_prf(
         emb, queries, k=10, dim=64, m=16, k_codes=16, rerank=100
@@ -453,7 +455,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_capstone_spark.operators.textops import quality_score
 
     ensure_utc(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # cached: clustering and the quality join both consume the corpus
+    docs = load_table(spark, sf_dir, "documents").cache()
     clusters = dedup_clusters(
         docs, n_perm=8, bands=4, min_jaccard=0.5, max_bucket_size=100
     )
@@ -520,7 +523,9 @@ def docs_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_utc(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # cached: quality, token count, and the source projection share one
+    # corpus scan
+    docs = load_table(spark, sf_dir, "documents").cache()
     qual = quality_score(docs)
     toks = token_count(docs).select("doc_id", "ws_tokens")
     w = (

@@ -116,7 +116,9 @@ def epoch_repeat_factors(
     repeat_factor_r); materializing the copies is
     ``explode(sequence(1, n_copies))`` at write time.
     """
-    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # sizes cached (|groups| rows): nmax and factors both reuse it —
+    # uncached, each reuse re-scans the corpus
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).cache()
     nmax = sizes.agg(F.max("__n").alias("__nmax"))
     factors = sizes.crossJoin(F.broadcast(nmax)).select(
         group_col,

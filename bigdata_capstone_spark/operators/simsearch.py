@@ -115,20 +115,24 @@ def rp_lsh_buckets(
     is JVM-side higher-order functions over literal weight arrays — no UDF,
     deterministic.
 
-    One-pass shape: all ``n_planes`` dot products of a table accumulate in a
-    SINGLE ``aggregate`` over the vector (array-of-partials accumulator,
-    flattened weight matrix literal) instead of n_planes separate
-    zip_with+aggregate passes — same left-to-right addition order per plane
-    (so bucket values are bit-identical, oracle-stable), ~n_planes× fewer
-    intermediate array allocations. The dots array is materialized in its
-    own projection so the sign fold reads an attribute, not n_planes copies
-    of the aggregate expression.
+    One-pass shape, two ways: all ``n_planes`` dot products of a table
+    accumulate in a SINGLE ``aggregate`` over the vector
+    (array-of-partials accumulator, flattened weight matrix literal)
+    instead of n_planes separate zip_with+aggregate passes — same
+    left-to-right addition order per plane (so bucket values are
+    bit-identical, oracle-stable); and all ``n_tables`` sketches are
+    computed side-by-side in ONE projection with the (table, bucket)
+    pairs exploded from a literal array, so the input is scanned ONCE —
+    the earlier per-table union re-read the corpus n_tables times
+    (caught by tools/plan_audit.py --scans). The dots arrays are
+    materialized in their own projection so the sign folds read
+    attributes, not n_tables copies of the aggregate expression.
     """
-    out_rows = []
+    vec = F.col(vec_col)
+    dots_cols = []
     for t in range(n_tables):
         flat = [w for p in range(n_planes) for w in _plane_weights(p, dim, t)]
         wlit = F.array(*[F.lit(w) for w in flat])
-        vec = F.col(vec_col)
         dots = F.aggregate(
             F.sequence(F.lit(1), F.lit(dim)),
             F.array_repeat(F.lit(0.0), n_planes),
@@ -139,21 +143,24 @@ def rp_lsh_buckets(
                 * F.element_at(wlit, p * dim + d),
             ),
         )
-        staged = df.select(F.col(id_col), dots.alias("_dots"))
+        dots_cols.append(dots.alias(f"_dots{t}"))
+    staged = df.select(F.col(id_col), *dots_cols)
+    entries = []
+    for t in range(n_tables):
         bucket = F.lit(0).cast("long")
         for p in range(n_planes):
             bucket = bucket + F.when(
-                F.element_at(F.col("_dots"), p + 1) >= 0, F.lit(2**p).cast("long")
+                F.element_at(F.col(f"_dots{t}"), p + 1) >= 0,
+                F.lit(2**p).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
-        out_rows.append(
-            staged.select(
-                F.col(id_col), F.lit(t).alias("table"), bucket.alias("bucket")
+        entries.append(
+            F.struct(
+                F.lit(t).cast("int").alias("table"), bucket.alias("bucket")
             )
         )
-    out = out_rows[0]
-    for o in out_rows[1:]:
-        out = out.unionByName(o)
-    return out
+    return staged.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("_e")
+    ).select(id_col, F.col("_e.table").alias("table"), F.col("_e.bucket").alias("bucket"))
 
 
 def ann_topk(

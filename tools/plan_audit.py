@@ -46,9 +46,49 @@ def audit(name: str, plan: str) -> list[str]:
     return notes
 
 
+def duplicate_scans(qe, jvm) -> dict[str, int]:
+    """Parquet relations appearing MORE THAN ONCE as leaves of the
+    optimized plan (post cache substitution — cached frames show up as
+    InMemoryRelation, so their population recipe is not double-counted).
+    A table listed here is physically scanned N times by one query: either
+    cache the shared derivation (see round-4 scan-dedup commit) or confirm
+    the second scan is inherent (e.g. a threshold computed over the same
+    table that then filters it)."""
+    leaves = qe.optimizedPlan().collectLeaves()
+    counts: dict[str, int] = {}
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        cls = leaf.getClass().getSimpleName()
+        if cls != "LogicalRelation":
+            continue
+        try:
+            paths = leaf.relation().location().rootPaths()
+            key = paths.apply(0).toString().rsplit("/", 1)[-1]
+        except Exception:
+            key = cls
+        counts[key] = counts.get(key, 0) + 1
+    return {k: v for k, v in counts.items() if v > 1}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or HEADLINE
+    if names == ["--scans"]:
+        # registry-wide duplicate-scan audit
+        spark = build_session(app_name="plan_audit_scans")
+        for name in sorted(QUERIES):
+            try:
+                df = QUERIES[name](spark, sf_dir)
+                dups = duplicate_scans(
+                    df._jdf.queryExecution(), spark._jvm
+                )
+            except Exception as exc:
+                print(f"{name:40s} ERROR {type(exc).__name__}")
+                continue
+            if dups:
+                print(f"{name:40s} {dups}")
+            spark.catalog.clearCache()
+        return 0
     spark = build_session(app_name="plan_audit")
     verbose = os.environ.get("PLAN_AUDIT_VERBOSE") == "1"
     for name in names:
