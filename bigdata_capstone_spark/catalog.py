@@ -917,14 +917,16 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
+@register("embedding_ann_ivf")
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF coarse quantizer (KMeans cells +
-    n_probe nearest-cell search, exact-cosine re-rank). NOT registered:
-    the capability is value-checked by ``embedding_ann_ivf_prf`` (same
-    IVF search over a PRF-medoid index, hash-exact vs DuckDB), so a
-    rows-only registry twin added nothing — this KMeans variant stays a
-    tests-only function (recall gate: test_ivf_recall_vs_bruteforce)
-    and the production choice when adaptivity beats determinism."""
+    n_probe nearest-cell search, exact-cosine re-rank). Rows-only BY
+    NATURE (KMeans is not SQL-expressible); the IVF *search* capability
+    is value-checked by ``embedding_ann_ivf_prf`` (same search over a
+    PRF-medoid index, hash-exact vs DuckDB) and this variant's recall is
+    gated in tests (test_ivf_recall_vs_bruteforce). Kept registered —
+    the external driver pins this key — as the production choice when
+    index adaptivity beats cross-engine determinism."""
     from bigdata_capstone_spark.operators.simsearch import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
