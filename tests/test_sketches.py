@@ -77,7 +77,10 @@ def test_quantile_bins_merge_and_accuracy(spark):
     # exact order statistic.
     import numpy as np
 
-    vals = [float(v) for v in np.random.RandomState(7).gamma(4.0, 25.0, 4000)]
+    rs = np.random.RandomState(7)
+    # shifted so ~1/4 of values are negative: bin = floor(v/w) must order
+    # correctly through the sign change (floor, not trunc)
+    vals = [float(v) - 30.0 for v in rs.gamma(4.0, 25.0, 4000)]
     half = len(vals) // 2
     a = spark.createDataFrame([("g", v) for v in vals[:half]], ["grp", "v"])
     b = spark.createDataFrame([("g", v) for v in vals[half:]], ["grp", "v"])
