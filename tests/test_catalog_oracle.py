@@ -38,3 +38,22 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_pinned_keys_all_registered():
+    """The external driver replays a pinned set of query keys each round
+    (the CORRECTNESS_r* files record them): every pinned key must
+    resolve in queries(), or the driver records an unresolvable-key
+    failure we would never see locally. (Round 4 nearly shipped exactly
+    that by retiring embedding_ann_ivf.)"""
+    import glob
+    import json
+
+    from bigdata_capstone_spark.catalog import QUERIES
+
+    pinned: set[str] = set()
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        pinned.update(json.load(open(path)).keys())
+    assert pinned, "no CORRECTNESS files found (driver not yet run?)"
+    missing = sorted(k for k in pinned if k not in QUERIES)
+    assert not missing, f"pinned driver keys missing from registry: {missing}"
