@@ -2487,3 +2487,65 @@ def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{work}/state", "event_type STRING, bin BIGINT, cnt BIGINT"
     )
     return quantiles_from_bins(bins, ["event_type"], 2.0, (0.5, 0.9, 0.99))
+
+
+@register(
+    "event_p99_outliers",
+    oracle="""
+    WITH bins AS (
+      SELECT event_type, floor(value / 2.0)::BIGINT AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM bins
+    ),
+    thresh AS (
+      SELECT event_type,
+             (min(CASE WHEN cum >= ceil(0.99 * total) THEN bin END) + 1)
+               * 2.0 AS p99
+      FROM cum GROUP BY event_type
+    )
+    SELECT e.event_type, t.p99 AS p99_threshold,
+           count(*)::BIGINT AS n_outliers,
+           round(max(e.value), 2) AS max_value
+    FROM events e JOIN thresh t ON t.event_type = e.event_type
+    WHERE e.value > t.p99
+    GROUP BY 1, 2
+    """,
+)
+def event_p99_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-latency-style outlier scan COMPOSED from the quantile-bin
+    sketch: per-type p99 thresholds come from the (cached, mergeable)
+    bin sketch — never a per-type sort — and broadcast back onto the
+    scan as a plain filter. This is the production shape for 'alert on
+    values above p99' at 100 TB: the sketch is constant-size state the
+    streaming twin keeps current, and the detection pass is one
+    filtered scan. Oracle replays bins -> threshold -> filter exactly
+    (the z-score variant `event_value_anomalies` is the parametric
+    cousin; this one is distribution-free)."""
+    from bigdata_capstone_spark.operators.sketches import (
+        quantile_bins,
+        quantiles_from_bins,
+    )
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    thresh = quantiles_from_bins(
+        quantile_bins(ev, ["event_type"], F.col("value"), 2.0),
+        ["event_type"],
+        2.0,
+        (0.99,),
+    ).select("event_type", F.col("p99").alias("p99_threshold"))
+    return (
+        ev.join(F.broadcast(thresh), on="event_type")
+        .filter(F.col("value") > F.col("p99_threshold"))
+        .groupBy("event_type", "p99_threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
