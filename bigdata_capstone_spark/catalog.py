@@ -2248,7 +2248,13 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank hash-for-hash; recall vs brute force is asserted in tests."""
     from bigdata_capstone_spark.operators.simsearch import ann_topk
 
-    # cached: buckets + exact re-rank read the corpus twice each side
+    # cached DELIBERATELY at corpus level (exception to the small-frames
+    # discipline): in ANN serving the embedding corpus IS the index
+    # working set — production vector indexes pin exactly this table in
+    # memory, and both the bucketing pass and the exact re-rank read it.
+    # At 100 TB the equivalent is the persisted bucketed index table
+    # (SCALE.md "ANN at scale"); re-deriving buckets per query from the
+    # raw parquet would double the scan instead.
     emb = load_table(spark, sf_dir, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=4)
@@ -2337,7 +2343,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold exercises a non-trivial survivor set."""
     from bigdata_capstone_spark.operators.simsearch import embedding_near_dup_pairs
 
-    # cached: bucketing and the exact cosine verify share one scan
+    # corpus-level cache, deliberate: bucketing and the exact cosine
+    # verify both need the raw vectors (same rationale as
+    # embedding_ann_lsh — the vector table is the index working set;
+    # at 100 TB this is the persisted bucket-index table, not a cache)
     emb = load_table(spark, sf_dir, "embeddings").cache()
     return embedding_near_dup_pairs(
         emb, dim=64, min_cosine=0.3, n_planes=6, n_tables=2

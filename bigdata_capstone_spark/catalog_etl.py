@@ -1461,24 +1461,30 @@ def customer_balance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     # cached: the dimension feeds the staged-key max, the merge target,
-    # and (in the changelog/reconciliation variants) the before-image;
-    # events feed two changeset aggregations — uncached each consumer
-    # re-scans
+    # and (in the changelog/reconciliation variants) the before-image.
+    # The events fact is NOT cached — at 100 TB that would materialize
+    # the whole corpus to executor disk; instead ONE aggregation pass
+    # (filter to the two changeset types, group by user+type) produces a
+    # per-user frame bounded by |users|, and THAT small changeset is
+    # cached for its two consumers (purchase deltas / signup inserts).
     cust = load_table(spark, sf_dir, "customer").cache()
-    ev = load_table(spark, sf_dir, "events").cache()
-    purch = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.col("user_id").alias("c_custkey"))
-        .agg(exact_sum("value", 2).alias("delta"))
+    changes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("user_id", "event_type")
+        .agg(exact_sum("value", 2).alias("total"))
+        .cache()
+    )
+    purch = changes.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_custkey"), F.col("total").alias("delta")
     )
     # staged new-customer ids allocated after the current max key, so the
     # insert branch can never collide with an existing customer at any SF
     # (a fixed offset did exactly that at sf0.1 — caught by the 10x gate)
     mx = cust.agg(F.max("c_custkey").alias("mx"))
     signup = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(exact_sum("value", 2).alias("c_acctbal"))
+        changes.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("total").alias("c_acctbal"))
         .crossJoin(F.broadcast(mx))
         .withColumn("c_custkey", F.col("mx") + 1 + F.col("user_id"))
         .select(

@@ -78,6 +78,10 @@ def _pixel_features(w: int, h: int, pixels: list[tuple[int, int, int]]) -> list[
     var_gray, n_pixels] — first/last pixel exposure is what lets tests
     value-check the decode against the raw image bytes.
     """
+    if w <= 0 or h <= 0:
+        # w=0 / h=0 headers are syntactically valid PPM/BMP; fail with the
+        # loud ValueError the strict decoder promises, not ZeroDivisionError
+        raise ValueError(f"zero-pixel image: {w}x{h}")
     n = len(pixels)
     sr = sum(p[0] for p in pixels)
     sg = sum(p[1] for p in pixels)

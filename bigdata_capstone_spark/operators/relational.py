@@ -192,13 +192,16 @@ def partitioned_row_number(
     Use after a ``top_k`` pre-selection (TakeOrdered) when ranks are needed
     on a bounded slice, or directly on unbounded input — either way no
     single-partition WindowExec appears in the plan.
+
+    The rank is a LONG: on unbounded input it must not overflow past
+    ~2.1B rows (the 100 TB posture this module exists for). Call sites
+    that expose the rank on a provably bounded slice (after ``limit``)
+    may cast to int themselves for schema compatibility.
     """
     ranked = partitioned_prefix_sum(
         df, order_by, F.lit(1).cast("long"), "__pps_rn", num_partitions
     )
-    return ranked.withColumn(alias, F.col("__pps_rn").cast("int")).drop(
-        "__pps_rn"
-    )
+    return ranked.withColumn(alias, F.col("__pps_rn")).drop("__pps_rn")
 
 
 def union_all(*dfs: DataFrame) -> DataFrame:

@@ -299,6 +299,13 @@ def quantile_bins(
     )
 
 
+def _quantile_label(q: float) -> str:
+    """Collision-free column label for quantile ``q``: ``0.5 -> '50'``,
+    ``0.999 -> '99_9'``, ``0.0005 -> '0_05'`` (the old ``int(q*100)``
+    truncation mapped 0.999 and 0.99 both to 99)."""
+    return f"{q * 100:g}".replace(".", "_").replace("-", "m")
+
+
 def quantiles_from_bins(
     bins: DataFrame,
     group_cols: list[str],
@@ -311,8 +318,25 @@ def quantiles_from_bins(
     by occupied bins per group); totals broadcast back as a tiny
     aggregate. The bin frame feeds both consumers, so it is cached
     (sketch-sized by definition) — without this the upstream fact scan
-    would run TWICE (once for the cumsum, once for the totals)."""
+    would run TWICE (once for the cumsum, once for the totals).
+
+    ``group_cols`` must be non-empty: an empty list would plan
+    ``Window.partitionBy()`` — the single-partition WindowExec this repo
+    bans. For a global sketch, add a constant group column (the bins
+    frame is sketch-sized, so one group is still tiny) — see
+    ``event_value_quantiles_global`` in the catalog.
+    """
     from pyspark.sql.window import Window
+
+    if not group_cols:
+        raise ValueError(
+            "quantiles_from_bins requires non-empty group_cols (an empty "
+            "partitionBy would plan a single-partition window); add a "
+            "constant group column for the global case"
+        )
+    labels = [_quantile_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile labels collide for qs={qs!r}: {labels}")
 
     bins = bins.cache()
     w = (
@@ -329,14 +353,13 @@ def quantiles_from_bins(
                 F.col("cum") >= F.ceil(F.lit(q) * F.col("total")),
                 F.col("bin"),
             )
-        ).alias(f"__b{int(q * 100)}")
-        for q in qs
+        ).alias(f"__b{lbl}")
+        for q, lbl in zip(qs, labels)
     ]
     out = j.groupBy(*group_cols).agg(*aggs, F.max("total").alias("n_rows"))
-    for q in qs:
-        p = int(q * 100)
+    for lbl in labels:
         out = out.withColumn(
-            f"p{p}",
-            F.round((F.col(f"__b{p}") + 1) * F.lit(bin_width), 6),
-        ).drop(f"__b{p}")
+            f"p{lbl}",
+            F.round((F.col(f"__b{lbl}") + 1) * F.lit(bin_width), 6),
+        ).drop(f"__b{lbl}")
     return out

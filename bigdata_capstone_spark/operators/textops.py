@@ -331,9 +331,12 @@ def bpe_pair_counts(
     # single-partition WindowExec even though the pair domain (~charset²)
     # is itself bounded.
     top = agg.orderBy(F.desc("pair_count"), F.col("pair")).limit(top_n)
-    return partitioned_row_number(
-        top, [F.desc("pair_count"), F.col("pair")], "rank"
-    ).select("pair", "pair_count", "rank")
+    return (
+        partitioned_row_number(top, [F.desc("pair_count"), F.col("pair")], "rank")
+        # bounded by limit(top_n) above, so the int cast cannot overflow
+        .withColumn("rank", F.col("rank").cast("int"))
+        .select("pair", "pair_count", "rank")
+    )
 
 
 #: Unit separator — wraps every BPE symbol (``\x1fsym\x1f``) so merge
@@ -507,6 +510,8 @@ def zipf_rank_frequency(
     top = vocab.orderBy(F.desc("freq"), F.col("token")).limit(fit_n)
     ranked = (
         partitioned_row_number(top, [F.desc("freq"), F.col("token")], "rank")
+        # bounded by limit(fit_n) above, so the int cast cannot overflow
+        .withColumn("rank", F.col("rank").cast("int"))
         .withColumn(
             "lr", F.round(F.log10(F.col("rank").cast("double")) * 1e6).cast("long")
         )

@@ -567,3 +567,17 @@ def test_pq_codes_shape(spark, sf_small):
     assert codes.select("vec_id", "s").distinct().count() == n * 16
     bad = codes.filter((F.col("code") < 0) | (F.col("code") >= 32)).count()
     assert bad == 0
+
+
+def test_zero_pixel_image_raises_value_error():
+    """ADVICE r4: w=0 / h=0 headers are syntactically valid PPM — the
+    strict decoder must fail with its promised ValueError, not
+    ZeroDivisionError/IndexError."""
+    import pytest as _pytest
+
+    from bigdata_capstone_spark.operators.multimodal import DECODERS
+
+    with _pytest.raises(ValueError, match="zero-pixel"):
+        DECODERS["strict"](b"P6\n0 3\n255\n")
+    with _pytest.raises(ValueError, match="zero-pixel"):
+        DECODERS["strict"](b"P6\n4 0\n255\n")

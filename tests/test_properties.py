@@ -186,3 +186,19 @@ def test_partitioned_prefix_sum_equals_sequential(spark, vals, nparts):
     for i, _, v in ordered:
         assert got[i] == (run + v, run), (i, got[i], run, v)
         run += v
+
+
+def test_partitioned_row_number_rank_is_long(spark):
+    """ADVICE r4: the distributed row_number must keep the rank as LONG —
+    an int rank silently overflows past ~2.1B rows, contradicting the
+    'directly on unbounded input' contract."""
+    from pyspark.sql import functions as F
+
+    from bigdata_capstone_spark.operators.relational import (
+        partitioned_row_number,
+    )
+
+    df = spark.range(10).select(F.col("id"))
+    out = partitioned_row_number(df, [F.col("id")], "rk", num_partitions=3)
+    assert dict(out.dtypes)["rk"] == "bigint"
+    assert [r["rk"] for r in out.orderBy("id").collect()] == list(range(1, 11))

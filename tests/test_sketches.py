@@ -158,3 +158,23 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark, sf_small):
 
     p = (1 - math.exp(-4 * n / 4096)) ** 4
     assert fp <= max(5, 5 * p * 1000), (fp, p)
+
+
+def test_quantiles_from_bins_guards(spark):
+    """ADVICE r4: empty group_cols would plan the banned single-partition
+    window — must raise; and sub-percent quantile labels must not collide
+    (int(q*100) mapped 0.999 and 0.99 both to p99)."""
+    import pytest
+
+    df = spark.createDataFrame([("g", float(v)) for v in range(100)], ["grp", "v"])
+    bins = sk.quantile_bins(df, ["grp"], F.col("v"), 2.0)
+    with pytest.raises(ValueError, match="group_cols"):
+        sk.quantiles_from_bins(bins, [], 2.0)
+    [row] = sk.quantiles_from_bins(
+        bins, ["grp"], 2.0, qs=(0.99, 0.999)
+    ).collect()
+    assert "p99" in row.asDict() and "p99_9" in row.asDict()
+    assert row["p99_9"] >= row["p99"]
+    with pytest.raises(ValueError, match="collide"):
+        # identical labels after formatting must be rejected loudly
+        sk.quantiles_from_bins(bins, ["grp"], 2.0, qs=(0.5, 0.5))

@@ -8,7 +8,10 @@ properties that matter at 100 TB:
 - BroadcastHashJoin where a dimension table is joined (no shuffle)
 - WholeStageCodegen coverage (JVM-side execution, no Python in hot path)
 
-Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Usage: python tools/plan_audit.py [--scans] [sf_dir] [query ...]
+
+``--scans`` (anywhere in argv) runs the registry-wide duplicate-scan
+audit instead of the headline plan audit.
 """
 
 from __future__ import annotations
@@ -71,9 +74,11 @@ def duplicate_scans(qe, jvm) -> dict[str, int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or HEADLINE
-    if names == ["--scans"]:
+    argv = [a for a in sys.argv[1:] if a != "--scans"]
+    scans_mode = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or HEADLINE
+    if scans_mode:
         # registry-wide duplicate-scan audit
         spark = build_session(app_name="plan_audit_scans")
         for name in sorted(QUERIES):
