@@ -2555,3 +2555,172 @@ def event_p99_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("max_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 text-quality additions: corpus bigram LM scoring and cross-doc
+# boilerplate detection — the two curation signals between the unigram
+# fluency proxy (doc_unigram_logprob) and full near-dup dedup.
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                       for i in range(1, len(t))]) AS p
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w2) AS v FROM c12),
+    probs AS (
+      SELECT c12.w1, c12.w2,
+             round(log10((c12.c12 + 0.5) / (c1.c1 + 0.5 * vocab.v)), 6)
+               AS lp
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN vocab
+    ),
+    scored AS (
+      SELECT p.doc_id, pr.lp
+      FROM pairs p JOIN probs pr ON pr.w1 = p.w1 AND pr.w2 = p.w2
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           round(sum(round(lp * 1000000)::BIGINT) * 1.0
+                 / count(*))::BIGINT / 1000000.0 AS avg_logprob_r
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM fluency score with add-k smoothing — the next
+    rung above `doc_unigram_logprob`: per-doc mean log10 of
+    P(w2|w1) = (c(w1,w2) + 0.5) / (c(w1·) + 0.5·V), where c(w1·) is
+    w1's bigram-history count and V the successor vocabulary. Word-salad
+    with plausible unigrams but improbable transitions (the spam class
+    the unigram proxy misses) scores low.
+
+    Determinism follows the unigram entry exactly: the smoothed ratio is
+    built from exact integers (so the double division is bit-identical
+    in both engines), per-pair logprobs round to 6dp, the per-doc mean
+    sums integer micro-units and rounds in integer space.
+
+    Scale shape: ONE pair-explode pass feeds everything; bigram counts
+    are a map-side-combined groupBy; history counts and the successor
+    vocabulary derive from the (vocab²-bounded, cached) bigram-count
+    table, never from a second corpus scan; scoring is one shuffle join
+    on the (w1, w2) key (AQE absorbs the stopword-pair skew). Docs with
+    fewer than 2 tokens have no transitions and are absent by design."""
+    from bigdata_capstone_spark.operators.textops import tokens_col
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # cached: the bigram frame feeds the count table and the scoring
+    # join (same shared-tokenize rationale as doc_unigram_logprob)
+    pair = lambda i: F.struct(  # noqa: E731
+        F.element_at(F.col("t"), i).alias("w1"),
+        F.element_at(F.col("t"), i + 1).alias("w2"),
+    )
+    bg = (
+        docs.select("doc_id", tokens_col("text").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.size("t") - 1), pair)
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .cache()
+    )
+    # vocab²-bounded count table: history counts and successor vocab both
+    # derive from it, so the corpus is scanned once for all LM statistics
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = c12.agg(F.countDistinct("w2").alias("v"))
+    probs = (
+        c12.join(c1, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log10(
+                    (F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    return (
+        bg.join(probs, on=["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.round(
+                    F.sum(F.round(F.col("lp") * 1_000_000, 0).cast("long"))
+                    / F.count(F.lit(1)),
+                    0,
+                ).cast("long")
+                / F.lit(1_000_000.0)
+            ).alias("avg_logprob_r"),
+        )
+    )
+
+
+def _boilerplate_oracle(min_docs: int = 3) -> str:
+    from bigdata_capstone_spark.catalog import _SHINGLE_CTES
+    from bigdata_capstone_spark.functions.portable import md5_long_sql
+
+    return f"""
+    WITH {_SHINGLE_CTES},
+    hashed AS (SELECT doc_id, {md5_long_sql("sh")} AS shh FROM sh),
+    dfreq AS (SELECT shh, count(*) AS dfc FROM hashed GROUP BY shh)
+    SELECT h.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN d.dfc >= {min_docs} THEN 1 ELSE 0 END)::BIGINT
+             AS n_common,
+           round(sum(CASE WHEN d.dfc >= {min_docs} THEN 1 ELSE 0 END)
+                 * 1000000.0 / count(*))::BIGINT / 1000000.0
+             AS common_frac
+    FROM hashed h JOIN dfreq d ON d.shh = h.shh
+    GROUP BY h.doc_id
+    """
+
+
+@register("doc_boilerplate_shingles", oracle=_boilerplate_oracle(3))
+def doc_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate exposure: fraction of distinct word 3-gram
+    shingles shared with >= 3 documents corpus-wide (C4/RefinedWeb-style
+    template detection — catches licence blurbs and navigation chrome
+    that survive document-level dedup because the surrounding text
+    differs). See operators/dedup.py boilerplate_shingle_stats for the
+    scale shape (digest-only shuffles, one cached hashed-shingle frame
+    feeding frequency count + join-back)."""
+    from bigdata_capstone_spark.operators.dedup import (
+        boilerplate_shingle_stats,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = boilerplate_shingle_stats(docs, shingle_n=3, min_docs=3)
+    # micro-unit integer rounding for the fraction (the half-case rule
+    # from doc_unigram_logprob's docstring)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_common").cast("long").alias("n_common"),
+        (
+            F.round(F.col("n_common") * 1_000_000 / F.col("n_shingles"), 0)
+            .cast("long")
+            / F.lit(1_000_000.0)
+        ).alias("common_frac"),
+    )

@@ -628,3 +628,51 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def boilerplate_shingle_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-document boilerplate exposure: the fraction of a doc's distinct
+    word ``shingle_n``-gram shingles that also appear in at least
+    ``min_docs`` documents corpus-wide — the C4/RefinedWeb-style signal
+    for template/boilerplate text (headers, footers, licence blurbs) that
+    survives exact AND near-dup dedup because the surrounding document
+    differs. High-fraction docs are candidates for span-level cleaning or
+    down-weighting in the curation mix.
+
+    Returns (id, n_shingles, n_common, common_frac). Scale shape: the
+    shuffle carries 60-bit md5 shingle hashes, never shingle text (same
+    digest-only discipline as the MinHash family); doc-frequency is one
+    map-side-combined groupBy over the hashed frame; the frame feeds both
+    the frequency count and the join back, so it is cached (the same
+    two-consumer rationale as minhash_near_dup_pairs' shingle cache).
+    Docs with fewer than ``shingle_n`` tokens have no shingles and are
+    absent from the output (they carry no boilerplate signal).
+    """
+    sh = (
+        exploded_shingles(df, text_col, id_col, shingle_n)
+        .select(F.col(id_col), md5_long(F.col("sh")).alias("shh"))
+        .cache()
+    )
+    # exploded_shingles is distinct-per-doc, so count(*) per hash IS the
+    # document frequency
+    dfreq = sh.groupBy("shh").agg(F.count(F.lit(1)).alias("dfc"))
+    return (
+        sh.join(dfreq, on="shh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("dfc") >= min_docs, 1).otherwise(0)
+            ).alias("n_common"),
+        )
+        .withColumn(
+            "common_frac",
+            F.round(F.col("n_common") / F.col("n_shingles"), 6),
+        )
+    )

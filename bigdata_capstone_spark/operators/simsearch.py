@@ -535,6 +535,71 @@ def pq_codes_prf(
     )
 
 
+def _pq_query_table(
+    queries: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC distance table (query_id, code, s, qdm): the squared-L2
+    from each query subspace slice to each codebook center, rounded to
+    MICRO-UNIT INTEGERS so the downstream per-(query, id) sum is an
+    order-independent hash aggregate both engines compute identically."""
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id",
+            "code",
+            F.posexplode(
+                _sub_dists_col(F.col("qv"), F.col("center"), m, dsub)
+            ).alias("s", "qd"),
+        )
+        .select(
+            "query_id",
+            "code",
+            "s",
+            F.round(F.col("qd") * 1e6).cast("long").alias("qdm"),
+        )
+    )
+
+
+def _cosine_rerank(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, id) shortlist to top-k: raw
+    vectors are fetched only for the |shortlist| rows — the step every
+    compressed/banded index shares."""
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    reranked = (
+        shortlist.join(F.broadcast(qv), on="query_id")
+        .join(cv, on=id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine_similarity_col(F.col("qv"), F.col("cv")), 6
+            ).alias("cosine_r"),
+        )
+    )
+    return grouped_top_k(
+        reranked, ["query_id"], [F.desc("cosine_r"), F.col(id_col)], k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def pq_topk_prf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -582,25 +647,7 @@ def pq_topk_prf(
     # per-(query, id) sum: integer sums are order-independent, so the ADC
     # reduce is a plain map-side-combined hash aggregate — no ordered fold
     # needed for engine-exactness (round-before-aggregate invariant).
-    qtable = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
-        .crossJoin(F.broadcast(codebook))
-        .select(
-            "query_id",
-            "code",
-            F.posexplode(
-                _sub_dists_col(F.col("qv"), F.col("center"), m, dsub)
-            ).alias("s", "qd"),
-        )
-        .select(
-            "query_id",
-            "code",
-            "s",
-            F.round(F.col("qd") * 1e6).cast("long").alias("qdm"),
-        )
-    )
+    qtable = _pq_query_table(queries, codebook, m, dsub, id_col, vec_col)
     scored = (
         codes.join(F.broadcast(qtable), on=["s", "code"])
         .filter(F.col(id_col) != F.col("query_id"))
@@ -613,26 +660,111 @@ def pq_topk_prf(
         scored, ["query_id"], [F.col("adc_r"), F.col(id_col)], rerank,
         rank_col="__srn",
     ).select("query_id", id_col)
+    return _cosine_rerank(shortlist, queries, corpus, k, id_col, vec_col)
 
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+
+def ivfpq_topk_prf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    m: int = 16,
+    k_codes: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composed index (the IVFADC architecture of Jégou et al.,
+    TPAMI 2011 §V, as deployed by every production-scale vector store):
+    an IVF coarse quantizer PRUNES — only vectors in the ``n_probe``
+    cells nearest each query are candidates — and PQ COMPRESSES — those
+    candidates are scored from ``m`` small ints each, not raw floats.
+    :func:`ivf_topk_prf` alone still reads raw vectors for every probed
+    candidate; :func:`pq_topk_prf` alone still ADC-scans the whole
+    corpus. Composed, the per-query work is
+    ``|corpus| * n_probe/n_centroids`` candidates × ``m`` ints — the
+    only shape that survives 100 TB on both IO and compute.
+
+    Both sub-indexes use deterministic PRF anchors (md5 of id under the
+    ``ivf:`` / ``pq:`` salts), so the ENTIRE composed index — medoid
+    pick, cell assignment, probe choice, codebook, code assignment, ADC
+    fold, shortlist, re-rank — is replayed hash-exactly by the DuckDB
+    oracle (catalog_train.py `embedding_ann_ivfpq`).
+
+    Scale shape: two broadcast map passes over the corpus build the index
+    (cells + codes, both narrow tables persisted once in production);
+    the search never touches raw vectors until the |Q| × ``rerank``
+    shortlist. The candidate restriction joins the code table on id —
+    at scale both sides would be bucketed by id (sources/sinks.py
+    `write_bucketed_table`), making it co-located and shuffle-free.
+    """
+    from bigdata_capstone_spark.functions.portable import md5_long
+
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    dsub = dim // m
+
+    # --- IVF side: PRF medoids, cell assignment, probe choice ---------
+    hashed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        md5_long(
+            F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))
+        ).alias("__h"),
     )
-    cv = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
-    reranked = (
-        shortlist.join(F.broadcast(qv), on="query_id")
-        .join(cv, on=id_col)
+    picked = hashed.orderBy("__h", id_col).limit(n_centroids)
+    medoids = (
+        partitioned_row_number(picked, [F.col("__h"), F.col(id_col)], "__rn")
+        .withColumn("cell", (F.col("__rn") - 1).cast("int"))
+        .select("cell", F.col(vec_col).alias("center"))
+    )
+    sims = corpus.crossJoin(F.broadcast(medoids)).select(
+        F.col(id_col),
+        "cell",
+        cosine_similarity_col(F.col(vec_col), F.col("center")).alias("_sim"),
+    )
+    assigned = grouped_top_k(
+        sims, [id_col], [F.desc("_sim"), F.col("cell")], 1, rank_col="_arn"
+    ).select(F.col(id_col), "cell")
+    probed = grouped_top_k(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(medoids))
         .select(
             "query_id",
-            id_col,
-            F.round(
-                cosine_similarity_col(F.col("qv"), F.col("cv")), 6
-            ).alias("cosine_r"),
-        )
+            "cell",
+            cosine_similarity_col(F.col("qv"), F.col("center")).alias("_sim"),
+        ),
+        ["query_id"],
+        [F.desc("_sim"), F.col("cell")],
+        n_probe,
+        rank_col="_prn",
+    ).select("query_id", "cell")
+    cand = (
+        F.broadcast(probed)
+        .join(assigned, on="cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
     )
-    return grouped_top_k(
-        reranked, ["query_id"], [F.desc("cosine_r"), F.col(id_col)], k,
-        rank_col="rank",
-    ).withColumn("rank", F.col("rank").cast("int"))
+
+    # --- PQ side: shared codebook, codes, ADC over candidates only ----
+    codebook = pq_codebook_prf(corpus, k_codes, id_col, vec_col).cache()
+    codes = pq_codes_prf(
+        corpus, dim, m, k_codes, id_col, vec_col, codebook=codebook
+    )
+    qtable = _pq_query_table(queries, codebook, m, dsub, id_col, vec_col)
+    adc = (
+        codes.join(cand, on=id_col)
+        .join(F.broadcast(qtable), on=["query_id", "s", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("qdm") / 1e6, 6).alias("adc_r"))
+    )
+    shortlist = grouped_top_k(
+        adc, ["query_id"], [F.col("adc_r"), F.col(id_col)], rerank,
+        rank_col="__srn",
+    ).select("query_id", id_col)
+    return _cosine_rerank(shortlist, queries, corpus, k, id_col, vec_col)
 
 
 def hard_negatives_topk(

@@ -254,3 +254,51 @@ def test_cross_corpus_near_dups_find_planted_paraphrase(spark):
     assert (1, 100) in got and (3, 100) in got
     assert all(c != 2 for c, _ in got)
     assert all(ref == 100 for _, ref in got)  # no corpus-side pairs leak
+
+
+def test_bigram_logprob_penalizes_rare_transitions(spark):
+    """Docs built from corpus-frequent bigrams must outscore a doc of the
+    same unigrams in reversed (corpus-rare) transition order — the signal
+    the unigram LM cannot see."""
+    from bigdata_capstone_spark.catalog_etl import doc_bigram_logprob
+
+    rows = [(i, "a b a b a b a b") for i in range(9)] + [(9, "b a b a b a b a")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r["avg_logprob_r"]
+            for r in doc_bigram_logprob(spark, d).collect()
+        }
+    # "a b" appears 9*4+3 times, "b a" only 9*3+4 — doc 9 leans on the
+    # rarer reversed transition and must score strictly lower
+    assert out[9] < out[0], out
+
+
+def test_boilerplate_shingle_fraction(spark):
+    """Planted template: one shared trigram across >= min_docs docs is
+    flagged as common; a unique doc scores zero."""
+    from bigdata_capstone_spark.operators.dedup import (
+        boilerplate_shingle_stats,
+    )
+
+    rows = [
+        (0, "copyright acme corp alpha beta gamma"),
+        (1, "copyright acme corp delta epsilon zeta"),
+        (2, "copyright acme corp eta theta iota"),
+        (3, "totally unique words nothing shared here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r for r in boilerplate_shingle_stats(
+            docs, shingle_n=3, min_docs=3
+        ).collect()
+    }
+    assert all(out[i]["n_shingles"] == 4 for i in range(4))
+    # only the 'copyright acme corp' shingle reaches doc-frequency 3
+    assert all(out[i]["n_common"] == 1 for i in range(3))
+    assert out[3]["n_common"] == 0
+    assert out[0]["common_frac"] == 0.25

