@@ -32,10 +32,19 @@ from bigdata_capstone_spark.functions.portable import (
     cosine_similarity_col,
     dot_product_col,
 )
+from bigdata_capstone_spark.operators.dedup import fan_out
 from bigdata_capstone_spark.operators.relational import (
     grouped_top_k,
     partitioned_row_number,
 )
+
+# Every corpus-consuming heavy map below (norms, sketches, cell
+# assignment, PQ encode) first routes through dedup.fan_out: the fixture
+# embeddings parquet is ONE row group = one partition, which serialized
+# the entire per-vector compute onto a single core (profiled round 5:
+# the sf0.1 PQ encode stage ran (0+1)/1 tasks at 4.5s; fanned out it
+# spreads across the full local[32] pool). At production scale the
+# corpus arrives in many files and fan_out is a no-op.
 
 
 def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str,
@@ -69,7 +78,7 @@ def brute_force_topk(
     engines (ties then break on vec_id).
     """
     q = F.broadcast(_with_norm(queries, "query_id", "qv", "qn", id_col, vec_col))
-    c = _with_norm(corpus, id_col, "cv", "cn", id_col, vec_col)
+    c = _with_norm(fan_out(corpus), id_col, "cv", "cn", id_col, vec_col)
     pairs = q.crossJoin(c)
     if not include_self:
         pairs = pairs.filter(F.col("query_id") != F.col(id_col))
@@ -128,6 +137,7 @@ def rp_lsh_buckets(
     materialized in their own projection so the sign folds read
     attributes, not n_tables copies of the aggregate expression.
     """
+    df = fan_out(df)
     vec = F.col(vec_col)
     dots_cols = []
     for t in range(n_tables):
@@ -187,7 +197,7 @@ def ann_topk(
         .distinct()
     )
     q = _with_norm(queries, "query_id", "qv", "qn", id_col, vec_col)
-    c = _with_norm(corpus, id_col, "cv", "cn", id_col, vec_col)
+    c = _with_norm(fan_out(corpus), id_col, "cv", "cn", id_col, vec_col)
     scored = (
         cand.join(F.broadcast(q), on="query_id")
         .join(c, on=id_col)
@@ -325,7 +335,7 @@ def ivf_topk_prf(
         .select("cell", F.col(vec_col).alias("center"))
     )
 
-    sims = corpus.crossJoin(F.broadcast(medoids)).select(
+    sims = fan_out(corpus).crossJoin(F.broadcast(medoids)).select(
         F.col(id_col),
         F.col(vec_col),
         "cell",
@@ -386,8 +396,8 @@ def embedding_near_dup_pairs(
         .select("idA", "idB")
         .distinct()
     )
-    va = _with_norm(df, "idA", "va", "na", id_col, vec_col)
-    vb = _with_norm(df, "idB", "vb", "nb", id_col, vec_col)
+    va = _with_norm(fan_out(df), "idA", "va", "na", id_col, vec_col)
+    vb = _with_norm(fan_out(df), "idB", "vb", "nb", id_col, vec_col)
     return (
         cand.join(va, on="idA")
         .join(vb, on="idB")
@@ -516,7 +526,7 @@ def pq_codes_prf(
             id_col, vec_col,
         )
 
-    pairs = corpus.crossJoin(F.broadcast(codebook)).select(
+    pairs = fan_out(corpus).crossJoin(F.broadcast(codebook)).select(
         F.col(id_col),
         "code",
         _sub_dists_col(F.col(vec_col), F.col("center"), m, dsub).alias(
@@ -720,7 +730,7 @@ def ivfpq_topk_prf(
         .withColumn("cell", (F.col("__rn") - 1).cast("int"))
         .select("cell", F.col(vec_col).alias("center"))
     )
-    sims = corpus.crossJoin(F.broadcast(medoids)).select(
+    sims = fan_out(corpus).crossJoin(F.broadcast(medoids)).select(
         F.col(id_col),
         "cell",
         cosine_similarity_col(F.col(vec_col), F.col("center")).alias("_sim"),
@@ -795,7 +805,7 @@ def hard_negatives_topk(
         )
     )
     c = _with_norm(
-        corpus, id_col, "cv", "cn", id_col, vec_col,
+        fan_out(corpus), id_col, "cv", "cn", id_col, vec_col,
         extra=[F.col(label_col).alias("clabel")],
     )
     scored = (

@@ -66,9 +66,12 @@ def test_filter_pushdown_reaches_scan(spark):
         "doc_quality",
         "doc_pii_scrub",
         "doc_unigram_logprob",
+        "doc_bigram_logprob",
+        "doc_boilerplate_shingles",
         "docs_lang_rebalance",
         "docs_curation_pipeline",
         "events_hourly_windows",
+        "embedding_ann_ivfpq",
     ],
 )
 def test_no_python_in_hot_paths(spark, name):
