@@ -66,6 +66,9 @@ HEADLINE = [
     "event_value_quantiles",       # mergeable quantile-bin sketch
     "events_partition_pruned_windows",  # date-partitioned layout + pruning
     "bloom_pruned_segment_orders", # bloom pre-filter before exact semi-join
+    "embedding_ann_ivfpq",         # IVF-PQ composed ANN (prune x compress)
+    "doc_bigram_logprob",          # bigram-LM fluency scoring
+    "doc_boilerplate_shingles",    # cross-doc shared-shingle boilerplate
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

@@ -2156,7 +2156,12 @@ def heavy_hitter_parts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_utc(spark)
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    from bigdata_capstone_spark.operators.relational import fan_out
+
+    # fan out the narrow single-column projection BEFORE the d-way md5
+    # explode: the sf0.1 lineitem scan is 3 partitions, which serialized
+    # the 4x-md5 map onto 3 cores (measured 3.9s -> 1.65s fanned out)
+    li = fan_out(load_table(spark, sf_dir, "lineitem").select("l_partkey"))
     counters = cms_counters(li, F.col("l_partkey").cast("string"), _CMS_D)
     cand = (
         li.groupBy("l_partkey")

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdata_capstone_spark.catalog import register
+from bigdata_capstone_spark.operators.relational import fan_out
 from bigdata_capstone_spark.session import ensure_utc
 from bigdata_capstone_spark.sources.tables import load_table
 
@@ -359,7 +360,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exploded token frame is cached (memory-and-disk, spills at
     # scale) so tokenize+explode runs once for the tf and df branches —
     # same discipline as dedup's shingle cache
-    toks = docs.select(
+    toks = fan_out(docs).select(
         "doc_id", F.explode(tokens_col("text")).alias("tok")
     ).cache()
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -1009,7 +1010,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # cached: the frequency table and the scoring join share one
     # tokenize+explode (see doc_tfidf_top_terms)
-    toks = docs.select(
+    toks = fan_out(docs).select(
         "doc_id", F.explode(tokens_col("text")).alias("tok")
     ).cache()
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("nf"))
@@ -2629,7 +2630,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("t"), i + 1).alias("w2"),
     )
     bg = (
-        docs.select("doc_id", tokens_col("text").alias("t"))
+        fan_out(docs).select("doc_id", tokens_col("text").alias("t"))
         .filter(F.size("t") >= 2)
         .select(
             "doc_id",

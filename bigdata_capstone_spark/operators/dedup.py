@@ -25,22 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_capstone_spark.functions.portable import md5_long, perm_md5_long
+from bigdata_capstone_spark.operators.relational import fan_out  # noqa: F401
 from bigdata_capstone_spark.operators.textops import tokens_col
-
-
-def fan_out(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input arrives
-    under-partitioned (e.g. one small parquet file = one non-splittable row
-    group) before explode-heavy work. A 1-partition scan serializes the
-    whole shingle/hash pipeline onto one core; the repartition shuffle
-    (row-count sized, pre-explode) is orders of magnitude cheaper than the
-    serialized compute it unblocks. No-op when the source is already
-    parallel — at production scale (many files / row groups) this never
-    fires."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
-        return df.repartition(target)
-    return df
 
 
 def exact_dedup(

@@ -27,6 +27,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    under-partitioned (e.g. one small parquet file = one non-splittable row
+    group) before explode/hash-heavy work. A 1-partition scan serializes
+    the whole downstream pipeline onto one core; the repartition shuffle
+    (row-count sized, applied to the narrow pre-explode projection) is
+    orders of magnitude cheaper than the serialized compute it unblocks.
+    No-op when the source is already parallel — at production scale (many
+    files / row groups) this never fires. (Moved from dedup.py in round 5
+    so the text/sketch/vector operator families can all use it without an
+    import cycle; dedup.fan_out remains as an alias.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def semi_join(df: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
     """Keep rows of ``df`` whose key appears in ``keys`` (EXISTS).
 

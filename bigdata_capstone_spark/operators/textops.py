@@ -137,8 +137,10 @@ def minhash_fingerprint(
     the minimum token hash; concatenated to a hex-free string key. Equal
     token *sets* ⇒ equal fingerprints (document identity robust to word
     order / duplication)."""
+    from bigdata_capstone_spark.operators.relational import fan_out
+
     toks = F.array_distinct(tokens_col(text_col))
-    exploded = df.select("doc_id", F.explode(toks).alias("tok"))
+    exploded = fan_out(df).select("doc_id", F.explode(toks).alias("tok"))
     mins = exploded.groupBy("doc_id").agg(
         *[
             F.min(perm_md5_long(F.col("tok"), p)).alias(f"h{p}")
@@ -307,7 +309,9 @@ def bpe_pair_counts(
     Returns the ``top_n`` pairs as (pair, pair_count, rank), exact BIGINT
     counts, (count DESC, pair) tie-break.
     """
-    words = df.select(F.explode(tokens_col(text_col)).alias("w"))
+    from bigdata_capstone_spark.operators.relational import fan_out
+
+    words = fan_out(df).select(F.explode(tokens_col(text_col)).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     pairs = (
         vocab.filter(F.length("w") >= 2)
@@ -389,7 +393,9 @@ def _bpe_train(
     """Shared BPE training loop: returns (per-iteration best-pair frames,
     final merged vocabulary (freq, s) in the wrapped-symbol encoding)."""
     s1, s2 = BPE_SEP, BPE_SEP * 2
-    words = df.select(F.explode(tokens_col(text_col)).alias("w"))
+    from bigdata_capstone_spark.operators.relational import fan_out
+
+    words = fan_out(df).select(F.explode(tokens_col(text_col)).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     cur = vocab.select(
         "freq",
@@ -505,7 +511,9 @@ def zipf_rank_frequency(
         partitioned_row_number,
     )
 
-    words = df.select(F.explode(tokens_col(text_col)).alias("token"))
+    from bigdata_capstone_spark.operators.relational import fan_out
+
+    words = fan_out(df).select(F.explode(tokens_col(text_col)).alias("token"))
     vocab = words.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     top = vocab.orderBy(F.desc("freq"), F.col("token")).limit(fit_n)
     ranked = (
