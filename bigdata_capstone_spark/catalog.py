@@ -1381,6 +1381,205 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_audio_oracle(n: int = 8, seed: int = 42) -> str:
+    """DuckDB replay of synthetic_wav_assets + the REAL WAV kernel: the
+    fixture's int16 samples are md5-derived, so the oracle re-derives
+    every sample, the sign-flip lag, and the exact float expressions of
+    multimodal._wav_features (same association order; ::REAL::DOUBLE
+    replays the float32 storage of FEATURES_SCHEMA) — value-checking the
+    actual RIFF/PCM byte parse end to end."""
+    return f"""
+    WITH ids AS (SELECT unnest(range({n})) AS i),
+    meta AS (
+      SELECT i::BIGINT AS aid, (1 + i % 2)::INT AS ch,
+             (8000 * (1 + i % 3))::INT AS rate, (50 + 10 * i)::INT AS frames
+      FROM ids
+    ),
+    pos AS (
+      SELECT aid, ch, rate, frames,
+             unnest(generate_series(0, frames * ch - 1)) AS p
+      FROM meta
+    ),
+    samples AS (
+      SELECT aid, ch, rate, frames, p,
+             CASE WHEN v > 32767 THEN v - 65536 ELSE v END AS s
+      FROM (
+        SELECT *,
+               ('0x' || substr(md5('{seed}:' || aid || ':' || p), 1, 4))::INT
+                 AS v
+        FROM pos
+      )
+    ),
+    flips AS (
+      SELECT aid,
+             CASE WHEN (lag(s) OVER (PARTITION BY aid ORDER BY p) >= 0)
+                       <> (s >= 0) THEN 1 ELSE 0 END AS f
+      FROM samples
+    ),
+    zc AS (SELECT aid, sum(f) AS zc FROM flips GROUP BY aid),
+    stats AS (
+      SELECT aid, any_value(ch) AS ch, any_value(rate) AS rate,
+             any_value(frames) AS frames, count(*) AS n,
+             sum(s::BIGINT * s) AS s2,
+             arg_min(s, p) AS first_s, arg_max(s, p) AS last_s
+      FROM samples GROUP BY aid
+    )
+    SELECT st.aid AS asset_id,
+           st.ch AS channels, st.rate AS sample_rate,
+           st.frames::BIGINT AS n_frames,
+           round((st.frames * 1000.0 / st.rate)::REAL::DOUBLE, 6)
+             AS duration_ms_r,
+           round((st.first_s / 32768.0)::REAL::DOUBLE, 6) AS first_r,
+           round((st.last_s / 32768.0)::REAL::DOUBLE, 6) AS last_r,
+           round((sqrt(st.s2::DOUBLE / st.n) / 32768.0)::REAL::DOUBLE, 6)
+             AS rms_r,
+           round((zc.zc * 1.0 / (st.n - 1))::REAL::DOUBLE, 6) AS zcr_r
+    FROM stats st JOIN zc ON zc.aid = st.aid
+    """
+
+
+@register("multimodal_audio_features", oracle=_multimodal_audio_oracle())
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the mapInPandas pipeline: 16-bit PCM WAV
+    payloads (RIFF parsed with zero codec dependencies, like the PPM/BMP
+    image path) → waveform statistics. The fixture samples are
+    md5-derived, so the DuckDB oracle replays the BYTE-LEVEL parse
+    results — channels, rate, frame count, first/last sample, RMS, and
+    zero-crossing rate are all value-checked, not just row-counted."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        synthetic_wav_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_wav_assets(spark, n=8, seed=42)
+    feats = extract_features(assets, decoder="strict")
+
+    def el(i: int):
+        # widen float32 → double BEFORE round (see multimodal_features)
+        return F.element_at("features", i + 1).cast("double")
+
+    return feats.select(
+        "asset_id",
+        el(0).cast("int").alias("channels"),
+        el(1).cast("int").alias("sample_rate"),
+        el(2).cast("long").alias("n_frames"),
+        F.round(el(3), 6).alias("duration_ms_r"),
+        F.round(el(9), 6).alias("first_r"),
+        F.round(el(10), 6).alias("last_r"),
+        F.round(el(7), 6).alias("rms_r"),
+        F.round(el(8), 6).alias("zcr_r"),
+    )
+
+
+def _multimodal_video_oracle(n: int = 6, seed: int = 42) -> str:
+    """DuckDB replay of synthetic_avi_assets + the REAL AVI kernel: the
+    fixture's frame pixels are md5-derived, so the oracle re-derives
+    every frame's gray values and the exact float expressions of
+    multimodal._avi_features — container geometry, frame rate, spatial
+    means, AND the temporal motion statistic (frame-to-frame gray delta,
+    a self-join on frame index) are all value-checked, proving the
+    RIFF/DIB byte parse end to end (::REAL::DOUBLE replays the float32
+    storage of FEATURES_SCHEMA)."""
+    return f"""
+    WITH ids AS (SELECT unnest(range({n})) AS i),
+    meta AS (
+      SELECT i::BIGINT AS aid, (4 + i % 3)::INT AS w, (3 + i % 2)::INT AS h,
+             (4 + i % 3)::INT AS nf, (40000 * (1 + i % 2))::INT AS usec
+      FROM ids
+    ),
+    frames AS (
+      SELECT aid, w, h, nf, usec,
+             unnest(generate_series(0, nf - 1)) AS f
+      FROM meta
+    ),
+    pix AS (
+      SELECT aid, w, h, nf, usec, f,
+             unnest(generate_series(0, w * h - 1)) AS p
+      FROM frames
+    ),
+    gray AS (
+      SELECT aid, w, h, nf, usec, f, p,
+             ('0x' || substr(hx, 1, 2))::INT
+             + ('0x' || substr(hx, 3, 2))::INT
+             + ('0x' || substr(hx, 5, 2))::INT AS g
+      FROM (
+        SELECT *, md5('{seed}:' || aid || ':' || f || ':' || p) AS hx
+        FROM pix
+      )
+    ),
+    motion AS (
+      SELECT g1.aid, sum(abs(g2.g - g1.g)) AS md
+      FROM gray g1 JOIN gray g2
+        ON g2.aid = g1.aid AND g2.p = g1.p AND g2.f = g1.f + 1
+      GROUP BY g1.aid
+    ),
+    stats AS (
+      SELECT aid, any_value(w) AS w, any_value(h) AS h,
+             any_value(nf) AS nf, any_value(usec) AS usec,
+             count(*) AS total, sum(g) AS sg,
+             min(g) AS gmin, max(g) AS gmax,
+             sum(CASE WHEN f = 0 THEN g END) AS sg_first,
+             sum(CASE WHEN f = nf - 1 THEN g END) AS sg_last
+      FROM gray GROUP BY aid
+    )
+    SELECT st.aid AS asset_id, st.w AS width, st.h AS height,
+           st.nf AS n_frames,
+           round((1000000.0 / st.usec)::REAL::DOUBLE, 6) AS fps_r,
+           round((st.nf * st.usec / 1000.0)::REAL::DOUBLE, 6)
+             AS duration_ms_r,
+           round((st.sg / st.total / 765.0)::REAL::DOUBLE, 6)
+             AS mean_gray_r,
+           round((st.sg_first * 1.0 / st.w / st.h / 765.0)::REAL::DOUBLE, 6)
+             AS first_frame_mean_r,
+           round((st.sg_last * 1.0 / st.w / st.h / 765.0)::REAL::DOUBLE, 6)
+             AS last_frame_mean_r,
+           round((mo.md * 1.0 / (st.w * st.h * (st.nf - 1))
+                  / 765.0)::REAL::DOUBLE, 6) AS motion_r,
+           round((st.gmin / 765.0)::REAL::DOUBLE, 6) AS min_gray_r,
+           round((st.gmax / 765.0)::REAL::DOUBLE, 6) AS max_gray_r
+    FROM stats st JOIN motion mo ON mo.aid = st.aid
+    """
+
+
+@register("multimodal_video_features", oracle=_multimodal_video_oracle())
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode through the mapInPandas pipeline: AVI (RIFF)
+    containers with uncompressed 24-bit DIB frames, parsed with zero
+    codec dependencies — completing the image (PPM/BMP) / audio (WAV) /
+    video (AVI) strict-decode trio. The fixture frames are md5-derived,
+    so the DuckDB oracle replays the BYTE-LEVEL parse: geometry, frame
+    rate, per-frame spatial means, and the temporal motion statistic are
+    all value-checked, not just row-counted."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        synthetic_avi_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_avi_assets(spark, n=6, seed=42)
+    feats = extract_features(assets, decoder="strict")
+
+    def el(i: int):
+        # widen float32 → double BEFORE round (see multimodal_features)
+        return F.element_at("features", i + 1).cast("double")
+
+    return feats.select(
+        "asset_id",
+        el(0).cast("int").alias("width"),
+        el(1).cast("int").alias("height"),
+        el(2).cast("int").alias("n_frames"),
+        F.round(el(3), 6).alias("fps_r"),
+        F.round(el(4), 6).alias("duration_ms_r"),
+        F.round(el(5), 6).alias("mean_gray_r"),
+        F.round(el(6), 6).alias("first_frame_mean_r"),
+        F.round(el(7), 6).alias("last_frame_mean_r"),
+        F.round(el(8), 6).alias("motion_r"),
+        F.round(el(9), 6).alias("min_gray_r"),
+        F.round(el(10), 6).alias("max_gray_r"),
+    )
+
+
 def _multimodal_plan_oracle(n: int = 64, max_dim: int = 16, every_ms: int = 1000) -> str:
     """DuckDB replay of the metadata-only decode PLAN (synthetic_assets
     metadata formulas → resize targets + frame-sample fan-out). No bytes
@@ -2351,6 +2550,98 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb, dim=64, min_cosine=0.3, n_planes=6, n_tables=2
     )
+
+
+def _knn_graph_cte(n_planes: int = 6, n_tables: int = 2, dim: int = 64,
+                   k: int = 5) -> str:
+    """Shared CTE chain replaying the full KNN-graph build: hyperplane
+    buckets (bit-for-bit), candidate self-join, exact-cosine re-rank,
+    per-src top-k with (desc cosine, dst) tie-break."""
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        + _rp_bucket_sql("v", t, n_planes, dim)
+        + " AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    dot = ("list_sum(list_transform(generate_series(1, len(sv.v)), "
+           "i -> sv.v[i] * dv.v[i]))")
+    ns = ("sqrt(list_sum(list_transform(generate_series(1, len(sv.v)), "
+          "i -> sv.v[i] * sv.v[i])))")
+    nd = ("sqrt(list_sum(list_transform(generate_series(1, len(dv.v)), "
+          "i -> dv.v[i] * dv.v[i])))")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+      {per_table}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM buckets a JOIN buckets b
+        ON b.t = a.t AND b.bucket = a.bucket AND b.vec_id <> a.vec_id
+    ),
+    scored AS (
+      SELECT c.src, c.dst, round({dot} / ({ns} * {nd}), 6) AS cosine_r
+      FROM cand c
+      JOIN e sv ON sv.vec_id = c.src
+      JOIN e dv ON dv.vec_id = c.dst
+    ),
+    graph AS (
+      SELECT src, dst, cosine_r, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY src
+                      ORDER BY cosine_r DESC, dst))::INT AS rank
+        FROM scored
+      ) WHERE rank <= {k}
+    )"""
+
+
+@register(
+    "embedding_knn_graph",
+    oracle=_knn_graph_cte(6, 2, 64, 5)
+    + "\n    SELECT src, dst, cosine_r, rank FROM graph",
+)
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-KNN graph — each vector's top-5 nearest bucket-shared
+    neighbors, the substrate of graph-based semantic dedup/clustering
+    (SemDeDup-style). Unlike the query-set ANN entries, BOTH sides are
+    the full corpus (nothing broadcastable): candidates come from the
+    LSH bucket self-join, never |vecs|² pairs, and the DuckDB oracle
+    replays buckets, candidate join, exact re-rank, and the top-k
+    tie-break hash-for-hash."""
+    from bigdata_capstone_spark.operators.simsearch import knn_graph
+
+    # corpus-level cache, deliberate: bucketing and the exact re-rank
+    # both read the raw vectors (same rationale as embedding_ann_lsh)
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    return knn_graph(emb, dim=64, k=5, n_planes=6, n_tables=2)
+
+
+@register(
+    "embedding_mutual_knn_edges",
+    oracle=_knn_graph_cte(6, 2, 64, 5)
+    + """
+    SELECT g.src, g.dst, g.cosine_r
+    FROM graph g
+    WHERE g.src < g.dst
+      AND EXISTS (SELECT 1 FROM graph r
+                  WHERE r.src = g.dst AND r.dst = g.src)
+    """,
+)
+def embedding_mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-KNN sparsification of the corpus KNN graph: undirected
+    edges where each endpoint ranks the other in its own top-5 —
+    the hub-pruning step before clustering a semantic-dedup graph.
+    One |V|·k self-semi-join over the edge list; no vector data moves.
+    The symmetric cosine is bit-identical in both directions (same
+    element-order products, commutative multiply), so the kept value
+    is direction-independent."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        knn_graph,
+        mutual_knn_edges,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    g = knn_graph(emb, dim=64, k=5, n_planes=6, n_tables=2)
+    return mutual_knn_edges(g)
 
 
 # --------------------------------------------------------------------------

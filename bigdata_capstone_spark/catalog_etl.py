@@ -2725,3 +2725,48 @@ def doc_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("common_frac"),
     )
+
+
+@register(
+    "event_value_quantiles_global",
+    oracle="""
+    WITH bins AS (
+      SELECT 'all' AS scope, floor(value / 2.0)::BIGINT AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT scope, bin, cnt,
+             sum(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY scope) AS total
+      FROM bins
+    )
+    SELECT scope,
+           max(total)::BIGINT AS n_rows,
+           round((min(CASE WHEN cum >= ceil(0.5 * total) THEN bin END) + 1)
+                 * 2.0, 6) AS p50,
+           round((min(CASE WHEN cum >= ceil(0.9 * total) THEN bin END) + 1)
+                 * 2.0, 6) AS p90,
+           round((min(CASE WHEN cum >= ceil(0.999 * total) THEN bin END) + 1)
+                 * 2.0, 6) AS p99_9
+    FROM cum GROUP BY scope
+    """,
+)
+def event_value_quantiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL quantiles (p50/p90/p99.9) via the bin sketch with a constant
+    group column — the sanctioned route for corpus-wide order statistics
+    after quantiles_from_bins started rejecting empty group_cols (an
+    empty partitionBy would plan the banned single-partition window over
+    the RAW rows; the constant column keeps the window over the
+    sketch-sized bin frame only, which is bounded by value-range/width
+    however large the corpus). Also exercises the sub-percent quantile
+    labels (p99_9) the round-4 advice flagged as collision-prone."""
+    from bigdata_capstone_spark.operators.sketches import (
+        quantile_bins,
+        quantiles_from_bins,
+    )
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn("scope", F.lit("all"))
+    bins = quantile_bins(ev, ["scope"], F.col("value"), 2.0)
+    return quantiles_from_bins(bins, ["scope"], 2.0, (0.5, 0.9, 0.999))

@@ -339,7 +339,7 @@ def _bpe_train_ctes(k: int) -> str:
     sql = f"""
     WITH toks AS ({_TOKS_SQL}),
     vocab AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
-    v0 AS (SELECT freq,
+    v0 AS (SELECT w, freq,
                   regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
                     AS s
            FROM vocab)"""
@@ -363,8 +363,8 @@ def _bpe_train_ctes(k: int) -> str:
       FROM pairs{i} GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1
     ),
     v{i} AS (
-      SELECT freq, replace(s, b.pair,
-                           replace(b.pair, chr(31) || chr(31), '')) AS s
+      SELECT w, freq, replace(s, b.pair,
+                              replace(b.pair, chr(31) || chr(31), '')) AS s
       FROM v{i - 1}, best{i} b
     )"""
     return sql
@@ -411,6 +411,98 @@ def bpe_merge_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return bpe_iter(docs, k=3)
+
+
+def _bpe_vocab_ctes(k: int, top_n: int) -> str:
+    """Training replay + symbol inventory with dense ids — the shared CTE
+    prefix of the vocabulary and encode oracles."""
+    return _bpe_train_ctes(k) + f""",
+    syms AS (
+      SELECT freq, unnest(string_split(substring(s, 2, length(s) - 2),
+                          chr(31) || chr(31))) AS token
+      FROM v{k}
+    ),
+    inv AS (
+      SELECT token, sum(freq)::BIGINT AS token_count
+      FROM syms GROUP BY token
+      ORDER BY token_count DESC, token LIMIT {top_n}
+    ),
+    ids AS (
+      SELECT (row_number() OVER (ORDER BY token_count DESC, token))::INT
+               AS token_id,
+             token, token_count
+      FROM inv
+    )"""
+
+
+@register(
+    "bpe_token_vocab",
+    oracle=_bpe_vocab_ctes(3, 512)
+    + "\n    SELECT token_id, token, token_count FROM ids",
+)
+def bpe_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ARTIFACT: final symbol inventory after 3 BPE merges
+    as (token_id, token, token_count) with dense (count DESC, token) ids
+    — what ships to the model code as the vocabulary file. The oracle
+    replays training, inventory aggregation, and id assignment."""
+    from bigdata_capstone_spark.operators.textops import (
+        bpe_token_vocab as vocab_fn,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_fn(docs, k=3, top_n=512)
+
+
+def _bpe_encode_oracle(k: int, top_n: int) -> str:
+    return _bpe_vocab_ctes(k, top_n) + f""",
+    dtoks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    wtoks AS (
+      SELECT w, string_split(substring(s, 2, length(s) - 2),
+                             chr(31) || chr(31)) AS toks
+      FROM v{k}
+    ),
+    dtok AS (
+      SELECT d.doc_id, unnest(wt.toks) AS token
+      FROM dtoks d JOIN wtoks wt ON wt.w = d.w
+    ),
+    tok_agg AS (
+      SELECT p.doc_id, count(*)::BIGINT AS n_tokens,
+             sum(i.token_id)::BIGINT AS token_id_sum,
+             max(i.token_id)::INT AS max_token_id
+      FROM dtok p JOIN ids i ON i.token = p.token
+      GROUP BY p.doc_id
+    ),
+    word_agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(length(w))::BIGINT AS n_chars
+      FROM dtoks GROUP BY doc_id
+    )
+    SELECT t.doc_id, w.n_words, w.n_chars, t.n_tokens,
+           round(t.n_tokens / w.n_words::DOUBLE, 6) AS tokens_per_word_r,
+           t.token_id_sum, t.max_token_id
+    FROM tok_agg t JOIN word_agg w ON w.doc_id = t.doc_id
+    """
+
+
+@register("bpe_encode_docs", oracle=_bpe_encode_oracle(3, 512))
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the learned tokenizer — the apply step that
+    closes the BPE story (train → vocabulary → encode). Per doc: word /
+    char / token counts, fertility (tokens per word), and a token-id-sum
+    checksum over the doc's full id sequence, so the oracle value-checks
+    the actual encoding (ids included), not just counts. See
+    ``textops.bpe_encode_stats`` for the 100 TB join shape."""
+    from bigdata_capstone_spark.operators.textops import bpe_encode_stats
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_stats(docs, k=3, top_n=512)
 
 
 @register(

@@ -175,17 +175,218 @@ def _bmp_features(data: bytes) -> list[float]:
     return _pixel_features(w, h, pixels)
 
 
+def _wav_features(data: bytes) -> list[float]:
+    """REAL audio decode: 16-bit PCM RIFF/WAVE — like PPM/BMP, the one
+    audio container parseable with zero codec dependencies. Walks the
+    RIFF chunk list (fmt must precede data per spec; unknown chunks are
+    skipped), reads interleaved little-endian int16 samples, and returns
+    a FEATURE_DIM vector of waveform statistics. All accumulation is in
+    exact integers before the final float divisions, so the vector is
+    bit-deterministic across platforms:
+
+    [channels, sample_rate, n_frames, duration_ms, min, max, mean, rms,
+     zero_crossing_rate, first_sample, last_sample, abs_mean, clip_frac,
+     n_samples, energy_db_proxy, 1.0 (audio marker)]
+
+    (amplitudes normalized by 2^15; rms uses sqrt of an exact integer
+    ratio, cross-platform exact like the gray-variance in the image path).
+    """
+    if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+            break  # fmt precedes data per spec; nothing else needed
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV supported (format={audio_format}, "
+            f"bits={bits}); compressed audio needs real codec libraries"
+        )
+    if channels <= 0 or rate <= 0:
+        raise ValueError(f"invalid WAV header: channels={channels} rate={rate}")
+    n = len(raw) // 2
+    if n == 0:
+        raise ValueError("zero-sample audio")
+    samples = [
+        int.from_bytes(raw[2 * i : 2 * i + 2], "little", signed=True)
+        for i in range(n)
+    ]
+    frames = n // channels
+    s = sum(samples)
+    s2 = sum(x * x for x in samples)
+    sabs = sum(abs(x) for x in samples)
+    zc = sum(
+        1
+        for i in range(1, n)
+        if (samples[i - 1] >= 0) != (samples[i] >= 0)
+    )
+    clip = sum(1 for x in samples if abs(x) >= 32767)
+    full = 32768.0
+    return [
+        float(channels),
+        float(rate),
+        float(frames),
+        frames * 1000.0 / rate,
+        min(samples) / full,
+        max(samples) / full,
+        s / n / full,
+        (s2 / n) ** 0.5 / full,
+        zc / (n - 1) if n > 1 else 0.0,
+        samples[0] / full,
+        samples[-1] / full,
+        sabs / n / full,
+        clip / n,
+        float(n),
+        s2 / n / (full * full),
+        1.0,
+    ]
+
+
+def _decode_dib_frame(raw: bytes, w: int, h: int) -> list[int]:
+    """Decode one uncompressed 24-bit DIB frame (bottom-up, BGR, rows
+    padded to 4 bytes — the BMP raster layout without the BMP header) to
+    a row-major list of gray values (r+g+b, ints 0..765)."""
+    stride = (3 * w + 3) // 4 * 4
+    if len(raw) < stride * h:
+        raise ValueError("truncated DIB frame")
+    grays = []
+    for row in range(h):
+        base = (h - 1 - row) * stride
+        for x in range(w):
+            b, g, r = raw[base + 3 * x : base + 3 * x + 3]
+            grays.append(r + g + b)
+    return grays
+
+
+def _avi_features(data: bytes) -> list[float]:
+    """REAL video decode: uncompressed 24-bit DIB frames in an AVI (RIFF)
+    container — completing the zero-codec-dependency trio (PPM/BMP image,
+    PCM WAV audio, DIB AVI video). Walks the RIFF tree (hdrl → avih main
+    header, strl → strf BITMAPINFOHEADER; movi → ``..db`` frame chunks),
+    decodes every frame with the same bottom-up/BGR/padded-stride raster
+    logic as the BMP path, and returns a FEATURE_DIM vector of spatial +
+    temporal statistics. All accumulation is in exact integers before the
+    final float divisions, so the vector is bit-deterministic:
+
+    [w, h, n_frames, fps, duration_ms, mean_gray, first_frame_mean,
+     last_frame_mean, motion (mean abs frame-to-frame gray delta),
+     min_gray, max_gray, first_pixel_gray (frame 0),
+     last_pixel_gray (last frame), var_gray, n_pixels_total,
+     2.0 (video marker)]
+
+    (grays normalized by 765 = 3*255, like the image path).
+    """
+    if not (data[:4] == b"RIFF" and data[8:12] == b"AVI "):
+        raise ValueError("not a RIFF/AVI payload")
+
+    def chunks(buf: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            yield cid, buf[pos + 8 : pos + 8 + sz]
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+
+    avih = strf = None
+    frames: list[bytes] = []
+    for cid, body in chunks(data[12:]):
+        if cid != b"LIST":
+            continue
+        kind, inner = body[:4], body[4:]
+        if kind == b"hdrl":
+            for cid2, b2 in chunks(inner):
+                if cid2 == b"avih":
+                    avih = b2
+                elif cid2 == b"LIST" and b2[:4] == b"strl":
+                    for cid3, b3 in chunks(b2[4:]):
+                        if cid3 == b"strf" and strf is None:
+                            strf = b3
+        elif kind == b"movi":
+            for cid2, b2 in chunks(inner):
+                # '00db'/'01db'… = uncompressed DIB frame for stream NN
+                if cid2[2:4] == b"db":
+                    frames.append(b2)
+    if avih is None or strf is None:
+        raise ValueError("AVI missing avih/strf header")
+    usec_per_frame = int.from_bytes(avih[0:4], "little")
+    w = int.from_bytes(avih[32:36], "little")
+    h = int.from_bytes(avih[36:40], "little")
+    bpp = int.from_bytes(strf[14:16], "little")
+    compression = int.from_bytes(strf[16:20], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB AVI supported (bpp={bpp}, "
+            f"compression={compression}); codec'd video needs ffmpeg"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"zero-pixel video: {w}x{h}")
+    if not frames or usec_per_frame <= 0:
+        raise ValueError("AVI with no frames or invalid frame rate")
+
+    per_frame = [_decode_dib_frame(raw, w, h) for raw in frames]
+    npx = w * h
+    nf = len(per_frame)
+    total = nf * npx
+    sgray = sum(g for fr in per_frame for g in fr)
+    s2gray = sum(g * g for fr in per_frame for g in fr)
+    motion = sum(
+        abs(b - a)
+        for f1, f2 in zip(per_frame, per_frame[1:])
+        for a, b in zip(f1, f2)
+    )
+    var = (s2gray / total) - (sgray / total) ** 2
+    full = 765.0
+    return [
+        float(w),
+        float(h),
+        float(nf),
+        1_000_000.0 / usec_per_frame,
+        nf * usec_per_frame / 1000.0,
+        sgray / total / full,
+        sum(per_frame[0]) / npx / full,
+        sum(per_frame[-1]) / npx / full,
+        motion / (npx * (nf - 1)) / full if nf > 1 else 0.0,
+        min(min(fr) for fr in per_frame) / full,
+        max(max(fr) for fr in per_frame) / full,
+        per_frame[0][0] / full,
+        per_frame[-1][-1] / full,
+        var / (full * full),
+        float(total),
+        2.0,
+    ]
+
+
 def _strict_decode(data: bytes) -> list[float]:
     """Decode REAL formats implementable without codec libraries (binary
-    PPM, uncompressed 24-bit BMP); raise for anything needing Pillow/
-    torchaudio/ffmpeg — strict mode turns a silently-fake feature into a
-    loud error on a cluster missing codecs."""
+    PPM, uncompressed 24-bit BMP, 16-bit PCM WAV, uncompressed DIB AVI);
+    raise for anything needing Pillow/torchaudio/ffmpeg — strict mode
+    turns a silently-fake feature into a loud error on a cluster missing
+    codecs."""
     if data.startswith(b"P6"):
         return _ppm_features(data)
     if data.startswith(b"BM"):
         return _bmp_features(data)
+    if data.startswith(b"RIFF"):
+        # RIFF is a container family: dispatch on the form type
+        if data[8:12] == b"WAVE":
+            return _wav_features(data)
+        if data[8:12] == b"AVI ":
+            return _avi_features(data)
     raise NotImplementedError(
-        "media decode beyond PPM/BMP requires codec libraries "
+        "media decode beyond PPM/BMP/WAV/AVI requires codec libraries "
         "(Pillow/torchaudio/ffmpeg) not present in this container; "
         "install them on the cluster image and register a real kernel "
         "in DECODERS"
@@ -196,6 +397,8 @@ DECODERS = {
     "deterministic_fake": _fake_features,
     "ppm": _ppm_features,
     "bmp": _bmp_features,
+    "wav": _wav_features,
+    "avi": _avi_features,
     "strict": _strict_decode,
 }
 
@@ -236,6 +439,108 @@ def synthetic_ppm_assets(
             raster += hashlib.md5(f"{seed}:{i}:{p}".encode()).digest()[:3]
         blob = f"P6\n{w} {h}\n255\n".encode() + bytes(raster)
         rows.append((i, bytearray(blob), "image/x-portable-pixmap", w, h, None))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def synthetic_wav_assets(
+    spark: SparkSession, n: int = 8, seed: int = 42
+) -> DataFrame:
+    """Asset table whose payloads are REAL 16-bit PCM WAV files with
+    deterministic md5-derived samples — the audio fixture for the
+    strict-mode decode path (RIFF needs no codec library to parse)."""
+    rows = []
+    for i in range(n):
+        channels = 1 + i % 2
+        rate = 8000 * (1 + i % 3)
+        frames = 50 + 10 * i
+        raw = bytearray()
+        for p in range(frames * channels):
+            h = hashlib.md5(f"{seed}:{i}:{p}".encode()).digest()
+            val = int.from_bytes(h[:2], "big", signed=True)
+            raw += val.to_bytes(2, "little", signed=True)
+        fmt = (
+            (1).to_bytes(2, "little")
+            + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * channels * 2).to_bytes(4, "little")
+            + (channels * 2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(raw).to_bytes(4, "little") + bytes(raw)
+        )
+        blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+        rows.append((i, bytearray(blob), "audio/wav", None, None,
+                     frames * 1000 // rate))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def synthetic_avi_assets(
+    spark: SparkSession, n: int = 6, seed: int = 42
+) -> DataFrame:
+    """Asset table whose payloads are REAL AVI files (RIFF container,
+    uncompressed 24-bit DIB frames, bottom-up BGR rows padded to 4
+    bytes) with deterministic md5-derived pixels — the video fixture for
+    the strict-mode decode path. Pixel (r,g,b) for asset i, frame f,
+    row-major pixel p is md5("{seed}:{i}:{f}:{p}")[:3], so a DuckDB
+    oracle can re-derive every frame byte and value-check the whole
+    container parse + temporal statistics."""
+
+    def u32(v: int) -> bytes:
+        return v.to_bytes(4, "little")
+
+    def u16(v: int) -> bytes:
+        return v.to_bytes(2, "little")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + u32(len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    rows = []
+    for i in range(n):
+        w, h = 4 + i % 3, 3 + i % 2
+        nf = 4 + i % 3
+        usec = 40000 * (1 + i % 2)  # 25 / 12.5 fps
+        stride = (3 * w + 3) // 4 * 4
+        frames = []
+        for f in range(nf):
+            px = [
+                hashlib.md5(f"{seed}:{i}:{f}:{p}".encode()).digest()[:3]
+                for p in range(w * h)
+            ]
+            raw = bytearray()
+            for row in range(h - 1, -1, -1):  # bottom-up rows
+                for x in range(w):
+                    r, g, b = px[row * w + x]
+                    raw += bytes((b, g, r))  # BGR order
+                raw += b"\x00" * (stride - 3 * w)
+            frames.append(chunk(b"00db", bytes(raw)))
+        avih = (
+            u32(usec) + u32(0) + u32(0) + u32(0) + u32(nf) + u32(0)
+            + u32(1) + u32(0) + u32(w) + u32(h) + u32(0) * 4
+        )
+        strh = (
+            b"vids" + b"DIB " + u32(0) + u16(0) + u16(0) + u32(0)
+            + u32(usec) + u32(1_000_000) + u32(0) + u32(nf)
+            + u32(stride * h) + u32(0) + u32(0) + u16(0) * 4
+        )
+        strf = (
+            u32(40) + u32(w) + u32(h) + u16(1) + u16(24) + u32(0)
+            + u32(stride * h) + u32(0) + u32(0) + u32(0) + u32(0)
+        )
+        body = (
+            b"AVI "
+            + lst(b"hdrl", chunk(b"avih", avih)
+                  + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+            + lst(b"movi", b"".join(frames))
+        )
+        blob = b"RIFF" + u32(len(body)) + body
+        rows.append((i, bytearray(blob), "video/x-msvideo", w, h,
+                     nf * usec // 1000))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 

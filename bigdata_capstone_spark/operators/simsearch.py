@@ -414,6 +414,78 @@ def embedding_near_dup_pairs(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus self-KNN graph: (src, dst, cosine_r, rank) — each vector's
+    top-k nearest bucket-shared neighbors by exact cosine.
+
+    The KNN graph is the substrate of graph-based semantic dedup and
+    clustering (SemDeDup-style: build the neighbor graph, then cluster /
+    threshold it) — distinct from the query-set ANN entries because BOTH
+    sides are the full corpus, so nothing is broadcastable. Scale shape:
+    candidates come from the LSH bucket self-join (|vecs|·tables rows
+    shuffled on (table, bucket), never |vecs|² pairs), the exact re-rank
+    joins vectors back by id (plain shuffle hash joins — at 100 TB both
+    sides bucket by id and co-locate), and the per-src top-k is a
+    key-partitioned window. Determinism: md5 hyperplanes, cosine rounded
+    before ranking, dst id as tie-break — the whole index replays in SQL.
+    """
+    b = rp_lsh_buckets(corpus, dim, n_planes, n_tables, id_col, vec_col)
+    src_b = b.select(F.col(id_col).alias("src"), "table", "bucket")
+    dst_b = b.select(F.col(id_col).alias("dst"), "table", "bucket")
+    cand = (
+        src_b.join(dst_b, on=["table", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    vs = _with_norm(fan_out(corpus), "src", "sv", "sn", id_col, vec_col)
+    vd = _with_norm(fan_out(corpus), "dst", "dv", "dn", id_col, vec_col)
+    scored = (
+        cand.join(vs, on="src")
+        .join(vd, on="dst")
+        .select(
+            "src",
+            "dst",
+            F.round(
+                dot_product_col(F.col("sv"), F.col("dv"))
+                / (F.col("sn") * F.col("dn")),
+                6,
+            ).alias("cosine_r"),
+        )
+    )
+    return grouped_top_k(
+        scored, ["src"], [F.desc("cosine_r"), F.col("dst")], k, rank_col="rank"
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def mutual_knn_edges(graph: DataFrame) -> DataFrame:
+    """Mutual-KNN edges from a :func:`knn_graph` result: undirected pairs
+    (src < dst) where each endpoint ranks the other in ITS top-k — the
+    standard sparsifier for semantic-dedup / clustering graphs (mutuality
+    prunes hub nodes that merely appear in many asymmetric lists).
+
+    One self-semi-join on the (already top-k-bounded) edge list: |V|·k
+    rows joined on both endpoint ids — no vector data moves.
+    """
+    fwd = graph.select("src", "dst", "cosine_r")
+    rev = graph.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        fwd.join(rev, on=["src", "dst"], how="left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "cosine_r")
+    )
+
+
 def _sq_l2_col(a, b):
     """Squared L2 distance of two float-array slices, accumulated in array
     order as doubles — the DuckDB twin is

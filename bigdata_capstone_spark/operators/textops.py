@@ -397,7 +397,10 @@ def _bpe_train(
 
     words = fan_out(df).select(F.explode(tokens_col(text_col)).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # ``w`` rides along so encode-side callers (bpe_encode_stats) can map
+    # each corpus word to its merged symbol sequence without re-training
     cur = vocab.select(
+        "w",
         "freq",
         F.regexp_replace("w", "(.)", f"{s1}$1{s1}").alias("s"),
     ).cache()
@@ -438,6 +441,7 @@ def _bpe_train(
         cur = (
             cur.crossJoin(F.broadcast(best.select("pair")))
             .select(
+                "w",
                 "freq",
                 F.expr(
                     "replace(s, pair, replace(pair, '\x1f\x1f', ''))"
@@ -482,6 +486,119 @@ def bpe_compression_stats(
         F.round(
             F.expr("__syms2 div 2") / F.col("total_chars").cast("double"), 6
         ).alias("compression_r"),
+    )
+
+
+def _token_inventory(cur: DataFrame, top_n: int) -> DataFrame:
+    """Symbol inventory of a merged vocabulary (``_bpe_train``'s ``cur``):
+    (token_id, token, token_count), ids dense by (count DESC, token).
+
+    The inventory after k merges is bounded by |initial charset| + k
+    (each merge adds at most one new symbol), so ``top_n`` is a safety
+    cap, not a sampler — callers pass top_n ≥ charset + k and get the
+    complete inventory. TakeOrdered pre-selection bounds the id window
+    (zipf_rank_frequency pattern: no unpartitioned WindowExec over an
+    unbounded frame)."""
+    from bigdata_capstone_spark.operators.relational import (
+        partitioned_row_number,
+    )
+
+    syms = cur.select(
+        "freq",
+        F.explode(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), BPE_SEP * 2)
+        ).alias("token"),
+    )
+    agg = syms.groupBy("token").agg(
+        F.sum("freq").cast("long").alias("token_count")
+    )
+    top = agg.orderBy(F.desc("token_count"), F.col("token")).limit(top_n)
+    return (
+        partitioned_row_number(
+            top, [F.desc("token_count"), F.col("token")], "token_id"
+        )
+        # bounded by limit(top_n), so the int cast cannot overflow
+        .withColumn("token_id", F.col("token_id").cast("int"))
+        .select("token_id", "token", "token_count")
+    )
+
+
+def bpe_token_vocab(
+    df: DataFrame, text_col: str = "text", k: int = 3, top_n: int = 512
+) -> DataFrame:
+    """The tokenizer ARTIFACT after ``k`` BPE training iterations: the
+    final symbol inventory as (token_id, token, token_count) with dense
+    ids in (count DESC, token) order — what a training pipeline ships to
+    the model code as the vocabulary file. Freq-weighted counts come off
+    the merged vocabulary, so the whole chain (train → inventory → ids)
+    replays in the DuckDB oracle."""
+    _, cur = _bpe_train(df, text_col, k)
+    return _token_inventory(cur, top_n)
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    top_n: int = 512,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE the corpus with the learned tokenizer — the apply step that
+    closes the BPE story (train → vocabulary → encode): every document's
+    words are mapped to their merged symbol sequences and then to dense
+    token ids. Per doc: (doc_id, n_words, n_chars, n_tokens,
+    tokens_per_word_r, token_id_sum, max_token_id) — the id-sum is a
+    checksum over the doc's FULL token-id sequence, so the oracle
+    value-checks the actual encoding, not just counts.
+
+    Scale shape: documents explode to words ONCE and join the merged
+    vocabulary on the word key (shuffle hash join — at 100 TB both sides
+    hash-partition on ``w``; the vocabulary is corpus-size-independent);
+    the id map (≤ charset + k rows) broadcasts; the per-doc re-agg is the
+    only other shuffle. No Python anywhere.
+    """
+    from bigdata_capstone_spark.operators.relational import fan_out
+
+    _, cur = _bpe_train(df, text_col, k)
+    ids = _token_inventory(cur, top_n)
+    word_toks = cur.select(
+        "w",
+        F.split(F.expr("substring(s, 2, length(s) - 2)"), BPE_SEP * 2).alias(
+            "toks"
+        ),
+    )
+    doc_words = fan_out(df).select(
+        F.col(doc_id_col), F.explode(tokens_col(text_col)).alias("w")
+    )
+    doc_toks = doc_words.join(word_toks, on="w")
+    per_tok = doc_toks.select(
+        doc_id_col, F.explode("toks").alias("token")
+    ).join(F.broadcast(ids.select("token", "token_id")), on="token")
+    return (
+        per_tok.groupBy(doc_id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("token_id").cast("long").alias("token_id_sum"),
+            F.max("token_id").cast("int").alias("max_token_id"),
+        )
+        .join(
+            doc_words.groupBy(doc_id_col).agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum(F.length("w")).cast("long").alias("n_chars"),
+            ),
+            on=doc_id_col,
+        )
+        .select(
+            doc_id_col,
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("tokens_per_word_r"),
+            "token_id_sum",
+            "max_token_id",
+        )
     )
 
 

@@ -118,6 +118,99 @@ def test_bpe_merge_iterations_python_parity(spark, sf_small):
     assert abs(row["compression_r"] - total_symbols / total_chars) < 1e-6
 
 
+def test_bpe_vocab_and_encode_python_parity(spark, sf_small):
+    """The tokenizer artifact (bpe_token_vocab) and the corpus encode
+    (bpe_encode_stats) must equal a pure-Python BPE trainer + encoder:
+    same merges, same dense id assignment (count DESC, token), same
+    per-doc token counts and id-sum checksums."""
+    from bigdata_capstone_spark.operators.textops import (
+        BPE_SEP,
+        bpe_encode_stats,
+        bpe_token_vocab,
+    )
+
+    con = duckdb.connect()
+    try:
+        doc_rows = con.execute(
+            f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+
+    # pure-Python trainer (same tie-break as test_bpe_merge_iterations)
+    vocab: collections.Counter = collections.Counter()
+    for _, text in doc_rows:
+        for w in re.split(r"\s+", text.lower()):
+            if w:
+                vocab[w] += 1
+    syms = {w: [c for c in w] for w in vocab}
+    for _ in range(3):
+        cnt: collections.Counter = collections.Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                cnt[(a, b)] += f
+        (a, b), _c = sorted(
+            cnt.items(),
+            key=lambda kv: (
+                -kv[1],
+                BPE_SEP + kv[0][0] + BPE_SEP * 2 + kv[0][1] + BPE_SEP,
+            ),
+        )[0]
+        for w in syms:
+            s, new, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            syms[w] = new
+
+    inv: collections.Counter = collections.Counter()
+    for w, s in syms.items():
+        for t in s:
+            inv[t] += vocab[w]
+    expected_vocab = [
+        (i + 1, t, c)
+        for i, (t, c) in enumerate(
+            sorted(inv.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    ]
+    ids = {t: i for i, t, _ in expected_vocab}
+
+    docs = load_table(spark, sf_small, "documents")
+    got_vocab = [
+        (r["token_id"], r["token"], r["token_count"])
+        for r in bpe_token_vocab(docs, k=3).orderBy("token_id").collect()
+    ]
+    assert got_vocab == expected_vocab
+
+    expected_docs = {}
+    for doc_id, text in doc_rows:
+        words = [w for w in re.split(r"\s+", text.lower()) if w]
+        toks = [t for w in words for t in syms[w]]
+        expected_docs[doc_id] = (
+            len(words),
+            sum(len(w) for w in words),
+            len(toks),
+            sum(ids[t] for t in toks),
+            max(ids[t] for t in toks),
+        )
+    got_docs = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_chars"],
+            r["n_tokens"],
+            r["token_id_sum"],
+            r["max_token_id"],
+        )
+        for r in bpe_encode_stats(docs, k=3).collect()
+    }
+    assert got_docs == expected_docs
+
+
 def test_zipf_slope_python_parity(spark, sf_small):
     """Micro-unit integer regression must equal the same fit done in
     plain Python over the same rank/freq table, and natural-ish text
