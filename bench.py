@@ -69,6 +69,8 @@ HEADLINE = [
     "embedding_ann_ivfpq",         # IVF-PQ composed ANN (prune x compress)
     "doc_bigram_logprob",          # bigram-LM fluency scoring
     "doc_boilerplate_shingles",    # cross-doc shared-shingle boilerplate
+    "embedding_knn_graph",         # corpus self-KNN graph (no broadcast side)
+    "bpe_encode_docs",             # tokenizer apply: vocab join + id checksum
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

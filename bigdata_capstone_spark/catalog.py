@@ -2640,7 +2640,10 @@ def embedding_mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    g = knn_graph(emb, dim=64, k=5, n_planes=6, n_tables=2)
+    # cache the EDGE LIST (|V|·k rows — a small aggregated frame), not
+    # just the corpus: mutual_knn_edges reads the graph twice (forward +
+    # reversed), which would otherwise rebuild the LSH/re-rank pipeline
+    g = knn_graph(emb, dim=64, k=5, n_planes=6, n_tables=2).cache()
     return mutual_knn_edges(g)
 
 

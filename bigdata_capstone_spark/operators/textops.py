@@ -551,42 +551,46 @@ def bpe_encode_stats(
     checksum over the doc's FULL token-id sequence, so the oracle
     value-checks the actual encoding, not just counts.
 
-    Scale shape: documents explode to words ONCE and join the merged
-    vocabulary on the word key (shuffle hash join — at 100 TB both sides
-    hash-partition on ``w``; the vocabulary is corpus-size-independent);
-    the id map (≤ charset + k rows) broadcasts; the per-doc re-agg is the
-    only other shuffle. No Python anywhere.
+    Scale shape: per-WORD id statistics (token count, id sum, max id)
+    are pre-aggregated on the corpus-size-independent VOCABULARY (the id
+    map — ≤ charset + k rows — broadcasts into that explode), so the
+    corpus itself explodes to words exactly once, joins the per-word
+    stats on the word key (shuffle hash join — at 100 TB both sides
+    hash-partition on ``w``, and the vocab side stays small as the
+    corpus grows), and re-aggregates per doc. Two shuffles total beyond
+    training; no Python anywhere.
     """
     from bigdata_capstone_spark.operators.relational import fan_out
 
     _, cur = _bpe_train(df, text_col, k)
     ids = _token_inventory(cur, top_n)
-    word_toks = cur.select(
-        "w",
-        F.split(F.expr("substring(s, 2, length(s) - 2)"), BPE_SEP * 2).alias(
-            "toks"
-        ),
+    word_stats = (
+        cur.select(
+            "w",
+            F.explode(
+                F.split(F.expr("substring(s, 2, length(s) - 2)"), BPE_SEP * 2)
+            ).alias("token"),
+        )
+        .join(F.broadcast(ids.select("token", "token_id")), on="token")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w_tokens"),
+            F.sum("token_id").cast("long").alias("w_id_sum"),
+            F.max("token_id").cast("int").alias("w_max_id"),
+        )
     )
     doc_words = fan_out(df).select(
         F.col(doc_id_col), F.explode(tokens_col(text_col)).alias("w")
     )
-    doc_toks = doc_words.join(word_toks, on="w")
-    per_tok = doc_toks.select(
-        doc_id_col, F.explode("toks").alias("token")
-    ).join(F.broadcast(ids.select("token", "token_id")), on="token")
     return (
-        per_tok.groupBy(doc_id_col)
+        doc_words.join(word_stats, on="w")
+        .groupBy(doc_id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("token_id").cast("long").alias("token_id_sum"),
-            F.max("token_id").cast("int").alias("max_token_id"),
-        )
-        .join(
-            doc_words.groupBy(doc_id_col).agg(
-                F.count(F.lit(1)).cast("long").alias("n_words"),
-                F.sum(F.length("w")).cast("long").alias("n_chars"),
-            ),
-            on=doc_id_col,
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("w_tokens").cast("long").alias("n_tokens"),
+            F.sum("w_id_sum").cast("long").alias("token_id_sum"),
+            F.max("w_max_id").cast("int").alias("max_token_id"),
         )
         .select(
             doc_id_col,
