@@ -422,6 +422,7 @@ def knn_graph(
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Corpus self-KNN graph: (src, dst, cosine_r, rank) — each vector's
     top-k nearest bucket-shared neighbors by exact cosine.
@@ -436,8 +437,28 @@ def knn_graph(
     sides bucket by id and co-locate), and the per-src top-k is a
     key-partitioned window. Determinism: md5 hyperplanes, cosine rounded
     before ranking, dst id as tie-break — the whole index replays in SQL.
+
+    ``max_bucket`` is the hot-bucket cap (same role as the dedup LSH
+    banding cap in dedup.minhash_near_dup_pairs): a degenerate bucket
+    with B members contributes B² candidate pairs, so one near-duplicate
+    storm (all-identical embeddings) would quadratically swamp the
+    self-join at scale. With the cap, (table, bucket) groups larger than
+    ``max_bucket`` are excluded from candidate generation via a groupBy
+    bucket-size aggregate + broadcast semi-join (never a per-bucket
+    window); vectors whose EVERY bucket is hot simply get no edges — the
+    multi-table probes make total blackout unlikely for ordinary
+    vectors. Default None (off) because the catalog oracle replays the
+    uncapped build; production corpus×corpus runs should set it.
     """
     b = rp_lsh_buckets(corpus, dim, n_planes, n_tables, id_col, vec_col)
+    if max_bucket is not None:
+        ok = (
+            b.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("table", "bucket")
+        )
+        b = b.join(F.broadcast(ok), on=["table", "bucket"], how="left_semi")
     src_b = b.select(F.col(id_col).alias("src"), "table", "bucket")
     dst_b = b.select(F.col(id_col).alias("dst"), "table", "bucket")
     cand = (

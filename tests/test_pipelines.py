@@ -296,6 +296,64 @@ def test_knn_graph_and_mutual_edges(spark, sf_small):
     assert got, "fixture corpus should produce at least one mutual edge"
 
 
+def test_knn_graph_hot_bucket_cap(spark, sf_small):
+    """The hot-bucket cap must only REMOVE candidate pairs (capped edges
+    are a subset of uncapped candidate pairs, with ranks recomputed), and
+    an absurdly small cap must strictly shrink the edge set while keeping
+    per-src rank validity — the quadratic-storm guard actually engages."""
+    from bigdata_capstone_spark.operators.simsearch import knn_graph
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    full = knn_graph(emb, dim=64, k=5, n_planes=6, n_tables=2).collect()
+    capped = knn_graph(
+        emb, dim=64, k=5, n_planes=6, n_tables=2, max_bucket=5
+    ).collect()
+    assert len(capped) < len(full)
+    full_pairs = {(r["src"], r["dst"]) for r in full}
+    by_src = {}
+    for r in capped:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+    # capped candidates that survived in the uncapped top-k keep cosine
+    caps = {(r["src"], r["dst"]): r["cosine_r"] for r in capped}
+    fulls = {(r["src"], r["dst"]): r["cosine_r"] for r in full}
+    for pair, c in caps.items():
+        if pair in fulls:
+            assert c == fulls[pair]
+    assert full_pairs, "uncapped graph must be non-empty"
+
+
+def test_knn_graph_recall_vs_bruteforce(spark, sf_small):
+    """KNN graph at recall-oriented parameters (4 planes x 8 tables —
+    the same probe budget the ANN recall gate uses; the near-uniform
+    fixture embeddings cap what ANY hyperplane LSH can recall) must keep
+    the same floor against exact per-node top-5 — a bucketing regression
+    that guts candidate recall fails here."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        brute_force_topk,
+        knn_graph,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").cache()
+    sample = emb.filter(F.col("vec_id") < 30)
+    exact = brute_force_topk(emb, sample, k=5).collect()
+    g = knn_graph(emb, dim=64, k=5, n_planes=4, n_tables=8).collect()
+    exact_sets, got_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in g:
+        got_sets.setdefault(r["src"], set()).add(r["dst"])
+    recalls = [
+        len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_small):
     from bigdata_capstone_spark.operators.simsearch import brute_force_topk, ivf_topk
     from bigdata_capstone_spark.sources.tables import load_table
