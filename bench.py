@@ -71,6 +71,10 @@ HEADLINE = [
     "doc_boilerplate_shingles",    # cross-doc shared-shingle boilerplate
     "embedding_knn_graph",         # corpus self-KNN graph (no broadcast side)
     "bpe_encode_docs",             # tokenizer apply: vocab join + id checksum
+    "doc_bm25_topk",               # inverted-index BM25 retrieval
+    "dedup_repeated_spans",        # positional k-gram repeated-substring spans
+    "doc_quality_classifier_nb",   # NB classifier curation (train+score aggs)
+    "event_drift_psi",             # PSI drift between ingest periods
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

@@ -2299,3 +2299,59 @@ def bloom_pruned_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         exact_sum("o_totalprice", 2).alias("revenue"),
     )
+
+
+@register(
+    "event_drift_psi",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, (ts >= TIMESTAMP '2024-01-16') AS p2,
+             least(9, greatest(0, floor(value / 50.0)::INT)) AS bin
+      FROM events
+    ),
+    cont AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN p2 THEN 0 ELSE 1 END) AS c1,
+             sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS c2
+      FROM b GROUP BY event_type, bin
+    ),
+    tot AS (SELECT event_type, sum(c1) AS n1, sum(c2) AS n2
+            FROM cont GROUP BY event_type),
+    terms AS (
+      SELECT c.event_type, t.n1, t.n2,
+             round(((c.c2 + 1.0) / (t.n2 + 10)
+                    - (c.c1 + 1.0) / (t.n1 + 10))
+                   * ln(((c.c2 + 1.0) / (t.n2 + 10))
+                        / ((c.c1 + 1.0) / (t.n1 + 10))), 6) AS term
+      FROM cont c JOIN tot t USING (event_type)
+    )
+    SELECT event_type, n1, n2,
+           sum(round(term * 1000000)::BIGINT) / 1000000.0 AS psi_r
+    FROM terms GROUP BY event_type, n1, n2
+    """,
+)
+def event_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset drift monitoring: Population Stability Index of the event
+    value distribution (10 fixed-width bins over [0, 500)) between the
+    first and second half of the month, per event type — the between-
+    epoch check a 100 TB ingest runs before admitting a new crawl
+    snapshot into the training mix (PSI > 0.25 = distribution shifted).
+
+    Scale shape (operators/drift.py): ONE scan tags (group, bin,
+    period); one map-side-combined groupBy yields the |groups|x|bins|x2
+    contingency table (mergeable across shards — counts add); the PSI
+    fold runs on that bounded frame. Fixed bin edges keep binning a
+    pure map. Add-1 smoothing makes every per-bin term finite and
+    bit-identical across engines (6 dp + micro-unit sums)."""
+    from bigdata_capstone_spark.operators.drift import psi_by_group
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return psi_by_group(
+        ev,
+        period_col=F.col("ts") >= F.to_timestamp(F.lit("2024-01-16")),
+        value_col="value",
+        group_cols=("event_type",),
+        width=50.0,
+        n_bins=10,
+    )

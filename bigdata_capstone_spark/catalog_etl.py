@@ -2770,3 +2770,265 @@ def event_value_quantiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn("scope", F.lit("all"))
     bins = quantile_bins(ev, ["scope"], F.col("value"), 2.0)
     return quantiles_from_bins(bins, ["scope"], 2.0, (0.5, 0.9, 0.999))
+
+
+# --------------------------------------------------------------------------
+# Round-5 wave 2: model-based selection (classifier curation, DSIR),
+# lexical retrieval (BM25), and exact-substring-span dedup — the four
+# published data-curation families the suite did not yet cover.
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+      GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS dfc
+              FROM tf GROUP BY token),
+    stop AS (SELECT token FROM dfreq ORDER BY dfc DESC, token LIMIT 50),
+    qdocs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5),
+    qterms AS (
+      SELECT tf.doc_id AS query_doc, tf.token
+      FROM tf JOIN qdocs USING (doc_id)
+      WHERE tf.token NOT IN (SELECT token FROM stop)
+    ),
+    scored AS (
+      SELECT q.query_doc, p.doc_id,
+             round(ln(1.0 + (s.n_docs - d.dfc + 0.5) / (d.dfc + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (0.25 + 0.75 * l.dl
+                        / (s.total_len * 1.0 / s.n_docs))), 6) AS s
+      FROM tf p
+      JOIN qterms q ON p.token = q.token
+      JOIN dfreq d ON d.token = p.token
+      JOIN dl l ON l.doc_id = p.doc_id
+      CROSS JOIN stats s
+      WHERE p.doc_id <> q.query_doc
+    ),
+    pp AS (
+      SELECT query_doc, doc_id, count(*)::BIGINT AS n_terms,
+             sum(round(s * 1000000)::BIGINT) / 1000000.0 AS bm25_r
+      FROM scored GROUP BY query_doc, doc_id
+    )
+    SELECT query_doc, doc_id, n_terms, bm25_r, rk FROM (
+      SELECT pp.*, row_number() OVER (
+               PARTITION BY query_doc ORDER BY bm25_r DESC, doc_id) AS rk
+      FROM pp
+    ) WHERE rk <= 5
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k retrieval (BM25, Lucene idf) — the inverted-index
+    counterpart to the embedding ANN ladder: the 5 lowest doc_ids act as
+    queries (their non-stopword terms, top-50-df stopword cut) and each
+    retrieves its top-5 neighbors by length-normalized term overlap.
+
+    Scale shape (operators/retrieval.py): ONE corpus scan builds the
+    cached postings table; doc lengths, document frequencies, the
+    stopword cut (bounded TakeOrdered) and the query terms all derive
+    from it; the query-term table BROADCASTS onto the postings so only
+    postings of query terms survive — the inverted-index lookup as a
+    join. The per-(query, candidate) aggregation and top-k window touch
+    only the bounded candidate set. Transcendental discipline: per-term
+    score rounds to 6 dp, per-pair totals sum integer micro-units."""
+    from bigdata_capstone_spark.operators.retrieval import bm25_topk
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, n_queries=5, k=5, stop_df_top=50)
+    return out.withColumn("rk", F.col("rk").cast("int"))
+
+
+@register(
+    "doc_quality_classifier_nb",
+    oracle="""
+    WITH lab AS (
+      SELECT doc_id, (source IN ('src0', 'src1')) AS is_curated, text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, is_curated,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM lab
+    ),
+    counts AS (
+      SELECT token,
+             sum(CASE WHEN is_curated THEN 1 ELSE 0 END) AS c_cur,
+             sum(CASE WHEN is_curated THEN 0 ELSE 1 END) AS c_rest
+      FROM tok GROUP BY token
+    ),
+    totals AS (SELECT sum(c_cur) AS n_cur, sum(c_rest) AS n_rest,
+                      count(*) AS v
+               FROM counts),
+    priors AS (SELECT sum(CASE WHEN is_curated THEN 1 ELSE 0 END) AS d_cur,
+                      sum(CASE WHEN is_curated THEN 0 ELSE 1 END) AS d_rest
+               FROM lab),
+    llr AS (
+      SELECT token,
+             round(log10((c_cur + 1.0) / (n_cur + v))
+                   - log10((c_rest + 1.0) / (n_rest + v)), 6) AS llr
+      FROM counts CROSS JOIN totals
+    ),
+    scored AS (
+      SELECT t.doc_id, t.is_curated, count(*)::BIGINT AS n_tokens,
+             sum(round(l.llr * 1000000)::BIGINT) AS m_micro
+      FROM tok t JOIN llr l USING (token)
+      GROUP BY t.doc_id, t.is_curated
+    )
+    SELECT doc_id, n_tokens,
+           (m_micro + round(round(log10(d_cur / (d_rest * 1.0)), 6)
+                            * 1000000)::BIGINT) / 1000000.0 AS nb_margin_r,
+           ((m_micro + round(round(log10(d_cur / (d_rest * 1.0)), 6)
+                             * 1000000)::BIGINT) / 1000000.0) > 0
+             AS pred_curated,
+           is_curated
+    FROM scored CROSS JOIN priors
+    """,
+)
+def doc_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based curation (GPT-3/PaLM family), closed-form member:
+    multinomial Naive Bayes separating "curated" sources (src0/src1)
+    from the rest, scoring every document with its add-1-smoothed
+    log-odds margin. Training IS an aggregation — the per-class token
+    count table — so train+score is two passes with no solver.
+
+    Scale shape (operators/selection.py): one explode pass (cached, two
+    consumers); the model table is vocabulary-bounded and BROADCAST onto
+    the token stream; priors/totals are scalar crossJoin broadcasts; the
+    margin is a map-side-combinable micro-unit sum."""
+    from bigdata_capstone_spark.operators.selection import nb_source_margin
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_source_margin(docs, curated_sources=("src0", "src1"))
+
+
+@register(
+    "docs_dsir_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, (lang = 'en') AS is_target,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, is_target,
+             (('0x' || substr(md5(token), 1, 15))::BIGINT) % 256 AS bucket
+      FROM tok
+    ),
+    bc AS (
+      SELECT bucket,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+             count(*) AS c_r
+      FROM b GROUP BY bucket
+    ),
+    bt AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r FROM bc),
+    lr AS (
+      SELECT bucket,
+             round(log10((c_t + 1.0) / (n_t + 256.0))
+                   - log10((c_r + 1.0) / (n_r + 256.0)), 6) AS lr
+      FROM bc CROSS JOIN bt
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(round(lr * 1000000)::BIGINT) / 1000000.0 AS dsir_logratio_r,
+           (sum(round(lr * 1000000)::BIGINT) / 1000000.0) > 0 AS selected
+    FROM b JOIN lr USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram (256
+    md5-derived buckets) importance log-ratio of the in-corpus English
+    target distribution vs the raw corpus, per document, with the
+    fixed-threshold acceptance flag. The model is two 256-row
+    distributions — broadcast at any corpus size, incrementally
+    mergeable across ingest shards (bucket counts add).
+
+    Scale shape (operators/selection.py): one explode pass; bucketing is
+    a pure map (md5 mod); the scoring join is a 256-row broadcast; the
+    per-doc weight sum combines map-side."""
+    from bigdata_capstone_spark.operators.selection import dsir_log_weights
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, target_lang="en", n_buckets=256)
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(t) AS dl, p.pos AS pos,
+             (('0x' || substr(md5(p.g), 1, 15))::BIGINT) AS gh
+      FROM (
+        SELECT doc_id, t,
+               unnest([struct_pack(pos := i,
+                                   g := array_to_string(t[i:i+7], ' '))
+                       for i in range(1, len(t) - 6)]) AS p
+        FROM toks WHERE len(t) >= 8
+      )
+    ),
+    dfreq AS (SELECT gh FROM grams
+              GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.dl, g.pos
+             FROM grams g JOIN dfreq USING (gh)),
+    i1 AS (
+      SELECT doc_id, dl, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    i2 AS (
+      SELECT doc_id, dl, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM i1
+    ),
+    spans AS (
+      SELECT doc_id, dl, island, count(*) AS hits_in_span,
+             max(pos) + 7 - min(pos) + 1 AS span_len
+      FROM i2 GROUP BY doc_id, dl, island
+    )
+    SELECT doc_id,
+           sum(hits_in_span)::BIGINT AS n_hits,
+           count(*)::BIGINT AS n_spans,
+           sum(span_len)::BIGINT AS covered_tokens,
+           round(sum(span_len) / (dl * 1.0), 6) AS covered_frac
+    FROM spans GROUP BY doc_id, dl
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup via positional k-gram anchors (Lee et al.):
+    any cross-doc repeated substring of >= 8 tokens contains a repeated
+    token 8-gram, so hashing every POSITIONAL 8-gram, keeping those seen
+    in >= 2 docs, and merging overlapping hit positions into spans finds
+    every long verbatim repeat — the span-excision input that document-
+    and shingle-level dedup both miss.
+
+    Scale shape (operators/dedup.py:repeated_span_stats): digest-only
+    cross-doc frequency table (60-bit gram hashes), hash-key hit join,
+    span-merge windows PARTITIONED BY doc (bounded by doc length). The
+    gram frame is cached once for its two consumers."""
+    from bigdata_capstone_spark.operators.dedup import repeated_span_stats
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_stats(docs, k=8, min_docs=2)

@@ -21,7 +21,7 @@ oracles reproduce values bit-for-bit. At raw-throughput scale you'd swap
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdata_capstone_spark.functions.portable import md5_long, perm_md5_long
@@ -660,5 +660,100 @@ def boilerplate_shingle_stats(
         .withColumn(
             "common_frac",
             F.round(F.col("n_common") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring spans via positional k-gram
+    anchors — the scalable approximation of exact-substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": any repeated substring of >= k tokens necessarily contains
+    a repeated token k-gram, so k-gram anchors find every long repeat).
+
+    Per document: every POSITIONAL k-gram (not distinct — positions are
+    the point) is hashed; a k-gram whose hash occurs in >= ``min_docs``
+    distinct documents is a hit; overlapping/abutting hits (position gap
+    <= k) merge into spans. Returns per-doc
+    (doc_id, n_hits, n_spans, covered_tokens, covered_frac) — the
+    inputs to span excision or doc-level filtering. Docs shorter than
+    k tokens have no k-grams and are absent by design.
+
+    Scale shape: one explode pass (n_tokens rows/doc); the cross-doc
+    frequency table is digest-only (60-bit gram hashes, never gram
+    text) and map-side combines; the hit filter is a hash-key join; the
+    span merge windows are PARTITIONED BY doc (bounded by doc length,
+    never global). The gram frame is cached for its two consumers
+    (frequency table, hit join) — one tokenize pass, not two.
+    """
+    toks = tokenized(fan_out(df), text_col, id_col).filter(
+        F.size("toks") >= k
+    )
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.size("toks").alias("dl"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(
+            F.col(id_col),
+            "dl",
+            (F.col("pos0") + 1).alias("pos"),
+            md5_long(F.col("gram")).alias("gh"),
+        )
+        .cache()
+    )
+    dfreq = grams.groupBy("gh").agg(
+        F.countDistinct(id_col).alias("dfc")
+    )
+    hits = grams.join(
+        dfreq.filter(F.col("dfc") >= min_docs).select("gh"), "gh"
+    ).select(id_col, "dl", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > k, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "dl", "island")
+        .agg(
+            F.count(F.lit(1)).alias("hits_in_span"),
+            (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span_len"),
+        )
+    )
+    return (
+        spans.groupBy(id_col, "dl")
+        .agg(
+            F.sum("hits_in_span").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_len").cast("long").alias("covered_tokens"),
+        )
+        .select(
+            id_col,
+            "n_hits",
+            "n_spans",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("dl"), 6).alias(
+                "covered_frac"
+            ),
         )
     )

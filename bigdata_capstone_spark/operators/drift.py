@@ -1,0 +1,89 @@
+"""Dataset drift monitoring — Population Stability Index between two
+snapshots of a stream.
+
+The monitoring op a 100 TB ingest pipeline runs between corpus epochs:
+did the value distribution of what we collected this period move from
+last period? PSI = sum over bins (p2 - p1) * ln(p2 / p1); the standard
+alerting rule reads < 0.1 stable / 0.1-0.25 drifting / > 0.25 shifted.
+
+Scale shape: ONE scan of the fact table tagging each row with its
+(group, bin, period); one map-side-combined groupBy produces the
+per-group-per-bin contingency table — bounded by |groups| x |bins| x 2
+regardless of input size (and mergeable across shards: counts add, so
+the table maintains incrementally per ingest batch). The PSI fold then
+runs on that tiny frame. No window, no second scan, no driver loop.
+
+Determinism (oracle contract): bin probabilities are add-one-smoothed
+ratios of exact integers; each bin's PSI term is rounded to 6 dp and
+the per-group total accumulates in integer micro-units (the engine's
+standard transcendental discipline — see functions/portable.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fixed_width_bin(value: Column, width: float, n_bins: int) -> Column:
+    """Clamped fixed-width bin index 0..n_bins-1. Fixed (data-independent)
+    edges keep binning a pure map — a quantile-based binning would need a
+    global pass; use operators/sketches.quantiles_from_bins for that."""
+    return F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor(value / width).cast("int")),
+    )
+
+
+def psi_by_group(
+    df: DataFrame,
+    period_col: Column,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    width: float = 50.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI of ``value_col``'s binned distribution between the two periods
+    named by ``period_col`` (a boolean column: False = baseline period 1,
+    True = comparison period 2), per ``group_cols``.
+
+    Returns (group..., n_p1, n_p2, psi_r) with psi_r rounded to 6 dp.
+    Smoothing: p_i(bin) = (c_i(bin) + 1) / (n_i + n_bins), so empty bins
+    contribute finite terms and both engines see identical doubles.
+    """
+    gc = list(group_cols)
+    binned = df.select(
+        *gc,
+        period_col.alias("p2"),
+        fixed_width_bin(F.col(value_col), width, n_bins).alias("bin"),
+    )
+    # |groups| x |bins| contingency table — the only shuffle.
+    cont = binned.groupBy(*gc, "bin").agg(
+        F.sum(F.when(F.col("p2"), 0).otherwise(1)).alias("c1"),
+        F.sum(F.when(F.col("p2"), 1).otherwise(0)).alias("c2"),
+    )
+    tot = cont.groupBy(*gc).agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    terms = cont.join(tot, gc).select(
+        *gc,
+        "n1",
+        "n2",
+        F.round(
+            (
+                (F.col("c2") + 1.0) / (F.col("n2") + n_bins)
+                - (F.col("c1") + 1.0) / (F.col("n1") + n_bins)
+            )
+            * F.log(
+                ((F.col("c2") + 1.0) / (F.col("n2") + n_bins))
+                / ((F.col("c1") + 1.0) / (F.col("n1") + n_bins))
+            ),
+            6,
+        ).alias("term"),
+    )
+    return terms.groupBy(*gc, "n1", "n2").agg(
+        (
+            F.sum(F.round(F.col("term") * 1_000_000, 0).cast("long"))
+            / F.lit(1_000_000.0)
+        ).alias("psi_r")
+    )

@@ -1,0 +1,150 @@
+"""Inverted-index text retrieval (BM25) as DataFrame ops.
+
+The curation counterpart to the embedding ANN ladder (simsearch.py):
+lexical top-k retrieval over the corpus — the tool used for benchmark
+decontamination by retrieval, nearest-neighbor quality probes, and
+building retrieval-augmented training sets. Same engine discipline as
+everything else: the "index" is a relational postings table, the
+"search" is a join, Catalyst plans it.
+
+Reference parity note: the reference has no retrieval operator — this
+extends the engine's similarity family (SURVEY §2.9 M1-M3 treat docs as
+token multisets; BM25 is the scored, length-normalized version of the
+same representation).
+
+Scale shape (the part that must survive 100 TB):
+- The corpus is scanned ONCE into a term-frequency postings table
+  (doc_id, token, tf) — a map-side-combined groupBy on the exploded
+  tokens. Document lengths and document frequencies both derive from
+  the cached postings frame, never from a second corpus scan.
+- The query side is tiny (a handful of query documents' distinct
+  terms). It is BROADCAST onto the postings table, so the only rows
+  that survive the join are postings of query terms — the inverted-
+  index lookup, expressed relationally. Nothing ever shuffles on the
+  full corpus after that join: the (query, candidate) aggregation is
+  bounded by |matching postings|.
+- Per-query top-k is a window over the bounded candidate set, never
+  the whole corpus.
+
+Determinism (oracle contract): idf and the tf saturation term are pure
+arithmetic over exact integers (counts, lengths) plus one `ln`; the
+per-(query, doc, term) score is rounded to 6 dp and the per-(query,
+doc) total is summed in integer micro-units — the same discipline as
+catalog_etl.doc_bigram_logprob, making Spark's partitioned partial
+sums bit-identical to DuckDB's serial scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.operators.relational import fan_out
+from bigdata_capstone_spark.operators.textops import tokens_col
+
+
+def postings_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, token, tf) term-frequency postings — the inverted index
+    as a relation. One explode pass; the groupBy combines map-side."""
+    return (
+        fan_out(docs)
+        .select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    stop_df_top: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic BM25 retrieval demo: the ``n_queries`` lowest
+    doc_ids act as query documents; each retrieves its top-``k`` other
+    documents by BM25 over shared terms (the ``stop_df_top`` highest-
+    document-frequency tokens are dropped from queries as stopwords).
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene's BM25+,
+    always positive), score contribution of term t in doc d for query q:
+    idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)).
+
+    Returns (query_doc, doc_id, n_terms, bm25_r, rk) with rk 1..k by
+    (score DESC, doc_id) — ties broken on the key so the result is a
+    deterministic set.
+    """
+    post = postings_table(docs, text_col).cache()
+
+    # Corpus statistics — all derived from the cached postings frame.
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    dfreq = post.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("dfc")
+    )
+
+    # Stopword cut: the stop_df_top most-common tokens by (df DESC,
+    # token) — a bounded TakeOrdered, broadcast back as an anti-join.
+    stop = (
+        dfreq.orderBy(F.desc("dfc"), "token").limit(stop_df_top).select("token")
+    )
+
+    # Query side: distinct non-stopword terms of the n_queries lowest
+    # doc_ids. Bounded by a few documents' vocabulary -> broadcast.
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(n_queries)
+    qterms = (
+        post.join(F.broadcast(qdocs), "doc_id")
+        .join(F.broadcast(stop), "token", "left_anti")
+        .select(F.col("doc_id").alias("query_doc"), "token")
+    )
+
+    # The inverted-index lookup: broadcast query terms onto postings.
+    # Only postings of query terms survive; self-matches are excluded.
+    cand = (
+        post.join(F.broadcast(qterms), "token")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+
+    scored = cand.select(
+        "query_doc",
+        "doc_id",
+        F.round(
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b * F.col("dl") / (F.col("total_len") / F.col("n_docs"))
+                )
+            ),
+            6,
+        ).alias("s"),
+    )
+
+    per_pair = scored.groupBy("query_doc", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (
+            F.sum(F.round(F.col("s") * 1_000_000, 0).cast("long"))
+            / F.lit(1_000_000.0)
+        ).alias("bm25_r"),
+    )
+
+    w = Window.partitionBy("query_doc").orderBy(F.desc("bm25_r"), "doc_id")
+    return (
+        per_pair.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_doc", "doc_id", "n_terms", "bm25_r", "rk")
+    )

@@ -1,0 +1,214 @@
+"""Model-based data selection for training corpora.
+
+Two published selection families, both expressed as pure JVM DataFrame
+plans (no Python in the hot path) so they survive 100 TB:
+
+1. **Classifier-based curation** (GPT-3 / PaLM style): train a Naive
+   Bayes classifier to separate "curated" sources from the rest, score
+   every document with its log-odds margin, and keep what looks
+   curated. NB is the closed-form member of that family — training IS
+   an aggregation (per-class token counts), so the whole train+score
+   loop is two corpus passes with no iterative solver.
+
+2. **DSIR** (Data Selection with Importance Resampling, Xie et al.
+   2023): hashed unigram features, importance weight = sum over token
+   occurrences of log(p_target(bucket) / p_raw(bucket)). The feature
+   space is a FIXED, tiny bucket table (default 256 rows), so the
+   scoring join is a broadcast regardless of corpus size.
+
+Scale shape shared by both: one explode pass builds per-doc token (or
+bucket) counts; the model table (per-class token counts / bucket
+distributions) is vocabulary- or bucket-bounded and broadcasts onto
+the per-doc counts; the per-doc score is a map-side-combinable sum.
+Nothing corpus-sized ever shuffles twice.
+
+Determinism (oracle contract): all probabilities are add-one-smoothed
+ratios of exact integers (bit-identical doubles in both engines); the
+one transcendental (log10) is rounded to 6 dp per term, and per-doc
+totals accumulate in integer micro-units — the discipline of
+catalog_etl.doc_unigram_logprob, extended to classifier margins.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.functions.portable import md5_long
+from bigdata_capstone_spark.operators.relational import fan_out
+from bigdata_capstone_spark.operators.textops import tokens_col
+
+
+def _doc_token_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, token, tc): one explode pass, map-side combined."""
+    return (
+        fan_out(docs)
+        .select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+
+
+def nb_source_margin(
+    docs: DataFrame,
+    curated_sources: Sequence[str] = ("src0", "src1"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Naive-Bayes log-odds margin "does this doc look curated?".
+
+    Label: curated iff ``source`` is in ``curated_sources``. Model:
+    multinomial NB with add-1 smoothing over the shared vocabulary;
+    margin(d) = sum over token occurrences of
+    log10 P(w|curated) - log10 P(w|rest)  +  log10 prior-odds,
+    where P(w|c) = (count_c(w) + 1) / (tokens_c + V).
+
+    Returns (doc_id, n_tokens, nb_margin_r, pred_curated, is_curated).
+    Self-training on the full corpus is deliberate — the op demonstrates
+    the train+score plan; a held-out split composes via operators/split.
+
+    Scale: the per-class count table is vocabulary-bounded (cached,
+    broadcast); scoring joins it onto per-doc token counts on the token
+    key; the margin is one map-side-combinable sum. Priors and totals
+    are scalar-sized crossJoin broadcasts.
+    """
+    cur = F.col("source").isin(*curated_sources)
+    tok = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            cur.alias("is_curated"),
+            F.explode(tokens_col(text_col)).alias("token"),
+        )
+        .cache()
+    )
+    # Vocabulary-bounded model table: token count per class.
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("is_curated"), 1).otherwise(0)).alias("c_cur"),
+        F.sum(F.when(F.col("is_curated"), 0).otherwise(1)).alias("c_rest"),
+    ).cache()
+    totals = counts.agg(
+        F.sum("c_cur").alias("n_cur"),
+        F.sum("c_rest").alias("n_rest"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    priors = docs.agg(
+        F.sum(F.when(cur, 1).otherwise(0)).alias("d_cur"),
+        F.sum(F.when(cur, 0).otherwise(1)).alias("d_rest"),
+    )
+    # Per-token 6dp-rounded log-likelihood ratio.
+    llr = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            F.log10(
+                (F.col("c_cur") + 1.0) / (F.col("n_cur") + F.col("v"))
+            )
+            - F.log10(
+                (F.col("c_rest") + 1.0) / (F.col("n_rest") + F.col("v"))
+            ),
+            6,
+        ).alias("llr"),
+    )
+    scored = (
+        tok.join(F.broadcast(llr), "token")
+        .groupBy("doc_id", "is_curated")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.round(F.col("llr") * 1_000_000, 0).cast("long")).alias(
+                "m_micro"
+            ),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(priors))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                (
+                    F.col("m_micro")
+                    + F.round(
+                        F.round(
+                            F.log10(F.col("d_cur") / F.col("d_rest").cast("double")),
+                            6,
+                        )
+                        * 1_000_000,
+                        0,
+                    ).cast("long")
+                )
+                / F.lit(1_000_000.0)
+            ).alias("nb_margin_r"),
+            "is_curated",
+        )
+        .withColumn("pred_curated", F.col("nb_margin_r") > 0)
+        .select("doc_id", "n_tokens", "nb_margin_r", "pred_curated", "is_curated")
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR hashed-unigram importance log-weights against an in-corpus
+    target (documents whose ``lang`` equals ``target_lang``).
+
+    Feature: bucket(w) = md5_long(w) mod ``n_buckets`` (engine-portable
+    hash). Distributions: add-1 smoothed bucket frequencies of the
+    target slice (p_t) and the full corpus (p_r). Per-doc weight =
+    sum over token occurrences of round(log10(p_t(b)/p_r(b)), 6),
+    accumulated in micro-units.
+
+    Returns (doc_id, n_tokens, dsir_logratio_r, selected) where
+    ``selected`` = logratio > 0 — the importance-resampling acceptance
+    rule with a fixed threshold (a PRF-Gumbel draw composes on top via
+    operators/sampling for the stochastic variant).
+
+    Scale: the model is TWO ``n_buckets``-row distributions — broadcast
+    no matter how large the corpus; one explode pass; the per-doc sum
+    combines map-side. The bucket table is also corpus-shard mergeable
+    (counts add), so target/raw stats maintain incrementally.
+    """
+    toks = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            (F.col("lang") == target_lang).alias("is_target"),
+            F.explode(tokens_col(text_col)).alias("token"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (md5_long(F.col("token")) % n_buckets).alias("bucket"),
+        )
+        .cache()
+    )
+    bcounts = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    )
+    btotals = bcounts.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    lr = bcounts.crossJoin(F.broadcast(btotals)).select(
+        "bucket",
+        F.round(
+            F.log10((F.col("c_t") + 1.0) / (F.col("n_t") + F.lit(float(n_buckets))))
+            - F.log10((F.col("c_r") + 1.0) / (F.col("n_r") + F.lit(float(n_buckets)))),
+            6,
+        ).alias("lr"),
+    )
+    return (
+        toks.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.round(F.col("lr") * 1_000_000, 0).cast("long"))
+                / F.lit(1_000_000.0)
+            ).alias("dsir_logratio_r"),
+        )
+        .withColumn("selected", F.col("dsir_logratio_r") > 0)
+    )

@@ -1,0 +1,169 @@
+"""Semantic invariants for the round-5 wave-2 operators (BM25 retrieval,
+NB classifier curation, DSIR selection, repeated-span dedup, PSI drift)
+— planted-fixture recovery beyond the value-hash oracle the replica gate
+already applies to every registered entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.operators.dedup import repeated_span_stats
+from bigdata_capstone_spark.operators.drift import psi_by_group
+from bigdata_capstone_spark.operators.retrieval import bm25_topk
+from bigdata_capstone_spark.operators.selection import (
+    dsir_log_weights,
+    nb_source_margin,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------------ spans
+
+
+def test_repeated_span_stats_recovers_planted_run(spark):
+    """A 10-token run shared verbatim by two docs must surface as ONE
+    merged span covering exactly those 10 tokens in each doc; a doc with
+    no cross-doc 8-gram must be absent."""
+    shared = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, shared + " uA uB"),                      # run at pos 1..10, dl=12
+        (2, "xA xB " + shared),                      # run at pos 3..12, dl=12
+        (3, " ".join(f"z{i}" for i in range(12))),   # unique, long enough
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repeated_span_stats(_docs(spark, rows), k=8).collect()
+    }
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_hits"] == 3          # 8-grams at 3 positions
+        assert out[d]["n_spans"] == 1         # merged into one island
+        assert out[d]["covered_tokens"] == 10
+        assert abs(out[d]["covered_frac"] - round(10 / 12, 6)) < 1e-9
+
+
+def test_repeated_span_stats_splits_distant_repeats(spark):
+    """Two repeats separated by more than k unique tokens form TWO spans."""
+    runA = " ".join(f"a{i}" for i in range(8))
+    runB = " ".join(f"b{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(12))
+    rows = [
+        (1, runA + " " + gap + " " + runB),
+        (2, runA + " qqq " + runB),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repeated_span_stats(_docs(spark, rows), k=8).collect()
+    }
+    assert out[1]["n_spans"] == 2
+    assert out[1]["covered_tokens"] == 16
+    assert out[2]["n_spans"] == 2
+
+
+# ------------------------------------------------------------------- bm25
+
+
+def test_bm25_ranks_term_sharing_doc_first(spark):
+    """The query doc's rare terms retrieve the doc sharing them at rank 1,
+    ahead of a doc sharing only one term; unrelated docs score nothing."""
+    rows = [
+        (1, "quark lepton boson filler1 filler2"),          # query
+        (2, "quark lepton boson other stuff entirely"),     # 3 shared
+        (3, "quark unrelated words here now indeed"),       # 1 shared
+        (4, "totally disjoint vocabulary right here"),      # 0 shared
+        (5, "more disjoint words beyond that too"),
+    ]
+    out = bm25_topk(
+        _docs(spark, rows), n_queries=1, k=3, stop_df_top=0
+    ).collect()
+    by_rank = {r["rk"]: r for r in out if r["query_doc"] == 1}
+    assert by_rank[1]["doc_id"] == 2
+    assert by_rank[1]["n_terms"] == 3
+    assert by_rank[2]["doc_id"] == 3
+    assert 4 not in {r["doc_id"] for r in out}
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    """Equal tf of the query term: the shorter candidate scores higher
+    (the b=0.75 length penalty)."""
+    rows = [
+        (1, "needle alpha"),
+        (2, "needle beta gamma"),                            # short match
+        (3, "needle " + " ".join(f"pad{i}" for i in range(30))),  # long
+    ]
+    out = bm25_topk(
+        _docs(spark, rows), n_queries=1, k=2, stop_df_top=0
+    ).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rk"])]
+    assert ranked[0] == 2 and ranked[1] == 3
+
+
+# ------------------------------------------------------------ nb / dsir
+
+
+def test_nb_margin_separates_planted_sources(spark):
+    """Curated sources share a marker token, crawl sources another: the
+    classifier must predict every doc's class from its text alone."""
+    rows = [
+        (i, f"curated quality prose sample{i}", "en", "src0", 0)
+        for i in range(1, 6)
+    ] + [
+        (i, f"crawl noisy scrape sample{i}", "en", "src5", 0)
+        for i in range(6, 11)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = nb_source_margin(docs, curated_sources=("src0",)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["pred_curated"] == r["is_curated"], r
+
+
+def test_dsir_weights_favor_target_language_docs(spark):
+    """Docs drawn from the target (en) vocabulary must average a higher
+    importance log-ratio than docs from a disjoint vocabulary."""
+    rows = [
+        (i, "alpha beta gamma delta common", "en", "src0", 0)
+        for i in range(1, 6)
+    ] + [
+        (i, "uno dos tres cuatro common", "es", "src0", 0)
+        for i in range(6, 11)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dsir_log_weights(docs, target_lang="en").collect()
+    en = [r["dsir_logratio_r"] for r in out if r["doc_id"] <= 5]
+    es = [r["dsir_logratio_r"] for r in out if r["doc_id"] > 5]
+    assert min(en) > max(es)
+    assert all(r["selected"] == (r["dsir_logratio_r"] > 0) for r in out)
+
+
+# -------------------------------------------------------------------- psi
+
+
+def test_psi_flags_shifted_distribution_only(spark):
+    """Identical per-period distributions → PSI ≈ 0; a hard location
+    shift → PSI above the 0.25 'shifted' alerting bar."""
+    rows = []
+    for i in range(400):
+        p2 = i >= 200
+        # 'same': value depends only on i % 10 → identical per period
+        rows.append(("same", p2, float(i % 10) * 50.0))
+        # 'shift': period 1 low bins, period 2 pinned to the top bin
+        rows.append(("shift", p2, 450.0 if p2 else float(i % 3) * 50.0))
+    df = spark.createDataFrame(rows, "grp string, p2 boolean, value double")
+    out = {
+        r["grp"]: r
+        for r in psi_by_group(
+            df, F.col("p2"), value_col="value", group_cols=("grp",)
+        ).collect()
+    }
+    assert out["same"]["psi_r"] < 0.05
+    assert out["shift"]["psi_r"] > 0.25
+    assert out["same"]["n1"] == out["same"]["n2"] == 200
