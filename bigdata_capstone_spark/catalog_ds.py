@@ -2355,3 +2355,54 @@ def event_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=50.0,
         n_bins=10,
     )
+
+
+@register(
+    "user_value_acf",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value,
+             lag(value, 1) OVER w AS l1,
+             lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, 1 AS lag, value, l1 AS lv FROM o WHERE l1 IS NOT NULL
+      UNION ALL
+      SELECT user_id, 2 AS lag, value, l2 AS lv FROM o WHERE l2 IS NOT NULL
+      UNION ALL
+      SELECT user_id, 3 AS lag, value, l3 AS lv FROM o WHERE l3 IS NOT NULL
+    )
+    SELECT user_id, lag,
+           round(corr(value, lv), 6) AS acf_r,
+           count(*)::BIGINT AS n_points
+    FROM s GROUP BY user_id, lag
+    HAVING corr(value, lv) IS NOT NULL AND NOT isnan(corr(value, lv))
+       AND count(*) >= 2
+    """,
+)
+def user_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1..3) of each user's event-value series
+    — the stationarity probe of the time-series family (EWMA smooths,
+    trend fits a slope, ACF asks "does the next value remember the
+    last"). High lag-1 ACF flags sticky/sessionized behavior; flat ACF
+    across lags means the per-user stream is white noise and EWMA
+    forecasting adds nothing.
+
+    Scale shape: ONE window pass partitioned BY USER (bounded by the
+    per-user series, never global) produces all three lag columns;
+    ``stack`` unpivots them to (lag, lagged_value) rows map-side (no
+    extra shuffle — the unpivot is a generator over the windowed frame);
+    one hash aggregate per (user, lag) computes the Pearson co-moments.
+    Determinism: same covar_samp/stddev recipe as event_user_type_corr
+    (aggregates.pearson_by_group), rounded to 6 dp for the oracle.
+    Core in operators/temporal.acf_by_key."""
+    from bigdata_capstone_spark.operators.temporal import acf_by_key
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    return acf_by_key(
+        events, ["user_id"], ["ts", "event_id"], "value", max_lag=3
+    )

@@ -1486,3 +1486,188 @@ def customer_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["c_custkey"],
         compare_cols=["c_acctbal", "c_mktsegment"],
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 wave 3: curriculum staging and embedding-space diagnostics.
+# --------------------------------------------------------------------------
+
+_UNIGRAM_LP_CTE = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS nf FROM toks GROUP BY tok),
+    tot AS (SELECT sum(nf) AS total FROM freq),
+    per_tok AS (
+      SELECT t.doc_id,
+             round(log10(f.nf * 1.0 / tot.total), 6) AS lp
+      FROM toks t JOIN freq f ON f.tok = t.tok CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_tokens,
+             round(sum(round(lp * 1000000)::BIGINT) * 1.0
+                   / count(*))::BIGINT / 1000000.0 AS avg_logprob_r
+      FROM per_tok GROUP BY doc_id
+    )"""
+
+
+@register(
+    "docs_curriculum_stages",
+    oracle=_UNIGRAM_LP_CTE + """,
+    cum AS (
+      SELECT doc_id, n_tokens, avg_logprob_r,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY avg_logprob_r DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_tokens
+      FROM scored
+    ),
+    totals AS (SELECT sum(n_tokens) AS total FROM scored)
+    SELECT doc_id, n_tokens, avg_logprob_r, cum_tokens,
+           least(3, (cum_tokens * 4) // total)::INT AS stage
+    FROM cum CROSS JOIN totals
+    """,
+)
+def docs_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: partition the corpus into 4 equal-TOKEN-budget
+    training stages ordered easiest-first by the unigram-LM fluency score
+    (the published easy-to-hard curriculum recipe, with corpus log-
+    likelihood as the no-trained-LM difficulty proxy). Stage 0 is the
+    most fluent quarter of the token budget; stage 3 the hardest. Unlike
+    an NTILE over documents, equal TOKEN budgets need a running token
+    sum over the difficulty order — exactly the global-prefix shape.
+
+    Scale shape: per-doc scores reuse the doc_unigram_logprob plan (one
+    tokenize explode feeding frequency table + scoring join); the global
+    running sum routes through relational.partitioned_prefix_sum (range
+    slices + broadcast offsets — NO single-partition window); the stage
+    id is pure integer arithmetic (cum*4 DIV total), so both engines
+    bucket identically with no double-precision boundary risk."""
+    from bigdata_capstone_spark.catalog_etl import doc_unigram_logprob
+    from bigdata_capstone_spark.operators import relational as rel
+
+    ensure_utc(spark)
+    scored = doc_unigram_logprob(spark, sf_dir)
+    cum = rel.partitioned_prefix_sum(
+        scored,
+        [F.desc("avg_logprob_r"), F.col("doc_id")],
+        F.col("n_tokens"),
+        "cum_tokens",
+        inclusive=False,
+    )
+    totals = scored.agg(F.sum("n_tokens").alias("total"))
+    return cum.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob_r",
+        "cum_tokens",
+        F.least(
+            F.lit(3), F.expr("(cum_tokens * 4) DIV total")
+        ).cast("int").alias("stage"),
+    )
+
+
+@register(
+    "embedding_label_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, dim, sum(round(x * 1000000)::BIGINT) AS s_micro
+      FROM (
+        SELECT label, unnest(v) AS x,
+               unnest(generate_series(1, len(v))) AS dim
+        FROM e
+      ) GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT label, list(s_micro / 1000000.0 ORDER BY dim) AS c
+      FROM dims GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(
+               list_sum(list_transform(generate_series(1, len(e.v)),
+                                        i -> e.v[i] * c.c[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(e.v)),
+                                               i -> e.v[i] * e.v[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(c.c)),
+                                                 i -> c.c[i] * c.c[i])))),
+               6) AS cos_centroid_r
+      FROM e JOIN cent c USING (label)
+    )
+    SELECT label, vec_id, cos_centroid_r, rk FROM (
+      SELECT label, vec_id, cos_centroid_r,
+             (row_number() OVER (
+               PARTITION BY label ORDER BY cos_centroid_r, vec_id))::INT AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label diagnostics: per label, the 5 vectors least
+    aligned with their label centroid (lowest cosine to the per-label
+    mean direction) — the mislabel / low-quality-sample probe an
+    embedding-curated pipeline runs before using labels for selection
+    (the prototype-distance pruning of SemDeDup/SSL-curation applied to
+    labeled groups).
+
+    Scale shape: centroids never materialize a division per vector —
+    cosine is invariant to the 1/n scale, so the "centroid" is the
+    per-(label, dim) SUM vector, accumulated as exact integer micro-
+    units (order-independent) over one posexplode pass; the |labels| x
+    dim sum table collapses to |labels| centroid arrays (sort_array for
+    deterministic dim order) and BROADCASTS back onto the corpus; the
+    per-vector cosine is the ordered JVM fold (functions.portable), and
+    the bottom-5 window partitions BY LABEL (bounded, never global).
+    Determinism: components round to 6 dp before any arithmetic, so both
+    engines fold identical doubles; final cosine rounds to 6 dp."""
+    from bigdata_capstone_spark.functions.portable import cosine_similarity_col
+    from bigdata_capstone_spark.operators.dedup import fan_out
+    from bigdata_capstone_spark.operators.relational import grouped_top_k
+
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (
+        fan_out(emb)
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double"), 6)
+            ).alias("v"),
+        )
+        .cache()
+    )
+    dims = e.select("label", F.posexplode("v").alias("dim", "x"))
+    sums = dims.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("x") * 1_000_000, 0).cast("long")).alias("s_micro")
+    )
+    cent = sums.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "s_micro"))),
+            lambda st: st["s_micro"] / F.lit(1_000_000.0),
+        ).alias("c")
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            cosine_similarity_col(F.col("v"), F.col("c")), 6
+        ).alias("cos_centroid_r"),
+    )
+    out = grouped_top_k(
+        scored,
+        ["label"],
+        [F.col("cos_centroid_r").asc(), F.col("vec_id").asc()],
+        5,
+        rank_col="rk",
+    )
+    return out.select("label", "vec_id", "cos_centroid_r", "rk")

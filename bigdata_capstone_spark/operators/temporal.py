@@ -208,3 +208,55 @@ def ewma_by_key_pandas(
 
     out_schema = f"{key_col} long, n_points long, ewma double"
     return df.groupBy(key_col).applyInPandas(_ewma, schema=out_schema)
+
+
+def acf_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+    max_lag: int = 3,
+    min_points: int = 2,
+) -> DataFrame:
+    """Lag-k autocorrelation of each key's value series, k = 1..max_lag
+    — the stationarity probe of the time-series family (EWMA smooths,
+    ACF asks "does the next value remember the last").
+
+    Scale shape: ONE window pass PARTITIONED BY KEY (bounded by the
+    per-key series, never global) produces all ``max_lag`` lag columns;
+    ``stack`` unpivots them to (lag, lagged_value) rows map-side — a
+    generator over the windowed frame, no extra shuffle; one hash
+    aggregate per (key, lag) computes the Pearson co-moments
+    (aggregates.pearson_by_group: try_divide of covar/stddevs, null-
+    filtered — the event_user_type_corr determinism recipe).
+
+    ``order_cols`` must be a total order within each key or the lag
+    pairing is nondeterministic.
+    """
+    from bigdata_capstone_spark.operators import aggregates as agg
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    lag_aliases = [f"l{k}" for k in range(1, max_lag + 1)]
+    lagged = df.select(
+        *key_cols,
+        F.col(value_col).alias("__v"),
+        *[
+            F.lag(value_col, k).over(w).alias(f"l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_args = ", ".join(f"{k + 1}, {a}" for k, a in enumerate(lag_aliases))
+    stacked = lagged.select(
+        *key_cols,
+        "__v",
+        F.expr(f"stack({max_lag}, {stack_args}) AS (lag, lv)"),
+    ).filter(F.col("lv").isNotNull())
+    out = agg.pearson_by_group(
+        stacked, [*key_cols, "lag"], "__v", "lv", min_points=min_points
+    )
+    return out.select(
+        *key_cols,
+        "lag",
+        F.round("correlation", 6).alias("acf_r"),
+        "n_points",
+    )

@@ -167,3 +167,93 @@ def test_psi_flags_shifted_distribution_only(spark):
     assert out["same"]["psi_r"] < 0.05
     assert out["shift"]["psi_r"] > 0.25
     assert out["same"]["n1"] == out["same"]["n2"] == 200
+
+
+# -------------------------------------------------------------------- acf
+
+
+def test_acf_alternating_series_is_anticorrelated_at_lag1(spark):
+    """A strictly alternating series has lag-1 ACF -1 and lag-2 ACF +1;
+    a monotone ramp has every lag's ACF +1 (corr is shift-invariant)."""
+    from bigdata_capstone_spark.operators.temporal import acf_by_key
+
+    rows = []
+    for i in range(40):
+        rows.append(("alt", i, 1.0 if i % 2 == 0 else -1.0))
+        rows.append(("ramp", i, float(i)))
+    df = spark.createDataFrame(rows, "k string, t long, value double")
+    out = {
+        (r["k"], r["lag"]): r["acf_r"]
+        for r in acf_by_key(df, ["k"], ["t"], "value", max_lag=2).collect()
+    }
+    assert abs(out[("alt", 1)] + 1.0) < 1e-6
+    assert abs(out[("alt", 2)] - 1.0) < 1e-6
+    assert abs(out[("ramp", 1)] - 1.0) < 1e-6
+    assert abs(out[("ramp", 2)] - 1.0) < 1e-6
+
+
+def test_acf_constant_series_filtered_out(spark):
+    """Zero-variance series yield null corr → filtered, not an error
+    (the try_divide discipline, not ANSI corr's division-by-zero)."""
+    from bigdata_capstone_spark.operators.temporal import acf_by_key
+
+    rows = [("c", i, 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t long, value double")
+    assert acf_by_key(df, ["k"], ["t"], "value", max_lag=2).count() == 0
+
+
+# ------------------------------------------------------------- curriculum
+
+
+def test_curriculum_stages_order_and_budget(spark, sf_small):
+    """Stages must be monotone in the difficulty order (easiest-first =
+    highest avg_logprob first) and each stage's token budget within one
+    max-doc-length of total/4."""
+    from bigdata_capstone_spark.catalog_train import docs_curriculum_stages
+
+    rows = docs_curriculum_stages(spark, sf_small).collect()
+    by_order = sorted(rows, key=lambda r: (-r["avg_logprob_r"], r["doc_id"]))
+    stages = [r["stage"] for r in by_order]
+    assert stages == sorted(stages), "stage must be monotone in order"
+    assert set(stages) == {0, 1, 2, 3}
+    total = sum(r["n_tokens"] for r in rows)
+    max_doc = max(r["n_tokens"] for r in rows)
+    for s in range(4):
+        st = sum(r["n_tokens"] for r in rows if r["stage"] == s)
+        assert abs(st - total / 4) <= max_doc
+    # prefix sums are exclusive: first doc of the order starts at 0
+    assert by_order[0]["cum_tokens"] == 0
+
+
+# ------------------------------------------------------- label outliers
+
+
+def test_label_outliers_flag_planted_inverse_vector(spark):
+    """A vector pointing AWAY from its label's tight cluster must be the
+    label's rank-1 outlier (lowest cosine to the centroid direction)."""
+    from bigdata_capstone_spark.catalog_train import embedding_label_outliers
+    import os
+    import tempfile
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    rows = []
+    for i in range(1, 11):
+        # label 0: tight cluster along +e1, with tiny per-vector jitter
+        v = list(base)
+        v[1] = 0.01 * i
+        rows.append((i, v, 0))
+    inv = [-x for x in base]
+    rows.append((99, inv, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = embedding_label_outliers(spark, d).collect()
+    ranked = sorted(
+        [r for r in out if r["label"] == 0], key=lambda r: r["rk"]
+    )
+    assert ranked[0]["vec_id"] == 99
+    assert ranked[0]["cos_centroid_r"] < 0
+    assert all(r["cos_centroid_r"] > 0.9 for r in ranked[1:])
