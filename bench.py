@@ -75,6 +75,9 @@ HEADLINE = [
     "dedup_repeated_spans",        # positional k-gram repeated-substring spans
     "doc_quality_classifier_nb",   # NB classifier curation (train+score aggs)
     "event_drift_psi",             # PSI drift between ingest periods
+    "user_value_acf",              # per-user lag-1..3 autocorrelation
+    "docs_curriculum_stages",      # equal-token curriculum staging
+    "embedding_label_outliers",    # label-centroid cosine outliers
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

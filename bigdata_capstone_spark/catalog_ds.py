@@ -2301,9 +2301,11 @@ def bloom_pruned_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "event_drift_psi",
-    oracle="""
+def _psi_events_oracle() -> str:
+    """Shared by event_drift_psi and its streaming maintenance twin
+    (streaming_drift_psi, catalog_etl) — the drained contingency
+    snapshot must reproduce the one-pass batch PSI bit-for-bit."""
+    return """
     WITH b AS (
       SELECT event_type, (ts >= TIMESTAMP '2024-01-16') AS p2,
              least(9, greatest(0, floor(value / 50.0)::INT)) AS bin
@@ -2328,8 +2330,10 @@ def bloom_pruned_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n1, n2,
            sum(round(term * 1000000)::BIGINT) / 1000000.0 AS psi_r
     FROM terms GROUP BY event_type, n1, n2
-    """,
-)
+    """
+
+
+@register("event_drift_psi", oracle=_psi_events_oracle())
 def event_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset drift monitoring: Population Stability Index of the event
     value distribution (10 fixed-width bins over [0, 500)) between the

@@ -3032,3 +3032,74 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return repeated_span_stats(docs, k=8, min_docs=2)
+
+
+def _streaming_psi_oracle() -> str:
+    from bigdata_capstone_spark.catalog_ds import _psi_events_oracle
+
+    return _psi_events_oracle()
+
+
+@register("streaming_drift_psi", oracle=_streaming_psi_oracle())
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI-drift maintenance, value-checked: the per-(type,
+    bin) period contingency counts are mergeable state (counts ADD, the
+    fifth mergeable family after HLL max / CMS + / Bloom OR / quantile
+    bins +), so each micro-batch folds its partial counts into the
+    snapshot via merge_upsert and the drained table feeds the exact
+    same PSI fold as the batch op — the oracle IS event_drift_psi's.
+    Constant |types| x |bins| state however many events stream: this is
+    how an ingest monitor keeps between-epoch drift current at
+    100 TB/day without re-scanning history."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.drift import (
+        fixed_width_bin,
+        psi_from_contingency,
+    )
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot_or_empty,
+        start_aggregate_maintenance,
+    )
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_psi_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+        .select(
+            "event_type",
+            fixed_width_bin(F.col("value"), 50.0, 10).alias("bin"),
+            (
+                F.col("ts") >= F.to_timestamp(F.lit("2024-01-16"))
+            ).alias("p2"),
+        )
+    )
+    q = start_aggregate_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        key_cols=["event_type", "bin"],
+        partial_aggs=[
+            F.sum(F.when(F.col("p2"), 0).otherwise(1)).alias("c1"),
+            F.sum(F.when(F.col("p2"), 1).otherwise(0)).alias("c2"),
+        ],
+        combines={
+            "c1": lambda t, u: t + u,
+            "c2": lambda t, u: t + u,
+        },
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cont = read_latest_snapshot_or_empty(
+        spark,
+        f"{work}/state",
+        "event_type STRING, bin INT, c1 BIGINT, c2 BIGINT",
+    )
+    return psi_from_contingency(cont, ["event_type"], 10)

@@ -62,6 +62,21 @@ def psi_by_group(
         F.sum(F.when(F.col("p2"), 0).otherwise(1)).alias("c1"),
         F.sum(F.when(F.col("p2"), 1).otherwise(0)).alias("c2"),
     )
+    return psi_from_contingency(cont, gc, n_bins)
+
+
+def psi_from_contingency(
+    cont: DataFrame,
+    group_cols: list[str],
+    n_bins: int,
+) -> DataFrame:
+    """The PSI fold over an already-built (group..., bin, c1, c2)
+    contingency table — factored out because the table is MERGEABLE
+    state (counts add across corpus shards and micro-batches), so a
+    streaming maintenance twin can fold per-batch partials into a
+    snapshot and hand the drained table to this exact computation.
+    Runs entirely on the bounded |groups| x |bins| frame."""
+    gc = list(group_cols)
     tot = cont.groupBy(*gc).agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )

@@ -257,3 +257,43 @@ def test_label_outliers_flag_planted_inverse_vector(spark):
     assert ranked[0]["vec_id"] == 99
     assert ranked[0]["cos_centroid_r"] < 0
     assert all(r["cos_centroid_r"] > 0.9 for r in ranked[1:])
+
+
+def test_psi_contingency_is_mergeable_state(spark):
+    """Folding per-shard partial contingency counts (counts ADD) and
+    handing the merged table to psi_from_contingency must equal
+    psi_by_group on the unsplit input — the merge law the streaming
+    maintenance twin (streaming_drift_psi) relies on."""
+    from bigdata_capstone_spark.operators.drift import (
+        fixed_width_bin,
+        psi_from_contingency,
+    )
+
+    rows = [
+        ("g", i % 3 == 0, float((i * 37) % 500)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "grp string, p2 boolean, value double")
+    direct = psi_by_group(
+        df, F.col("p2"), value_col="value", group_cols=("grp",)
+    ).collect()
+
+    def cont_of(part):
+        return (
+            part.select(
+                "grp", "p2", fixed_width_bin(F.col("value"), 50.0, 10).alias("bin")
+            )
+            .groupBy("grp", "bin")
+            .agg(
+                F.sum(F.when(F.col("p2"), 0).otherwise(1)).alias("c1"),
+                F.sum(F.when(F.col("p2"), 1).otherwise(0)).alias("c2"),
+            )
+        )
+    a = cont_of(df.filter(F.col("value") < 250.0))
+    b = cont_of(df.filter(F.col("value") >= 250.0))
+    merged = (
+        a.unionByName(b)
+        .groupBy("grp", "bin")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    )
+    via_merge = psi_from_contingency(merged, ["grp"], 10).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_merge))
