@@ -18,11 +18,13 @@ Scale shape (the part that must survive 100 TB):
   tokens. Document lengths and document frequencies both derive from
   the cached postings frame, never from a second corpus scan.
 - The query side is tiny (a handful of query documents' distinct
-  terms). It is BROADCAST onto the postings table, so the only rows
-  that survive the join are postings of query terms — the inverted-
-  index lookup, expressed relationally. Nothing ever shuffles on the
-  full corpus after that join: the (query, candidate) aggregation is
-  bounded by |matching postings|.
+  terms). It picks up per-term document frequencies by broadcasting
+  INTO the vocabulary-sized dfreq join (the vocabulary itself is never
+  broadcast — at 100 TB it doesn't fit), then is BROADCAST onto the
+  postings table, so the only rows that survive the join are postings
+  of query terms — the inverted-index lookup, expressed relationally.
+  Nothing ever shuffles on the full corpus after that join: the
+  (query, candidate) aggregation is bounded by |matching postings|.
 - Per-query top-k is a window over the bounded candidate set, never
   the whole corpus.
 
@@ -95,19 +97,26 @@ def bm25_topk(
 
     # Query side: distinct non-stopword terms of the n_queries lowest
     # doc_ids. Bounded by a few documents' vocabulary -> broadcast.
+    # Each query term picks up its document frequency HERE — broadcasting
+    # the bounded query-term table into the vocabulary-sized dfreq join
+    # (never the reverse: at 100 TB dfreq is the full corpus vocabulary
+    # and must not be broadcast).
     qdocs = docs.select("doc_id").orderBy("doc_id").limit(n_queries)
     qterms = (
         post.join(F.broadcast(qdocs), "doc_id")
         .join(F.broadcast(stop), "token", "left_anti")
         .select(F.col("doc_id").alias("query_doc"), "token")
     )
+    qstats = dfreq.join(F.broadcast(qterms), "token").select(
+        "query_doc", "token", "dfc"
+    )
 
-    # The inverted-index lookup: broadcast query terms onto postings.
-    # Only postings of query terms survive; self-matches are excluded.
+    # The inverted-index lookup: broadcast query terms (now carrying
+    # their df counts) onto postings. Only postings of query terms
+    # survive; self-matches are excluded.
     cand = (
-        post.join(F.broadcast(qterms), "token")
+        post.join(F.broadcast(qstats), "token")
         .filter(F.col("doc_id") != F.col("query_doc"))
-        .join(F.broadcast(dfreq), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )

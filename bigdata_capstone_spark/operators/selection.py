@@ -68,10 +68,11 @@ def nb_source_margin(
     Self-training on the full corpus is deliberate — the op demonstrates
     the train+score plan; a held-out split composes via operators/split.
 
-    Scale: the per-class count table is vocabulary-bounded (cached,
-    broadcast); scoring joins it onto per-doc token counts on the token
-    key; the margin is one map-side-combinable sum. Priors and totals
-    are scalar-sized crossJoin broadcasts.
+    Scale: the per-class count table is vocabulary-bounded (cached);
+    scoring joins it onto the token stream on the token key — a SHUFFLE
+    join, since a web-scale vocabulary is past broadcast limits (AQE
+    broadcasts when it fits); the margin is one map-side-combinable
+    sum. Priors and totals are scalar-sized crossJoin broadcasts.
     """
     cur = F.col("source").isin(*curated_sources)
     tok = (
@@ -110,8 +111,13 @@ def nb_source_margin(
             6,
         ).alias("llr"),
     )
+    # Token-keyed SHUFFLE join, not a broadcast: the llr model table is
+    # vocabulary-sized — bounded, but at web-corpus scale the vocabulary
+    # is far past broadcast limits. Same shape as the unigram-LM scoring
+    # join (catalog_etl.doc_unigram_logprob); AQE broadcasts it when it
+    # genuinely fits and handles the stopword skew when it doesn't.
     scored = (
-        tok.join(F.broadcast(llr), "token")
+        tok.join(llr, "token")
         .groupBy("doc_id", "is_curated")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
