@@ -1551,7 +1551,12 @@ def docs_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_capstone_spark.operators import relational as rel
 
     ensure_utc(spark)
-    scored = doc_unigram_logprob(spark, sf_dir)
+    # cached: one row per doc (id, n_tokens, score) — tiny relative to
+    # the corpus — and consumed by THREE branches (the range-partitioned
+    # prefix frame, its per-slice totals pass, and the token-budget
+    # scalar); uncached, each branch replays the whole unigram-LM
+    # tokenize+score pipeline (plan audit: 12 corpus scans -> 4).
+    scored = doc_unigram_logprob(spark, sf_dir).cache()
     cum = rel.partitioned_prefix_sum(
         scored,
         [F.desc("avg_logprob_r"), F.col("doc_id")],
