@@ -78,6 +78,8 @@ HEADLINE = [
     "user_value_acf",              # per-user lag-1..3 autocorrelation
     "docs_curriculum_stages",      # equal-token curriculum staging
     "embedding_label_outliers",    # label-centroid cosine outliers
+    "doc_token_entropy",           # within-doc Shannon entropy + TTR
+    "source_lang_composition",     # per-source language-mix entropy
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

@@ -2304,33 +2304,12 @@ def bloom_pruned_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _psi_events_oracle() -> str:
     """Shared by event_drift_psi and its streaming maintenance twin
     (streaming_drift_psi, catalog_etl) — the drained contingency
-    snapshot must reproduce the one-pass batch PSI bit-for-bit."""
-    return """
-    WITH b AS (
-      SELECT event_type, (ts >= TIMESTAMP '2024-01-16') AS p2,
-             least(9, greatest(0, floor(value / 50.0)::INT)) AS bin
-      FROM events
-    ),
-    cont AS (
-      SELECT event_type, bin,
-             sum(CASE WHEN p2 THEN 0 ELSE 1 END) AS c1,
-             sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS c2
-      FROM b GROUP BY event_type, bin
-    ),
-    tot AS (SELECT event_type, sum(c1) AS n1, sum(c2) AS n2
-            FROM cont GROUP BY event_type),
-    terms AS (
-      SELECT c.event_type, t.n1, t.n2,
-             round(((c.c2 + 1.0) / (t.n2 + 10)
-                    - (c.c1 + 1.0) / (t.n1 + 10))
-                   * ln(((c.c2 + 1.0) / (t.n2 + 10))
-                        / ((c.c1 + 1.0) / (t.n1 + 10))), 6) AS term
-      FROM cont c JOIN tot t USING (event_type)
-    )
-    SELECT event_type, n1, n2,
-           sum(round(term * 1000000)::BIGINT) / 1000000.0 AS psi_r
-    FROM terms GROUP BY event_type, n1, n2
-    """
+    snapshot must reproduce the one-pass batch PSI bit-for-bit.
+    Lives in shared_sql (leaf module) so either catalog can be the
+    first package import."""
+    from bigdata_capstone_spark.shared_sql import PSI_EVENTS_ORACLE
+
+    return PSI_EVENTS_ORACLE
 
 
 @register("event_drift_psi", oracle=_psi_events_oracle())

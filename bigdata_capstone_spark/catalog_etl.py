@@ -1410,39 +1410,11 @@ def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through. Both MERGE branches are value-checked by the oracle.
 # --------------------------------------------------------------------------
 
-_MERGED_CUSTOMER_CTES = """
-    purch AS (
-      SELECT user_id AS c_custkey,
-             sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS delta
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id
-    ),
-    mx AS (SELECT max(c_custkey) AS mx FROM customer),
-    signup AS (
-      SELECT mx + 1 + user_id AS c_custkey,
-             'NEW#' || (mx + 1 + user_id)::VARCHAR AS c_name,
-             (user_id % 25)::INT AS c_nationkey,
-             sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS c_acctbal,
-             'SIGNUP' AS c_mktsegment
-      FROM events CROSS JOIN mx
-      WHERE event_type = 'signup' GROUP BY mx, user_id
-    ),
-    updates AS (
-      SELECT p.c_custkey, c.c_name, c.c_nationkey,
-             c.c_acctbal + p.delta AS c_acctbal, c.c_mktsegment
-      FROM purch p JOIN customer c USING (c_custkey)
-      UNION ALL
-      SELECT * FROM signup
-    ),
-    merged AS (
-      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-      FROM updates
-      UNION ALL
-      SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
-             c.c_mktsegment
-      FROM customer c
-      WHERE c.c_custkey NOT IN (SELECT c_custkey FROM updates)
-    )
-"""
+# Shared with catalog_train's changelog/reconciliation oracles via the
+# leaf module shared_sql (import-order-safe: see shared_sql docstring).
+from bigdata_capstone_spark.shared_sql import (  # noqa: E402
+    MERGED_CUSTOMER_CTES as _MERGED_CUSTOMER_CTES,
+)
 
 
 @register(
@@ -3035,9 +3007,9 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _streaming_psi_oracle() -> str:
-    from bigdata_capstone_spark.catalog_ds import _psi_events_oracle
+    from bigdata_capstone_spark.shared_sql import PSI_EVENTS_ORACLE
 
-    return _psi_events_oracle()
+    return PSI_EVENTS_ORACLE
 
 
 @register("streaming_drift_psi", oracle=_streaming_psi_oracle())
@@ -3103,3 +3075,130 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type STRING, bin INT, c1 BIGINT, c2 BIGINT",
     )
     return psi_from_contingency(cont, ["event_type"], 10)
+
+
+@register(
+    "doc_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY doc_id),
+    terms AS (
+      SELECT c.doc_id, d.n,
+             round(-(c.c * 1.0 / d.n) * log2(c.c * 1.0 / d.n), 6) AS h
+      FROM counts c JOIN dl d USING (doc_id)
+    )
+    SELECT doc_id,
+           max(n)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_types,
+           round(count(*) * 1.0 / max(n), 6) AS type_token_ratio_r,
+           sum(round(h * 1000000)::BIGINT) / 1000000.0 AS entropy_r
+    FROM terms GROUP BY doc_id
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document Shannon entropy of the token distribution (bits)
+    plus type-token ratio — the information-theoretic lexical-diversity
+    diagnostic completing the text-quality family: repetition measures
+    the worst n-gram, quality measures surface ratios, entropy measures
+    the whole distribution (template spam and keyword stuffing score
+    low; varied prose scores near log2(n_types)).
+
+    Scale shape: one explode pass -> per-(doc, token) counts (map-side
+    combined); doc lengths derive from the counts frame (never a second
+    corpus scan); the entropy fold joins counts to lengths ON THE DOC
+    KEY and aggregates per doc — all JVM expressions. Determinism: each
+    term -(p)log2(p) rounds to 6 dp, totals accumulate in integer
+    micro-units (the engine's transcendental discipline)."""
+    from bigdata_capstone_spark.operators.textops import tokens_col
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        fan_out(docs)
+        .select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    dl = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    terms = counts.join(dl, "doc_id").select(
+        "doc_id",
+        "n",
+        F.round(
+            -(F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n")), 6
+        ).alias("h"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.max("n"), 6).alias("type_token_ratio_r"),
+        (
+            F.sum(F.round(F.col("h") * 1_000_000, 0).cast("long"))
+            / F.lit(1_000_000.0)
+        ).alias("entropy_r"),
+    )
+
+
+@register(
+    "source_lang_composition",
+    oracle="""
+    WITH cl AS (
+      SELECT source, lang, count(*) AS c
+      FROM documents GROUP BY source, lang
+    ),
+    st AS (SELECT source, sum(c) AS n FROM cl GROUP BY source),
+    terms AS (
+      SELECT cl.source, st.n,
+             cl.c,
+             round(-(cl.c * 1.0 / st.n) * log2(cl.c * 1.0 / st.n), 6) AS h
+      FROM cl JOIN st USING (source)
+    )
+    SELECT source,
+           max(n)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_langs,
+           round(max(c) * 1.0 / max(n), 6) AS dominant_share_r,
+           sum(round(h * 1000000)::BIGINT) / 1000000.0 AS lang_entropy_r
+    FROM terms GROUP BY source
+    """,
+)
+def source_lang_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture health per source: language count, dominant-
+    language share, and Shannon entropy of the language distribution —
+    the composition dashboard a curation pipeline reads before applying
+    the language-rebalance / temperature dials (a source whose entropy
+    collapsed between snapshots changed its crawl mix).
+
+    Scale shape: the |sources| x |langs| contingency table is ONE
+    map-side-combined groupBy (mergeable across shards — counts add,
+    same maintenance story as the PSI table); everything after runs on
+    that bounded frame. Same micro-unit entropy discipline as
+    doc_token_entropy."""
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    cl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    st = cl.groupBy("source").agg(F.sum("c").alias("n"))
+    terms = cl.join(st, "source").select(
+        "source",
+        "n",
+        "c",
+        F.round(
+            -(F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n")), 6
+        ).alias("h"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(F.max("c") / F.max("n"), 6).alias("dominant_share_r"),
+        (
+            F.sum(F.round(F.col("h") * 1_000_000, 0).cast("long"))
+            / F.lit(1_000_000.0)
+        ).alias("lang_entropy_r"),
+    )

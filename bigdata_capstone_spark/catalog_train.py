@@ -1443,7 +1443,9 @@ def docs_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _changelog_oracle() -> str:
-    from bigdata_capstone_spark.catalog_etl import _MERGED_CUSTOMER_CTES
+    from bigdata_capstone_spark.shared_sql import (
+        MERGED_CUSTOMER_CTES as _MERGED_CUSTOMER_CTES,
+    )
 
     return f"""
     WITH {_MERGED_CUSTOMER_CTES},

@@ -1,0 +1,76 @@
+"""Shared DuckDB oracle SQL fragments used by more than one catalog
+module. This module is a LEAF (imports nothing from the catalogs), so
+any catalog module can be the process's first package import without
+tripping the catalog <-> catalog_train/_etl/_ds initialization cycle
+(catalog's tail imports every extension catalog; a decoration-time
+from-import of a sibling catalog constant would see a partially
+initialized module).
+"""
+
+from __future__ import annotations
+
+# The merged-customer snapshot CTE chain shared by
+# catalog_etl.customer_balance_merge and the catalog_train
+# changelog/reconciliation oracles.
+MERGED_CUSTOMER_CTES = """
+    purch AS (
+      SELECT user_id AS c_custkey,
+             sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS delta
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    mx AS (SELECT max(c_custkey) AS mx FROM customer),
+    signup AS (
+      SELECT mx + 1 + user_id AS c_custkey,
+             'NEW#' || (mx + 1 + user_id)::VARCHAR AS c_name,
+             (user_id % 25)::INT AS c_nationkey,
+             sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS c_acctbal,
+             'SIGNUP' AS c_mktsegment
+      FROM events CROSS JOIN mx
+      WHERE event_type = 'signup' GROUP BY mx, user_id
+    ),
+    updates AS (
+      SELECT p.c_custkey, c.c_name, c.c_nationkey,
+             c.c_acctbal + p.delta AS c_acctbal, c.c_mktsegment
+      FROM purch p JOIN customer c USING (c_custkey)
+      UNION ALL
+      SELECT * FROM signup
+    ),
+    merged AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM updates
+      UNION ALL
+      SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+             c.c_mktsegment
+      FROM customer c
+      WHERE c.c_custkey NOT IN (SELECT c_custkey FROM updates)
+    )
+"""
+
+# The events-PSI oracle shared by catalog_ds.event_drift_psi and its
+# streaming maintenance twin catalog_etl.streaming_drift_psi.
+PSI_EVENTS_ORACLE = """
+    WITH b AS (
+      SELECT event_type, (ts >= TIMESTAMP '2024-01-16') AS p2,
+             least(9, greatest(0, floor(value / 50.0)::INT)) AS bin
+      FROM events
+    ),
+    cont AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN p2 THEN 0 ELSE 1 END) AS c1,
+             sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS c2
+      FROM b GROUP BY event_type, bin
+    ),
+    tot AS (SELECT event_type, sum(c1) AS n1, sum(c2) AS n2
+            FROM cont GROUP BY event_type),
+    terms AS (
+      SELECT c.event_type, t.n1, t.n2,
+             round(((c.c2 + 1.0) / (t.n2 + 10)
+                    - (c.c1 + 1.0) / (t.n1 + 10))
+                   * ln(((c.c2 + 1.0) / (t.n2 + 10))
+                        / ((c.c1 + 1.0) / (t.n1 + 10))), 6) AS term
+      FROM cont c JOIN tot t USING (event_type)
+    )
+    SELECT event_type, n1, n2,
+           sum(round(term * 1000000)::BIGINT) / 1000000.0 AS psi_r
+    FROM terms GROUP BY event_type, n1, n2
+    """

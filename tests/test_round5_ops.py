@@ -297,3 +297,61 @@ def test_psi_contingency_is_mergeable_state(spark):
     )
     via_merge = psi_from_contingency(merged, ["grp"], 10).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_merge))
+
+
+# ---------------------------------------------------------------- entropy
+
+
+def test_token_entropy_extremes(spark):
+    """All-distinct tokens → H = log2(n) and TTR = 1; a single repeated
+    token → H = 0 and TTR = 1/n."""
+    import math
+    import os
+    import tempfile
+
+    rows = [
+        (1, "a b c d e f g h", "en", "src0", 0),     # 8 distinct
+        (2, "x x x x x x x x", "en", "src0", 0),     # 1 type
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from bigdata_capstone_spark.catalog_etl import doc_token_entropy
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r for r in doc_token_entropy(spark, d).collect()}
+    assert abs(out[1]["entropy_r"] - 3.0) < 1e-5          # log2(8)
+    assert out[1]["type_token_ratio_r"] == 1.0
+    assert out[2]["entropy_r"] == 0.0
+    assert abs(out[2]["type_token_ratio_r"] - 0.125) < 1e-9
+    assert math.isclose(out[1]["n_tokens"], 8)
+
+
+def test_source_lang_composition_entropy(spark):
+    """A 50/50 two-language source has entropy 1 bit and dominant share
+    0.5; a monolingual source has entropy 0 and share 1."""
+    import os
+    import tempfile
+
+    rows = (
+        [(i, "t", "en", "mixed", 0) for i in range(10)]
+        + [(i + 10, "t", "fr", "mixed", 0) for i in range(10)]
+        + [(i + 20, "t", "en", "mono", 0) for i in range(7)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from bigdata_capstone_spark.catalog_etl import source_lang_composition
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["source"]: r
+            for r in source_lang_composition(spark, d).collect()
+        }
+    assert abs(out["mixed"]["lang_entropy_r"] - 1.0) < 1e-6
+    assert out["mixed"]["dominant_share_r"] == 0.5
+    assert out["mixed"]["n_langs"] == 2
+    assert out["mono"]["lang_entropy_r"] == 0.0
+    assert out["mono"]["dominant_share_r"] == 1.0
