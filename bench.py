@@ -80,6 +80,7 @@ HEADLINE = [
     "embedding_label_outliers",    # label-centroid cosine outliers
     "doc_token_entropy",           # within-doc Shannon entropy + TTR
     "source_lang_composition",     # per-source language-mix entropy
+    "docs_quality_rank_ensemble",  # Borda rank-ensemble curation
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

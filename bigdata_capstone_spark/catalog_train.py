@@ -1678,3 +1678,79 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rk",
     )
     return out.select("label", "vec_id", "cos_centroid_r", "rk")
+
+
+def _rank_ensemble_oracle() -> str:
+    from bigdata_capstone_spark.catalog import ORACLE_SQL
+
+    return (
+        _UNIGRAM_LP_CTE
+        + f""",
+    q AS ({ORACLE_SQL["doc_quality"]}),
+    qr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY quality DESC, doc_id) AS q_rank
+      FROM q
+    ),
+    lr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY avg_logprob_r DESC, doc_id)
+               AS lm_rank
+      FROM scored
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT qr.doc_id, q_rank, lm_rank,
+           round((q_rank + lm_rank) / 2.0, 1) AS mean_rank_r,
+           (q_rank + lm_rank) <= n_docs AS keep
+    FROM qr JOIN lr USING (doc_id) CROSS JOIN n
+    """
+    )
+
+
+@register("docs_quality_rank_ensemble", oracle=_rank_ensemble_oracle())
+def docs_quality_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality curation by RANK aggregation (Borda count):
+    every quality signal lives on its own scale (the heuristic composite
+    is [0,1], the unigram-LM score is log-space), so averaging raw
+    scores is meaningless — averaging per-signal RANKS is the standard
+    scale-free combiner. keep = rank-sum in the top half, the ensemble
+    analogue of the single-signal median cut.
+
+    Scale shape: each signal's global rank routes through
+    relational.partitioned_row_number (distributed prefix sum of ones —
+    range slices + broadcast offsets, NO single-partition window; ranks
+    stay LONG per the overflow contract); the signal frames join on the
+    doc key; the keep threshold is one broadcast scalar. Determinism:
+    both rank orders carry the doc_id tie-break, and the rank mean of
+    two integers is exact in halves (round to 1 dp is decorative)."""
+    from bigdata_capstone_spark.catalog_etl import doc_unigram_logprob
+    from bigdata_capstone_spark.operators import relational as rel
+    from bigdata_capstone_spark.operators.dedup import fan_out
+    from bigdata_capstone_spark.operators.textops import quality_score
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(fan_out(docs))
+    lm = doc_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob_r")
+    qr = rel.partitioned_row_number(
+        q, [F.desc("quality"), F.col("doc_id")], "q_rank"
+    ).select("doc_id", "q_rank")
+    lr = rel.partitioned_row_number(
+        lm, [F.desc("avg_logprob_r"), F.col("doc_id")], "lm_rank"
+    ).select("doc_id", "lm_rank")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        qr.join(lr, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "q_rank",
+            "lm_rank",
+            F.round((F.col("q_rank") + F.col("lm_rank")) / 2.0, 1).alias(
+                "mean_rank_r"
+            ),
+            (
+                (F.col("q_rank") + F.col("lm_rank")) <= F.col("n_docs")
+            ).alias("keep"),
+        )
+    )

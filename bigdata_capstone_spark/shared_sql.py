@@ -74,3 +74,4 @@ PSI_EVENTS_ORACLE = """
            sum(round(term * 1000000)::BIGINT) / 1000000.0 AS psi_r
     FROM terms GROUP BY event_type, n1, n2
     """
+

@@ -355,3 +355,21 @@ def test_source_lang_composition_entropy(spark):
     assert out["mixed"]["n_langs"] == 2
     assert out["mono"]["lang_entropy_r"] == 0.0
     assert out["mono"]["dominant_share_r"] == 1.0
+
+
+def test_rank_ensemble_keep_is_top_half_borda(spark, sf_small):
+    """keep must equal (q_rank + lm_rank <= n_docs); roughly half the
+    corpus is kept; ranks are permutations of 1..n."""
+    from bigdata_capstone_spark.catalog_train import (
+        docs_quality_rank_ensemble,
+    )
+
+    rows = docs_quality_rank_ensemble(spark, sf_small).collect()
+    n = len(rows)
+    assert sorted(r["q_rank"] for r in rows) == list(range(1, n + 1))
+    assert sorted(r["lm_rank"] for r in rows) == list(range(1, n + 1))
+    for r in rows:
+        assert r["keep"] == (r["q_rank"] + r["lm_rank"] <= n)
+        assert r["mean_rank_r"] == (r["q_rank"] + r["lm_rank"]) / 2.0
+    kept = sum(r["keep"] for r in rows)
+    assert 0.3 * n < kept < 0.7 * n
