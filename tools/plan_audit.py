@@ -32,7 +32,14 @@ def audit(name: str, plan: str) -> list[str]:
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     nonempty = [p for p in pushed if p.strip()]
     if pushed:
+        # NOTE: counts TEXTUAL scan nodes, which includes the child-plan
+        # descriptions embedded in InMemoryRelation (cached frames) — a
+        # query whose branches share a cached frame shows every branch's
+        # lineage here but executes the parquet read once per cache
+        # materialization. Cross-check with the InMemoryRelation count
+        # before treating a high number as scan amplification.
         notes.append(f"scans={len(pushed)} pushed_filters={len(nonempty)}")
+        notes.append(f"cached_relations={plan.count('InMemoryRelation')}")
     reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     if reads:
         widths = [len(r.split(",")) for r in reads]
