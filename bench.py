@@ -13,10 +13,19 @@ so the whole suite is run ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3)
 and per-query MEDIANS are reported; each query still runs cold-cache
 (clearCache between queries), so the median reflects steady-state JIT,
 not warm-data shortcuts.
+
+Regression gate: the output's ``regressions`` block compares each query's
+median against the newest recorded ``BENCH_r*.json`` at the same sf
+(>25% slower and >0.3s absolute → flagged, with both values), so a round
+that slows a query down is visible in BENCH_r{N}.json itself instead of
+requiring manual cross-round diffing. Flags are informational (exit code
+stays 0): on this box a 30% pass-to-pass swing is documented noise
+(SCALE.md), so a flag means "triage with n=5 quiet-box runs", not "fail".
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -133,10 +142,46 @@ def main() -> int:
                 "queries": times,
                 "sf": sf,
                 "runs": n_runs,
+                "regressions": _regressions_vs_prior(times, sf),
             }
         )
     )
     return 0
+
+
+def _regressions_vs_prior(
+    times: dict[str, float], sf: float | None
+) -> dict[str, object]:
+    """Compare per-query medians to the newest recorded BENCH_r*.json at
+    the same sf. Returns {"baseline": file or None, "flagged": {query:
+    {"prior": s, "now": s, "ratio": r}}} — queries >25% AND >0.3s slower.
+    The absolute floor keeps sub-second queries from flagging on scheduler
+    jitter alone."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_file, prior_q = None, {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if rec.get("sf") == sf and isinstance(rec.get("queries"), dict):
+            prior_file, prior_q = os.path.basename(path), rec["queries"]
+            break
+    flagged = {}
+    for name, now in times.items():
+        prior = prior_q.get(name)
+        if prior and now > prior * 1.25 and now - prior > 0.3:
+            flagged[name] = {
+                "prior": prior,
+                "now": now,
+                "ratio": round(now / prior, 2),
+            }
+    if flagged:
+        print(f"# REGRESSIONS vs {prior_file}: {sorted(flagged)}",
+              file=sys.stderr, flush=True)
+    return {"baseline": prior_file, "flagged": flagged}
 
 
 if __name__ == "__main__":

@@ -1381,6 +1381,92 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_png_oracle(n: int = 16, seed: int = 42) -> str:
+    """DuckDB replay of synthetic_png_assets + the REAL PNG kernel: the
+    fixture pixels are md5-derived (identical to the PPM fixture), so
+    the oracle re-derives every RGB byte and the exact float expressions
+    of multimodal._pixel_features — value-checking the zlib inflate +
+    scanline unfilter (all five filter types cycle through the fixture)
+    WITHOUT needing DEFLATE in SQL: if any unfilter branch reconstructs
+    a single byte wrong, a first/last/mean/gray stat moves and the hash
+    mismatches. RGBA assets (odd ids) prove alpha is dropped, not
+    composited."""
+    md = f"md5('{seed}:' || aid || ':' || p)"
+    return f"""
+    WITH ids AS (SELECT unnest(range({n})) AS i),
+    meta AS (
+      SELECT i::BIGINT AS aid, (4 + i % 5)::INT AS w, (3 + i % 4)::INT AS h
+      FROM ids
+    ),
+    pos AS (
+      SELECT aid, w, h, unnest(generate_series(0, w * h - 1)) AS p
+      FROM meta
+    ),
+    px AS (
+      SELECT aid, w, h, p,
+             ('0x' || substr({md}, 1, 2))::INT AS r,
+             ('0x' || substr({md}, 3, 2))::INT AS g,
+             ('0x' || substr({md}, 5, 2))::INT AS b
+      FROM pos
+    ),
+    stats AS (
+      SELECT aid, any_value(w) AS w, any_value(h) AS h, count(*) AS n,
+             sum(r) AS sr, sum(r + g + b) AS sgray,
+             arg_min(r, p) AS fr, arg_min(g, p) AS fg, arg_min(b, p) AS fb,
+             arg_max(r, p) AS lr, arg_max(g, p) AS lg, arg_max(b, p) AS lb
+      FROM px GROUP BY aid
+    )
+    SELECT aid AS asset_id, w, h,
+           round((sr::DOUBLE / n / 255.0)::REAL::DOUBLE, 6) AS mean_r_r,
+           round((fr / 255.0)::REAL::DOUBLE, 6) AS first_r_r,
+           round((fg / 255.0)::REAL::DOUBLE, 6) AS first_g_r,
+           round((fb / 255.0)::REAL::DOUBLE, 6) AS first_b_r,
+           round((lr / 255.0)::REAL::DOUBLE, 6) AS last_r_r,
+           round((lg / 255.0)::REAL::DOUBLE, 6) AS last_g_r,
+           round((lb / 255.0)::REAL::DOUBLE, 6) AS last_b_r,
+           round((sgray::DOUBLE / n / 765.0)::REAL::DOUBLE, 6) AS mean_gray_r,
+           n::BIGINT AS n_px
+    FROM stats
+    """
+
+
+@register("multimodal_png_features", oracle=_multimodal_png_oracle())
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode through the mapInPandas pipeline:
+    8-bit RGB/RGBA PNG payloads inflated with stdlib zlib and unfiltered
+    scanline-by-scanline (None/Sub/Up/Average/Paeth all present in the
+    fixture) → pixel statistics. The fixture pixels are md5-derived, so
+    the DuckDB oracle replays the BYTE-LEVEL decode results — dims,
+    first/last pixel, channel mean, and gray mean are value-checked
+    against raw pixel math the compressed container cannot shortcut."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        synthetic_png_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_png_assets(spark, n=16, seed=42)
+    feats = extract_features(assets, decoder="strict")
+
+    def f(idx: int):  # 1-based element_at; widen float32 → double first
+        return F.round(F.element_at("features", idx).cast("double"), 6)
+
+    return feats.select(
+        "asset_id",
+        F.element_at("features", 1).cast("int").alias("w"),
+        F.element_at("features", 2).cast("int").alias("h"),
+        f(3).alias("mean_r_r"),
+        f(6).alias("first_r_r"),
+        f(7).alias("first_g_r"),
+        f(8).alias("first_b_r"),
+        f(9).alias("last_r_r"),
+        f(10).alias("last_g_r"),
+        f(11).alias("last_b_r"),
+        f(14).alias("mean_gray_r"),
+        F.element_at("features", 16).cast("long").alias("n_px"),
+    )
+
+
 def _multimodal_audio_oracle(n: int = 8, seed: int = 42) -> str:
     """DuckDB replay of synthetic_wav_assets + the REAL WAV kernel: the
     fixture's int16 samples are md5-derived, so the oracle re-derives
@@ -2553,16 +2639,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_graph_cte(n_planes: int = 6, n_tables: int = 2, dim: int = 64,
-                   k: int = 5) -> str:
+                   k: int = 5, max_bucket: int | None = None) -> str:
     """Shared CTE chain replaying the full KNN-graph build: hyperplane
-    buckets (bit-for-bit), candidate self-join, exact-cosine re-rank,
-    per-src top-k with (desc cosine, dst) tie-break."""
+    buckets (bit-for-bit), optional hot-bucket cap (drop (t, bucket)
+    groups above ``max_bucket`` BEFORE candidate generation — the same
+    groupBy-count + semi-join the Spark side runs), candidate self-join,
+    exact-cosine re-rank, per-src top-k with (desc cosine, dst)
+    tie-break."""
     per_table = "\n      UNION ALL ".join(
         f"SELECT vec_id, {t} AS t, "
         + _rp_bucket_sql("v", t, n_planes, dim)
         + " AS bucket FROM e"
         for t in range(n_tables)
     )
+    if max_bucket is not None:
+        cap_ctes = f"""
+    bucket_sizes AS (
+      SELECT t, bucket, count(*) AS bn FROM raw_buckets GROUP BY t, bucket
+    ),
+    buckets AS (
+      SELECT rb.vec_id, rb.t, rb.bucket
+      FROM raw_buckets rb
+      JOIN bucket_sizes bs ON bs.t = rb.t AND bs.bucket = rb.bucket
+      WHERE bs.bn <= {max_bucket}
+    ),"""
+    else:
+        cap_ctes = """
+    buckets AS (SELECT * FROM raw_buckets),"""
     dot = ("list_sum(list_transform(generate_series(1, len(sv.v)), "
            "i -> sv.v[i] * dv.v[i]))")
     ns = ("sqrt(list_sum(list_transform(generate_series(1, len(sv.v)), "
@@ -2571,9 +2674,9 @@ def _knn_graph_cte(n_planes: int = 6, n_tables: int = 2, dim: int = 64,
           "i -> dv.v[i] * dv.v[i])))")
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    buckets AS (
+    raw_buckets AS (
       {per_table}
-    ),
+    ),{cap_ctes}
     cand AS (
       SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
       FROM buckets a JOIN buckets b
@@ -2596,7 +2699,7 @@ def _knn_graph_cte(n_planes: int = 6, n_tables: int = 2, dim: int = 64,
 
 @register(
     "embedding_knn_graph",
-    oracle=_knn_graph_cte(6, 2, 64, 5)
+    oracle=_knn_graph_cte(6, 2, 64, 5, max_bucket=100)
     + "\n    SELECT src, dst, cosine_r, rank FROM graph",
 )
 def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2604,20 +2707,23 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors, the substrate of graph-based semantic dedup/clustering
     (SemDeDup-style). Unlike the query-set ANN entries, BOTH sides are
     the full corpus (nothing broadcastable): candidates come from the
-    LSH bucket self-join, never |vecs|² pairs, and the DuckDB oracle
-    replays buckets, candidate join, exact re-rank, and the top-k
-    tie-break hash-for-hash."""
+    LSH bucket self-join, never |vecs|² pairs, hot buckets capped at
+    100 vectors (the production skew dial — a boilerplate storm of B
+    identical embeddings would otherwise contribute B² candidate
+    pairs), and the DuckDB oracle replays buckets, the cap, candidate
+    join, exact re-rank, and the top-k tie-break hash-for-hash."""
     from bigdata_capstone_spark.operators.simsearch import knn_graph
 
     # corpus-level cache, deliberate: bucketing and the exact re-rank
     # both read the raw vectors (same rationale as embedding_ann_lsh)
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    return knn_graph(emb, dim=64, k=5, n_planes=6, n_tables=2)
+    return knn_graph(emb, dim=64, k=5, n_planes=6, n_tables=2,
+                     max_bucket=100)
 
 
 @register(
     "embedding_mutual_knn_edges",
-    oracle=_knn_graph_cte(6, 2, 64, 5)
+    oracle=_knn_graph_cte(6, 2, 64, 5, max_bucket=100)
     + """
     SELECT g.src, g.dst, g.cosine_r
     FROM graph g
@@ -2633,7 +2739,8 @@ def embedding_mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     One |V|·k self-semi-join over the edge list; no vector data moves.
     The symmetric cosine is bit-identical in both directions (same
     element-order products, commutative multiply), so the kept value
-    is direction-independent."""
+    is direction-independent. The underlying graph build runs with the
+    hot-bucket cap engaged (100, replayed by the oracle)."""
     from bigdata_capstone_spark.operators.simsearch import (
         knn_graph,
         mutual_knn_edges,
@@ -2643,7 +2750,8 @@ def embedding_mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the EDGE LIST (|V|·k rows — a small aggregated frame), not
     # just the corpus: mutual_knn_edges reads the graph twice (forward +
     # reversed), which would otherwise rebuild the LSH/re-rank pipeline
-    g = knn_graph(emb, dim=64, k=5, n_planes=6, n_tables=2).cache()
+    g = knn_graph(emb, dim=64, k=5, n_planes=6, n_tables=2,
+                  max_bucket=100).cache()
     return mutual_knn_edges(g)
 
 

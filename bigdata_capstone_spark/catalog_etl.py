@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 from bigdata_capstone_spark.catalog import register
 from bigdata_capstone_spark.operators.relational import fan_out
 from bigdata_capstone_spark.session import ensure_utc
+from bigdata_capstone_spark.shared_sql import UNIGRAM_LP_CTES
 from bigdata_capstone_spark.sources.tables import load_table
 
 _TIER_SQL = "CASE WHEN value < 30 THEN 'low' WHEN value < 70 THEN 'mid' ELSE 'high' END"
@@ -962,26 +963,11 @@ def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_unigram_logprob",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                x -> x <> '')) AS tok
-      FROM documents
-    ),
-    freq AS (SELECT tok, count(*) AS nf FROM toks GROUP BY tok),
-    tot AS (SELECT sum(nf) AS total FROM freq),
-    scored AS (
-      SELECT t.doc_id,
-             round(log10(f.nf * 1.0 / tot.total), 6) AS lp
-      FROM toks t JOIN freq f ON f.tok = t.tok CROSS JOIN tot
-    )
-    SELECT doc_id,
-           count(*)::BIGINT AS n_tokens,
-           round(sum(round(lp * 1000000)::BIGINT) * 1.0 / count(*))::BIGINT
-             / 1000000.0 AS avg_logprob_r
-    FROM scored GROUP BY doc_id
-    """,
+    # single source of truth: shared_sql.UNIGRAM_LP_CTES (also feeds the
+    # catalog_train curriculum/rank-ensemble oracles, which reuse this
+    # entry's Spark plan — one constant so the copies can't desync)
+    oracle=UNIGRAM_LP_CTES
+    + "\n    SELECT doc_id, n_tokens, avg_logprob_r FROM scored",
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram-LM fluency proxy — the poor man's perplexity filter

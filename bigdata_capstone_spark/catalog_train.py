@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from bigdata_capstone_spark.catalog import register
 from bigdata_capstone_spark.functions.portable import md5_long, md5_long_sql
 from bigdata_capstone_spark.session import ensure_utc
+from bigdata_capstone_spark.shared_sql import UNIGRAM_LP_CTES
 from bigdata_capstone_spark.sources.tables import load_table
 
 
@@ -1494,27 +1495,10 @@ def customer_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-5 wave 3: curriculum staging and embedding-space diagnostics.
 # --------------------------------------------------------------------------
 
-_UNIGRAM_LP_CTE = """
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                x -> x <> '')) AS tok
-      FROM documents
-    ),
-    freq AS (SELECT tok, count(*) AS nf FROM toks GROUP BY tok),
-    tot AS (SELECT sum(nf) AS total FROM freq),
-    per_tok AS (
-      SELECT t.doc_id,
-             round(log10(f.nf * 1.0 / tot.total), 6) AS lp
-      FROM toks t JOIN freq f ON f.tok = t.tok CROSS JOIN tot
-    ),
-    scored AS (
-      SELECT doc_id,
-             count(*)::BIGINT AS n_tokens,
-             round(sum(round(lp * 1000000)::BIGINT) * 1.0
-                   / count(*))::BIGINT / 1000000.0 AS avg_logprob_r
-      FROM per_tok GROUP BY doc_id
-    )"""
+# Single source of truth for the unigram-LM CTE chain: shared_sql (the
+# doc_unigram_logprob oracle and these curriculum/rank-ensemble oracles
+# reuse the same Spark plan, so their SQL must never desync).
+_UNIGRAM_LP_CTE = UNIGRAM_LP_CTES
 
 
 @register(

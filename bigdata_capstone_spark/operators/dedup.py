@@ -401,6 +401,7 @@ def connected_components(
     a_col: str = "idA",
     b_col: str = "idB",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list — the transitive
     closure that turns pairwise near-dup hits into dedup CLUSTERS (a
@@ -422,14 +423,34 @@ def connected_components(
 
     Scale shape per round: one join (labels ⋈ edges) + one groupBy(min) —
     both shuffle on node id, and AQE handles the skew of giant
-    components. Labels are checkpoint-truncated every round via
-    ``localCheckpoint`` so the lineage does not grow with iterations
-    (the classic iterative-algorithm failure on Spark).
+    components. Labels are checkpoint-truncated every round so the
+    lineage does not grow with iterations (the classic
+    iterative-algorithm failure on Spark).
+
+    ``checkpoint_dir`` selects the truncation mechanism. Default None
+    uses ``localCheckpoint`` — fine for local mode, but its blocks live
+    on executor storage, so ONE lost executor aborts the whole query
+    instead of recomputing (observed in round 5 as a TorrentBroadcast
+    store failure killing ``dedup_keep_best`` under contention). On a
+    real cluster with preemption, pass a reliable directory (HDFS/S3):
+    the per-round frames then use reliable ``checkpoint()`` — lineage
+    truncation survives executor loss at the price of a distributed-FS
+    write per round (labels are (node, component) rows — tiny relative
+    to the edge list).
 
     Returns (node, component) with component = min node id in the
     component. Not SQL-expressible without recursive CTEs → rows-only
     oracle; correctness is asserted against a union-find in tests.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(frame: DataFrame) -> DataFrame:
+            return frame.checkpoint(eager=True)
+    else:
+        def _ckpt(frame: DataFrame) -> DataFrame:
+            return frame.localCheckpoint(eager=True)
+
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
@@ -437,7 +458,7 @@ def connected_components(
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
-    sym = sym.localCheckpoint(eager=True)
+    sym = _ckpt(sym)
 
     comp_type = dict(labels.dtypes)["component"]
     for _ in range(max_iter):
@@ -480,7 +501,8 @@ def connected_components(
                 ).alias("component"),
                 "old",
             )
-        ).localCheckpoint(eager=True)
+        )
+        new_labels = _ckpt(new_labels)
         changed = (
             new_labels.filter(F.col("component") != F.col("old"))
             .limit(1)
@@ -502,6 +524,7 @@ def dedup_clusters(
     min_jaccard: float = 0.5,
     max_iter: int = 20,
     max_bucket_size: int | None = 2000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup clusters: minhash-LSH pairs → connected components →
     (doc_id, cluster_id, cluster_size). Docs with no near-dup partner get
@@ -511,12 +534,17 @@ def dedup_clusters(
     ``max_bucket_size`` is the hot-bucket cap (ON by default, see
     :func:`minhash_near_dup_pairs`); the component closure recovers
     top-of-cluster links a capped bucket drops, as long as some chain of
-    under-cap buckets connects them."""
+    under-cap buckets connects them. ``checkpoint_dir`` enables reliable
+    checkpointing in the iterative closure (see
+    :func:`connected_components`) — set it on clusters with preemption."""
     pairs = minhash_near_dup_pairs(
         df, text_col, id_col, n_perm, bands, shingle_n, min_jaccard,
         max_bucket_size,
     )
-    comp = connected_components(pairs.select("idA", "idB"), "idA", "idB", max_iter)
+    comp = connected_components(
+        pairs.select("idA", "idB"), "idA", "idB", max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
     all_docs = df.select(F.col(id_col))
     labeled = all_docs.join(
         comp.withColumnRenamed("node", id_col), on=id_col, how="left"

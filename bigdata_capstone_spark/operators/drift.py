@@ -48,8 +48,15 @@ def psi_by_group(
     True = comparison period 2), per ``group_cols``.
 
     Returns (group..., n_p1, n_p2, psi_r) with psi_r rounded to 6 dp.
-    Smoothing: p_i(bin) = (c_i(bin) + 1) / (n_i + n_bins), so empty bins
-    contribute finite terms and both engines see identical doubles.
+    Smoothing: p_i(bin) = (c_i(bin) + 1) / (n_i + n_bins), so a bin
+    that is empty in ONE period contributes a finite term. Bins empty
+    in BOTH periods produce no contingency row at all and are excluded
+    from the sum — a deliberate deviation from the densified all-bins
+    smoothed definition (whose both-empty terms are nonzero whenever
+    n1 != n2): the contingency table stays data-sized and mergeable,
+    and the oracle replays the identical exclusion, so engines agree
+    bit-for-bit. Callers needing the densified definition should
+    pre-densify the contingency frame before the fold.
     """
     gc = list(group_cols)
     binned = df.select(

@@ -20,6 +20,7 @@ by asset_id so planning/filtering never touches bytes, and push filters
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -172,6 +173,103 @@ def _bmp_features(data: bytes) -> list[float]:
         for x in range(w):
             b, g, r = data[base + 3 * x : base + 3 * x + 3]
             pixels.append((r, g, b))
+    return _pixel_features(w, h, pixels)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick the neighbor (left a,
+    up b, upper-left c) closest to a+b-c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_features(data: bytes) -> list[float]:
+    """REAL image decode: 8-bit RGB/RGBA non-interlaced PNG — the first
+    COMPRESSED real-world format in the strict trio's lineage, decodable
+    with zero new dependencies because PNG's only compression is DEFLATE
+    (stdlib ``zlib``) plus five per-scanline byte filters (None/Sub/Up/
+    Average/Paeth, RFC 2083) unfiltered here by hand. Alpha is dropped
+    (not composited) for RGBA so the same pixels in PNG, PPM, or BMP
+    yield the identical feature vector (asserted in tests). Palette,
+    grayscale, 16-bit, and Adam7-interlaced PNGs still raise — honest
+    unsupported-codec boundaries, same policy as BMP's bpp gate."""
+    if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
+    if bit_depth != 8 or color_type not in (2, 6):
+        raise NotImplementedError(
+            f"only 8-bit truecolor PNG supported (bit_depth={bit_depth}, "
+            f"color_type={color_type}); palette/gray/16-bit need a real "
+            "codec library"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if compression != 0 or filter_method != 0:
+        raise ValueError(
+            f"invalid PNG compression/filter method "
+            f"({compression}/{filter_method})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"zero-pixel image: {w}x{h}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    ch = 3 if color_type == 2 else 4
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    pixels: list[tuple[int, int, int]] = []
+    prior = bytes(stride)
+    for row in range(h):
+        base = row * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                c = prior[x - ch] if x >= ch else 0
+                line[x] = (line[x] + _paeth(a, prior[x], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        for p in range(w):
+            pixels.append(
+                (line[p * ch], line[p * ch + 1], line[p * ch + 2])
+            )
+        prior = bytes(line)
     return _pixel_features(w, h, pixels)
 
 
@@ -371,14 +469,16 @@ def _avi_features(data: bytes) -> list[float]:
 
 def _strict_decode(data: bytes) -> list[float]:
     """Decode REAL formats implementable without codec libraries (binary
-    PPM, uncompressed 24-bit BMP, 16-bit PCM WAV, uncompressed DIB AVI);
-    raise for anything needing Pillow/torchaudio/ffmpeg — strict mode
-    turns a silently-fake feature into a loud error on a cluster missing
-    codecs."""
+    PPM, uncompressed 24-bit BMP, 8-bit truecolor PNG via stdlib zlib,
+    16-bit PCM WAV, uncompressed DIB AVI); raise for anything needing
+    Pillow/torchaudio/ffmpeg — strict mode turns a silently-fake feature
+    into a loud error on a cluster missing codecs."""
     if data.startswith(b"P6"):
         return _ppm_features(data)
     if data.startswith(b"BM"):
         return _bmp_features(data)
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return _png_features(data)
     if data.startswith(b"RIFF"):
         # RIFF is a container family: dispatch on the form type
         if data[8:12] == b"WAVE":
@@ -386,7 +486,7 @@ def _strict_decode(data: bytes) -> list[float]:
         if data[8:12] == b"AVI ":
             return _avi_features(data)
     raise NotImplementedError(
-        "media decode beyond PPM/BMP/WAV/AVI requires codec libraries "
+        "media decode beyond PPM/BMP/PNG/WAV/AVI requires codec libraries "
         "(Pillow/torchaudio/ffmpeg) not present in this container; "
         "install them on the cluster image and register a real kernel "
         "in DECODERS"
@@ -397,6 +497,7 @@ DECODERS = {
     "deterministic_fake": _fake_features,
     "ppm": _ppm_features,
     "bmp": _bmp_features,
+    "png": _png_features,
     "wav": _wav_features,
     "avi": _avi_features,
     "strict": _strict_decode,
@@ -439,6 +540,79 @@ def synthetic_ppm_assets(
             raster += hashlib.md5(f"{seed}:{i}:{p}".encode()).digest()[:3]
         blob = f"P6\n{w} {h}\n255\n".encode() + bytes(raster)
         rows.append((i, bytearray(blob), "image/x-portable-pixmap", w, h, None))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def synthetic_png_assets(
+    spark: SparkSession, n: int = 16, seed: int = 42
+) -> DataFrame:
+    """Asset table whose payloads are REAL zlib-compressed PNGs with the
+    SAME md5-derived pixels as :func:`synthetic_ppm_assets` (pixel p of
+    asset i is md5("{seed}:{i}:{p}")[:3], identical dims) — so the
+    compressed-format decode is value-checkable against raw pixel math,
+    and per-asset features must equal the PPM twin's. The encoder cycles
+    all five scanline filter types (filter = row_index % 5), so every
+    unfilter branch (None/Sub/Up/Average/Paeth) is exercised; odd assets
+    are RGBA (alpha = md5 byte 3, dropped by the decoder), even assets
+    RGB."""
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    rows = []
+    for i in range(n):
+        w, h = 4 + i % 5, 3 + i % 4
+        rgba = i % 2 == 1
+        ch = 4 if rgba else 3
+        px = [
+            hashlib.md5(f"{seed}:{i}:{p}".encode()).digest()[:4]
+            for p in range(w * h)
+        ]
+        stride = w * ch
+        prior = bytes(stride)
+        out = bytearray()
+        for row in range(h):
+            line = bytearray()
+            for x in range(w):
+                line += px[row * w + x][:ch]
+            ft = row % 5
+            out.append(ft)
+            if ft == 0:  # None
+                out += line
+            elif ft == 1:  # Sub
+                for x in range(stride):
+                    left = line[x - ch] if x >= ch else 0
+                    out.append((line[x] - left) & 0xFF)
+            elif ft == 2:  # Up
+                for x in range(stride):
+                    out.append((line[x] - prior[x]) & 0xFF)
+            elif ft == 3:  # Average
+                for x in range(stride):
+                    left = line[x - ch] if x >= ch else 0
+                    out.append((line[x] - ((left + prior[x]) >> 1)) & 0xFF)
+            else:  # Paeth
+                for x in range(stride):
+                    a = line[x - ch] if x >= ch else 0
+                    c = prior[x - ch] if x >= ch else 0
+                    out.append((line[x] - _paeth(a, prior[x], c)) & 0xFF)
+            prior = bytes(line)
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes((8, 6 if rgba else 2, 0, 0, 0))
+        )
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b"")
+        )
+        rows.append((i, bytearray(blob), "image/png", w, h, None))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 

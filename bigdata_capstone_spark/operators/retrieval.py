@@ -74,6 +74,13 @@ def bm25_topk(
     always positive), score contribution of term t in doc d for query q:
     idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)).
 
+    N-semantics: corpus stats (N and avgdl) derive from the postings
+    frame, which has no rows for zero-token documents — so idf's N is
+    "documents with >=1 token", not raw corpus row count, and empty docs
+    dilute neither avgdl nor idf. A deliberate (and arguably better)
+    deviation from textbook BM25 when empty docs exist; the oracle
+    computes N the same way, so engines agree.
+
     Returns (query_doc, doc_id, n_terms, bm25_r, rk) with rk 1..k by
     (score DESC, doc_id) — ties broken on the key so the result is a
     deterministic set.

@@ -422,7 +422,7 @@ def knn_graph(
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 2000,
 ) -> DataFrame:
     """Corpus self-KNN graph: (src, dst, cosine_r, rank) — each vector's
     top-k nearest bucket-shared neighbors by exact cosine.
@@ -447,8 +447,10 @@ def knn_graph(
     bucket-size aggregate + broadcast semi-join (never a per-bucket
     window); vectors whose EVERY bucket is hot simply get no edges — the
     multi-table probes make total blackout unlikely for ordinary
-    vectors. Default None (off) because the catalog oracle replays the
-    uncapped build; production corpus×corpus runs should set it.
+    vectors. ON by default (2000, like the dedup family's cap): bucket
+    sizes are deterministic given the md5 hyperplanes, so the DuckDB
+    catalog oracles replay the *capped* build hash-for-hash. Pass
+    ``None`` only for the documented exact-oracle paths.
     """
     b = rp_lsh_buckets(corpus, dim, n_planes, n_tables, id_col, vec_col)
     if max_bucket is not None:

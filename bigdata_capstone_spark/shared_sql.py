@@ -46,6 +46,32 @@ MERGED_CUSTOMER_CTES = """
     )
 """
 
+# The unigram-LM fluency CTE chain (ends in `scored`: doc_id, n_tokens,
+# avg_logprob_r) shared by catalog_etl.doc_unigram_logprob and the
+# catalog_train curriculum/rank-ensemble oracles, which reuse the same
+# Spark plan — a single constant so an edit can't desync them.
+UNIGRAM_LP_CTES = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS nf FROM toks GROUP BY tok),
+    tot AS (SELECT sum(nf) AS total FROM freq),
+    per_tok AS (
+      SELECT t.doc_id,
+             round(log10(f.nf * 1.0 / tot.total), 6) AS lp
+      FROM toks t JOIN freq f ON f.tok = t.tok CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_tokens,
+             round(sum(round(lp * 1000000)::BIGINT) * 1.0
+                   / count(*))::BIGINT / 1000000.0 AS avg_logprob_r
+      FROM per_tok GROUP BY doc_id
+    )"""
+
 # The events-PSI oracle shared by catalog_ds.event_drift_psi and its
 # streaming maintenance twin catalog_etl.streaming_drift_psi.
 PSI_EVENTS_ORACLE = """

@@ -481,8 +481,9 @@ def test_bmp_decode_matches_ppm(spark):
     )
     bmp = header + bytes(raster)
     assert DECODERS["strict"](ppm) == DECODERS["strict"](bmp)
+    # JPEG needs a real codec library — still an honest raise
     with _pytest.raises(NotImplementedError):
-        DECODERS["strict"](b"\x89PNG\r\n\x1a\nnot-actually-decodable")
+        DECODERS["strict"](b"\xff\xd8\xff\xe0not-actually-decodable")
 
 
 def test_multimodal_resize_targets(spark):

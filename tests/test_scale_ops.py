@@ -176,6 +176,51 @@ def test_boilerplate_storm_soak(spark, sf_small):
     print(f"soak: production path {t_prod:.1f}s, {clean_pairs} clean pairs")
 
 
+def test_embedding_storm_knn_cap(spark, sf_small):
+    """KNN-graph soak under an EMBEDDING STORM (thousands of identical
+    vectors — e.g. a boilerplate page embedded once per crawl copy): all
+    storm vectors land in ONE (table, bucket) per table, so the uncapped
+    bucket self-join would generate ≥ n_tables·N·(N-1) candidate pairs;
+    the default-on ``max_bucket`` cap (2000) must drop those buckets
+    entirely — no storm vector appears in the graph — while clean-corpus
+    vectors still get edges."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        knn_graph,
+        rp_lsh_buckets,
+    )
+
+    storm_n = 3000
+    base = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    storm_vec = base.filter(F.col("vec_id") == 0).select("embedding")
+    storm = spark.range(storm_n).crossJoin(F.broadcast(storm_vec)).select(
+        (F.col("id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(storm).cache()
+
+    # arithmetic uncapped bound from deterministic bucket sizes: the join
+    # itself is never materialized (that blow-up is the point of the cap)
+    sizes = (
+        rp_lsh_buckets(corpus, dim=64, n_planes=6, n_tables=2)
+        .groupBy("table", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uncapped_bound = sizes.select(
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("c")
+    ).collect()[0]["c"]
+    assert uncapped_bound >= 2 * storm_n * (storm_n - 1)
+
+    g = knn_graph(corpus, dim=64, k=5, n_planes=6, n_tables=2).cache()
+    storm_rows = g.filter(
+        (F.col("src") >= 10_000_000) | (F.col("dst") >= 10_000_000)
+    ).count()
+    assert storm_rows == 0
+    assert g.count() > 0  # clean vectors still get edges
+    corpus.unpersist()
+    g.unpersist()
+
+
 def test_pack_sequences_invariants(spark, sf_small):
     """Every doc lands in exactly one pack; packs within a (lang, shard)
     stream are contiguous from 0; a doc's pack is its first token's

@@ -39,7 +39,10 @@ def audit(name: str, plan: str) -> list[str]:
         # materialization. Cross-check with the InMemoryRelation count
         # before treating a high number as scan amplification.
         notes.append(f"scans={len(pushed)} pushed_filters={len(nonempty)}")
-        notes.append(f"cached_relations={plan.count('InMemoryRelation')}")
+    # emitted unconditionally: a plan whose scans are ALL behind
+    # InMemoryRelation has no PushedFilters line, and the cache count is
+    # exactly the signal that explains the missing scan count
+    notes.append(f"cached_relations={plan.count('InMemoryRelation')}")
     reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     if reads:
         widths = [len(r.split(",")) for r in reads]
