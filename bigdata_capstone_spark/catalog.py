@@ -917,23 +917,6 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
-@register("embedding_ann_ivf")
-def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via an IVF coarse quantizer (KMeans cells +
-    n_probe nearest-cell search, exact-cosine re-rank). Rows-only BY
-    NATURE (KMeans is not SQL-expressible); the IVF *search* capability
-    is value-checked by ``embedding_ann_ivf_prf`` (same search over a
-    PRF-medoid index, hash-exact vs DuckDB) and this variant's recall is
-    gated in tests (test_ivf_recall_vs_bruteforce). Kept registered —
-    the external driver pins this key — as the production choice when
-    index adaptivity beats cross-engine determinism."""
-    from bigdata_capstone_spark.operators.simsearch import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4, seed=7)
-
-
 # --------------------------------------------------------------------------
 # Reference-exact pipelines on driver tables: customer "twins"
 # (customer_segmentation semantics, SURVEY §2.9 M1-M3 / J4 / A5)
@@ -1720,6 +1703,67 @@ def multimodal_decode_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "needs_resize", "n_frames",
         )
     )
+
+
+def _warc_extraction_oracle(n_shards: int, docs_per_shard: int,
+                            seed: int) -> str:
+    """Generative replay of the WARC fixture: the oracle recomputes, from
+    the same md5 formula that generated the shard bytes, what the gzip →
+    WARC → HTTP → HTML-strip pipeline MUST emit — so the entire byte-level
+    decode path is value-checked (the PNG/BMP oracle pattern)."""
+    return f"""
+    WITH ij AS (
+      SELECT i.i AS shard_id, j.j AS record_idx
+      FROM (SELECT unnest(range({n_shards})) AS i) i
+      CROSS JOIN (SELECT unnest(range({docs_per_shard})) AS j) j
+    ),
+    parts AS (
+      SELECT shard_id, record_idx,
+             md5('{seed}:w:' || shard_id || ':' || record_idx || ':1') AS p1,
+             md5('{seed}:w:' || shard_id || ':' || record_idx || ':2') AS p2,
+             'Doc ' || shard_id || '-' || record_idx AS title
+      FROM ij
+    ),
+    html AS (
+      SELECT shard_id, record_idx, p1, p2, title,
+             '<html><head><title>' || title ||
+             '</title><style>p {{margin: 0}}</style></head><body><p>' ||
+             p1 || '</p><p>' || p2 ||
+             '</p><script>var x = 1 < 2;</script></body></html>' AS h
+      FROM parts
+    )
+    SELECT shard_id::INT AS shard_id, record_idx::INT AS record_idx,
+           'https://example.com/' || shard_id || '/' || record_idx AS uri,
+           200::INT AS http_status,
+           title,
+           md5(title || ' ' || p1 || ' ' || p2) AS text_hash,
+           octet_length(encode(h))::BIGINT AS n_html_bytes
+    FROM html
+    """
+
+
+@register("warc_text_extraction",
+          oracle=_warc_extraction_oracle(8, 6, 42))
+def warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl ingestion end-to-end over REAL bytes: deterministic WARC
+    shards (concatenated per-record gzip members — the CommonCrawl
+    layout — with request/metadata records interleaved that the parser
+    must skip) → gzip/WARC/HTTP framing in one Arrow mapInPandas kernel →
+    pure-JVM HTML→text strip (script/style dropped, tags to spaces,
+    whitespace collapsed, <title> pulled). The oracle regenerates every
+    output value from the fixture's md5 formula, so gzip member framing,
+    WARC header parsing, HTTP status parsing, AND the tag-strip output
+    bytes are all hash-verified. Scale shape (operators/webingest.py):
+    the shard is the parallelism unit; html dies at the strip — only the
+    narrow projection ever shuffles."""
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_html_text,
+        parse_warc_records,
+        synthetic_warc_shards,
+    )
+
+    shards = synthetic_warc_shards(spark, n_shards=8, docs_per_shard=6)
+    return extract_html_text(parse_warc_records(shards))
 
 
 # --------------------------------------------------------------------------
@@ -2615,6 +2659,26 @@ def embedding_ann_ivf_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk_prf(emb, queries, k=10, n_centroids=16, n_probe=2)
+
+
+@register("embedding_ann_ivf", oracle=_ann_ivf_prf_oracle(16, 4, 10))
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at the production operating point (probe 4 of 16 cells,
+    exact-cosine re-rank) — value-checked: the deterministic PRF-medoid
+    quantizer lets the DuckDB oracle replay medoid pick, Voronoi
+    assignment, probe choice, and re-rank hash-exactly. The adaptive
+    KMeans quantizer (`operators.simsearch.ivf_topk`) remains available
+    when index adaptivity beats cross-engine determinism — its search
+    shape is identical and its recall is gated in tests
+    (test_ivf_recall_vs_bruteforce); this pinned driver key now verifies
+    values instead of row counts. `embedding_ann_ivf_prf` keeps the
+    n_probe=2 point, so the two entries pin both ends of the
+    recall/cost dial."""
+    from bigdata_capstone_spark.operators.simsearch import ivf_topk_prf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_prf(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
 @register("dedup_embedding_cosine",

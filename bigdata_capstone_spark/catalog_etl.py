@@ -1093,6 +1093,82 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_gopher_rules",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS w,
+             list_filter(string_split(text, chr(10)),
+                         x -> trim(x) <> '') AS l
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(w)::BIGINT AS n_words,
+             round(CASE WHEN len(w) > 0 THEN
+               list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+               ELSE 0 END, 6) AS mean_word_len_r,
+             round(CASE WHEN len(w) > 0 THEN
+               ((length(text) - length(replace(text, '#', '')))
+                + (len(string_split(text, '...')) - 1)
+                + (length(text) - length(replace(text, chr(8230), ''))))
+               * 1.0 / len(w) ELSE 0 END, 6) AS symbol_ratio_r,
+             round(CASE WHEN len(l) > 0 THEN
+               len(list_filter(l, x -> ltrim(x) LIKE '- %'
+                                    OR ltrim(x) LIKE '* %'
+                                    OR ltrim(x) LIKE chr(8226) || ' %'))
+               * 1.0 / len(l) ELSE 0 END, 6) AS bullet_line_frac_r,
+             round(CASE WHEN len(l) > 0 THEN
+               len(list_filter(l, x -> rtrim(x) LIKE '%...'
+                                    OR rtrim(x) LIKE '%' || chr(8230)))
+               * 1.0 / len(l) ELSE 0 END, 6) AS ellipsis_line_frac_r,
+             round(CASE WHEN len(w) > 0 THEN
+               len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               * 1.0 / len(w) ELSE 0 END, 6) AS alpha_word_frac_r,
+             len(list_intersect(
+               list_distinct(list_transform(w, x -> lower(x))),
+               ['the','be','to','of','and','that','have','with']
+             ))::BIGINT AS n_stop_hits
+      FROM base
+    )
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (mean_word_len_r >= 3.0 AND mean_word_len_r <= 10.0)
+             AS r_mean_word_len,
+           (symbol_ratio_r <= 0.1) AS r_symbol_ratio,
+           (bullet_line_frac_r <= 0.9) AS r_bullet_lines,
+           (ellipsis_line_frac_r <= 0.3) AS r_ellipsis_lines,
+           (alpha_word_frac_r >= 0.8) AS r_alpha_words,
+           (n_stop_hits >= 2) AS r_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len_r >= 3.0 AND mean_word_len_r <= 10.0
+            AND symbol_ratio_r <= 0.1 AND bullet_line_frac_r <= 0.9
+            AND ellipsis_line_frac_r <= 0.3 AND alpha_word_frac_r >= 0.8
+            AND n_stop_hits >= 2) AS passes_gopher
+    FROM feat
+    """,
+)
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021 §A1.1, the
+    DataTrove/RefinedWeb curation filter): per-document rule FLAGS
+    (word count, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, stopword presence) plus the overall
+    pass — so a curation run can report WHICH rule rejected a document,
+    not just a blended score (`doc_quality` keeps the blended-score
+    shape). Fractions round to 6 dp BEFORE thresholding in both
+    engines. Pure JVM higher-order folds over one token/line
+    materialization — no shuffle, no Python."""
+    from bigdata_capstone_spark.operators.textops import (
+        gopher_quality_rules,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_rules(docs)
+
+
+@register(
     "streaming_dedup_events",
     oracle="""
     SELECT event_id, user_id, event_type, value FROM events
@@ -1400,6 +1476,7 @@ def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leaf module shared_sql (import-order-safe: see shared_sql docstring).
 from bigdata_capstone_spark.shared_sql import (  # noqa: E402
     MERGED_CUSTOMER_CTES as _MERGED_CUSTOMER_CTES,
+    REPEATED_SPAN_CTES as _REPEATED_SPAN_CTES,
 )
 
 
@@ -2926,50 +3003,12 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_repeated_spans",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-                                 x -> x <> '') AS t
-      FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, len(t) AS dl, p.pos AS pos,
-             (('0x' || substr(md5(p.g), 1, 15))::BIGINT) AS gh
-      FROM (
-        SELECT doc_id, t,
-               unnest([struct_pack(pos := i,
-                                   g := array_to_string(t[i:i+7], ' '))
-                       for i in range(1, len(t) - 6)]) AS p
-        FROM toks WHERE len(t) >= 8
-      )
-    ),
-    dfreq AS (SELECT gh FROM grams
-              GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-    hits AS (SELECT g.doc_id, g.dl, g.pos
-             FROM grams g JOIN dfreq USING (gh)),
-    i1 AS (
-      SELECT doc_id, dl, pos,
-             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
-                                            ORDER BY pos) > 8
-                  THEN 1 ELSE 0 END AS brk
-      FROM hits
-    ),
-    i2 AS (
-      SELECT doc_id, dl, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS UNBOUNDED PRECEDING) AS island
-      FROM i1
-    ),
-    spans AS (
-      SELECT doc_id, dl, island, count(*) AS hits_in_span,
-             max(pos) + 7 - min(pos) + 1 AS span_len
-      FROM i2 GROUP BY doc_id, dl, island
-    )
+    oracle=_REPEATED_SPAN_CTES + """
     SELECT doc_id,
            sum(hits_in_span)::BIGINT AS n_hits,
            count(*)::BIGINT AS n_spans,
-           sum(span_len)::BIGINT AS covered_tokens,
-           round(sum(span_len) / (dl * 1.0), 6) AS covered_frac
+           sum(e - s + 1)::BIGINT AS covered_tokens,
+           round(sum(e - s + 1) / (dl * 1.0), 6) AS covered_frac
     FROM spans GROUP BY doc_id, dl
     """,
 )
@@ -2978,8 +3017,8 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     any cross-doc repeated substring of >= 8 tokens contains a repeated
     token 8-gram, so hashing every POSITIONAL 8-gram, keeping those seen
     in >= 2 docs, and merging overlapping hit positions into spans finds
-    every long verbatim repeat — the span-excision input that document-
-    and shingle-level dedup both miss.
+    every long verbatim repeat — the coverage signal; the transform that
+    removes the spans is ``dedup_excise_spans``.
 
     Scale shape (operators/dedup.py:repeated_span_stats): digest-only
     cross-doc frequency table (60-bit gram hashes), hash-key hit join,
@@ -2990,6 +3029,53 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return repeated_span_stats(docs, k=8, min_docs=2)
+
+
+@register(
+    "dedup_excise_spans",
+    oracle=_REPEATED_SPAN_CTES + """,
+    sp AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+           FROM spans GROUP BY doc_id),
+    kept AS (
+      SELECT t.doc_id, t.t,
+             CASE WHEN sp.sp IS NULL THEN t.t
+                  ELSE list_filter(t.t, (x, i) ->
+                         NOT len(list_filter(sp.sp,
+                                z -> z.s <= i AND i <= z.e)) > 0)
+             END AS kt
+      FROM toks t LEFT JOIN sp USING (doc_id)
+    )
+    SELECT doc_id,
+           len(t)::BIGINT AS n_tokens,
+           len(kt)::BIGINT AS kept_tokens,
+           (len(t) - len(kt))::BIGINT AS excised_tokens,
+           md5(coalesce(array_to_string(kt, ' '), '')) AS clean_hash
+    FROM kept
+    """,
+)
+def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span EXCISION — every document re-emitted with its cross-document
+    repeated spans REMOVED (Lee et al. exact-substring dedup's actual
+    consumable; ``dedup_repeated_spans`` only reports coverage). The
+    cleaned text is value-checked byte-for-byte: the oracle replays the
+    span discovery AND the token-level excision in SQL and compares the
+    md5 of the emitted text, the ``doc_pii_scrub`` scrubbed-bytes
+    pattern. Every input doc appears exactly once — untouched docs pass
+    through with excised_tokens = 0, fully-boilerplate docs survive as
+    empty text.
+
+    Scale shape (operators/dedup.py:excise_repeated_spans): span
+    discovery is the digest-only anchor pipeline; excision is one LEFT
+    join against the bounded per-doc span list plus a per-row
+    higher-order filter — no position explode, no Python, no extra
+    shuffle beyond the span groupBy."""
+    from bigdata_capstone_spark.operators.dedup import (
+        excise_repeated_spans,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return excise_repeated_spans(docs, k=8, min_docs=2)
 
 
 def _streaming_psi_oracle() -> str:

@@ -43,6 +43,18 @@ from bigdata_capstone_spark.sources.tables import load_table
 # Product quantization: codes + ADC search, both oracle-replayed.
 # --------------------------------------------------------------------------
 
+# DuckDB cosine of the LATERAL-bound pair (a, b) — the engine twin of
+# ``functions.portable.cosine_similarity_col``.
+_COSINE_AB_SQL = (
+    "(list_sum(list_transform(generate_series(1, len(a)), "
+    "i -> a[i] * b[i])) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len(a)), "
+    "i -> a[i] * a[i]))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len(b)), "
+    "i -> b[i] * b[i])))))"
+)
+
+
 def _pq_sub_dist_sql(v: str, c: str, s: str, dsub: int) -> str:
     """DuckDB squared-L2 of subspace ``s`` (0-based) slices of ``v``/``c``
     — the engine twin of ``simsearch._sq_l2_col`` over ``F.slice``."""
@@ -57,14 +69,7 @@ def _pq_topk_oracle(k: int, m: int, k_codes: int, dsub: int,
                     rerank: int) -> str:
     d = _pq_sub_dist_sql("e.v", "cb.center", "subs.s", dsub)
     qd = _pq_sub_dist_sql("q.v", "cb.center", "subs.s", dsub)
-    cos = (
-        "(list_sum(list_transform(generate_series(1, len(a)), "
-        "i -> a[i] * b[i])) / "
-        "(sqrt(list_sum(list_transform(generate_series(1, len(a)), "
-        "i -> a[i] * a[i]))) * "
-        "sqrt(list_sum(list_transform(generate_series(1, len(b)), "
-        "i -> b[i] * b[i])))))"
-    )
+    cos = _COSINE_AB_SQL
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cb AS (
@@ -156,14 +161,7 @@ def _ivfpq_topk_oracle(k: int, m: int, k_codes: int, dsub: int,
     BOTH sub-indexes plus their composition is hash-verified."""
     d = _pq_sub_dist_sql("e.v", "cb.center", "subs.s", dsub)
     qd = _pq_sub_dist_sql("q.v", "cb.center", "subs.s", dsub)
-    cos = (
-        "(list_sum(list_transform(generate_series(1, len(a)), "
-        "i -> a[i] * b[i])) / "
-        "(sqrt(list_sum(list_transform(generate_series(1, len(a)), "
-        "i -> a[i] * a[i]))) * "
-        "sqrt(list_sum(list_transform(generate_series(1, len(b)), "
-        "i -> b[i] * b[i])))))"
-    )
+    cos = _COSINE_AB_SQL
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     med AS (
@@ -954,6 +952,80 @@ def embedding_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_incremental_oracle(m: int, k_codes: int, dsub: int,
+                              n_centroids: int, base_below: int) -> str:
+    d = _pq_sub_dist_sql("e.v", "cb.center", "subs.s", dsub)
+    cos = _COSINE_AB_SQL
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    med AS (
+      SELECT (row_number() OVER (
+                ORDER BY {md5_long_sql("'ivf:' || vec_id")}, vec_id) - 1)::INT
+               AS cell,
+             v AS center
+      FROM e WHERE vec_id < {base_below} QUALIFY cell < {n_centroids}
+    ),
+    cb AS (
+      SELECT (row_number() OVER (
+                ORDER BY {md5_long_sql("'pq:' || vec_id")}, vec_id) - 1)::INT
+               AS code,
+             v AS center
+      FROM e WHERE vec_id < {base_below} QUALIFY code < {k_codes}
+    ),
+    subs AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+    sims AS (
+      SELECT e.vec_id, m.cell, {cos} AS sim
+      FROM e CROSS JOIN med m,
+      LATERAL (SELECT e.v AS a, m.center AS b) ab
+      WHERE e.vec_id >= {base_below}
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT e.vec_id, subs.s, cb.code,
+               row_number() OVER (PARTITION BY e.vec_id, subs.s
+                                  ORDER BY {d}, cb.code) AS rn
+        FROM e CROSS JOIN cb CROSS JOIN subs
+        WHERE e.vec_id >= {base_below}
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell, c.s, c.code
+    FROM assigned a JOIN codes c USING (vec_id)
+    """
+
+
+@register("embedding_ivfpq_incremental",
+          oracle=_ivfpq_incremental_oracle(16, 32, 4, 16, 400))
+def embedding_ivfpq_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of the COMPOSED IVF-PQ index (the
+    production one): coarse medoids AND PQ codebook are frozen on the
+    base corpus (vec_id < 400); only the arrivals batch (vec_id >= 400)
+    is encoded into appendable (vec_id, cell, s, code) rows — index
+    updates cost O(batch), not O(corpus), completing what
+    `embedding_pq_incremental` does for the PQ side alone. The oracle
+    replays both frozen quantizers and the batch encode; batch-split
+    independence (1 batch == 2 half-batches unioned) is asserted in
+    tests."""
+    from bigdata_capstone_spark.operators.simsearch import ivfpq_encode_prf
+
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    new_batch = emb.filter(F.col("vec_id") >= 400)
+    return ivfpq_encode_prf(
+        new_batch, dim=64, m=16, k_codes=32, n_centroids=16, train_on=base
+    )
+
+
 @register(
     "multimodal_shard_packing",
     oracle=f"""
@@ -1113,14 +1185,7 @@ def warehouse_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _hard_negatives_oracle(k: int) -> str:
-    cos = (
-        "(list_sum(list_transform(generate_series(1, len(a)), "
-        "i -> a[i] * b[i])) / "
-        "(sqrt(list_sum(list_transform(generate_series(1, len(a)), "
-        "i -> a[i] * a[i]))) * "
-        "sqrt(list_sum(list_transform(generate_series(1, len(b)), "
-        "i -> b[i] * b[i])))))"
-    )
+    cos = _COSINE_AB_SQL
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
                FROM embeddings),

@@ -692,26 +692,21 @@ def boilerplate_shingle_stats(
     )
 
 
-def repeated_span_stats(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 8,
-    min_docs: int = 2,
+def _merged_hit_spans(
+    toks: DataFrame,
+    id_col: str,
+    k: int,
+    min_docs: int,
 ) -> DataFrame:
-    """Cross-document repeated-substring spans via positional k-gram
-    anchors — the scalable approximation of exact-substring dedup
-    (Lee et al., "Deduplicating Training Data Makes Language Models
-    Better": any repeated substring of >= k tokens necessarily contains
-    a repeated token k-gram, so k-gram anchors find every long repeat).
-
-    Per document: every POSITIONAL k-gram (not distinct — positions are
-    the point) is hashed; a k-gram whose hash occurs in >= ``min_docs``
+    """Merged repeated-k-gram hit spans over a materialized (id, toks)
+    frame: every POSITIONAL k-gram (not distinct — positions are the
+    point) is hashed; a k-gram whose hash occurs in >= ``min_docs``
     distinct documents is a hit; overlapping/abutting hits (position gap
-    <= k) merge into spans. Returns per-doc
-    (doc_id, n_hits, n_spans, covered_tokens, covered_frac) — the
-    inputs to span excision or doc-level filtering. Docs shorter than
-    k tokens have no k-grams and are absent by design.
+    <= k) merge into spans. Returns one row per merged span:
+    (id, dl, island, hits_in_span, span_start, span_end) with 1-based
+    inclusive token positions. Shared core of
+    :func:`repeated_span_stats` (statistics) and
+    :func:`excise_repeated_spans` (the cleaned-text transform).
 
     Scale shape: one explode pass (n_tokens rows/doc); the cross-doc
     frequency table is digest-only (60-bit gram hashes, never gram
@@ -720,11 +715,8 @@ def repeated_span_stats(
     never global). The gram frame is cached for its two consumers
     (frequency table, hit join) — one tokenize pass, not two.
     """
-    toks = tokenized(fan_out(df), text_col, id_col).filter(
-        F.size("toks") >= k
-    )
     grams = (
-        toks.select(
+        toks.filter(F.size("toks") >= k).select(
             F.col(id_col),
             F.size("toks").alias("dl"),
             F.posexplode(
@@ -749,7 +741,7 @@ def repeated_span_stats(
         dfreq.filter(F.col("dfc") >= min_docs).select("gh"), "gh"
     ).select(id_col, "dl", "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
-    spans = (
+    return (
         hits.withColumn(
             "brk",
             F.when(
@@ -765,15 +757,41 @@ def repeated_span_stats(
         .groupBy(id_col, "dl", "island")
         .agg(
             F.count(F.lit(1)).alias("hits_in_span"),
-            (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span_len"),
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
         )
     )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring span statistics via positional
+    k-gram anchors — the scalable approximation of exact-substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": any repeated substring of >= k tokens necessarily contains
+    a repeated token k-gram, so k-gram anchors find every long repeat).
+
+    Returns per-doc (doc_id, n_hits, n_spans, covered_tokens,
+    covered_frac) — the doc-level filtering signal; the transform that
+    actually removes the spans is :func:`excise_repeated_spans`. Docs
+    shorter than k tokens have no k-grams and are absent by design.
+    Scale shape: see :func:`_merged_hit_spans`.
+    """
+    toks = tokenized(fan_out(df), text_col, id_col)
+    spans = _merged_hit_spans(toks, id_col, k, min_docs)
     return (
         spans.groupBy(id_col, "dl")
         .agg(
             F.sum("hits_in_span").cast("long").alias("n_hits"),
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum("span_len").cast("long").alias("covered_tokens"),
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).cast("long").alias("covered_tokens"),
         )
         .select(
             id_col,
@@ -784,4 +802,68 @@ def repeated_span_stats(
                 "covered_frac"
             ),
         )
+    )
+
+
+def excise_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span EXCISION — emit every document with its cross-document
+    repeated spans removed: the consumable output of exact-substring
+    dedup (Lee et al.), where :func:`repeated_span_stats` only reports
+    coverage. A token is excised iff its 1-based position falls inside
+    any merged hit span; the cleaned text is the surviving tokens
+    rejoined with single spaces (tokenization is whitespace-split +
+    lowercase, so this is the canonical whitespace form — the same
+    convention every downstream tokenize pass in this package applies).
+
+    Returns one row per input document (including docs with nothing to
+    excise and docs excised to emptiness):
+    (doc_id, n_tokens, kept_tokens, excised_tokens, clean_hash) with
+    ``clean_hash`` = md5 of the cleaned text, so an oracle can verify
+    the actual emitted bytes, not just the counts (the
+    ``doc_pii_scrub`` scrubbed-bytes pattern).
+
+    Scale shape: span discovery is :func:`_merged_hit_spans` (digest-only
+    shuffles, per-doc windows); the excision itself is a LEFT join of the
+    token frame against the per-doc span list (spans are merged and
+    disjoint, so the list is bounded by dl/k entries) followed by a pure
+    per-row higher-order filter — no explode of token positions, no
+    Python. The token frame is cached for its two consumers (span
+    discovery, excision join).
+    """
+    toks = tokenized(fan_out(df), text_col, id_col).cache()
+    spans = _merged_hit_spans(toks, id_col, k, min_docs)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                F.col("span_end").alias("e"),
+            )
+        ).alias("sp")
+    )
+    joined = toks.join(sp, on=id_col, how="left")
+    # Spark higher-order-function indices are 0-based; span positions are
+    # 1-based (matching the oracle's DuckDB list semantics) — hence i + 1.
+    kept = F.when(F.col("sp").isNull(), F.col("toks")).otherwise(
+        F.filter(
+            "toks",
+            lambda x, i: ~F.exists(
+                "sp",
+                lambda z: (z["s"] <= i + 1) & (i + 1 <= z["e"]),
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias(
+            "excised_tokens"
+        ),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_hash"),
     )

@@ -290,6 +290,59 @@ def ivf_topk(
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def prf_medoids(
+    train_on: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, center) deterministic coarse quantizer: the ``n_centroids``
+    training vectors with the smallest md5 PRF hash of their id (under
+    the ``ivf:`` salt), numbered in hash order — a uniform medoid sample
+    with no RNG state, replayable in any engine. Selection is
+    TakeOrdered(n_centroids) on a narrow (hash, id) projection."""
+    from bigdata_capstone_spark.functions.portable import md5_long
+
+    hashed = train_on.select(
+        F.col(id_col),
+        F.col(vec_col),
+        md5_long(
+            F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    )
+    picked = hashed.orderBy("__h", id_col).limit(n_centroids)
+    return (
+        partitioned_row_number(picked, [F.col("__h"), F.col(id_col)], "__rn")
+        .withColumn("cell", (F.col("__rn") - 1).cast("int"))
+        .select("cell", F.col(vec_col).alias("center"))
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    medoids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, cell[, cv]) IVF cell assignment: argmax cosine to the
+    broadcast medoid table, tie-break smallest cell — one broadcast
+    cross-join map pass over the corpus plus a per-id top-1 (hash
+    aggregate shape via grouped_top_k)."""
+    sims = fan_out(corpus).crossJoin(F.broadcast(medoids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cell",
+        cosine_similarity_col(F.col(vec_col), F.col("center")).alias("_sim"),
+    )
+    top = grouped_top_k(
+        sims, [id_col], [F.desc("_sim"), F.col("cell")], 1, rank_col="_arn"
+    )
+    if keep_vec:
+        return top.select(F.col(id_col), F.col(vec_col).alias("cv"), "cell")
+    return top.select(F.col(id_col), "cell")
+
+
 def ivf_topk_prf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -319,31 +372,8 @@ def ivf_topk_prf(
     broadcast cross-join map pass (corpus × n_centroids); the search
     touches ~n_probe/n_centroids of the corpus per query.
     """
-    from bigdata_capstone_spark.functions.portable import md5_long
-
-    hashed = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        md5_long(
-            F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))
-        ).alias("__h"),
-    )
-    picked = hashed.orderBy("__h", id_col).limit(n_centroids)
-    medoids = (
-        partitioned_row_number(picked, [F.col("__h"), F.col(id_col)], "__rn")
-        .withColumn("cell", (F.col("__rn") - 1).cast("int"))
-        .select("cell", F.col(vec_col).alias("center"))
-    )
-
-    sims = fan_out(corpus).crossJoin(F.broadcast(medoids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "cell",
-        cosine_similarity_col(F.col(vec_col), F.col("center")).alias("_sim"),
-    )
-    assigned = grouped_top_k(
-        sims, [id_col], [F.desc("_sim"), F.col("cell")], 1, rank_col="_arn"
-    ).select(F.col(id_col), F.col(vec_col).alias("cv"), "cell")
+    medoids = prf_medoids(corpus, n_centroids, id_col, vec_col)
+    assigned = assign_cells(corpus, medoids, id_col, vec_col, keep_vec=True)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     probed = grouped_top_k(
@@ -805,34 +835,13 @@ def ivfpq_topk_prf(
     at scale both sides would be bucketed by id (sources/sinks.py
     `write_bucketed_table`), making it co-located and shuffle-free.
     """
-    from bigdata_capstone_spark.functions.portable import md5_long
-
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     dsub = dim // m
 
     # --- IVF side: PRF medoids, cell assignment, probe choice ---------
-    hashed = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        md5_long(
-            F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))
-        ).alias("__h"),
-    )
-    picked = hashed.orderBy("__h", id_col).limit(n_centroids)
-    medoids = (
-        partitioned_row_number(picked, [F.col("__h"), F.col(id_col)], "__rn")
-        .withColumn("cell", (F.col("__rn") - 1).cast("int"))
-        .select("cell", F.col(vec_col).alias("center"))
-    )
-    sims = fan_out(corpus).crossJoin(F.broadcast(medoids)).select(
-        F.col(id_col),
-        "cell",
-        cosine_similarity_col(F.col(vec_col), F.col("center")).alias("_sim"),
-    )
-    assigned = grouped_top_k(
-        sims, [id_col], [F.desc("_sim"), F.col("cell")], 1, rank_col="_arn"
-    ).select(F.col(id_col), "cell")
+    medoids = prf_medoids(corpus, n_centroids, id_col, vec_col)
+    assigned = assign_cells(corpus, medoids, id_col, vec_col)
     probed = grouped_top_k(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .crossJoin(F.broadcast(medoids))
@@ -870,6 +879,49 @@ def ivfpq_topk_prf(
         rank_col="__srn",
     ).select("query_id", id_col)
     return _cosine_rerank(shortlist, queries, corpus, k, id_col, vec_col)
+
+
+def ivfpq_encode_prf(
+    batch: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 16,
+    n_centroids: int = 16,
+    train_on: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental maintenance of the COMPOSED IVF-PQ index: freeze both
+    sub-quantizers — the coarse PRF medoids AND the PQ codebook — on
+    ``train_on`` (the already-indexed base corpus) and encode only
+    ``batch`` (the new arrivals) into (id, cell, s, code) rows, ``m``
+    per vector, ready to APPEND to the production cell/code tables.
+    Composes :func:`pq_codes_prf`'s frozen-codebook path with the IVF
+    side, so keeping the full IVFADC index (:func:`ivfpq_topk_prf`)
+    current under continuous ingest costs O(batch), not O(corpus) —
+    nothing already indexed is ever touched.
+
+    Frozen anchors also make the encode BATCH-SPLIT INDEPENDENT:
+    encoding arrivals in one batch or many produces identical rows
+    (asserted in tests), which is what lets ingest shards encode in
+    parallel without coordination.
+
+    Scale shape: medoid + codebook selection are TakeOrdered on narrow
+    projections of the base corpus; the batch is encoded by two
+    broadcast map passes (cells: batch × n_centroids, codes:
+    batch × k_codes) + one argmin hash aggregate; the final cell⋈code
+    join is keyed by id over batch-sized frames only.
+    """
+    train = train_on if train_on is not None else batch
+    medoids = prf_medoids(train, n_centroids, id_col, vec_col)
+    assigned = assign_cells(batch, medoids, id_col, vec_col)
+    codebook = pq_codebook_prf(train, k_codes, id_col, vec_col)
+    codes = pq_codes_prf(
+        batch, dim, m, k_codes, id_col, vec_col, codebook=codebook
+    )
+    return assigned.join(codes, on=id_col).select(
+        id_col, "cell", "s", "code"
+    )
 
 
 def hard_negatives_topk(

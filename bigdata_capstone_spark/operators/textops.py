@@ -111,6 +111,129 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", F.round(score, 6).alias("quality"))
 
 
+# The eight Gopher "must contain 2 of" function words (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", §A1.1 quality filtering).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021 §A1.1, as shipped
+    in DataTrove/RefinedWeb-style curation stacks) — per-document rule
+    FLAGS, not a blended score, so a pipeline can report which rule
+    rejected a document and tune thresholds per source:
+
+    - word count in [50, 100000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# and ellipsis) <= 0.1
+    - <= 90% of lines start with a bullet (-, *, •)
+    - <= 30% of lines end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 distinct Gopher stopwords present
+
+    All fractions are rounded to 6 dp BEFORE thresholding (both engines
+    compare identical values — the determinism contract), and emitted
+    alongside the flags. Pure JVM map over one projection: token and
+    line arrays are materialized once and every rule folds over them
+    with higher-order functions — no shuffle, no Python, no UDF.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+    )
+    base = df.select(
+        "doc_id",
+        F.col(text_col).alias("__t"),
+        words.alias("__w"),
+        lines.alias("__l"),
+    )
+    nw = F.size("__w")
+    nl = F.size("__l")
+
+    def frac(cnt, denom):
+        return F.round(
+            F.when(denom > 0, cnt / denom).otherwise(F.lit(0.0)), 6
+        )
+
+    mwl = frac(
+        F.aggregate(
+            "__w", F.lit(0), lambda acc, t: acc + F.length(t)
+        ),
+        nw,
+    )
+    n_sym = (
+        F.length("__t")
+        - F.length(F.regexp_replace("__t", "#", ""))
+        + F.size(F.split(F.col("__t"), r"\.\.\.")) - 1
+        + F.length("__t")
+        - F.length(F.regexp_replace("__t", "…", ""))
+    )
+    sym_r = frac(n_sym, nw)
+    bullet_r = frac(
+        F.size(
+            F.filter(
+                "__l",
+                lambda l: F.ltrim(l).startswith("- ")
+                | F.ltrim(l).startswith("* ")
+                | F.ltrim(l).startswith("• "),
+            )
+        ),
+        nl,
+    )
+    ell_r = frac(
+        F.size(
+            F.filter(
+                "__l",
+                lambda l: F.rtrim(l).endswith("...")
+                | F.rtrim(l).endswith("…"),
+            )
+        ),
+        nl,
+    )
+    alpha_r = frac(
+        F.size(F.filter("__w", lambda t: t.rlike("[A-Za-z]"))), nw
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(
+                F.transform("__w", lambda t: F.lower(t))
+            ),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    feat = base.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len_r"),
+        sym_r.alias("symbol_ratio_r"),
+        bullet_r.alias("bullet_line_frac_r"),
+        ell_r.alias("ellipsis_line_frac_r"),
+        alpha_r.alias("alpha_word_frac_r"),
+        n_stop.cast("long").alias("n_stop_hits"),
+    )
+    r_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    r_mwl = (F.col("mean_word_len_r") >= 3.0) & (
+        F.col("mean_word_len_r") <= 10.0
+    )
+    r_sym = F.col("symbol_ratio_r") <= 0.1
+    r_bullet = F.col("bullet_line_frac_r") <= 0.9
+    r_ell = F.col("ellipsis_line_frac_r") <= 0.3
+    r_alpha = F.col("alpha_word_frac_r") >= 0.8
+    r_stop = F.col("n_stop_hits") >= 2
+    return feat.select(
+        "*",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_bullet.alias("r_bullet_lines"),
+        r_ell.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        (
+            r_wc & r_mwl & r_sym & r_bullet & r_ell & r_alpha & r_stop
+        ).alias("passes_gopher"),
+    )
+
+
 def lang_id_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Guess language by function-word hits; deterministic tie-break by
     language code; 'und' (undetermined) when no dictionary hits."""

@@ -1,0 +1,224 @@
+"""Web-crawl ingestion: WARC shards → records → extracted text.
+
+The front door of every pretraining-data pipeline (CommonCrawl-style):
+crawl output arrives as WARC shards — concatenated per-record gzip
+members, each member one WARC record (response / request / metadata)
+wrapping an HTTP message wrapping HTML. This module turns a binary
+shard column into clean text rows:
+
+- :func:`synthetic_warc_shards` — deterministic fixture shards whose
+  payloads are REAL gzip + WARC/1.0 + HTTP + HTML bytes derived from
+  md5, so the whole decode path is value-checkable by regenerating the
+  expected values from the same formula (the PNG/BMP oracle pattern,
+  multimodal.py).
+- :func:`parse_warc_records` — the one deliberate Python boundary
+  (Arrow-batched mapInPandas, stdlib zlib only): split gzip members,
+  parse WARC + HTTP framing, emit one row per *response* record with
+  the raw HTML payload. Request/metadata records are counted, not
+  emitted.
+- :func:`extract_html_text` — pure JVM regexp pipeline (no Python):
+  drop script/style blocks, strip tags, collapse whitespace, pull the
+  <title>; emits the narrow projection with an md5 of the cleaned text
+  so oracles verify the emitted bytes.
+
+Scale shape: the SHARD is the unit of parallelism — one Python kernel
+invocation streams one shard (exactly how production workers consume
+CommonCrawl WARC files); records never shuffle until they are narrow
+(html dropped right after the JVM strip). At 100 TB you repartition by
+shard id to executor-core granularity and this plan is unchanged.
+
+Reference parity note: the reference repo has no ingestion layer at
+all (it starts from parquet) — this is north-star scope for the
+LLM-data pipeline, not reference parity.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SHARD_SCHEMA = "shard_id INT, data BINARY"
+WARC_RECORD_SCHEMA = (
+    "shard_id INT, record_idx INT, uri STRING, http_status INT, "
+    "html STRING, n_html_bytes BIGINT"
+)
+
+
+def _mk_html(i: int, j: int, seed: int) -> str:
+    p1 = hashlib.md5(f"{seed}:w:{i}:{j}:1".encode()).hexdigest()
+    p2 = hashlib.md5(f"{seed}:w:{i}:{j}:2".encode()).hexdigest()
+    return (
+        f"<html><head><title>Doc {i}-{j}</title>"
+        f"<style>p {{margin: 0}}</style></head>"
+        f"<body><p>{p1}</p><p>{p2}</p>"
+        f"<script>var x = 1 < 2;</script></body></html>"
+    )
+
+
+def _warc_record(rtype: str, uri: str, body: bytes) -> bytes:
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+def synthetic_warc_shards(
+    spark: SparkSession, n_shards: int = 8, docs_per_shard: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic WARC shard fixture: shard ``i`` holds
+    ``docs_per_shard`` response records (HTML derived from md5 of
+    ``{seed}:w:{i}:{j}:{1,2}``) interleaved with one request and one
+    metadata record per document (which a correct parser must skip,
+    not mis-frame) — every member individually gzipped with mtime=0,
+    concatenated: the exact CommonCrawl layout, byte-deterministic."""
+    rows = []
+    for i in range(n_shards):
+        blob = b""
+        for j in range(docs_per_shard):
+            uri = f"https://example.com/{i}/{j}"
+            html = _mk_html(i, j, seed).encode()
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html
+            )
+            req = b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n"
+            blob += gzip.compress(
+                _warc_record("request", uri, req), mtime=0
+            )
+            blob += gzip.compress(
+                _warc_record("response", uri, http), mtime=0
+            )
+            blob += gzip.compress(
+                _warc_record("metadata", uri, b"fetchTimeMs: 12\r\n"),
+                mtime=0,
+            )
+        rows.append((i, bytearray(blob)))
+    return spark.createDataFrame(rows, WARC_SHARD_SCHEMA)
+
+
+def _split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a concatenation of gzip members one member at a time
+    (``unused_data`` marks each boundary) — stdlib only, streaming."""
+    buf = bytes(data)
+    while buf:
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(buf)
+        yield out
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC shard")
+        buf = d.unused_data
+
+
+def _parse_record(raw: bytes) -> tuple[str, str, bytes] | None:
+    """(warc_type, uri, body) of one WARC record, or None if malformed."""
+    sep = raw.find(b"\r\n\r\n")
+    if sep < 0 or not raw.startswith(b"WARC/"):
+        return None
+    headers = {}
+    for line in raw[:sep].decode("utf-8", "replace").split("\r\n")[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    try:
+        length = int(headers.get("content-length", ""))
+    except ValueError:
+        return None
+    body = raw[sep + 4 : sep + 4 + length]
+    return (
+        headers.get("warc-type", ""),
+        headers.get("warc-target-uri", ""),
+        body,
+    )
+
+
+def parse_warc_records(shards: DataFrame) -> DataFrame:
+    """One row per WARC *response* record: (shard_id, record_idx, uri,
+    http_status, html, n_html_bytes). ``record_idx`` numbers response
+    records within their shard in stream order (the stable record
+    identity a re-crawl diff would key on); request/metadata records
+    advance the stream but emit nothing.
+
+    The deliberate Python boundary: gzip member framing and WARC/HTTP
+    header parsing are byte protocols no SQL engine expresses —
+    Arrow-batched mapInPandas, one kernel call per shard batch, bytes
+    stay in Arrow buffers. Everything downstream is JVM-side.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "shard_id": [], "record_idx": [], "uri": [],
+                "http_status": [], "html": [], "n_html_bytes": [],
+            }
+            for sid, data in zip(pdf["shard_id"], pdf["data"]):
+                idx = 0
+                for member in _split_gzip_members(bytes(data)):
+                    rec = _parse_record(member)
+                    if rec is None or rec[0] != "response":
+                        continue
+                    _, uri, body = rec
+                    hsep = body.find(b"\r\n\r\n")
+                    if hsep < 0 or not body.startswith(b"HTTP/"):
+                        continue
+                    status_line = body[:hsep].split(b"\r\n", 1)[0]
+                    parts = status_line.split(b" ")
+                    try:
+                        status = int(parts[1])
+                    except (IndexError, ValueError):
+                        continue
+                    html = body[hsep + 4 :]
+                    out["shard_id"].append(sid)
+                    out["record_idx"].append(idx)
+                    out["uri"].append(uri)
+                    out["http_status"].append(status)
+                    out["html"].append(html.decode("utf-8", "replace"))
+                    out["n_html_bytes"].append(len(html))
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return shards.select("shard_id", "data").mapInPandas(
+        run, WARC_RECORD_SCHEMA
+    )
+
+
+def extract_html_text(records: DataFrame) -> DataFrame:
+    """HTML → clean text, entirely JVM-side (no Python in this stage):
+    script/style blocks removed (their text is code, not prose), tags
+    stripped to spaces, whitespace collapsed, <title> extracted.
+    Returns (shard_id, record_idx, uri, http_status, title, text_hash,
+    n_html_bytes) — ``text_hash`` is the md5 of the cleaned text, so
+    the emitted bytes (not just counts) are oracle-verifiable.
+
+    The html column dies here: downstream dedup/quality stages see only
+    the narrow projection, which is what keeps the post-ingest shuffle
+    volume at text-scale rather than markup-scale.
+    """
+    h = F.col("html")
+    no_blocks = F.regexp_replace(
+        h, r"(?s)<(script|style)[^>]*>.*?</\1>", " "
+    )
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(no_blocks, r"<[^>]+>", " "), r"\s+", " "
+        )
+    )
+    return records.select(
+        "shard_id",
+        "record_idx",
+        "uri",
+        "http_status",
+        F.regexp_extract(h, r"<title>([^<]*)</title>", 1).alias("title"),
+        F.md5(text).alias("text_hash"),
+        "n_html_bytes",
+    )

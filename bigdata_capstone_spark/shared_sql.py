@@ -72,6 +72,52 @@ UNIGRAM_LP_CTES = """
       FROM per_tok GROUP BY doc_id
     )"""
 
+# The repeated-span anchor CTE chain (positional 8-gram hits merged into
+# per-document spans; ends in `spans`: doc_id, dl, island, hits_in_span,
+# s, e) shared by catalog_etl.dedup_repeated_spans (span statistics) and
+# catalog_etl.dedup_excise_spans (the cleaned-text transform) — both
+# replay operators/dedup.py:_merged_hit_spans, so one constant keeps the
+# two oracles from desyncing from the Spark plan they share.
+REPEATED_SPAN_CTES = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(t) AS dl, p.pos AS pos,
+             (('0x' || substr(md5(p.g), 1, 15))::BIGINT) AS gh
+      FROM (
+        SELECT doc_id, t,
+               unnest([struct_pack(pos := i,
+                                   g := array_to_string(t[i:i+7], ' '))
+                       for i in range(1, len(t) - 6)]) AS p
+        FROM toks WHERE len(t) >= 8
+      )
+    ),
+    dfreq AS (SELECT gh FROM grams
+              GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.dl, g.pos
+             FROM grams g JOIN dfreq USING (gh)),
+    i1 AS (
+      SELECT doc_id, dl, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    i2 AS (
+      SELECT doc_id, dl, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM i1
+    ),
+    spans AS (
+      SELECT doc_id, dl, island, count(*) AS hits_in_span,
+             min(pos) AS s, max(pos) + 7 AS e
+      FROM i2 GROUP BY doc_id, dl, island
+    )"""
+
 # The events-PSI oracle shared by catalog_ds.event_drift_psi and its
 # streaming maintenance twin catalog_etl.streaming_drift_psi.
 PSI_EVENTS_ORACLE = """

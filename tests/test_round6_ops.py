@@ -142,3 +142,172 @@ def test_connected_components_checkpoint_dir_chain(spark, tmp_path):
     ).collect()
     assert len(comp) == n + 1
     assert {r["component"] for r in comp} == {0}
+
+
+def test_excise_repeated_spans_planted_boilerplate(spark):
+    """Planted fixture: a 10-token boilerplate footer shared by two docs
+    must be excised from BOTH (anchors need min_docs=2), the surrounding
+    unique prose must survive verbatim, a doc that IS only the footer
+    must survive as empty text, and a unique doc passes through
+    untouched with excised_tokens = 0."""
+    import hashlib
+
+    from bigdata_capstone_spark.operators.dedup import (
+        excise_repeated_spans,
+    )
+
+    footer = "subscribe to our newsletter for daily updates and exclusive offers"
+    uniq_a = "alpha beta gamma delta epsilon"
+    uniq_b = "zeta eta theta iota kappa"
+    solo = "completely unique prose with no repeats anywhere at all here"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{uniq_a} {footer}"),
+            (1, f"{footer} {uniq_b}"),
+            (2, footer),
+            (3, solo),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in excise_repeated_spans(docs, k=8, min_docs=2).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[0]["clean_hash"] == h(uniq_a)
+    assert out[0]["excised_tokens"] == 10
+    assert out[1]["clean_hash"] == h(uniq_b)
+    assert out[2]["kept_tokens"] == 0
+    assert out[2]["clean_hash"] == h("")
+    assert out[3]["excised_tokens"] == 0
+    assert out[3]["clean_hash"] == h(solo)
+    # count columns are internally consistent
+    for r in out.values():
+        assert r["n_tokens"] == r["kept_tokens"] + r["excised_tokens"]
+
+
+def test_ivfpq_incremental_batch_split_independent(spark, sf_small):
+    """Frozen medoids AND codebook => encoding the arrivals batch in one
+    go or in two sub-batches yields identical (cell, code) rows — the
+    coordination-free parallel-ingest property of the composed index.
+    Also pins the row shape: m rows per vector, codes/cells in range."""
+    from bigdata_capstone_spark.operators.simsearch import ivfpq_encode_prf
+
+    emb = load_table(spark, sf_small, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400).cache()
+    new = emb.filter(F.col("vec_id") >= 400)
+    kw = dict(dim=64, m=16, k_codes=32, n_centroids=16, train_on=base)
+    whole = {
+        (r["vec_id"], r["s"]): (r["cell"], r["code"])
+        for r in ivfpq_encode_prf(new, **kw).collect()
+    }
+    split = {}
+    for part in (
+        new.filter(F.col("vec_id") < 450),
+        new.filter(F.col("vec_id") >= 450),
+    ):
+        for r in ivfpq_encode_prf(part, **kw).collect():
+            split[(r["vec_id"], r["s"])] = (r["cell"], r["code"])
+    assert whole == split
+    n_vecs = new.count()
+    assert len(whole) == 16 * n_vecs
+    assert all(0 <= cell < 16 and 0 <= code < 32 for cell, code in whole.values())
+    # a vector's cell is constant across its m subspace rows
+    by_vec = {}
+    for (vid, _s), (cell, _c) in whole.items():
+        by_vec.setdefault(vid, set()).add(cell)
+    assert all(len(cells) == 1 for cells in by_vec.values())
+
+
+def test_warc_parser_framing_and_robustness(spark):
+    """The WARC kernel must (a) split gzip members exactly (interleaved
+    request/metadata records advance the stream but emit nothing),
+    (b) number response records in stream order, (c) skip malformed
+    members rather than mis-frame the rest, and (d) raise on a
+    truncated member (silent data loss is worse than failure)."""
+    import gzip
+
+    import pytest
+
+    from bigdata_capstone_spark.operators.webingest import (
+        _mk_html,
+        _split_gzip_members,
+        _warc_record,
+        extract_html_text,
+        parse_warc_records,
+        synthetic_warc_shards,
+    )
+
+    shards = synthetic_warc_shards(spark, n_shards=2, docs_per_shard=3)
+    rows = parse_warc_records(shards).collect()
+    # only responses emitted: 3 per shard, idx 0..2 in stream order
+    assert len(rows) == 6
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["record_idx"])
+        assert r["http_status"] == 200
+        assert r["uri"].startswith("https://example.com/")
+    assert all(sorted(v) == [0, 1, 2] for v in by_shard.values())
+
+    # malformed members are skipped, the rest still parse
+    good = _warc_record(
+        "response",
+        "https://example.com/9/0",
+        b"HTTP/1.1 404 Not Found\r\n\r\n" + _mk_html(9, 0, 42).encode(),
+    )
+    bad = b"NOT-A-WARC\r\n\r\njunk"
+    blob = gzip.compress(bad, mtime=0) + gzip.compress(good, mtime=0)
+    df = spark.createDataFrame(
+        [(9, bytearray(blob))], "shard_id INT, data BINARY"
+    )
+    out = parse_warc_records(df).collect()
+    assert len(out) == 1 and out[0]["http_status"] == 404
+    # the JVM strip stage consumes the parsed frame end-to-end
+    stripped = extract_html_text(parse_warc_records(df)).collect()
+    assert stripped[0]["title"] == "Doc 9-0"
+
+    # truncated member raises rather than silently dropping the tail
+    with pytest.raises(ValueError):
+        list(_split_gzip_members(gzip.compress(good, mtime=0)[:-5]))
+
+
+def test_gopher_rules_planted_fixture(spark):
+    """Each Gopher rule must individually reject a document crafted to
+    violate exactly that rule, and a healthy document must pass all
+    seven — the discrimination the synthetic corpus (keyword soup, few
+    function words) can't show."""
+    from bigdata_capstone_spark.operators.textops import gopher_quality_rules
+
+    healthy = (
+        "the quick brown fox jumps over that lazy dog and runs away "
+        "to have fun with friends of mine be happy "
+    ) * 5  # 90 words, mixed function words
+    docs = spark.createDataFrame(
+        [
+            (0, healthy),
+            (1, "too short to have the required fifty words with that"),
+            (2, ("a " * 60 + "the of and that be to have with")),  # mwl < 3
+            (3, healthy + " #tag" * 30),  # symbol ratio > 0.1
+            (4, "\n".join(["- the bullet of and that item"] * 10)),
+            (5, "\n".join([f"the line {i} of and that trails..." for i in range(10)])),
+            (6, healthy + " " + "1234 5678 9012 " * 30),  # alpha < 0.8
+            (7, "alpha beta gamma delta " * 20),  # no stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_rules(docs).collect()}
+    assert out[0]["passes_gopher"], dict(out[0].asDict())
+    assert not out[1]["r_word_count"]
+    assert not out[2]["r_mean_word_len"]
+    assert not out[3]["r_symbol_ratio"]
+    assert not out[4]["r_bullet_lines"]
+    assert not out[5]["r_ellipsis_lines"]
+    assert not out[6]["r_alpha_words"]
+    assert not out[7]["r_stopwords"]
+    # every failing doc also fails the bundle
+    for d in range(1, 8):
+        assert not out[d]["passes_gopher"]
