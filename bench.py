@@ -90,6 +90,10 @@ HEADLINE = [
     "doc_token_entropy",           # within-doc Shannon entropy + TTR
     "source_lang_composition",     # per-source language-mix entropy
     "docs_quality_rank_ensemble",  # Borda rank-ensemble curation
+    "dedup_excise_spans",          # repeated-span excision (cleaned text)
+    "embedding_ivfpq_incremental", # frozen-quantizer O(batch) index append
+    "warc_text_extraction",        # gzip/WARC/HTTP parse + JVM HTML strip
+    "docs_gopher_rules",           # Gopher per-rule quality flags
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

@@ -1450,6 +1450,45 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_gif_features", oracle=_multimodal_png_oracle())
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode #2 through the mapInPandas pipeline:
+    GIF payloads decompressed by a HAND-WRITTEN GIF-LZW decoder
+    (variable-width LSB-first codes, early-change width bumps, KwKwK
+    case — no stdlib shortcut exists for LZW, unlike PNG's zlib) →
+    palette lookup → the shared pixel statistics. The fixture pixels
+    follow the identical md5 formula as the PPM/PNG twins, so the SAME
+    oracle replays the byte-level decode: any LZW or palette slip moves
+    a first/last/mean stat and the hash mismatches. Odd assets route
+    through GIF89a extension-skip + local-color-table paths."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        synthetic_gif_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_gif_assets(spark, n=16, seed=42)
+    feats = extract_features(assets, decoder="strict")
+
+    def f(idx: int):  # 1-based element_at; widen float32 -> double first
+        return F.round(F.element_at("features", idx).cast("double"), 6)
+
+    return feats.select(
+        "asset_id",
+        F.element_at("features", 1).cast("int").alias("w"),
+        F.element_at("features", 2).cast("int").alias("h"),
+        f(3).alias("mean_r_r"),
+        f(6).alias("first_r_r"),
+        f(7).alias("first_g_r"),
+        f(8).alias("first_b_r"),
+        f(9).alias("last_r_r"),
+        f(10).alias("last_g_r"),
+        f(11).alias("last_b_r"),
+        f(14).alias("mean_gray_r"),
+        F.element_at("features", 16).cast("long").alias("n_px"),
+    )
+
+
 def _multimodal_audio_oracle(n: int = 8, seed: int = 42) -> str:
     """DuckDB replay of synthetic_wav_assets + the REAL WAV kernel: the
     fixture's int16 samples are md5-derived, so the oracle re-derives
@@ -1764,6 +1803,47 @@ def warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shards = synthetic_warc_shards(spark, n_shards=8, docs_per_shard=6)
     return extract_html_text(parse_warc_records(shards))
+
+
+@register(
+    "url_canonical_dedup",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(200)) AS i),
+    canon AS (
+      SELECT i,
+             (CASE WHEN (i % 100) % 2 = 0 THEN 'http' ELSE 'https' END)
+             || '://www.example' || ((i % 100) % 5) || '.com/'
+             || substr(md5('42:p:' || (i % 100)), 1, 8)
+             || '?q=' || substr(md5('42:q:' || (i % 100)), 1, 4)
+               AS canonical_url
+      FROM ids
+    )
+    SELECT canonical_url, count(*)::BIGINT AS n_urls,
+           min(i)::INT AS first_url_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (the crawl-curation step
+    that runs BEFORE any content fetch dedup): scheme/host lowercased,
+    default ports dropped, utm_*/fbclid/gclid/msclkid tracking params
+    stripped (kept params preserve order), fragments dropped — then a
+    plain groupBy on the canonical form. The fixture plants 100
+    duplicate groups whose members differ only in removable noise, and
+    the oracle regenerates each group's canonical form from the
+    generative formula — so the parser and every strip rule are
+    value-checked, not just the group counts. Map-side JVM regexp work;
+    only the short canonical string ever shuffles."""
+    from bigdata_capstone_spark.operators.webingest import (
+        canonicalize_urls,
+        synthetic_url_table,
+    )
+
+    urls = synthetic_url_table(spark, n=200)
+    return canonicalize_urls(urls).groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("url_id").alias("first_url_id"),
+    )
 
 
 # --------------------------------------------------------------------------

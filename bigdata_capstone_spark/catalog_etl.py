@@ -1169,6 +1169,45 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_line_dedup",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(64)) AS i),
+    docs AS (SELECT i AS doc_id, 5 + i % 6 AS L FROM ids),
+    kept AS (
+      SELECT doc_id, L,
+             ['line ' || substr(md5('42:l:' || doc_id || ':' || j), 1, 12)
+              for j in range(0, L) if j % 3 <> 2] AS kl
+      FROM docs
+    )
+    SELECT doc_id::INT AS doc_id,
+           L::BIGINT AS n_lines,
+           len(kl)::BIGINT AS kept_lines,
+           (L - len(kl))::BIGINT AS removed_lines,
+           md5(array_to_string(kl, chr(10))) AS clean_hash
+    FROM kept
+    """,
+)
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document line dedup (RefinedWeb/CCNet line cleaning): keep
+    the first occurrence of each distinct line per document — the
+    nav-menu/footer repetition cleaner that cross-document dedup
+    (exact, MinHash, spans) never touches. Runs on the planted
+    multi-line fixture (the parquet documents are single-line); the
+    oracle regenerates the expected kept lines and the md5 of the
+    cleaned text from the generative formula, so the first-occurrence
+    semantics and emitted bytes are value-checked. Pure JVM map over
+    one line materialization; nothing shuffles."""
+    from bigdata_capstone_spark.operators.textops import (
+        dedup_doc_lines,
+        synthetic_lined_docs,
+    )
+
+    ensure_utc(spark)
+    docs = synthetic_lined_docs(spark, n=64)
+    return dedup_doc_lines(docs)
+
+
+@register(
     "streaming_dedup_events",
     oracle="""
     SELECT event_id, user_id, event_type, value FROM events

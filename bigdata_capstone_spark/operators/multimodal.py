@@ -467,6 +467,152 @@ def _avi_features(data: bytes) -> list[float]:
     ]
 
 
+def _gif_lzw_decode(
+    stream: bytes, min_code_size: int, max_pixels: int
+) -> list[int]:
+    """GIF-variant LZW decode (GIF89a spec appendix F): variable code
+    width from min_code_size+1 to 12 bits, LSB-first bit packing, clear
+    and end-of-information codes, the KwKwK self-referencing case, and
+    the GIF 'early change' width bump (width grows when the NEXT free
+    code would no longer fit)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[tuple[int, ...] | None] = [
+        (i,) for i in range(clear)
+    ] + [None, None]
+    acc = nbits = pos = 0
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(stream):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= stream[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [None, None]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW stream must open with a literal")
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        # GIF early change, decoder side: the decoder's dictionary lags
+        # one code behind the encoder's (its append for the encoder's
+        # t-th add happens while reading code t+1), so it must widen at
+        # 2^width - 1 where the encoder widens at 2^width.
+        if (
+            prev is not None
+            and len(table) == (1 << width) - 1
+            and width < 12
+        ):
+            width += 1
+        assert entry is not None
+        out.extend(entry)
+        prev = entry
+        if len(out) >= max_pixels:
+            return out
+    return out
+
+
+def _gif_features(data: bytes) -> list[float]:
+    """REAL image decode: GIF87a/89a — the second COMPRESSED real-world
+    format in the strict kernel, and unlike PNG its decompressor (GIF
+    LZW) has no stdlib shortcut, so it is implemented here by hand:
+    sub-block reassembly → variable-width LSB-first LZW → palette
+    lookup → the shared :func:`_pixel_features` statistics. Extensions
+    (graphic control, comment, application) are skipped; local color
+    tables override the global one; the FIRST image frame is decoded
+    (standard still-image semantics for animated files). Interlaced
+    images raise NotImplementedError — the honest unsupported boundary,
+    same policy as PNG's Adam7 gate."""
+    if not (data.startswith(b"GIF87a") or data.startswith(b"GIF89a")):
+        raise ValueError("not a GIF payload")
+    pos = 13
+    gct = None
+    packed = data[10]
+    if packed & 0x80:
+        size = 2 ** ((packed & 0x07) + 1)
+        gct = [
+            (data[pos + 3 * k], data[pos + 3 * k + 1], data[pos + 3 * k + 2])
+            for k in range(size)
+        ]
+        pos += 3 * size
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            ipacked = data[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF unsupported (needs a real codec "
+                    "library's row-reorder path)"
+                )
+            palette = gct
+            if ipacked & 0x80:
+                size = 2 ** ((ipacked & 0x07) + 1)
+                palette = [
+                    (
+                        data[pos + 3 * k],
+                        data[pos + 3 * k + 1],
+                        data[pos + 3 * k + 2],
+                    )
+                    for k in range(size)
+                ]
+                pos += 3 * size
+            if palette is None:
+                raise ValueError("GIF image with no color table")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"zero-pixel image: {w}x{h}")
+            min_code_size = data[pos]
+            pos += 1
+            stream = bytearray()
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF image data")
+                ln = data[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                stream += data[pos : pos + ln]
+                pos += ln
+            indices = _gif_lzw_decode(bytes(stream), min_code_size, w * h)
+            if len(indices) < w * h:
+                raise ValueError("truncated GIF raster")
+            if max(indices[: w * h]) >= len(palette):
+                raise ValueError("GIF pixel index outside color table")
+            pixels = [palette[i] for i in indices[: w * h]]
+            return _pixel_features(w, h, pixels)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def _strict_decode(data: bytes) -> list[float]:
     """Decode REAL formats implementable without codec libraries (binary
     PPM, uncompressed 24-bit BMP, 8-bit truecolor PNG via stdlib zlib,
@@ -479,6 +625,8 @@ def _strict_decode(data: bytes) -> list[float]:
         return _bmp_features(data)
     if data.startswith(b"\x89PNG\r\n\x1a\n"):
         return _png_features(data)
+    if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
+        return _gif_features(data)
     if data.startswith(b"RIFF"):
         # RIFF is a container family: dispatch on the form type
         if data[8:12] == b"WAVE":
@@ -486,7 +634,8 @@ def _strict_decode(data: bytes) -> list[float]:
         if data[8:12] == b"AVI ":
             return _avi_features(data)
     raise NotImplementedError(
-        "media decode beyond PPM/BMP/PNG/WAV/AVI requires codec libraries "
+        "media decode beyond PPM/BMP/PNG/GIF/WAV/AVI requires codec "
+        "libraries "
         "(Pillow/torchaudio/ffmpeg) not present in this container; "
         "install them on the cluster image and register a real kernel "
         "in DECODERS"
@@ -498,6 +647,7 @@ DECODERS = {
     "ppm": _ppm_features,
     "bmp": _bmp_features,
     "png": _png_features,
+    "gif": _gif_features,
     "wav": _wav_features,
     "avi": _avi_features,
     "strict": _strict_decode,
@@ -613,6 +763,107 @@ def synthetic_png_assets(
             + chunk(b"IEND", b"")
         )
         rows.append((i, bytearray(blob), "image/png", w, h, None))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (fixture-side twin of :func:`_gif_lzw_decode`):
+    greedy longest-match dictionary build, variable code width with the
+    GIF early-change bump, clear code at 4096, LSB-first packing."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    codes: list[tuple[int, int]] = [(clear, width)]
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4096:
+            codes.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = (idx,)
+    if buf:
+        codes.append((table[buf], width))
+    codes.append((end, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in codes:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def synthetic_gif_assets(
+    spark: SparkSession, n: int = 16, seed: int = 42
+) -> DataFrame:
+    """Asset table whose payloads are REAL LZW-compressed GIFs with the
+    SAME md5-derived pixels as :func:`synthetic_ppm_assets` (pixel p of
+    asset i is md5("{seed}:{i}:{p}")[:3], identical dims) — so the GIF
+    decode is value-checkable against raw pixel math and per-asset
+    features must equal the PPM twin's. The palette is the image's
+    distinct colors in first-appearance order padded to a power of two;
+    even assets are GIF87a with a global color table, odd assets GIF89a
+    with a graphic-control extension and a LOCAL color table (no global)
+    — exercising the extension-skip and table-override paths."""
+    rows = []
+    for i in range(n):
+        w, h = 4 + i % 5, 3 + i % 4
+        px = [
+            tuple(hashlib.md5(f"{seed}:{i}:{p}".encode()).digest()[:3])
+            for p in range(w * h)
+        ]
+        colors: list[tuple[int, int, int]] = []
+        index_of: dict[tuple[int, int, int], int] = {}
+        for c in px:
+            if c not in index_of:
+                index_of[c] = len(colors)
+                colors.append(c)
+        k = max(1, (len(colors) - 1).bit_length())
+        colors += [(0, 0, 0)] * ((1 << k) - len(colors))
+        mcs = max(2, k)
+        indices = [index_of[c] for c in px]
+        lzw = _gif_lzw_encode(indices, mcs)
+        sub = bytearray()
+        for off in range(0, len(lzw), 255):
+            blockbytes = lzw[off : off + 255]
+            sub += bytes((len(blockbytes),)) + blockbytes
+        sub += b"\x00"
+        ct = b"".join(bytes(c) for c in colors)
+        wle = w.to_bytes(2, "little")
+        hle = h.to_bytes(2, "little")
+        if i % 2 == 0:  # GIF87a, global color table
+            blob = (
+                b"GIF87a" + wle + hle
+                + bytes((0x80 | 0x70 | (k - 1), 0, 0)) + ct
+                + b"\x2c" + b"\x00" * 4 + wle + hle + b"\x00"
+                + bytes((mcs,)) + sub + b"\x3b"
+            )
+        else:  # GIF89a, GCE to skip, local color table only
+            blob = (
+                b"GIF89a" + wle + hle + bytes((0x70, 0, 0))
+                + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+                + b"\x2c" + b"\x00" * 4 + wle + hle
+                + bytes((0x80 | (k - 1),))
+                + ct + bytes((mcs,)) + sub + b"\x3b"
+            )
+        rows.append((i, bytearray(blob), "image/gif", w, h, None))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 

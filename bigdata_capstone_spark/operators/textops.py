@@ -111,6 +111,66 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", F.round(score, 6).alias("quality"))
 
 
+def synthetic_lined_docs(spark, n: int = 64, seed: int = 42):
+    """(doc_id, text) fixture of multi-line documents with PLANTED
+    in-document duplicate lines: doc ``i`` has ``5 + i % 6`` lines;
+    every line with ``j % 3 == 2`` repeats line 0, the rest are unique
+    md5-derived phrases — so the expected first-occurrence dedup output
+    is computable from the formula alone (generative-oracle pattern).
+    Exists because the parquet documents fixture is single-line."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        lines = []
+        for j in range(5 + i % 6):
+            src_j = 0 if j % 3 == 2 else j
+            lines.append(
+                "line "
+                + hashlib.md5(
+                    f"{seed}:l:{i}:{src_j}".encode()
+                ).hexdigest()[:12]
+            )
+        rows.append((i, "\n".join(lines)))
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+def dedup_doc_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """WITHIN-document line dedup (RefinedWeb/CCNet line-level cleaning):
+    keep the FIRST occurrence of every distinct line, preserving order —
+    the navigation-menu/footer repetition cleaner that document- and
+    span-level dedup both skip (those compare ACROSS documents).
+
+    Returns (id, n_lines, kept_lines, removed_lines, clean_hash) with
+    ``clean_hash`` = md5 of the kept lines rejoined with newlines, so
+    the emitted bytes are oracle-verifiable. First-occurrence is
+    explicit — element i survives iff it is absent from the line-array
+    prefix before i — rather than relying on array_distinct's
+    (undocumented) ordering. The per-line prefix scan is O(lines²) per
+    document, bounded by document length; everything is a pure JVM map,
+    no shuffle, no Python.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: l != ""
+    )
+    base = df.select(F.col(id_col), lines.alias("__l"))
+    kept = F.filter(
+        "__l",
+        lambda x, i: F.array_position(F.slice("__l", 1, i), x) == 0,
+    )
+    return base.select(
+        id_col,
+        F.size("__l").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        (F.size("__l") - F.size(kept)).cast("long").alias(
+            "removed_lines"
+        ),
+        F.md5(F.array_join(kept, "\n")).alias("clean_hash"),
+    )
+
+
 # The eight Gopher "must contain 2 of" function words (Rae et al. 2021,
 # "Scaling Language Models: ... Gopher", §A1.1 quality filtering).
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -192,6 +192,89 @@ def parse_warc_records(shards: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_url_table(
+    spark: SparkSession, n: int = 200, seed: int = 42
+) -> DataFrame:
+    """(url_id, url) fixture for URL canonicalization: ``n`` URLs in
+    ``n // 2`` planted duplicate groups (group ``g = url_id % (n//2)``),
+    where the two members differ only in canonicalization-removable
+    noise — scheme/host case, explicit default port, utm_*/gclid
+    tracking params (before or after the real param), fragments. The
+    canonical form of every member is computable from ``g`` alone, so a
+    DuckDB oracle can replay the whole parse+strip from the generative
+    formula."""
+    half = n // 2
+    rows = []
+    for i in range(n):
+        g = i % half
+        scheme = "http" if g % 2 == 0 else "https"
+        scheme_txt = scheme.upper() if i % 2 else scheme
+        host = f"www.example{g % 5}.com"
+        host_txt = host.upper() if i % 2 else host
+        port_txt = (
+            (":80" if scheme == "http" else ":443") if i % 4 == 0 else ""
+        )
+        path = "/" + hashlib.md5(f"{seed}:p:{g}".encode()).hexdigest()[:8]
+        realq = "q=" + hashlib.md5(f"{seed}:q:{g}".encode()).hexdigest()[:4]
+        if i % 3 == 0:
+            query = realq + "&utm_source=feed&utm_campaign=x"
+        elif i % 3 == 1:
+            junk = hashlib.md5(f"{seed}:g:{i}".encode()).hexdigest()[:6]
+            query = f"gclid={junk}&" + realq
+        else:
+            query = realq
+        frag = f"#sec{i % 3}" if i % 5 == 0 else ""
+        rows.append(
+            (i, f"{scheme_txt}://{host_txt}{port_txt}{path}?{query}{frag}")
+        )
+    return spark.createDataFrame(rows, "url_id INT, url STRING")
+
+
+# Tracking parameters every crawl-curation stack strips before URL-level
+# dedup (the C4/CCNet convention).
+TRACKING_PARAM_REGEX = r"^(utm_[^=]*|fbclid|gclid|msclkid)="
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append a ``canonical_url`` column: scheme and host lowercased,
+    explicit default port dropped (:80 for http, :443 for https),
+    tracking parameters removed (remaining params keep their order —
+    reordering would merge URLs whose servers treat order as
+    significant), fragment dropped, empty path normalized to ``/``.
+    URL-level dedup then being a plain groupBy on the canonical form.
+
+    Pure JVM regexp work, no shuffle — at crawl scale this runs
+    map-side in the ingest pass, and the dedup groupBy shuffles the
+    (short) canonical string only.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(u, r"^[^:]+://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            F.size(kept) > 0,
+            F.concat(F.lit("?"), F.array_join(kept, "&")),
+        ).otherwise(F.lit("")),
+    )
+    return df.withColumn("canonical_url", canonical)
+
+
 def extract_html_text(records: DataFrame) -> DataFrame:
     """HTML → clean text, entirely JVM-side (no Python in this stage):
     script/style blocks removed (their text is code, not prose), tags

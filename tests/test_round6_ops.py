@@ -311,3 +311,89 @@ def test_gopher_rules_planted_fixture(spark):
     # every failing doc also fails the bundle
     for d in range(1, 8):
         assert not out[d]["passes_gopher"]
+
+
+def test_canonicalize_urls_edge_cases(spark):
+    """Rules the planted fixture can't exercise: queries that become
+    empty (no '?' in canonical), non-default ports kept, param order
+    preserved, path defaulting to '/', case-only host changes."""
+    from bigdata_capstone_spark.operators.webingest import canonicalize_urls
+
+    cases = [
+        (0, "HTTP://Example.COM:80?utm_source=a", "http://example.com/"),
+        (1, "https://example.com:8443/a?b=1&a=2", "https://example.com:8443/a?b=1&a=2"),
+        (2, "https://example.com:443/x#frag", "https://example.com/x"),
+        (3, "http://example.com:8080/", "http://example.com:8080/"),
+        (4, "http://a.com/p?gclid=zz&z=1&utm_campaign=c&a=2", "http://a.com/p?z=1&a=2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "url_id INT, url STRING"
+    )
+    got = {
+        r["url_id"]: r["canonical_url"]
+        for r in canonicalize_urls(df).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_gif_decode_matches_ppm_and_spec_bytes(spark):
+    """The GIF kernel (hand-written LZW + palette) must produce the
+    IDENTICAL feature vector as the PPM parser for the same md5-derived
+    pixels (even assets: GIF87a/global table; odd: GIF89a + extension +
+    local table), and must decode a hand-written spec-level byte
+    fixture whose LZW codes were derived on paper — independent of the
+    fixture encoder, so a mirrored encoder/decoder bit-order bug cannot
+    self-certify."""
+    import pytest
+
+    from bigdata_capstone_spark.operators.multimodal import (
+        DECODERS,
+        extract_features,
+        synthetic_gif_assets,
+        synthetic_ppm_assets,
+    )
+
+    n = 12
+    gif = {
+        r["asset_id"]: r["features"]
+        for r in extract_features(
+            synthetic_gif_assets(spark, n=n), decoder="strict"
+        ).collect()
+    }
+    ppm = {
+        r["asset_id"]: r["features"]
+        for r in extract_features(
+            synthetic_ppm_assets(spark, n=n), decoder="strict"
+        ).collect()
+    }
+    assert set(gif) == set(ppm) == set(range(n))
+    for i in range(n):
+        assert gif[i] == ppm[i], f"asset {i} GIF != PPM features"
+
+    # spec-level bytes: 2x2, palette RGBK, indices [0,1,1,0], LZW codes
+    # (4,w3)(0,w3)(1,w3)(1,w4)(0,w4)(5,w4) packed LSB-first = 44 02 0A
+    hand = (
+        b"GIF87a" + b"\x02\x00\x02\x00" + bytes((0xF1, 0, 0))
+        + bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0))
+        + b"\x2c" + b"\x00" * 4 + b"\x02\x00\x02\x00" + b"\x00"
+        + b"\x02" + b"\x03\x44\x02\x0a" + b"\x00" + b"\x3b"
+    )
+    f = DECODERS["strict"](hand)
+    assert (f[0], f[1]) == (2.0, 2.0)
+    assert (f[5], f[6], f[7]) == (1.0, 0.0, 0.0)  # first pixel red
+    assert (f[8], f[9], f[10]) == (1.0, 0.0, 0.0)  # last pixel red
+
+    # honest failure modes
+    interlaced = (
+        hand[:13]
+        + hand[13:25]
+        + b"\x2c" + b"\x00" * 4 + b"\x02\x00\x02\x00" + b"\x40"
+        + b"\x02" + b"\x03\x44\x02\x0a" + b"\x00" + b"\x3b"
+    )
+    with pytest.raises(NotImplementedError):
+        DECODERS["strict"](interlaced)
+    with pytest.raises(ValueError):  # truncated LZW sub-blocks
+        DECODERS["strict"](hand[:-6])
+    with pytest.raises(ValueError):  # not a GIF
+        DECODERS["gif"](b"NOTAGIF")
