@@ -1489,6 +1489,91 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_jpeg_oracle(n: int = 12, seed: int = 42) -> str:
+    """DuckDB replay of synthetic_jpeg_assets + the REAL JPEG kernel:
+    the fixture is engineered so the lossy pipeline is bit-exact
+    (DC-only blocks, unit quant tables — see synthetic_jpeg_assets), so
+    the oracle re-derives every pixel (constant per 8x8 block, gray
+    level = first md5 byte) and the exact _pixel_features expressions —
+    value-checking marker parse, Huffman decode, DC prediction,
+    dequantize, IDCT, and color conversion end to end."""
+    md = f"md5('{seed}:' || aid || ':' || ((p % w) // 8) || ':' || ((p // w) // 8))"
+    return f"""
+    WITH ids AS (SELECT unnest(range({n})) AS i),
+    meta AS (
+      SELECT i::BIGINT AS aid, (8 * (1 + i % 2))::INT AS w,
+             (8 * (1 + i % 3))::INT AS h
+      FROM ids
+    ),
+    pos AS (
+      SELECT aid, w, h, unnest(generate_series(0, w * h - 1)) AS p
+      FROM meta
+    ),
+    px AS (
+      SELECT aid, w, h, p,
+             ('0x' || substr({md}, 1, 2))::INT AS v
+      FROM pos
+    ),
+    stats AS (
+      SELECT aid, any_value(w) AS w, any_value(h) AS h, count(*) AS n,
+             sum(v) AS sv, sum(3 * v) AS sgray,
+             arg_min(v, p) AS fv, arg_max(v, p) AS lv
+      FROM px GROUP BY aid
+    )
+    SELECT aid AS asset_id, w, h,
+           round((sv::DOUBLE / n / 255.0)::REAL::DOUBLE, 6) AS mean_r_r,
+           round((fv / 255.0)::REAL::DOUBLE, 6) AS first_r_r,
+           round((fv / 255.0)::REAL::DOUBLE, 6) AS first_g_r,
+           round((fv / 255.0)::REAL::DOUBLE, 6) AS first_b_r,
+           round((lv / 255.0)::REAL::DOUBLE, 6) AS last_r_r,
+           round((lv / 255.0)::REAL::DOUBLE, 6) AS last_g_r,
+           round((lv / 255.0)::REAL::DOUBLE, 6) AS last_b_r,
+           round((sgray::DOUBLE / n / 765.0)::REAL::DOUBLE, 6) AS mean_gray_r,
+           n::BIGINT AS n_px
+    FROM stats
+    """
+
+
+@register("multimodal_jpeg_features", oracle=_multimodal_jpeg_oracle())
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode #3, the big one: baseline JFIF/JPEG
+    — the format of essentially every crawled image — decoded from the
+    T.81 spec with zero dependencies (markers, DQT/DHT, MSB-first
+    Huffman with byte unstuffing, DC prediction, zigzag, dequantize,
+    float64 IDCT, YCbCr->RGB). The fixture makes the lossy path
+    bit-exact (DC-only constant blocks, unit quant), so the oracle
+    replays every decoded pixel; the AC/ZRL path is covered by an
+    independent-IDCT reference test. Color (4:4:4) and grayscale both
+    present; progressive/subsampled/12-bit/restart files raise
+    honestly."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        synthetic_jpeg_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_jpeg_assets(spark, n=12, seed=42)
+    feats = extract_features(assets, decoder="strict")
+
+    def f(idx: int):  # 1-based element_at; widen float32 -> double first
+        return F.round(F.element_at("features", idx).cast("double"), 6)
+
+    return feats.select(
+        "asset_id",
+        F.element_at("features", 1).cast("int").alias("w"),
+        F.element_at("features", 2).cast("int").alias("h"),
+        f(3).alias("mean_r_r"),
+        f(6).alias("first_r_r"),
+        f(7).alias("first_g_r"),
+        f(8).alias("first_b_r"),
+        f(9).alias("last_r_r"),
+        f(10).alias("last_g_r"),
+        f(11).alias("last_b_r"),
+        f(14).alias("mean_gray_r"),
+        F.element_at("features", 16).cast("long").alias("n_px"),
+    )
+
+
 def _multimodal_audio_oracle(n: int = 8, seed: int = 42) -> str:
     """DuckDB replay of synthetic_wav_assets + the REAL WAV kernel: the
     fixture's int16 samples are md5-derived, so the oracle re-derives

@@ -481,8 +481,12 @@ def test_bmp_decode_matches_ppm(spark):
     )
     bmp = header + bytes(raster)
     assert DECODERS["strict"](ppm) == DECODERS["strict"](bmp)
-    # JPEG needs a real codec library — still an honest raise
+    # WebP/TIFF need a real codec library — still an honest raise
+    # (JPEG is decoded for real since round 6, so a corrupt JPEG payload
+    # is a ValueError, not an unsupported-format raise)
     with _pytest.raises(NotImplementedError):
+        DECODERS["strict"](b"II*\x00not-actually-decodable")
+    with _pytest.raises(ValueError):
         DECODERS["strict"](b"\xff\xd8\xff\xe0not-actually-decodable")
 
 

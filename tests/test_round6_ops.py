@@ -397,3 +397,124 @@ def test_gif_decode_matches_ppm_and_spec_bytes(spark):
         DECODERS["strict"](hand[:-6])
     with pytest.raises(ValueError):  # not a GIF
         DECODERS["gif"](b"NOTAGIF")
+
+
+def test_jpeg_decode_ac_path_and_failure_modes(spark):
+    """The fixture's DC-only blocks leave the AC/ZRL decode path
+    unexercised — cover it with a hand-built one-block grayscale JPEG
+    carrying AC coefficients, checked against an INDEPENDENT numpy
+    matrix IDCT (so the decoder's own loop can't self-certify). Then
+    the honest failure modes: progressive SOF2, chroma subsampling, and
+    restart intervals raise NotImplementedError; truncated scans raise
+    ValueError."""
+    import numpy as np
+    import pytest
+
+    from bigdata_capstone_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _JpegBitWriter,
+        _pixel_features,
+        DECODERS,
+    )
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    # DC cats 0..11 at length 4 (as the fixture); AC table with the
+    # symbols we emit at length 3: EOB, (0,1), (1,2), ZRL, (0,2)
+    ac_syms = [0x00, 0x01, 0x12, 0xF0, 0x02]
+    ac_code = {s: (3, i) for i, s in enumerate(ac_syms)}
+    w8 = _JpegBitWriter()
+    # DC: value 8 -> cat 4, bits 1000
+    w8.write(4, 4)
+    w8.write(8, 4)
+    # AC zigzag: k1: (run0,size1) val 1; k2: (run1,size2) val -2 (k3=val);
+    # then ZRL (16 zeros, k4..k19), then (run0,size2) val 3 at k20; EOB
+    w8.write(ac_code[0x01][1], 3); w8.write(1, 1)
+    w8.write(ac_code[0x12][1], 3); w8.write(1, 2)  # -2 encodes as 01
+    w8.write(ac_code[0xF0][1], 3)
+    w8.write(ac_code[0x02][1], 3); w8.write(3, 2)
+    w8.write(ac_code[0x00][1], 3)
+    scan = w8.flush()
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dht = seg(0xC4, bytes((0x00,)) + bytes(dc_bits[:16]) + bytes(range(12)))
+    dht += seg(0xC4, bytes((0x10,)) + bytes([0, 0, 5] + [0] * 13) + bytes(ac_syms))
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes((0x00,)) + bytes([1] * 64))
+        + seg(0xC0, bytes((8,)) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+              + bytes((1, 1, 0x11, 0)))
+        + dht
+        + seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+        + scan
+        + b"\xff\xd9"
+    )
+    got = DECODERS["jpeg"](blob)
+
+    # independent reference: numpy matrix IDCT of the same coefficients
+    zz = [0] * 64
+    zz[0], zz[1], zz[3], zz[20] = 8, 1, -2, 3
+    coef = np.zeros((8, 8))
+    for zi, (r, c) in enumerate(_JPEG_ZIGZAG):
+        coef[r][c] = zz[zi]
+    u = np.arange(8)
+    C = np.where(u == 0, 1 / np.sqrt(2), 1.0)
+    # s(y,x) = sum_u sum_v C(u)C(v) S(u,v) cos((2y+1)u pi/16)
+    #          * cos((2x+1)v pi/16) / 4, as one matrix sandwich
+    y = np.arange(8)
+    cy = np.cos((2 * y[:, None] + 1) * u[None, :] * np.pi / 16)  # [y, u]
+    s = cy @ (C[:, None] * C[None, :] * coef) @ cy.T / 4.0  # [y, x]
+    exp_px = np.clip(np.round(s) + 128, 0, 255).astype(int)
+    expected = _pixel_features(
+        8, 8, [(int(v), int(v), int(v)) for v in exp_px.flatten()]
+    )
+    assert got == expected
+
+    # failure modes
+    prog = blob.replace(bytes((0xFF, 0xC0)), bytes((0xFF, 0xC2)), 1)
+    with pytest.raises(NotImplementedError):
+        DECODERS["jpeg"](prog)
+    subsampled = blob.replace(bytes((1, 1, 0x11, 0)), bytes((1, 1, 0x22, 0)), 1)
+    with pytest.raises(NotImplementedError):
+        DECODERS["jpeg"](subsampled)
+    dri = blob[:2] + seg(0xDD, (8).to_bytes(2, "big")) + blob[2:]
+    with pytest.raises(NotImplementedError):
+        DECODERS["jpeg"](dri)
+    with pytest.raises(ValueError):
+        DECODERS["jpeg"](blob[:-8])  # truncated scan
+    with pytest.raises(ValueError):
+        DECODERS["jpeg"](b"\x89NOTJPEG")
+
+
+def test_jpeg_fixture_matches_expected_pixels_end_to_end(spark):
+    """Spark-side: the strict kernel over synthetic_jpeg_assets through
+    mapInPandas must equal the Python-side expected block-constant
+    pixel features for every asset (color and grayscale)."""
+    import hashlib
+
+    from bigdata_capstone_spark.operators.multimodal import (
+        _pixel_features,
+        extract_features,
+        synthetic_jpeg_assets,
+    )
+
+    n = 12
+    got = {
+        r["asset_id"]: r["features"]
+        for r in extract_features(
+            synthetic_jpeg_assets(spark, n=n), decoder="strict"
+        ).collect()
+    }
+    assert set(got) == set(range(n))
+    for i in range(n):
+        w, h = 8 * (1 + i % 2), 8 * (1 + i % 3)
+        exp = []
+        for y in range(h):
+            for x in range(w):
+                v = hashlib.md5(f"42:{i}:{x//8}:{y//8}".encode()).digest()[0]
+                exp.append((v, v, v))
+        expf = [float(np_f) for np_f in _pixel_features(w, h, exp)]
+        gotf = [float(v) for v in got[i]]
+        import math
+        for a, b in zip(gotf, expf):
+            assert math.isclose(a, b, rel_tol=1e-6), (i, gotf, expf)
