@@ -1931,6 +1931,59 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "url_domain_blocklist",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(200)) AS i),
+    h AS (
+      SELECT 'www.example' || ((i % 100) % 5) || '.com' AS host
+      FROM ids
+    ),
+    b AS (
+      SELECT host,
+             (host = 'example1.com' OR host LIKE '%.example1.com'
+              OR host = 'example3.com' OR host LIKE '%.example3.com'
+              OR host = 'tracker.example0.com'
+              OR host LIKE '%.tracker.example0.com') AS blocked
+      FROM h
+    )
+    SELECT host, blocked, count(*)::BIGINT AS n_urls
+    FROM b GROUP BY host, blocked
+    """,
+)
+def url_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist verdicts over the canonicalized URL fixture:
+    blocked iff the host equals a listed domain or is its subdomain
+    (``www.example1.com`` matches ``example1.com``; the listed
+    ``tracker.example0.com`` deliberately does NOT match
+    ``www.example0.com`` — subdomain matching is directional). The
+    oracle regenerates hosts from the fixture's generative formula and
+    replays the suffix rule as explicit equality-or-dot-suffix
+    predicates.
+
+    Scale shape (operators/webingest.py:domain_blocklist_filter): the
+    host's dot-suffix CHAIN is exploded (bounded by label count) so
+    suffix matching becomes an EQUI-join on the suffix key — broadcast
+    here, plain hash join at a million-domain blocklist — instead of a
+    LIKE theta-join that would plan as a broadcast nested loop."""
+    from bigdata_capstone_spark.operators.webingest import (
+        canonicalize_urls,
+        domain_blocklist_filter,
+        synthetic_url_table,
+    )
+
+    urls = canonicalize_urls(synthetic_url_table(spark, n=200))
+    blocklist = spark.createDataFrame(
+        [("example1.com",), ("example3.com",), ("tracker.example0.com",)],
+        "domain STRING",
+    )
+    return (
+        domain_blocklist_filter(urls, blocklist)
+        .groupBy("host", "blocked")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Temporal joins (operators/temporal.py) + OLAP extras — common analytics
 # patterns absent from the reference (SURVEY §2.3 "absent join types"),

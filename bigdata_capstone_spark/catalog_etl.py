@@ -35,7 +35,11 @@ from pyspark.sql.window import Window
 from bigdata_capstone_spark.catalog import register
 from bigdata_capstone_spark.operators.relational import fan_out
 from bigdata_capstone_spark.session import ensure_utc
-from bigdata_capstone_spark.shared_sql import UNIGRAM_LP_CTES
+from bigdata_capstone_spark.shared_sql import (
+    DSIR_CTES,
+    NB_MARGIN_CTES,
+    UNIGRAM_LP_CTES,
+)
 from bigdata_capstone_spark.sources.tables import load_table
 
 _TIER_SQL = "CASE WHEN value < 30 THEN 'low' WHEN value < 70 THEN 'mid' ELSE 'high' END"
@@ -2924,50 +2928,56 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_quality_classifier_nb",
+    "bm25_incremental_dfreq",
     oracle="""
-    WITH lab AS (
-      SELECT doc_id, (source IN ('src0', 'src1')) AS is_curated, text
-      FROM documents
-    ),
-    tok AS (
-      SELECT doc_id, is_curated,
+    WITH toks AS (
+      SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                                 x -> x <> '')) AS token
-      FROM lab
-    ),
-    counts AS (
-      SELECT token,
-             sum(CASE WHEN is_curated THEN 1 ELSE 0 END) AS c_cur,
-             sum(CASE WHEN is_curated THEN 0 ELSE 1 END) AS c_rest
-      FROM tok GROUP BY token
-    ),
-    totals AS (SELECT sum(c_cur) AS n_cur, sum(c_rest) AS n_rest,
-                      count(*) AS v
-               FROM counts),
-    priors AS (SELECT sum(CASE WHEN is_curated THEN 1 ELSE 0 END) AS d_cur,
-                      sum(CASE WHEN is_curated THEN 0 ELSE 1 END) AS d_rest
-               FROM lab),
-    llr AS (
-      SELECT token,
-             round(log10((c_cur + 1.0) / (n_cur + v))
-                   - log10((c_rest + 1.0) / (n_rest + v)), 6) AS llr
-      FROM counts CROSS JOIN totals
-    ),
-    scored AS (
-      SELECT t.doc_id, t.is_curated, count(*)::BIGINT AS n_tokens,
-             sum(round(l.llr * 1000000)::BIGINT) AS m_micro
-      FROM tok t JOIN llr l USING (token)
-      GROUP BY t.doc_id, t.is_curated
+      FROM documents
     )
-    SELECT doc_id, n_tokens,
-           (m_micro + round(round(log10(d_cur / (d_rest * 1.0)), 6)
-                            * 1000000)::BIGINT) / 1000000.0 AS nb_margin_r,
-           ((m_micro + round(round(log10(d_cur / (d_rest * 1.0)), 6)
-                             * 1000000)::BIGINT) / 1000000.0) > 0
-             AS pred_curated,
-           is_curated
-    FROM scored CROSS JOIN priors
+    SELECT token, count(DISTINCT doc_id)::BIGINT AS dfc
+    FROM toks GROUP BY token
+    """,
+)
+def bm25_incremental_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the LEXICAL index's statistics: the
+    document-frequency table is computed per ingest shard (base corpus
+    doc_id < 250, two arrival batches 250-374 and >= 375 modeling
+    independent shards) and MERGED by addition — df over disjoint doc
+    sets adds, so keeping the BM25 index current costs O(batch), the
+    lexical twin of embedding_ivfpq_incremental. The oracle recomputes
+    df over the FULL corpus in one pass: merged-from-shards must equal
+    recomputed-from-scratch exactly, which is precisely the mergeable-
+    state law the sketch family proves (HLL max / CMS + / Bloom OR /
+    df +).
+
+    Scale shape (operators/retrieval.py:merge_dfreq): each shard's
+    dfreq is one map-side-combined groupBy over its own postings; the
+    merge is a union + re-aggregate on vocabulary-sized frames — no
+    corpus re-scan, no coordination between shards."""
+    from bigdata_capstone_spark.operators.retrieval import (
+        dfreq_table,
+        merge_dfreq,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 250)
+    d1 = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 375))
+    d2 = docs.filter(F.col("doc_id") >= 375)
+    return merge_dfreq(
+        dfreq_table(base), dfreq_table(d1), dfreq_table(d2)
+    )
+
+
+@register(
+    "doc_quality_classifier_nb",
+    # Single source of truth for the NB-margin chain: shared_sql
+    # (also feeds the selection-evaluation oracles below).
+    oracle="WITH " + NB_MARGIN_CTES + """
+    SELECT doc_id, n_tokens, nb_margin_r, pred_curated, is_curated
+    FROM nb_scored
     """,
 )
 def doc_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2990,36 +3000,11 @@ def doc_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_dsir_weights",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, (lang = 'en') AS is_target,
-             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                x -> x <> '')) AS token
-      FROM documents
-    ),
-    b AS (
-      SELECT doc_id, is_target,
-             (('0x' || substr(md5(token), 1, 15))::BIGINT) % 256 AS bucket
-      FROM tok
-    ),
-    bc AS (
-      SELECT bucket,
-             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
-             count(*) AS c_r
-      FROM b GROUP BY bucket
-    ),
-    bt AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r FROM bc),
-    lr AS (
-      SELECT bucket,
-             round(log10((c_t + 1.0) / (n_t + 256.0))
-                   - log10((c_r + 1.0) / (n_r + 256.0)), 6) AS lr
-      FROM bc CROSS JOIN bt
-    )
-    SELECT doc_id, count(*)::BIGINT AS n_tokens,
-           sum(round(lr * 1000000)::BIGINT) / 1000000.0 AS dsir_logratio_r,
-           (sum(round(lr * 1000000)::BIGINT) / 1000000.0) > 0 AS selected
-    FROM b JOIN lr USING (bucket)
-    GROUP BY doc_id
+    # Single source of truth for the DSIR chain: shared_sql (also
+    # feeds the selection-evaluation oracles below).
+    oracle="WITH " + DSIR_CTES + """
+    SELECT doc_id, n_tokens, dsir_logratio_r, selected
+    FROM dsir_scored
     """,
 )
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3038,6 +3023,241 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return dsir_log_weights(docs, target_lang="en", n_buckets=256)
+
+
+@register(
+    "selection_roc_auc",
+    oracle="WITH " + NB_MARGIN_CTES + """,
+    lv AS (
+      SELECT nb_margin_r AS s,
+             sum(CASE WHEN is_curated THEN 1 ELSE 0 END) AS pos_at,
+             sum(CASE WHEN is_curated THEN 0 ELSE 1 END) AS neg_at
+      FROM nb_scored GROUP BY nb_margin_r
+    ),
+    cum AS (
+      SELECT pos_at, neg_at,
+             coalesce(sum(neg_at) OVER (
+                 ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS neg_below
+      FROM lv
+    )
+    SELECT sum(pos_at)::BIGINT AS n_pos,
+           sum(neg_at)::BIGINT AS n_neg,
+           round(sum(pos_at * (2 * neg_below + neg_at))
+                 / (2.0 * sum(pos_at) * sum(neg_at)), 6) AS auc_r
+    FROM cum
+    """,
+)
+def selection_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free quality of the NB curation scorer: rank-sum
+    ROC-AUC of the margin against the curated label. The metric the
+    classifier-based curation family is actually judged by — at small
+    SF every margin is negative (pred_curated uniformly false), yet
+    the RANKING can still separate curated from rest, and AUC measures
+    exactly that.
+
+    Scale shape (operators/evaluation.py:roc_auc): corpus collapses to
+    the distinct-score level table in one map-side-combined groupBy;
+    the cumulative negative count is a partitioned_prefix_sum over that
+    level table (never a single-task global sort — the oracle's bare
+    ORDER BY window is the DuckDB-side luxury this engine refuses);
+    the numerator accumulates in exact BIGINT doubled units."""
+    from bigdata_capstone_spark.operators.evaluation import roc_auc
+    from bigdata_capstone_spark.operators.selection import nb_source_margin
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    nb = nb_source_margin(docs, curated_sources=("src0", "src1"))
+    return roc_auc(nb, "nb_margin_r", "is_curated")
+
+
+@register(
+    "selection_margin_calibration",
+    oracle="WITH " + NB_MARGIN_CTES + """,
+    banded AS (
+      SELECT least(7, greatest(0,
+               floor((nb_margin_r - (-3.0)) / 0.5)::INT)) AS band,
+             is_curated, nb_margin_r
+      FROM nb_scored
+    )
+    SELECT band, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN is_curated THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+           round(sum(CASE WHEN is_curated THEN 1 ELSE 0 END)
+                 / (count(*) * 1.0), 6) AS pos_rate_r,
+           round(sum(round(nb_margin_r * 1000000)::BIGINT)
+                 / (count(*) * 1.0) / 1000000.0, 6) AS avg_margin_r
+    FROM banded GROUP BY band
+    """,
+)
+def selection_margin_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability table of the NB margin: fixed-width margin bands
+    (8 bands of 0.5 from -3.0, clamped at the edges) with per-band
+    document count, curated count, empirical curated rate, and mean
+    margin — the monotonicity of pos_rate_r across bands is what
+    'the margin is informative' means operationally, and the table is
+    what picks a deployment threshold when the prior-driven zero
+    cut-off is miscalibrated (as it is at small SF).
+
+    Scale shape (operators/evaluation.py:margin_calibration): binning
+    is a pure map; the whole metric is ONE groupBy with exact-integer
+    accumulators (band mean margin in micro-units)."""
+    from bigdata_capstone_spark.operators.evaluation import (
+        margin_calibration,
+    )
+    from bigdata_capstone_spark.operators.selection import nb_source_margin
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    nb = nb_source_margin(docs, curated_sources=("src0", "src1"))
+    return margin_calibration(
+        nb, "nb_margin_r", "is_curated", lo=-3.0, width=0.5, n_bins=8
+    )
+
+
+@register(
+    "selection_agreement_kappa",
+    oracle="WITH " + DSIR_CTES + """,
+    j AS (
+      SELECT s.selected AS a, (d.lang = 'en') AS b
+      FROM dsir_scored s JOIN documents d USING (doc_id)
+    ),
+    c AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_both,
+             sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+               AS n_a_only,
+             sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT
+               AS n_b_only,
+             sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+               AS n_neither
+      FROM j
+    )
+    SELECT n, n_both, n_a_only, n_b_only, n_neither,
+           round(CASE WHEN ((n_both + n_a_only) * (n_both + n_b_only)
+                            + (n_b_only + n_neither)
+                              * (n_a_only + n_neither))
+                           / ((n * 1.0) * (n * 1.0)) < 1.0
+                 THEN ((n_both + n_neither) / (n * 1.0)
+                       - ((n_both + n_a_only) * (n_both + n_b_only)
+                          + (n_b_only + n_neither)
+                            * (n_a_only + n_neither))
+                         / ((n * 1.0) * (n * 1.0)))
+                      / (1.0 - ((n_both + n_a_only) * (n_both + n_b_only)
+                                + (n_b_only + n_neither)
+                                  * (n_a_only + n_neither))
+                               / ((n * 1.0) * (n * 1.0)))
+                 END, 6) AS kappa_r
+    FROM c
+    """,
+)
+def selection_agreement_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa between DSIR's fixed-threshold acceptance and
+    membership in its own target slice (lang = 'en'): chance-corrected
+    'does importance resampling actually recover the distribution it
+    was pointed at?'. Raw agreement would be inflated by the ~56%
+    non-English majority both raters reject; kappa subtracts exactly
+    that.
+
+    Scale shape (operators/evaluation.py:cohens_kappa): the doc_id
+    join, then ONE global aggregate building the 2x2 table in exact
+    integers; kappa is a fixed scalar double expression of the four
+    counts (bit-identical across engines)."""
+    from bigdata_capstone_spark.operators.evaluation import cohens_kappa
+    from bigdata_capstone_spark.operators.selection import dsir_log_weights
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    dsir = dsir_log_weights(docs, target_lang="en", n_buckets=256)
+    joined = dsir.join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").alias("is_target")
+        ),
+        "doc_id",
+    )
+    return cohens_kappa(joined, F.col("selected"), F.col("is_target"))
+
+
+@register(
+    "selection_rank_corr_spearman",
+    oracle="WITH " + NB_MARGIN_CTES + ",\n" + DSIR_CTES + """,
+    j AS (
+      SELECT n.nb_margin_r AS a, s.dsir_logratio_r AS b
+      FROM nb_scored n JOIN dsir_scored s USING (doc_id)
+    ),
+    la AS (SELECT a, count(*) AS cnt FROM j GROUP BY a),
+    ra AS (
+      SELECT a,
+             2 * coalesce(sum(cnt) OVER (
+                   ORDER BY a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) + cnt + 1 AS r2a
+      FROM la
+    ),
+    lb AS (SELECT b, count(*) AS cnt FROM j GROUP BY b),
+    rb AS (
+      SELECT b,
+             2 * coalesce(sum(cnt) OVER (
+                   ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) + cnt + 1 AS r2b
+      FROM lb
+    ),
+    rk AS (SELECT r2a, r2b FROM j JOIN ra USING (a) JOIN rb USING (b)),
+    m AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(r2a)::BIGINT AS sx, sum(r2b)::BIGINT AS sy,
+             sum(r2a * r2b)::BIGINT AS sxy,
+             sum(r2a * r2a)::BIGINT AS sxx,
+             sum(r2b * r2b)::BIGINT AS syy
+      FROM rk
+    )
+    SELECT n,
+           round(CASE WHEN ((n * 1.0) * sxx - (sx * 1.0) * sx) > 0
+                       AND ((n * 1.0) * syy - (sy * 1.0) * sy) > 0
+                 THEN ((n * 1.0) * sxy - (sx * 1.0) * sy)
+                      / sqrt(((n * 1.0) * sxx - (sx * 1.0) * sx)
+                             * ((n * 1.0) * syy - (sy * 1.0) * sy))
+                 END, 6) AS rho_r
+    FROM m
+    """,
+)
+def selection_rank_corr_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between the two selection families'
+    per-document scores (NB curation margin vs DSIR importance
+    log-ratio): do classifier-based curation and importance resampling
+    RANK the corpus similarly, or are they complementary signals worth
+    ensembling (docs_quality_rank_ensemble)?
+
+    Scale shape (operators/evaluation.py:spearman_rho): average tie
+    ranks materialized as exact-integer double-ranks from each score's
+    level table + partitioned_prefix_sum (no single-task sort — the
+    oracle's bare ORDER BY windows are DuckDB-side only); Pearson on
+    the integer ranks with BIGINT moment sums and one final scalar
+    double expression."""
+    from bigdata_capstone_spark.operators.evaluation import spearman_rho
+    from bigdata_capstone_spark.operators.selection import (
+        dsir_log_weights,
+        nb_source_margin,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    nb = nb_source_margin(docs, curated_sources=("src0", "src1")).select(
+        "doc_id", "nb_margin_r"
+    )
+    dsir = dsir_log_weights(docs, target_lang="en", n_buckets=256).select(
+        "doc_id", "dsir_logratio_r"
+    )
+    return spearman_rho(
+        nb.join(dsir, "doc_id"), "nb_margin_r", "dsir_logratio_r"
+    )
 
 
 @register(

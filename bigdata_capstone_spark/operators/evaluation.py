@@ -1,0 +1,282 @@
+"""Distributed evaluation metrics for model-based data selection.
+
+The selection family (operators/selection.py — NB classifier margins,
+DSIR importance weights) produces per-document scores and accept flags;
+this module measures how good those scores ARE, with the same
+scale-and-determinism discipline as the scorers themselves:
+
+- **ROC-AUC** via the rank-sum identity, computed on the distinct-score
+  LEVEL table: AUC = Σ_levels pos_at·(neg_below + neg_at/2) / (n_pos·n_neg).
+  The level frame is |distinct scores|-sized; the cumulative negative
+  count comes from ``partitioned_prefix_sum`` (operators/relational.py),
+  so nothing ever sorts in a single task — the corpus-sized input is
+  touched exactly once by one map-side-combinable groupBy.
+- **Calibration bands**: fixed-width margin bins (a pure map, like
+  operators/drift.fixed_width_bin) → per-band document count, positive
+  count, and exact-integer positive rate. One shuffle.
+- **Cohen's kappa**: one global aggregate building the 2×2 agreement
+  table in exact integers; kappa is a fixed scalar double expression of
+  those four counts (bit-identical across engines).
+- **Spearman rank correlation**: average ranks materialized as exact
+  INTEGER double-ranks (2·rank avoids the .5 of midranks:
+  r2 = 2·count_below + count_at + 1), built per column from the level
+  table + prefix sum, then Pearson on the integer ranks with BIGINT
+  moment sums and one final scalar double expression.
+
+Determinism contract: every sum that crosses a shuffle is BIGINT (counts
+and integer double-ranks — never raw doubles, whose addition order would
+diverge from a sequential oracle); doubles appear only in the final
+scalar expression over already-exact aggregates, rounded to 6 dp.
+
+Exactness bound (documented, not silent): the Spearman moment sums hold
+Σ r2², bounded by 4n³ — exact in BIGINT up to n ≈ 1.3e6 evaluation rows.
+Evaluation sets are samples/holdouts by construction (operators/split,
+operators/sampling compose in front); for corpus-scale n the sums would
+need DECIMAL(38,0) widening.
+
+No analogue in the reference (reference has no model-based selection at
+all); metric definitions follow Hand & Till (2001) for rank-sum AUC and
+Cohen (1960) for kappa.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_capstone_spark.operators.relational import (
+    partitioned_prefix_sum,
+)
+
+
+def roc_auc(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Threshold-free ranking quality of ``score_col`` against the
+    boolean ``label_col``: the probability a random positive outranks a
+    random negative, ties counting half (Hand & Till 2001).
+
+    Returns a single row (n_pos, n_neg, auc_r). Why AUC and not
+    accuracy: a margin scorer whose threshold is miscalibrated (e.g.
+    the NB margin at small SF, where every margin is negative) can
+    still RANK perfectly — AUC measures exactly that.
+
+    Scale shape: one map-side-combinable groupBy collapses the corpus
+    to the distinct-score level table; the cumulative negative count is
+    a ``partitioned_prefix_sum`` over that level table (range-partition
+    parallel, never a single-task sort); the numerator
+    Σ pos_at·(2·neg_below + neg_at) accumulates in exact BIGINT halves
+    (the ×2 avoids fractional tie terms) and the single division
+    happens once, on the final scalar row.
+    """
+    lv = (
+        scored.groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias(
+                "pos_at"
+            ),
+            F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias(
+                "neg_at"
+            ),
+        )
+    )
+    lv = partitioned_prefix_sum(
+        lv,
+        order_by=[F.col("s")],
+        value=F.col("neg_at"),
+        alias="neg_below",
+        inclusive=False,
+    )
+    return lv.agg(
+        F.sum("pos_at").cast("long").alias("n_pos"),
+        F.sum("neg_at").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos_at")
+            * (2 * F.col("neg_below") + F.col("neg_at"))
+        )
+        .cast("long")
+        .alias("num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("num2")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc_r"),
+    )
+
+
+def margin_calibration(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    lo: float = -3.0,
+    width: float = 0.5,
+    n_bins: int = 8,
+) -> DataFrame:
+    """Reliability table of a margin scorer: fixed-width margin bands →
+    (band, n_docs, n_pos, pos_rate_r, avg_margin_r). A well-calibrated
+    scorer's empirical positive rate rises monotonically with the band.
+
+    Binning is a pure map (same clamp-to-edges shape as
+    operators/drift.fixed_width_bin, shifted by ``lo`` so negative
+    margins band correctly); the whole metric is one groupBy. The band
+    mean margin accumulates in integer micro-units (the scorer's own
+    representation — ``score·1e6`` is integral by construction for the
+    NB/DSIR family), so the per-band average is exact-integer division
+    rounded once.
+    """
+    band = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(score_col) - lo) / width).cast("int"),
+        ),
+    )
+    return (
+        scored.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col(label_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(
+                F.round(F.col(score_col) * 1_000_000, 0).cast("long")
+            ).alias("m_micro"),
+        )
+        .select(
+            "band",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n_docs").cast("double"), 6).alias(
+                "pos_rate_r"
+            ),
+            F.round(
+                F.col("m_micro")
+                / F.col("n_docs").cast("double")
+                / 1_000_000.0,
+                6,
+            ).alias("avg_margin_r"),
+        )
+        .orderBy("band")
+    )
+
+
+def cohens_kappa(
+    df: DataFrame, a_col: Column, b_col: Column
+) -> DataFrame:
+    """Cohen's kappa (1960) between two boolean raters: agreement
+    beyond chance, from the 2×2 contingency built in ONE global
+    aggregate of exact integers. Returns a single row
+    (n, n_both, n_a_only, n_b_only, n_neither, kappa_r).
+
+    kappa = (p_o - p_e) / (1 - p_e) with p_o the observed agreement and
+    p_e the marginal-product chance agreement — a fixed scalar double
+    expression of the four counts, so both engines compute bit-identical
+    values. Degenerate case p_e = 1 (both raters constant) yields NULL
+    rather than a division blow-up.
+    """
+    a = a_col.cast("boolean")
+    b = b_col.cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("n_both"),
+        F.sum(F.when(a & ~b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a_only"),
+        F.sum(F.when(~a & b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b_only"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neither"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n_both") + F.col("n_neither")) / n
+    pe = (
+        (F.col("n_both") + F.col("n_a_only"))
+        * (F.col("n_both") + F.col("n_b_only"))
+        + (F.col("n_b_only") + F.col("n_neither"))
+        * (F.col("n_a_only") + F.col("n_neither"))
+    ) / (n * n)
+    return agg.select(
+        "n",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (1.0 - pe)),
+            6,
+        ).alias("kappa_r"),
+    )
+
+
+def _integer_double_ranks(
+    df: DataFrame, value_col: str, alias: str
+) -> DataFrame:
+    """Attach the exact-integer DOUBLE-RANK (2·average tie rank) of
+    ``value_col``: r2 = 2·count_below + count_at + 1 — an integer even
+    under ties (midrank 2.5 becomes 5), so rank moments sum exactly in
+    BIGINT. Built from the distinct-value level table + a
+    ``partitioned_prefix_sum`` (no single-task global sort), then a
+    value-keyed join back (level-table-sized build side; AQE broadcasts
+    it when it fits)."""
+    lv = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    lv = partitioned_prefix_sum(
+        lv,
+        order_by=[F.col("__v")],
+        value=F.col("__cnt"),
+        alias="__below",
+        inclusive=False,
+    )
+    lv = lv.select(
+        F.col("__v").alias(value_col),
+        (2 * F.col("__below") + F.col("__cnt") + 1)
+        .cast("long")
+        .alias(alias),
+    )
+    return df.join(lv, value_col)
+
+
+def spearman_rho(
+    scored: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Spearman rank correlation between two score columns: Pearson on
+    average tie ranks, materialized as exact-integer double-ranks (see
+    ``_integer_double_ranks`` — the common 2× scaling of both variables
+    cancels in the correlation). Returns a single row (n, rho_r).
+
+    All five moment sums (Σx, Σy, Σxy, Σx², Σy²) are BIGINT over
+    integers — exact, shuffle-order-independent — and the correlation is
+    one final scalar double expression rounded to 6 dp. Exactness bound:
+    Σx² ≤ 4n³, BIGINT-exact to n ≈ 1.3e6 evaluation rows (see module
+    docstring).
+    """
+    ranked = _integer_double_ranks(
+        _integer_double_ranks(scored, col_a, "__ra"), col_b, "__rb"
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__ra").cast("long").alias("sx"),
+        F.sum("__rb").cast("long").alias("sy"),
+        F.sum(F.col("__ra") * F.col("__rb")).cast("long").alias("sxy"),
+        F.sum(F.col("__ra") * F.col("__ra")).cast("long").alias("sxx"),
+        F.sum(F.col("__rb") * F.col("__rb")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    dx = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return m.select(
+        "n",
+        F.round(
+            F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)),
+            6,
+        ).alias("rho_r"),
+    )

@@ -56,6 +56,36 @@ def postings_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dfreq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, dfc) document frequencies — the BM25 index statistic the
+    idf term needs, derived from one postings pass."""
+    return (
+        postings_table(docs, text_col)
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("dfc"))
+    )
+
+
+def merge_dfreq(*dfreqs: DataFrame) -> DataFrame:
+    """Merge document-frequency tables computed over DISJOINT document
+    sets: counts ADD (a token's df over A ∪ B is df_A + df_B when A and
+    B share no documents) — the property that makes the lexical index's
+    statistics maintainable under continuous ingest with O(batch) work,
+    exactly like the PQ/IVF-PQ side of the vector index: each ingest
+    shard computes its own dfreq independently (no coordination), and
+    the merge is a union + re-aggregate keyed on the token — one
+    shuffle over vocabulary-sized frames, never a corpus re-scan.
+    (Doc-length and corpus totals merge the same way; df is the one
+    statistic queries actually join against, so it is the one
+    registered.)"""
+    merged = dfreqs[0]
+    for d in dfreqs[1:]:
+        merged = merged.unionByName(d)
+    return merged.groupBy("token").agg(
+        F.sum("dfc").cast("long").alias("dfc")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     n_queries: int = 5,

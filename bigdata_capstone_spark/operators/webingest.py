@@ -40,7 +40,7 @@ import zlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 WARC_SHARD_SCHEMA = "shard_id INT, data BINARY"
@@ -304,4 +304,58 @@ def extract_html_text(records: DataFrame) -> DataFrame:
         F.regexp_extract(h, r"<title>([^<]*)</title>", 1).alias("title"),
         F.md5(text).alias("text_hash"),
         "n_html_bytes",
+    )
+
+
+def host_suffix_chain(host: Column) -> Column:
+    """All dot-suffix chains of a hostname: ``a.b.c`` →
+    [``a.b.c``, ``b.c``, ``c``] — bounded by the label count (a handful),
+    never by corpus size. Turning suffix MATCHING into suffix EQUALITY
+    is what lets a blocklist join stay an equi-join: a LIKE/endswith
+    predicate against a blocklist would be a theta-join (broadcast
+    nested loop — fine for 10 domains, dead at a million-domain
+    blocklist), while the exploded chain joins hash-partitioned on the
+    suffix key at ANY blocklist size."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n), "."),
+    )
+
+
+def domain_blocklist_filter(
+    urls: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "canonical_url",
+) -> DataFrame:
+    """Append (host, blocked) to a URL frame: blocked iff the host
+    equals a blocklisted domain or is a subdomain of one (the public-
+    suffix-style rule every crawl-curation stack applies before
+    fetching). ``blocklist`` is a (domain) DataFrame.
+
+    Scale shape: host extraction is a map; the suffix chain explode
+    multiplies rows by the label count (~4) only for the duration of
+    one equi-join on the suffix key (broadcast when the blocklist is
+    small, plain hash join when it is web-scale); the verdict collapses
+    back to URL granularity via a distinct + left join flag."""
+    host = F.regexp_extract(F.col(url_col), r"^[^:]+://([^/?#:]+)", 1)
+    with_host = urls.withColumn("host", host)
+    hits = (
+        with_host.select("url_id", F.explode(
+            host_suffix_chain(F.col("host"))
+        ).alias("suffix"))
+        .join(
+            F.broadcast(blocklist),
+            F.col("suffix") == F.col("domain"),
+            "leftsemi",
+        )
+        .select("url_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        with_host.join(hits, "url_id", "left")
+        .withColumn("blocked", F.col("__hit").isNotNull())
+        .drop("__hit")
     )

@@ -147,3 +147,97 @@ PSI_EVENTS_ORACLE = """
     FROM terms GROUP BY event_type, n1, n2
     """
 
+
+# The Naive-Bayes curation-margin CTE chain (nb_-prefixed, NO leading
+# WITH so it composes with other fragments; ends in `nb_scored`:
+# doc_id, n_tokens, nb_margin_r, pred_curated, is_curated), shared by
+# catalog_etl.doc_quality_classifier_nb and the selection-evaluation
+# oracles (AUC / calibration / Spearman), which reuse the same Spark
+# scoring plan — one constant so an edit cannot desync them.
+NB_MARGIN_CTES = """
+    nb_lab AS (
+      SELECT doc_id, (source IN ('src0', 'src1')) AS is_curated, text
+      FROM documents
+    ),
+    nb_tok AS (
+      SELECT doc_id, is_curated,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM nb_lab
+    ),
+    nb_counts AS (
+      SELECT token,
+             sum(CASE WHEN is_curated THEN 1 ELSE 0 END) AS c_cur,
+             sum(CASE WHEN is_curated THEN 0 ELSE 1 END) AS c_rest
+      FROM nb_tok GROUP BY token
+    ),
+    nb_totals AS (SELECT sum(c_cur) AS n_cur, sum(c_rest) AS n_rest,
+                         count(*) AS v
+                  FROM nb_counts),
+    nb_priors AS (SELECT sum(CASE WHEN is_curated THEN 1 ELSE 0 END)
+                           AS d_cur,
+                         sum(CASE WHEN is_curated THEN 0 ELSE 1 END)
+                           AS d_rest
+                  FROM nb_lab),
+    nb_llr AS (
+      SELECT token,
+             round(log10((c_cur + 1.0) / (n_cur + v))
+                   - log10((c_rest + 1.0) / (n_rest + v)), 6) AS llr
+      FROM nb_counts CROSS JOIN nb_totals
+    ),
+    nb_sums AS (
+      SELECT t.doc_id, t.is_curated, count(*)::BIGINT AS n_tokens,
+             sum(round(l.llr * 1000000)::BIGINT) AS m_micro
+      FROM nb_tok t JOIN nb_llr l USING (token)
+      GROUP BY t.doc_id, t.is_curated
+    ),
+    nb_scored AS (
+      SELECT doc_id, n_tokens,
+             (m_micro + round(round(log10(d_cur / (d_rest * 1.0)), 6)
+                              * 1000000)::BIGINT) / 1000000.0
+               AS nb_margin_r,
+             ((m_micro + round(round(log10(d_cur / (d_rest * 1.0)), 6)
+                               * 1000000)::BIGINT) / 1000000.0) > 0
+               AS pred_curated,
+             is_curated
+      FROM nb_sums CROSS JOIN nb_priors
+    )"""
+
+# The DSIR importance-weight CTE chain (dsir_-prefixed, composable;
+# ends in `dsir_scored`: doc_id, n_tokens, dsir_logratio_r, selected),
+# shared by catalog_etl.docs_dsir_weights and the selection-evaluation
+# oracles (kappa / Spearman).
+DSIR_CTES = """
+    dsir_tok AS (
+      SELECT doc_id, (lang = 'en') AS is_target,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    dsir_b AS (
+      SELECT doc_id, is_target,
+             (('0x' || substr(md5(token), 1, 15))::BIGINT) % 256 AS bucket
+      FROM dsir_tok
+    ),
+    dsir_bc AS (
+      SELECT bucket,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+             count(*) AS c_r
+      FROM dsir_b GROUP BY bucket
+    ),
+    dsir_bt AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r FROM dsir_bc),
+    dsir_lr AS (
+      SELECT bucket,
+             round(log10((c_t + 1.0) / (n_t + 256.0))
+                   - log10((c_r + 1.0) / (n_r + 256.0)), 6) AS lr
+      FROM dsir_bc CROSS JOIN dsir_bt
+    ),
+    dsir_scored AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             sum(round(lr * 1000000)::BIGINT) / 1000000.0
+               AS dsir_logratio_r,
+             (sum(round(lr * 1000000)::BIGINT) / 1000000.0) > 0
+               AS selected
+      FROM dsir_b JOIN dsir_lr USING (bucket)
+      GROUP BY doc_id
+    )"""

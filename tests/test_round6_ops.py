@@ -518,3 +518,189 @@ def test_jpeg_fixture_matches_expected_pixels_end_to_end(spark):
         import math
         for a, b in zip(gotf, expf):
             assert math.isclose(a, b, rel_tol=1e-6), (i, gotf, expf)
+
+
+def test_bm25_dfreq_merge_equals_full_recompute(spark, sf_small):
+    """df over disjoint shards merged by addition must equal the
+    single-pass full recompute — and be independent of how the corpus
+    is sharded (1 vs 3 shards)."""
+    from bigdata_capstone_spark.operators.retrieval import (
+        dfreq_table,
+        merge_dfreq,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    full = {
+        r["token"]: r["dfc"] for r in dfreq_table(docs).collect()
+    }
+    parts = [
+        docs.filter(F.col("doc_id") % 3 == k) for k in range(3)
+    ]
+    merged = {
+        r["token"]: r["dfc"]
+        for r in merge_dfreq(*[dfreq_table(p) for p in parts]).collect()
+    }
+    assert merged == full
+    assert full, "fixture corpus should have a vocabulary"
+
+
+def _mk_scored(spark, rows):
+    return spark.createDataFrame(rows, "score double, label boolean")
+
+
+def test_roc_auc_closed_form(spark):
+    """Hand-checkable AUC values: perfect separation = 1.0, reversed =
+    0.0, and a tie case where the half-credit term is exercised."""
+    from bigdata_capstone_spark.operators.evaluation import roc_auc
+
+    perfect = _mk_scored(
+        spark,
+        [(1.0, True), (2.0, True), (-1.0, False), (-2.0, False)],
+    )
+    r = roc_auc(perfect, "score", "label").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_r"]) == (2, 2, 1.0)
+
+    reverse = _mk_scored(
+        spark,
+        [(-1.0, True), (-2.0, True), (1.0, False), (2.0, False)],
+    )
+    assert roc_auc(reverse, "score", "label").collect()[0]["auc_r"] == 0.0
+
+    # one positive tied with one negative at 0.0: pairs = (tie: 0.5) +
+    # (pos 0.0 vs neg -1.0: 1) + (pos 1.0 vs both negs: 2) = 3.5 / 4
+    ties = _mk_scored(
+        spark,
+        [(1.0, True), (0.0, True), (0.0, False), (-1.0, False)],
+    )
+    assert roc_auc(ties, "score", "label").collect()[0]["auc_r"] == 0.875
+
+
+def test_cohens_kappa_closed_form(spark):
+    """Kappa on a textbook 2x2: both=20, a_only=5, b_only=10,
+    neither=15 -> po=0.7, pe=(25*30+25*20)/2500=0.5, kappa=0.4; and
+    the degenerate constant-rater case yields NULL, perfect agreement
+    yields 1.0."""
+    from bigdata_capstone_spark.operators.evaluation import cohens_kappa
+
+    rows = (
+        [(True, True)] * 20
+        + [(True, False)] * 5
+        + [(False, True)] * 10
+        + [(False, False)] * 15
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert (
+        r["n"], r["n_both"], r["n_a_only"], r["n_b_only"], r["n_neither"]
+    ) == (50, 20, 5, 10, 15)
+    assert abs(r["kappa_r"] - 0.4) < 1e-9
+
+    const = spark.createDataFrame(
+        [(True, True)] * 4, "a boolean, b boolean"
+    )
+    assert (
+        cohens_kappa(const, F.col("a"), F.col("b")).collect()[0]["kappa_r"]
+        is None
+    )
+
+    agree = spark.createDataFrame(
+        [(True, True)] * 3 + [(False, False)] * 3, "a boolean, b boolean"
+    )
+    assert (
+        cohens_kappa(agree, F.col("a"), F.col("b")).collect()[0]["kappa_r"]
+        == 1.0
+    )
+
+
+def test_spearman_rho_closed_form(spark):
+    """Monotone -> 1.0, reversed -> -1.0, and a tie case checked
+    against the midrank formula by hand: x=(1,2,2,3) vs y=(1,2,3,4):
+    midranks x=(1,2.5,2.5,4), y=(1,2,3,4) -> rho = 4.5/sqrt(4.5*5)
+    = 0.9486833, rounded 0.948683."""
+    from bigdata_capstone_spark.operators.evaluation import spearman_rho
+
+    mono = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 90.0)],
+        "a double, b double",
+    )
+    assert spearman_rho(mono, "a", "b").collect()[0]["rho_r"] == 1.0
+
+    rev = spark.createDataFrame(
+        [(1.0, 9.0), (2.0, 7.0), (3.0, 5.0)], "a double, b double"
+    )
+    assert spearman_rho(rev, "a", "b").collect()[0]["rho_r"] == -1.0
+
+    ties = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0)],
+        "a double, b double",
+    )
+    r = ties.transform(lambda d: spearman_rho(d, "a", "b")).collect()[0]
+    assert r["n"] == 4
+    assert abs(r["rho_r"] - 0.948683) < 1e-9
+
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (1.0, 7.0)], "a double, b double"
+    )
+    assert spearman_rho(const, "a", "b").collect()[0]["rho_r"] is None
+
+
+def test_margin_calibration_bands_partition(spark):
+    """Bands partition the input (sum n_docs = corpus), clamp at both
+    edges, and report exact per-band positive rates."""
+    from bigdata_capstone_spark.operators.evaluation import (
+        margin_calibration,
+    )
+
+    rows = [
+        (-99.0, False),  # clamps to band 0
+        (-2.9, False),   # band 0
+        (-1.6, False),   # band 2
+        (-1.4, True),    # band 3
+        (-0.1, True),    # band 5
+        (99.0, True),    # clamps to band 7
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {
+        r["band"]: r
+        for r in margin_calibration(
+            df, "score", "label", lo=-3.0, width=0.5, n_bins=8
+        ).collect()
+    }
+    assert sum(r["n_docs"] for r in out.values()) == len(rows)
+    assert out[0]["n_docs"] == 2 and out[0]["n_pos"] == 0
+    assert out[7]["n_docs"] == 1 and out[7]["pos_rate_r"] == 1.0
+    assert out[3]["pos_rate_r"] == 1.0
+    assert abs(out[0]["avg_margin_r"] - (-50.95)) < 1e-9
+
+
+def test_host_suffix_chain_and_blocklist_semantics(spark):
+    """Suffix chain enumerates every dot-suffix; blocking matches exact
+    domain and subdomains but never sibling or parent-of-listed hosts."""
+    from bigdata_capstone_spark.operators.webingest import (
+        domain_blocklist_filter,
+        host_suffix_chain,
+    )
+
+    chain = (
+        spark.range(1)
+        .select(host_suffix_chain(F.lit("a.b.example.com")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert chain == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+    urls = spark.createDataFrame(
+        [
+            (0, "https://www.bad.com/x"),      # subdomain of listed
+            (1, "https://bad.com/x"),          # exact listed
+            (2, "https://notbad.com/x"),       # sibling: substring, no dot
+            (3, "https://bad.com.evil.org/x"), # listed as NON-suffix label
+            (4, "https://deep.tracker.bad.com/x"),  # deeper subdomain
+        ],
+        "url_id INT, canonical_url STRING",
+    )
+    bl = spark.createDataFrame([("bad.com",)], "domain STRING")
+    got = {
+        r["url_id"]: r["blocked"]
+        for r in domain_blocklist_filter(urls, bl).collect()
+    }
+    assert got == {0: True, 1: True, 2: False, 3: False, 4: True}
