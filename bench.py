@@ -94,6 +94,9 @@ HEADLINE = [
     "embedding_ivfpq_incremental", # frozen-quantizer O(batch) index append
     "warc_text_extraction",        # gzip/WARC/HTTP parse + JVM HTML strip
     "docs_gopher_rules",           # Gopher per-rule quality flags
+    "multimodal_jpeg_features",    # real baseline-JPEG decode (Python kernel)
+    "selection_roc_auc_by_lang",   # grouped AUC via offset prefix sums
+    "bm25_incremental_dfreq",      # shard-mergeable index statistics
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

@@ -2972,6 +2972,77 @@ def bm25_incremental_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_bm25_dfreq",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token, count(DISTINCT doc_id)::BIGINT AS dfc
+    FROM toks GROUP BY token
+    """,
+)
+def streaming_bm25_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the BM25 document-frequency table: the
+    streaming twin of ``bm25_incremental_dfreq``. Documents arrive as
+    micro-batches; each batch's partial df (docs in THIS batch
+    containing the token — one groupBy over the batch's distinct
+    per-doc tokens) folds into the snapshot by ADDITION via
+    merge_upsert, the same mergeable-counts law as the PSI contingency
+    family. The drained table must equal a from-scratch full-corpus
+    recompute — the oracle IS bm25_incremental_dfreq's.
+
+    Scale shape: state is vocabulary-sized (never corpus-sized); each
+    trigger touches O(batch tokens); no history re-scan. This is how a
+    retrieval index's idf stays current under continuous ingest.
+    """
+    import tempfile
+
+    from bigdata_capstone_spark.operators.textops import tokens_col
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot_or_empty,
+        start_aggregate_maintenance,
+    )
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_dfreq_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+        # a document's rows never split across files, so per-batch
+        # distinct (doc, token) pairs are disjoint across batches and
+        # the df counts ADD
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens_col("text"))).alias(
+                "token"
+            ),
+        )
+    )
+    q = start_aggregate_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        key_cols=["token"],
+        partial_aggs=[F.count(F.lit(1)).alias("dfc")],
+        combines={"dfc": lambda t, u: t + u},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_latest_snapshot_or_empty(
+        spark, f"{work}/state", "token STRING, dfc BIGINT"
+    )
+
+
+@register(
     "doc_quality_classifier_nb",
     # Single source of truth for the NB-margin chain: shared_sql
     # (also feeds the selection-evaluation oracles below).
@@ -3070,6 +3141,63 @@ def selection_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     nb = nb_source_margin(docs, curated_sources=("src0", "src1"))
     return roc_auc(nb, "nb_margin_r", "is_curated")
+
+
+@register(
+    "selection_roc_auc_by_lang",
+    oracle="WITH " + NB_MARGIN_CTES + """,
+    lv AS (
+      SELECT d.lang, nb_margin_r AS s,
+             sum(CASE WHEN is_curated THEN 1 ELSE 0 END) AS pos_at,
+             sum(CASE WHEN is_curated THEN 0 ELSE 1 END) AS neg_at
+      FROM nb_scored JOIN documents d USING (doc_id)
+      GROUP BY d.lang, nb_margin_r
+    ),
+    cum AS (
+      SELECT lang, pos_at, neg_at,
+             coalesce(sum(neg_at) OVER (
+                 PARTITION BY lang ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS neg_below
+      FROM lv
+    )
+    SELECT lang, sum(pos_at)::BIGINT AS n_pos,
+           sum(neg_at)::BIGINT AS n_neg,
+           round(CASE WHEN sum(pos_at) > 0 AND sum(neg_at) > 0
+                 THEN sum(pos_at * (2 * neg_below + neg_at))
+                      / (2.0 * sum(pos_at) * sum(neg_at)) END, 6)
+             AS auc_r
+    FROM cum GROUP BY lang
+    """,
+)
+def selection_roc_auc_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language ROC-AUC of the NB curation margin: does the scorer
+    rank curated-vs-rest equally well in every language slice, or does
+    its quality signal only work for the dominant language (the classic
+    failure mode of English-trained quality classifiers applied to a
+    multilingual corpus)? Degenerate slices yield NULL, not a blow-up.
+
+    Scale shape (operators/evaluation.py:roc_auc_by_group): the naive
+    per-group cumulative (window PARTITION BY lang) would put a whole
+    language's level table in one task — fatal under language skew.
+    Instead: ONE global partitioned_prefix_sum over the (lang, score)
+    lexicographic order minus each group's exclusive offset from the
+    tiny per-group totals frame; both passes range-partition parallel.
+    The oracle's PARTITION BY window is the DuckDB-side luxury."""
+    from bigdata_capstone_spark.operators.evaluation import (
+        roc_auc_by_group,
+    )
+    from bigdata_capstone_spark.operators.selection import nb_source_margin
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    nb = nb_source_margin(docs, curated_sources=("src0", "src1"))
+    scored = nb.join(docs.select("doc_id", "lang"), "doc_id")
+    return roc_auc_by_group(
+        scored, "lang", "nb_margin_r", "is_curated"
+    )
 
 
 @register(

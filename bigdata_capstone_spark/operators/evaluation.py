@@ -280,3 +280,74 @@ def spearman_rho(
             6,
         ).alias("rho_r"),
     )
+
+
+def roc_auc_by_group(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group ROC-AUC — one row (group, n_pos, n_neg, auc_r) per
+    group; auc_r is NULL for degenerate groups (no positives or no
+    negatives), not a division blow-up.
+
+    Scale shape: the obvious per-group cumulative (a window PARTITION
+    BY group ORDER BY score) puts each group's ENTIRE level table in
+    one task — fatal when a handful of groups hold most of the corpus
+    (languages do). Instead the within-group cumulative is derived
+    from a single GLOBAL ``partitioned_prefix_sum`` over the (group,
+    score) lexicographic total order minus each group's exclusive
+    offset (the prefix over the tiny per-group totals frame):
+    neg_below(g, s) = global_prefix_excl(g, s) - offset(g). Both
+    prefix passes are range-partition parallel; no task ever sorts
+    more than |levels| / num_partitions rows regardless of skew.
+    """
+    lv = scored.groupBy(
+        F.col(group_col).alias("g"), F.col(score_col).alias("s")
+    ).agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("pos_at"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("neg_at"),
+    )
+    lv = partitioned_prefix_sum(
+        lv,
+        order_by=[F.col("g"), F.col("s")],
+        value=F.col("neg_at"),
+        alias="cum_excl",
+        inclusive=False,
+    )
+    gtot = lv.groupBy("g").agg(F.sum("neg_at").alias("gneg"))
+    gtot = partitioned_prefix_sum(
+        gtot,
+        order_by=[F.col("g")],
+        value=F.col("gneg"),
+        alias="goff",
+        inclusive=False,
+    ).select("g", "goff")
+    # |groups|-sized build side: AQE broadcasts it when it fits.
+    lv = lv.join(gtot, "g").withColumn(
+        "neg_below", F.col("cum_excl") - F.col("goff")
+    )
+    out = lv.groupBy("g").agg(
+        F.sum("pos_at").cast("long").alias("n_pos"),
+        F.sum("neg_at").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos_at")
+            * (2 * F.col("neg_below") + F.col("neg_at"))
+        )
+        .cast("long")
+        .alias("num2"),
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("num2")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            ),
+            6,
+        ).alias("auc_r"),
+    )

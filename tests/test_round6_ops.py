@@ -704,3 +704,55 @@ def test_host_suffix_chain_and_blocklist_semantics(spark):
         for r in domain_blocklist_filter(urls, bl).collect()
     }
     assert got == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
+def test_roc_auc_by_group_matches_global_and_handles_degenerate(spark):
+    """Per-group AUC must equal the single-group global AUC on each
+    slice, and a group with no negatives yields NULL (not a crash or a
+    fake number). Group layout also exercises the offset subtraction:
+    group 'a' is perfect (1.0), 'b' is reversed (0.0), 'c' is
+    all-positive (NULL)."""
+    from bigdata_capstone_spark.operators.evaluation import (
+        roc_auc,
+        roc_auc_by_group,
+    )
+
+    rows = (
+        [("a", 2.0, True), ("a", 1.0, True), ("a", -1.0, False)]
+        + [("b", -5.0, True), ("b", 5.0, False)]
+        + [("c", 1.0, True), ("c", 2.0, True)]
+    )
+    df = spark.createDataFrame(rows, "g string, score double, label boolean")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc_r"])
+        for r in roc_auc_by_group(df, "g", "score", "label").collect()
+    }
+    assert got == {
+        "a": (2, 1, 1.0),
+        "b": (1, 1, 0.0),
+        "c": (2, 0, None),
+    }
+    # each group agrees with the global metric computed on that slice
+    for g in ("a", "b"):
+        solo = roc_auc(
+            df.filter(F.col("g") == g), "score", "label"
+        ).collect()[0]
+        assert (solo["n_pos"], solo["n_neg"], solo["auc_r"]) == got[g]
+
+
+def test_streaming_dfreq_equals_batch_recompute(spark, sf_small):
+    """Draining the documents table through the streaming df
+    maintenance (4 files, 1 per trigger) must reproduce the batch
+    dfreq_table exactly — batch-split independence of the mergeable
+    df counts, the same law the shard-merge test proves."""
+    from bigdata_capstone_spark.catalog import QUERIES
+    from bigdata_capstone_spark.operators.retrieval import dfreq_table
+
+    drained = {
+        r["token"]: r["dfc"]
+        for r in QUERIES["streaming_bm25_dfreq"](spark, sf_small).collect()
+    }
+    docs = load_table(spark, sf_small, "documents")
+    batch = {r["token"]: r["dfc"] for r in dfreq_table(docs).collect()}
+    assert drained == batch
+    assert batch, "fixture corpus should have a vocabulary"
