@@ -315,7 +315,8 @@ def roc_auc_by_group(
         value=F.col("neg_at"),
         alias="cum_excl",
         inclusive=False,
-    )
+    ).cache()  # level-table-sized; feeds the offsets pass AND the main
+    # pass — without it both consumers replay the scorer's full lineage
     gtot = lv.groupBy("g").agg(F.sum("neg_at").alias("gneg"))
     gtot = partitioned_prefix_sum(
         gtot,
