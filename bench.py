@@ -173,6 +173,11 @@ def _regressions_vs_prior(
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
+        # the driver wraps bench output: {"sf": .., "parsed": {"queries"..}}
+        if not isinstance(rec.get("queries"), dict) and isinstance(
+            rec.get("parsed"), dict
+        ):
+            rec = {**rec.get("parsed"), "sf": rec.get("sf", rec["parsed"].get("sf"))}
         if rec.get("sf") == sf and isinstance(rec.get("queries"), dict):
             prior_file, prior_q = os.path.basename(path), rec["queries"]
             break

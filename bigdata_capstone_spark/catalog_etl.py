@@ -3246,6 +3246,134 @@ def selection_margin_calibration(
 
 
 @register(
+    "selection_pr_curve",
+    oracle="WITH " + NB_MARGIN_CTES + """,
+    thr AS (SELECT unnest([-2.5, -2.0, -1.5, -1.0, -0.5,
+                           0.0]::DOUBLE[]) AS thr)
+    SELECT thr,
+           sum(CASE WHEN is_curated AND nb_margin_r > thr
+               THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(CASE WHEN nb_margin_r > thr THEN 1 ELSE 0 END)::BIGINT
+             AS pp,
+           sum(CASE WHEN is_curated THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+           round(CASE WHEN sum(CASE WHEN nb_margin_r > thr
+                                    THEN 1 ELSE 0 END) > 0
+                 THEN sum(CASE WHEN is_curated AND nb_margin_r > thr
+                          THEN 1 ELSE 0 END)
+                      / (sum(CASE WHEN nb_margin_r > thr
+                             THEN 1 ELSE 0 END) * 1.0) END, 6)
+             AS precision_r,
+           round(CASE WHEN sum(CASE WHEN is_curated
+                                    THEN 1 ELSE 0 END) > 0
+                 THEN sum(CASE WHEN is_curated AND nb_margin_r > thr
+                          THEN 1 ELSE 0 END)
+                      / (sum(CASE WHEN is_curated
+                             THEN 1 ELSE 0 END) * 1.0) END, 6)
+             AS recall_r,
+           round(CASE WHEN (sum(CASE WHEN nb_margin_r > thr
+                                     THEN 1 ELSE 0 END)
+                            + sum(CASE WHEN is_curated
+                                  THEN 1 ELSE 0 END)) > 0
+                 THEN (2 * sum(CASE WHEN is_curated AND nb_margin_r > thr
+                               THEN 1 ELSE 0 END))
+                      / ((sum(CASE WHEN nb_margin_r > thr
+                              THEN 1 ELSE 0 END)
+                          + sum(CASE WHEN is_curated
+                                THEN 1 ELSE 0 END)) * 1.0) END, 6)
+             AS f1_r
+    FROM nb_scored CROSS JOIN thr GROUP BY thr
+    """,
+)
+def selection_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 of the NB curation margin at a grid of
+    decision thresholds — the operating-point table that complements
+    the threshold-free AUC (and shows concretely why the prior-driven
+    zero cut-off is useless at small SF: every margin sits below it).
+    F1 uses the integer identity 2·TP/(PP+P).
+
+    Scale shape (operators/evaluation.py:pr_threshold_sweep): the
+    6-row literal threshold grid crossJoins (broadcast) onto the scored
+    frame for ONE shuffle keyed on thr — never a per-threshold pass."""
+    from bigdata_capstone_spark.operators.evaluation import (
+        pr_threshold_sweep,
+    )
+    from bigdata_capstone_spark.operators.selection import nb_source_margin
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    nb = nb_source_margin(docs, curated_sources=("src0", "src1"))
+    return pr_threshold_sweep(nb, "nb_margin_r", "is_curated")
+
+
+@register(
+    "selection_token_chi2",
+    oracle="""
+    WITH lab AS (
+      SELECT (source IN ('src0', 'src1')) AS lab, text FROM documents
+    ),
+    pres AS (
+      SELECT lab,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               x -> x <> ''))) AS token
+      FROM lab
+    ),
+    counts AS (
+      SELECT token,
+             sum(CASE WHEN lab THEN 1 ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN lab THEN 0 ELSE 1 END)::BIGINT AS b
+      FROM pres GROUP BY token
+    ),
+    tot AS (
+      SELECT sum(CASE WHEN (source IN ('src0', 'src1'))
+                 THEN 1 ELSE 0 END)::BIGINT AS n_lab,
+             sum(CASE WHEN (source IN ('src0', 'src1'))
+                 THEN 0 ELSE 1 END)::BIGINT AS n_rest
+      FROM documents
+    ),
+    scored AS (
+      SELECT token, a, b,
+             round(CASE WHEN ((a + b) * 1.0 * ((n_lab - a) + (n_rest - b))
+                              * n_lab * n_rest) > 0
+                   THEN ((n_lab + n_rest) * 1.0)
+                        * ((a * (n_rest - b) - b * (n_lab - a)) * 1.0)
+                        * ((a * (n_rest - b) - b * (n_lab - a)) * 1.0)
+                        / ((a + b) * 1.0 * ((n_lab - a) + (n_rest - b))
+                           * n_lab * n_rest)
+                   END, 6) AS chi2_r,
+             ((a * (n_rest - b) - b * (n_lab - a)) > 0)
+               AS label_enriched
+      FROM counts CROSS JOIN tot
+    )
+    SELECT token, a, b, chi2_r, label_enriched
+    FROM scored ORDER BY chi2_r DESC, token LIMIT 20
+    """,
+)
+def selection_token_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by chi-square association between document-level
+    token presence and the curated label — WHICH words the NB curation
+    split actually hinges on (feature selection / interpretability for
+    the classifier family; Yang & Pedersen 1997's chi-square criterion).
+    label_enriched marks the direction of the lean.
+
+    Scale shape (operators/evaluation.py:token_label_chi2_topk): one
+    explode over per-doc DISTINCT tokens map-side-combines to the
+    vocabulary-sized (a, b) table; doc totals broadcast; det = ad-bc
+    stays exact BIGINT while the 4-way denominator product runs in
+    double (the integer form would overflow past ~55k docs); top-k is
+    a TakeOrdered on (chi2_r DESC, token), never a global sort."""
+    from bigdata_capstone_spark.operators.evaluation import (
+        token_label_chi2_topk,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return token_label_chi2_topk(
+        docs, F.col("source").isin("src0", "src1"), k=20
+    )
+
+
+@register(
     "selection_agreement_kappa",
     oracle="WITH " + DSIR_CTES + """,
     j AS (

@@ -352,3 +352,134 @@ def roc_auc_by_group(
             6,
         ).alias("auc_r"),
     )
+
+
+def pr_threshold_sweep(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: Sequence[float] = (-2.5, -2.0, -1.5, -1.0, -0.5, 0.0),
+) -> DataFrame:
+    """Precision / recall / F1 at each decision threshold — the table
+    that picks an operating point once AUC says the ranking is good.
+    Returns (thr, tp, pp, n_pos, precision_r, recall_r, f1_r); empty
+    prediction sets yield NULL precision, never a blow-up. F1 uses the
+    integer identity 2·TP / (PP + P) so the only doubles are final
+    divisions of exact counts.
+
+    Scale shape: the threshold grid is a literal handful of rows
+    crossJoined (broadcast) onto the scored frame — |thresholds|×|docs|
+    map volume for ONE shuffle keyed on thr; no per-threshold pass."""
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("thr")
+    lab = F.col(label_col)
+    pred = F.col(score_col) > F.col("thr")
+    return (
+        scored.select(F.col(score_col), lab.alias("__lab"), thr)
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("__lab") & pred, 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("pp"),
+            F.sum(F.when(F.col("__lab"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+        )
+        .select(
+            "thr",
+            "tp",
+            "pp",
+            "n_pos",
+            F.round(
+                F.when(F.col("pp") > 0, F.col("tp") / (F.col("pp") * 1.0)),
+                6,
+            ).alias("precision_r"),
+            F.round(
+                F.when(
+                    F.col("n_pos") > 0,
+                    F.col("tp") / (F.col("n_pos") * 1.0),
+                ),
+                6,
+            ).alias("recall_r"),
+            F.round(
+                F.when(
+                    (F.col("pp") + F.col("n_pos")) > 0,
+                    (2 * F.col("tp"))
+                    / ((F.col("pp") + F.col("n_pos")) * 1.0),
+                ),
+                6,
+            ).alias("f1_r"),
+        )
+    )
+
+
+def token_label_chi2_topk(
+    docs: DataFrame,
+    label: Column,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k tokens by chi-square association between document-level
+    token PRESENCE and a boolean document label — which words the
+    curated/rest split actually hinges on (the feature-selection and
+    interpretability companion to the NB scorer). Returns (token, a, b,
+    chi2_r, label_enriched) where a/b are labeled/unlabeled doc counts
+    containing the token and label_enriched says which side the token
+    leans; ordering is (chi2_r DESC, token) — rounded before ranking so
+    ties break identically in any engine.
+
+    Scale shape: one explode over per-doc DISTINCT tokens (presence,
+    not counts) map-side-combines to the vocabulary-sized (a, b) table;
+    doc totals are a scalar broadcast; chi2 is a fixed scalar double
+    expression (the integer n^5 numerator would overflow BIGINT at
+    corpus scale, so ad-bc stays exact in BIGINT and the square happens
+    in double); top-k is a TakeOrdered, never a global sort."""
+    from bigdata_capstone_spark.operators.relational import top_k
+    from bigdata_capstone_spark.operators.textops import tokens_col
+
+    pres = docs.select(
+        label.alias("__lab"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("token"),
+    )
+    counts = pres.groupBy("token").agg(
+        F.sum(F.when(F.col("__lab"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("__lab"), 0).otherwise(1))
+        .cast("long")
+        .alias("b"),
+    )
+    totals = docs.agg(
+        F.sum(F.when(label, 1).otherwise(0)).cast("long").alias("n_lab"),
+        F.sum(F.when(label, 0).otherwise(1)).cast("long").alias("n_rest"),
+    )
+    c = F.col("n_lab") - F.col("a")
+    d = F.col("n_rest") - F.col("b")
+    det = F.col("a") * d - F.col("b") * c  # exact BIGINT (<= n^2)
+    n = (F.col("n_lab") + F.col("n_rest")) * 1.0
+    # double from the first factor on: the BIGINT 4-way product would
+    # overflow past ~55k docs; left-associated double product is the
+    # same fixed expression in both engines
+    denom = (
+        (F.col("a") + F.col("b")) * 1.0
+        * (c + d)
+        * F.col("n_lab")
+        * F.col("n_rest")
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "a",
+        "b",
+        F.round(
+            F.when(denom > 0, n * (det * 1.0) * (det * 1.0) / denom),
+            6,
+        ).alias("chi2_r"),
+        (det > 0).alias("label_enriched"),
+    )
+    return top_k(
+        scored,
+        [F.col("chi2_r").desc(), F.col("token")],
+        k,
+    )

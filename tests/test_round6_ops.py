@@ -756,3 +756,58 @@ def test_streaming_dfreq_equals_batch_recompute(spark, sf_small):
     batch = {r["token"]: r["dfc"] for r in dfreq_table(docs).collect()}
     assert drained == batch
     assert batch, "fixture corpus should have a vocabulary"
+
+
+def test_pr_threshold_sweep_closed_form(spark):
+    """Counts at each threshold are hand-checkable; empty prediction
+    sets yield NULL precision; F1 uses 2TP/(PP+P)."""
+    from bigdata_capstone_spark.operators.evaluation import (
+        pr_threshold_sweep,
+    )
+
+    rows = [(2.0, True), (1.0, True), (0.5, False), (-1.0, False)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {
+        r["thr"]: r
+        for r in pr_threshold_sweep(
+            df, "score", "label", thresholds=(0.0, 1.5, 5.0)
+        ).collect()
+    }
+    r0 = out[0.0]  # preds: 2.0, 1.0, 0.5 -> tp=2, pp=3
+    assert (r0["tp"], r0["pp"], r0["n_pos"]) == (2, 3, 2)
+    assert abs(r0["precision_r"] - round(2 / 3, 6)) < 1e-9
+    assert r0["recall_r"] == 1.0
+    assert abs(r0["f1_r"] - 0.8) < 1e-9  # 2*2/(3+2)
+    r15 = out[1.5]  # preds: 2.0 -> tp=1, pp=1
+    assert (r15["tp"], r15["pp"], r15["precision_r"], r15["recall_r"]) == (
+        1, 1, 1.0, 0.5,
+    )
+    r5 = out[5.0]  # no predictions
+    assert (r5["tp"], r5["pp"], r5["precision_r"]) == (0, 0, None)
+    assert r5["recall_r"] == 0.0
+
+
+def test_token_chi2_perfect_association_and_degenerate(spark):
+    """A token present in exactly the labeled docs scores chi2 = N
+    (perfect 2x2 association); a token present in EVERY doc has a zero
+    marginal and yields NULL, not a division error."""
+    from bigdata_capstone_spark.operators.evaluation import (
+        token_label_chi2_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "foo common", True),
+            (1, "foo common", True),
+            (2, "bar common", False),
+            (3, "bar common", False),
+        ],
+        "doc_id int, text string, lab boolean",
+    )
+    out = {
+        r["token"]: r
+        for r in token_label_chi2_topk(docs, F.col("lab"), k=10).collect()
+    }
+    assert out["foo"]["chi2_r"] == 4.0 and out["foo"]["label_enriched"]
+    assert out["bar"]["chi2_r"] == 4.0 and not out["bar"]["label_enriched"]
+    assert out["common"]["chi2_r"] is None
