@@ -2238,6 +2238,45 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle() -> str:
+    from bigdata_capstone_spark.operators.graph import (
+        label_propagation_unrolled_sql,
+    )
+
+    edges_cte = """
+      SELECT a.i AS src, b.i AS dst
+      FROM range(120) a(i) CROSS JOIN range(120) b(i)
+      WHERE a.i < b.i AND a.i // 20 = b.i // 20
+      UNION ALL
+      SELECT q * 20 + 19 AS src, ((q + 1) % 6) * 20 AS dst
+      FROM range(6) t(q)
+    """
+    return label_propagation_unrolled_sql(edges_cte, rounds=3)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round deterministic label propagation on the ring-of-cliques
+    fixture (6 cliques of 20, single bridge edges): every clique must
+    settle on its minimum node id as the community label — frequency
+    outvotes the bridges, which is exactly what separates COMMUNITIES
+    from the connected COMPONENTS that dedup's closure would produce
+    (one blob). The oracle rebuilds the identical graph from the
+    generative formula and unrolls all three rounds
+    (operators/graph.py:label_propagation_unrolled_sql), so every
+    round's closed-neighborhood vote and min-label tie-break is
+    value-checked. Composes directly with embedding_mutual_knn_edges
+    for semantic-community curation at corpus scale."""
+    from bigdata_capstone_spark.operators.graph import (
+        label_propagation,
+        ring_of_cliques,
+    )
+
+    ensure_utc(spark)
+    edges = ring_of_cliques(spark, n_cliques=6, size=20)
+    return label_propagation(edges, rounds=3)
+
+
 # --------------------------------------------------------------------------
 # Bloom-pruned semi-join: the sketch family used as a JOIN OPTIMIZATION.
 # Build the filter over the SMALL side's keys (one map-side-combinable

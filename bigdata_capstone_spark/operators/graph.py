@@ -111,3 +111,128 @@ def pagerank_unrolled_sql(
             f"GROUP BY e.dst)"
         )
     return ",\n    ".join(parts) + f"\n    SELECT node, rank FROM r{iterations}"
+
+
+def ring_of_cliques(
+    spark, n_cliques: int = 6, size: int = 20
+) -> DataFrame:
+    """Deterministic community fixture: ``n_cliques`` cliques of
+    ``size`` nodes (node i belongs to clique i // size), consecutive
+    cliques joined by ONE bridge edge (last node of q → first node of
+    q+1, ring-closed). The generative formula is replayable in SQL, so
+    a label-propagation oracle can rebuild the identical graph — the
+    synthetic_url_table pattern applied to graphs."""
+    n = n_cliques * size
+    a = spark.range(n).select(F.col("id").alias("src"))
+    b = spark.range(n).select(F.col("id").alias("dst"))
+    intra = a.join(
+        b,
+        (F.col("src") < F.col("dst"))
+        & (F.floor(F.col("src") / size) == F.floor(F.col("dst") / size)),
+    )
+    bridges = (
+        spark.range(n_cliques)
+        .select(
+            (F.col("id") * size + (size - 1)).alias("src"),
+            (((F.col("id") + 1) % n_cliques) * size).alias("dst"),
+        )
+    )
+    return intra.unionByName(bridges)
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected graph given as a one-direction edge list, FIXED rounds,
+    fully deterministic: each round every node adopts the label with
+    the highest frequency in its closed neighborhood (neighbors + its
+    own current label), ties broken by the SMALLEST label. Fixed
+    rounds + deterministic ties let a DuckDB oracle unroll the loop
+    (:func:`label_propagation_unrolled_sql`) — same contract as
+    :func:`pagerank`.
+
+    Communities vs components: connected_components (dedup.py) merges
+    ANYTHING touching; LPA keeps densely-connected groups separate when
+    only sparse bridges join them (frequency outvotes the bridge) —
+    the distinction that matters when near-dup clusters chain through
+    a few boilerplate hubs.
+
+    Returns (node, label). Scale shape: the symmetrized edge list is
+    cached and NEVER re-shuffles; each round is one join (labels onto
+    edge endpoints) + one (node, label) count + one min-by argmax —
+    all map-side-combinable aggregations keyed on the node; the label
+    frame is node-sized. Lineage truncates per round via eager
+    localCheckpoint (the dedup.connected_components O(k^2) lesson).
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        neigh = und.join(
+            labels, und["dst"] == labels["node"]
+        ).select("src", "label")
+        closed = neigh.unionByName(
+            labels.select(F.col("node").alias("src"), "label")
+        )
+        freq = closed.groupBy("src", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            freq.groupBy("src")
+            .agg(
+                F.min_by(
+                    "label",
+                    F.struct(
+                        (-F.col("c")).alias("nc"),
+                        F.col("label").alias("lb"),
+                    ),
+                ).alias("label")
+            )
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_unrolled_sql(
+    edges_cte: str, rounds: int = 3
+) -> str:
+    """DuckDB twin of :func:`label_propagation`: the loop unrolled.
+
+    ``edges_cte`` must define a relation with columns (src, dst)."""
+    parts = [
+        f"WITH edges0 AS ({edges_cte})",
+        "edges AS (SELECT src, dst FROM edges0 "
+        "UNION SELECT dst, src FROM edges0)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"f{i} AS ("
+            f"SELECT src, label, count(*) AS c FROM ("
+            f"SELECT e.src, l.label FROM edges e "
+            f"JOIN l{i - 1} l ON l.node = e.dst "
+            f"UNION ALL SELECT node AS src, label FROM l{i - 1}"
+            f") GROUP BY src, label)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT src, max(c) AS mc FROM f{i} GROUP BY src)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT f.src AS node, min(f.label) AS label "
+            f"FROM f{i} f JOIN m{i} m ON m.src = f.src AND f.c = m.mc "
+            f"GROUP BY f.src)"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT node, label FROM l{rounds}"
+    )

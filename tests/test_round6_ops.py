@@ -811,3 +811,50 @@ def test_token_chi2_perfect_association_and_degenerate(spark):
     assert out["foo"]["chi2_r"] == 4.0 and out["foo"]["label_enriched"]
     assert out["bar"]["chi2_r"] == 4.0 and not out["bar"]["label_enriched"]
     assert out["common"]["chi2_r"] is None
+
+
+def test_label_propagation_communities_not_components(spark):
+    """Two triangles joined by one bridge: LPA must keep them as TWO
+    communities (frequency outvotes the bridge) where the
+    connected-components closure would merge them into one blob —
+    the semantic difference the operator exists for."""
+    from bigdata_capstone_spark.operators.dedup import connected_components
+    from bigdata_capstone_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        ["src", "dst"],
+    )
+    lab = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert lab == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    comp = {
+        r["component"]
+        for r in connected_components(
+            edges.withColumnRenamed("src", "idA").withColumnRenamed(
+                "dst", "idB"
+            )
+        ).collect()
+    }
+    assert comp == {0}  # closure: one blob
+
+
+def test_label_propagation_ring_of_cliques_matches_oracle_shape(spark):
+    """The registered fixture: all six cliques settle on their minimum
+    node id; no cross-clique leakage through the ring bridges."""
+    from bigdata_capstone_spark.operators.graph import (
+        label_propagation,
+        ring_of_cliques,
+    )
+
+    lab = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            ring_of_cliques(spark, n_cliques=6, size=20), rounds=3
+        ).collect()
+    }
+    assert len(lab) == 120
+    for node, label in lab.items():
+        assert label == (node // 20) * 20, (node, label)
