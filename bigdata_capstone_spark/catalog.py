@@ -3037,6 +3037,67 @@ def embedding_mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_knn_edges(g)
 
 
+def _semantic_communities_oracle() -> str:
+    from bigdata_capstone_spark.operators.graph import (
+        label_propagation_ctes,
+    )
+
+    sql = (
+        _knn_graph_cte(6, 2, 64, 5, max_bucket=100)
+        + """,
+    edges0 AS (
+      SELECT g.src, g.dst
+      FROM graph g
+      WHERE g.src < g.dst
+        AND EXISTS (SELECT 1 FROM graph r
+                    WHERE r.src = g.dst AND r.dst = g.src)
+    ),
+    """
+        + label_propagation_ctes(rounds=3)
+        + "\n    SELECT node, label FROM l3"
+    )
+    # DuckDB inlines CTEs: without MATERIALIZED the LSH/re-rank graph
+    # would be rebuilt once per reference (2x in edges0 x 2x in edges
+    # x once per LPA round). Values are unchanged — this is purely the
+    # oracle's own execution plan.
+    for cte in ("graph AS (", "edges0 AS (", "edges AS ("):
+        sql = sql.replace(cte, cte[:-1] + "MATERIALIZED (", 1)
+    return sql
+
+
+@register(
+    "embedding_semantic_communities",
+    oracle=_semantic_communities_oracle(),
+)
+def embedding_semantic_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup-style semantic communities end-to-end: capped-bucket
+    KNN graph → mutual-KNN sparsification (hub pruning) → 3-round
+    deterministic label propagation. LPA — not the connected-components
+    closure — is the right clustering for a near-dup graph whose
+    communities chain through a few boilerplate hubs: frequency
+    outvotes the bridge edges (pinned by
+    test_label_propagation_communities_not_components). The oracle
+    replays the WHOLE composition: LSH buckets, hot-bucket cap,
+    candidate join, exact re-rank, top-k tie-break, mutuality filter,
+    and all three unrolled voting rounds.
+
+    Scale shape: vectors stop moving after the graph build (the edge
+    list is |V|·k, aggregated); each LPA round is one edge-keyed join +
+    two map-side-combinable aggregations on node-sized frames."""
+    from bigdata_capstone_spark.operators.graph import label_propagation
+    from bigdata_capstone_spark.operators.simsearch import (
+        knn_graph,
+        mutual_knn_edges,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    g = knn_graph(emb, dim=64, k=5, n_planes=6, n_tables=2,
+                  max_bucket=100).cache()
+    return label_propagation(mutual_knn_edges(g), rounds=3)
+
+
 # --------------------------------------------------------------------------
 # Window-analytics breadth: distribution ranks (ntile / percent_rank /
 # cume_dist), positional values (first/nth/last over full frames), and a

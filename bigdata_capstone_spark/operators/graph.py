@@ -203,14 +203,11 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return labels
 
 
-def label_propagation_unrolled_sql(
-    edges_cte: str, rounds: int = 3
-) -> str:
-    """DuckDB twin of :func:`label_propagation`: the loop unrolled.
-
-    ``edges_cte`` must define a relation with columns (src, dst)."""
+def label_propagation_ctes(rounds: int = 3) -> str:
+    """Composable CTE fragment (no leading WITH) unrolling the LPA loop;
+    assumes a relation ``edges0(src, dst)`` is already defined by the
+    enclosing chain. Ends in ``l{rounds}(node, label)``."""
     parts = [
-        f"WITH edges0 AS ({edges_cte})",
         "edges AS (SELECT src, dst FROM edges0 "
         "UNION SELECT dst, src FROM edges0)",
         "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
@@ -232,7 +229,17 @@ def label_propagation_unrolled_sql(
             f"FROM f{i} f JOIN m{i} m ON m.src = f.src AND f.c = m.mc "
             f"GROUP BY f.src)"
         )
+    return ",\n    ".join(parts)
+
+
+def label_propagation_unrolled_sql(
+    edges_cte: str, rounds: int = 3
+) -> str:
+    """DuckDB twin of :func:`label_propagation`: the loop unrolled.
+
+    ``edges_cte`` must define a relation with columns (src, dst)."""
     return (
-        ",\n    ".join(parts)
+        f"WITH edges0 AS ({edges_cte}),\n    "
+        + label_propagation_ctes(rounds)
         + f"\n    SELECT node, label FROM l{rounds}"
     )
