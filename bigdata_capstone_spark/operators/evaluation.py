@@ -258,8 +258,15 @@ def spearman_rho(
     Σx² ≤ 4n³, BIGINT-exact to n ≈ 1.3e6 evaluation rows (see module
     docstring).
     """
+    # Each ranking pass reads its input twice (level table + join-back)
+    # and they nest — uncached, the scorer's lineage would replicate 4x
+    # through the plan (observed: 91 scans / 42 sort-merge joins on the
+    # NB x DSIR composition). Both frames are evaluation-set-sized.
+    scored = scored.select(col_a, col_b).cache()
     ranked = _integer_double_ranks(
-        _integer_double_ranks(scored, col_a, "__ra"), col_b, "__rb"
+        _integer_double_ranks(scored, col_a, "__ra").cache(),
+        col_b,
+        "__rb",
     )
     m = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
