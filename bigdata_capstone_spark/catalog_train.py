@@ -453,6 +453,37 @@ def bpe_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_fn(docs, k=3, top_n=512)
 
 
+@register(
+    "bpe_decode_roundtrip",
+    oracle=_bpe_train_ctes(3) + """
+    SELECT w, freq::BIGINT AS freq,
+           len(string_split(substring(s, 2, length(s) - 2),
+                            chr(31) || chr(31)))::INT AS n_tokens,
+           (replace(s, chr(31), '') = w) AS roundtrip_ok
+    FROM v3
+    """,
+)
+def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer losslessness, value-checked per vocabulary word:
+    stripping the symbol separators from the 3-merge BPE encoding must
+    reproduce the original word (detokenize o tokenize = identity) —
+    the invariant that makes token ids a safe storage format for
+    training text. The oracle replays training and the separator-strip
+    decode, so every word's round-trip is verified, and n_tokens pins
+    the segmentation the decode traversed.
+
+    Scale shape (operators/textops.py:bpe_decode_roundtrip): a pure map
+    over the vocabulary frame the training loop already produced —
+    corpus size never appears past the shared training pass."""
+    from bigdata_capstone_spark.operators.textops import (
+        bpe_decode_roundtrip as decode_fn,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_fn(docs, k=3)
+
+
 def _bpe_encode_oracle(k: int, top_n: int) -> str:
     return _bpe_vocab_ctes(k, top_n) + f""",
     dtoks AS (

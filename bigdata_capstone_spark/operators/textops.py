@@ -857,3 +857,34 @@ def zipf_rank_frequency(
             "zipf_slope_r",
         )
     )
+
+
+def bpe_decode_roundtrip(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Detokenize(tokenize(w)) == w for every vocabulary word — the
+    losslessness invariant a tokenizer must hold before anything
+    downstream trusts its ids. BPE merges only ever CONCATENATE
+    adjacent symbols, so stripping the symbol separators from the
+    merged encoding must reproduce the original word exactly; emitting
+    the check per vocabulary row makes any violation point at the
+    offending word rather than a corpus-level boolean.
+
+    Returns (w, freq, n_tokens, roundtrip_ok), one row per vocabulary
+    word. Scale shape: the check runs at the VOCABULARY grain (the
+    corpus collapsed to distinct words during training) — corpus size
+    only affects the one training pass this shares with the other BPE
+    ops; the round-trip itself is a pure map over vocabulary rows."""
+    _, cur = _bpe_train(df, text_col, k)
+    return cur.select(
+        "w",
+        F.col("freq").cast("long").alias("freq"),
+        F.size(
+            F.split(
+                F.expr("substring(s, 2, length(s) - 2)"), BPE_SEP * 2
+            )
+        ).cast("int").alias("n_tokens"),
+        (F.regexp_replace("s", BPE_SEP, "") == F.col("w")).alias(
+            "roundtrip_ok"
+        ),
+    )

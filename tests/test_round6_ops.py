@@ -858,3 +858,18 @@ def test_label_propagation_ring_of_cliques_matches_oracle_shape(spark):
     assert len(lab) == 120
     for node, label in lab.items():
         assert label == (node // 20) * 20, (node, label)
+
+
+def test_bpe_decode_roundtrip_all_words_lossless(spark, sf_small):
+    """Every vocabulary word must round-trip (merges only concatenate);
+    n_tokens must be positive and <= word length."""
+    from bigdata_capstone_spark.operators.textops import (
+        bpe_decode_roundtrip,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    rows = bpe_decode_roundtrip(docs, k=3).collect()
+    assert rows
+    for r in rows:
+        assert r["roundtrip_ok"], r["w"]
+        assert 1 <= r["n_tokens"] <= len(r["w"]), (r["w"], r["n_tokens"])
