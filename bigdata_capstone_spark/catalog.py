@@ -1364,7 +1364,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _multimodal_png_oracle(n: int = 16, seed: int = 42) -> str:
+def _multimodal_png_oracle(
+    n: int = 16, seed: int = 42, gray: bool = False
+) -> str:
     """DuckDB replay of synthetic_png_assets + the REAL PNG kernel: the
     fixture pixels are md5-derived (identical to the PPM fixture), so
     the oracle re-derives every RGB byte and the exact float expressions
@@ -1374,7 +1376,17 @@ def _multimodal_png_oracle(n: int = 16, seed: int = 42) -> str:
     a single byte wrong, a first/last/mean/gray stat moves and the hash
     mismatches. RGBA assets (odd ids) prove alpha is dropped, not
     composited."""
-    md = f"md5('{seed}:' || aid || ':' || p)"
+    if gray:
+        # grayscale fixture: one md5 byte expanded to (g, g, g)
+        md = f"md5('{seed}:g:' || aid || ':' || p)"
+        rgb = f"""('0x' || substr({md}, 1, 2))::INT AS r,
+             ('0x' || substr({md}, 1, 2))::INT AS g,
+             ('0x' || substr({md}, 1, 2))::INT AS b"""
+    else:
+        md = f"md5('{seed}:' || aid || ':' || p)"
+        rgb = f"""('0x' || substr({md}, 1, 2))::INT AS r,
+             ('0x' || substr({md}, 3, 2))::INT AS g,
+             ('0x' || substr({md}, 5, 2))::INT AS b"""
     return f"""
     WITH ids AS (SELECT unnest(range({n})) AS i),
     meta AS (
@@ -1387,9 +1399,7 @@ def _multimodal_png_oracle(n: int = 16, seed: int = 42) -> str:
     ),
     px AS (
       SELECT aid, w, h, p,
-             ('0x' || substr({md}, 1, 2))::INT AS r,
-             ('0x' || substr({md}, 3, 2))::INT AS g,
-             ('0x' || substr({md}, 5, 2))::INT AS b
+             {rgb}
       FROM pos
     ),
     stats AS (
@@ -1429,7 +1439,12 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     assets = synthetic_png_assets(spark, n=16, seed=42)
-    feats = extract_features(assets, decoder="strict")
+    return _px_stats_select(extract_features(assets, decoder="strict"))
+
+
+def _px_stats_select(feats: DataFrame) -> DataFrame:
+    """Shared oracle-facing projection of the strict decoders' pixel
+    stats (dims, channel mean, first/last pixel, gray mean, count)."""
 
     def f(idx: int):  # 1-based element_at; widen float32 → double first
         return F.round(F.element_at("features", idx).cast("double"), 6)
@@ -1448,6 +1463,51 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         f(14).alias("mean_gray_r"),
         F.element_at("features", 16).cast("long").alias("n_px"),
     )
+
+
+@register(
+    "multimodal_png_palette_features",
+    oracle=_multimodal_png_oracle(12, 42),
+)
+def multimodal_png_palette_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Palette (color type 3) PNG decode through the same strict
+    kernel: indexes unfilter like any 1-byte-per-pixel raster, then
+    resolve through PLTE. The fixture's palette holds the SAME
+    md5-derived pixels as the truecolor/PPM twins, so the oracle (and
+    the cross-container parity test) value-check the lookup path
+    bit-for-bit — the dominant real-world PNG variant for icons and
+    charts, decoded with zero new dependencies."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        synthetic_png_palette_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_png_palette_assets(spark, n=12, seed=42)
+    return _px_stats_select(extract_features(assets, decoder="strict"))
+
+
+@register(
+    "multimodal_png_gray_features",
+    oracle=_multimodal_png_oracle(12, 42, gray=True),
+)
+def multimodal_png_gray_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grayscale (color type 0) PNG decode: single-byte pixels expand
+    to (g, g, g) — so mean_r must equal mean_gray and first/last
+    channels agree, which the md5-replaying oracle checks value-for-
+    value alongside the unfilter arithmetic over 1-byte strides."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        synthetic_png_gray_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_png_gray_assets(spark, n=12, seed=42)
+    return _px_stats_select(extract_features(assets, decoder="strict"))
 
 
 @register("multimodal_gif_features", oracle=_multimodal_png_oracle())
@@ -1929,6 +1989,54 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.min("url_id").alias("first_url_id"),
     )
+
+
+@register(
+    "robots_frontier_filter",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(80)) AS uid),
+    m AS (SELECT uid, uid // 16 AS k, (uid // 4) % 4 AS kind,
+                 uid % 4 AS i
+          FROM ids)
+    SELECT uid::INT AS url_id,
+           'https://www.example' || k || '.com' ||
+             CASE kind WHEN 0 THEN '/private' || k || '/secret' || i
+                       WHEN 1 THEN '/private' || k || '/public/page' || i
+                       WHEN 2 THEN '/tmp/cache' || i
+                       ELSE '/docs/page' || i END AS url,
+           (kind = 1 OR kind = 3) AS allowed,
+           CASE kind WHEN 0 THEN '/private' || k || '/'
+                     WHEN 1 THEN '/private' || k || '/public/'
+                     WHEN 2 THEN '/tmp/' END AS matched_prefix
+    FROM m
+    """,
+)
+def robots_frontier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt enforcement over a crawl frontier with longest-match
+    (RFC 9309) semantics: Allow/Disallow lines parsed per domain, the
+    longest matching prefix decides, an Allow carves a public subtree
+    back out of a Disallowed directory (the precedence case first-match
+    parsers get wrong), unruled paths pass. The fixture regenerates
+    both the robots files and the frontier from formulas, so the
+    parser, the precedence logic, and the matched prefix are all
+    value-checked.
+
+    Scale shape (operators/webingest.py:robots_filter): rules are
+    KB-sized per domain → equi-join on the domain key with startswith
+    as a post-join predicate over that domain's handful of rules
+    (broadcast at any frontier size); winner = one max_by struct
+    aggregate keyed on the URL. The frontier never enters a LIKE
+    theta-join."""
+    from bigdata_capstone_spark.operators.webingest import (
+        parse_robots,
+        robots_filter,
+        synthetic_crawl_frontier,
+        synthetic_robots_table,
+    )
+
+    urls = synthetic_crawl_frontier(spark, n_domains=5, per_kind=4)
+    rules = parse_robots(synthetic_robots_table(spark, n_domains=5))
+    return robots_filter(urls, rules)
 
 
 @register(

@@ -2972,6 +2972,73 @@ def bm25_incremental_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_recrawl_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+               AS text
+      FROM documents WHERE doc_id >= 50
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             'new crawl doc ' || doc_id::VARCHAR AS text
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.text IS NOT DISTINCT FROM v2.text
+                  THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    """,
+)
+def corpus_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl diff: classify every document across two corpus
+    versions as added / removed / changed / unchanged by content
+    compare — the incremental-ingest primitive that decides which
+    documents re-enter the dedup/quality/tokenize pipeline after a new
+    crawl (everything 'unchanged' skips recomputation entirely). The
+    second version is derived deterministically (head trimmed, every
+    7th doc revised, 30 new arrivals) so the oracle replays the whole
+    classification.
+
+    Scale shape (operators/reconcile.py:snapshot_diff): ONE full-outer
+    join keyed on doc_id; the compare is a narrow JVM expression. At
+    crawl scale both sides hash-partition on the key once — and the
+    'changed' set this emits is exactly the O(delta) input the
+    incremental twins (bm25 df, IVF-PQ encode) consume."""
+    from bigdata_capstone_spark.operators.reconcile import snapshot_diff
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") >= 50)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(
+                    F.lit("new crawl doc "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(v1, v2, on=["doc_id"], compare_cols=["text"])
+
+
+@register(
     "streaming_bm25_dfreq",
     oracle="""
     WITH toks AS (
@@ -3039,6 +3106,75 @@ def streaming_bm25_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return read_latest_snapshot_or_empty(
         spark, f"{work}/state", "token STRING, dfc BIGINT"
+    )
+
+
+@register(
+    "bm25_delta_dfreq",
+    oracle="""
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+               AS text
+      FROM documents WHERE doc_id >= 50
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             'new crawl doc ' || doc_id::VARCHAR AS text
+      FROM documents WHERE doc_id < 30
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM v2
+    )
+    SELECT token, count(DISTINCT doc_id)::BIGINT AS dfc
+    FROM toks GROUP BY token
+    """,
+)
+def bm25_delta_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance under UPDATES and DELETES — the half of
+    incremental ingest that append-only merges can't cover: starting
+    from the v1 corpus's df table, apply the re-crawl delta (the same
+    v2 derivation as ``corpus_recrawl_diff``: head removed, every 7th
+    doc revised, 30 arrivals) as df(v1) − df(leaving) + df(arriving),
+    with zero-count tokens dropping out. The oracle recomputes df over
+    v2 FROM SCRATCH: delta-maintained must equal recomputed exactly —
+    the group-under-addition law that makes a BM25 index updatable in
+    O(delta) at 100 TB, composed with the diff that finds the delta.
+
+    Scale shape (operators/retrieval.py:apply_dfreq_delta): three
+    vocabulary-sized frames union + one re-aggregate on the token key;
+    the corpus is scanned only for the delta slices."""
+    from bigdata_capstone_spark.operators.retrieval import (
+        apply_dfreq_delta,
+        dfreq_table,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", "text")
+    changed_new = (
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") % 7 == 0))
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" rev2")).alias("text"),
+        )
+    )
+    arrivals = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("new crawl doc "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    leaving = v1.filter(
+        (F.col("doc_id") < 50)
+        | ((F.col("doc_id") >= 50) & (F.col("doc_id") % 7 == 0))
+    )
+    return apply_dfreq_delta(
+        dfreq_table(v1),
+        dfreq_table(leaving),
+        dfreq_table(changed_new.unionByName(arrivals)),
     )
 
 

@@ -730,6 +730,83 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_fair_budget_allocation",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    sup AS (
+      SELECT source AS src, count(*)::BIGINT AS sup
+      FROM toks GROUP BY source
+    ),
+    bud AS (
+      SELECT floor(sum(sup) * 0.6)::BIGINT AS b,
+             count(*)::BIGINT AS n
+      FROM sup
+    ),
+    ordered AS (
+      SELECT src, sup,
+             coalesce(sum(sup) OVER (
+                 ORDER BY sup, src
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS cum_excl,
+             row_number() OVER (ORDER BY sup, src)::BIGINT AS idx
+      FROM sup
+    ),
+    lvl AS (
+      SELECT o.src, o.sup, o.idx,
+             (b - cum_excl) / (n - idx + 1.0) AS li
+      FROM ordered o CROSS JOIN bud
+    ),
+    sat AS (
+      SELECT min_by(li, idx) AS L FROM lvl WHERE li <= sup * 1.0
+    )
+    SELECT src AS source, sup AS supply,
+           round(CASE WHEN L IS NULL THEN sup * 1.0
+                 ELSE least(sup * 1.0, L) END, 6) AS alloc_r,
+           (L IS NOT NULL AND sup * 1.0 > L) AS saturated
+    FROM lvl CROSS JOIN sat
+    """,
+)
+def docs_fair_budget_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Max-min fair (water-filling) token-budget division across
+    sources: spend 60% of the corpus's tokens so that no source is
+    favored — big sources clip at the unique water level L, small ones
+    keep everything. This is the exact-fairness dial the cap/
+    temperature heuristics approximate: `docs_source_cap` picks its
+    cutoff by fiat, water-filling derives the one level that exactly
+    spends the budget. The oracle replays supply counting, the
+    exclusive-prefix bracket search, and the level arithmetic.
+
+    Scale shape (operators/selection.py:fair_budget_allocation): supply
+    prefix + rank come from partitioned_prefix_sum /
+    partitioned_row_number over the |sources| frame (no single-task
+    sort at a million domains — the oracle's bare ORDER BY windows are
+    DuckDB-side only); the bracket search is filter + min_by; the level
+    broadcasts back as a scalar."""
+    from bigdata_capstone_spark.operators.selection import (
+        fair_budget_allocation,
+    )
+    from bigdata_capstone_spark.operators.textops import tokens_col
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sup = (
+        docs.select(
+            "source", F.explode(tokens_col("text")).alias("token")
+        )
+        .groupBy(F.col("source").alias("src"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+    )
+    return fair_budget_allocation(sup, budget_frac=0.6)
+
+
 def _token_budget_oracle(budget: int) -> str:
     from bigdata_capstone_spark.catalog import ORACLE_SQL
 

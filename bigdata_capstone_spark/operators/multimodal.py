@@ -189,18 +189,20 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _png_features(data: bytes) -> list[float]:
-    """REAL image decode: 8-bit RGB/RGBA non-interlaced PNG — the first
-    COMPRESSED real-world format in the strict trio's lineage, decodable
-    with zero new dependencies because PNG's only compression is DEFLATE
-    (stdlib ``zlib``) plus five per-scanline byte filters (None/Sub/Up/
-    Average/Paeth, RFC 2083) unfiltered here by hand. Alpha is dropped
-    (not composited) for RGBA so the same pixels in PNG, PPM, or BMP
-    yield the identical feature vector (asserted in tests). Palette,
-    grayscale, 16-bit, and Adam7-interlaced PNGs still raise — honest
-    unsupported-codec boundaries, same policy as BMP's bpp gate."""
+    """REAL image decode: 8-bit grayscale/truecolor/palette (color
+    types 0/2/3/6) non-interlaced PNG — the first COMPRESSED real-world
+    format in the strict trio's lineage, decodable with zero new
+    dependencies because PNG's only compression is DEFLATE (stdlib
+    ``zlib``) plus five per-scanline byte filters (None/Sub/Up/Average/
+    Paeth, RFC 2083) unfiltered here by hand. Alpha is dropped (not
+    composited) for RGBA so the same pixels in PNG, PPM, or BMP yield
+    the identical feature vector (asserted in tests); palette pixels
+    resolve through PLTE, gray expands to (g, g, g). 16-bit and
+    Adam7-interlaced PNGs still raise — honest unsupported-codec
+    boundaries, same policy as BMP's bpp gate."""
     if not data.startswith(b"\x89PNG\r\n\x1a\n"):
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 8 <= len(data):
         ln = int.from_bytes(data[pos : pos + 4], "big")
         ctype = data[pos + 4 : pos + 8]
@@ -209,6 +211,8 @@ def _png_features(data: bytes) -> list[float]:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -219,12 +223,15 @@ def _png_features(data: bytes) -> list[float]:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
-    if bit_depth != 8 or color_type not in (2, 6):
+    if bit_depth != 8 or color_type not in (0, 2, 3, 6):
         raise NotImplementedError(
-            f"only 8-bit truecolor PNG supported (bit_depth={bit_depth}, "
-            f"color_type={color_type}); palette/gray/16-bit need a real "
-            "codec library"
+            f"only 8-bit gray/truecolor/palette PNG supported "
+            f"(bit_depth={bit_depth}, color_type={color_type}); "
+            "16-bit and gray+alpha need a real codec library"
         )
+    if color_type == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
+            raise ValueError("palette PNG missing/malformed PLTE chunk")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG unsupported")
     if compression != 0 or filter_method != 0:
@@ -238,7 +245,7 @@ def _png_features(data: bytes) -> list[float]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    ch = 3 if color_type == 2 else 4
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("truncated PNG raster")
@@ -266,9 +273,23 @@ def _png_features(data: bytes) -> list[float]:
         elif ft != 0:
             raise ValueError(f"unknown PNG filter type {ft}")
         for p in range(w):
-            pixels.append(
-                (line[p * ch], line[p * ch + 1], line[p * ch + 2])
-            )
+            if color_type == 0:
+                g = line[p]
+                pixels.append((g, g, g))
+            elif color_type == 3:
+                idx = line[p]
+                if idx * 3 + 2 >= len(plte):
+                    raise ValueError(
+                        f"palette index {idx} out of range "
+                        f"({len(plte) // 3} PLTE entries)"
+                    )
+                pixels.append(
+                    (plte[idx * 3], plte[idx * 3 + 1], plte[idx * 3 + 2])
+                )
+            else:
+                pixels.append(
+                    (line[p * ch], line[p * ch + 1], line[p * ch + 2])
+                )
         prior = bytes(line)
     return _pixel_features(w, h, pixels)
 
@@ -1038,6 +1059,117 @@ def synthetic_png_assets(
             + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(out)))
             + chunk(b"IEND", b"")
+        )
+        rows.append((i, bytearray(blob), "image/png", w, h, None))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + zlib.crc32(ctype + body).to_bytes(4, "big")
+    )
+
+
+def _png_filter_rows(
+    raster: list[bytes], stride: int, ch: int
+) -> bytearray:
+    """Apply the per-row filter cycle (row % 5) used by every PNG
+    fixture, returning the filtered raster ready for DEFLATE."""
+    prior = bytes(stride)
+    out = bytearray()
+    for row, line in enumerate(raster):
+        ft = row % 5
+        out.append(ft)
+        if ft == 0:
+            out += line
+        elif ft == 1:
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                out.append((line[x] - left) & 0xFF)
+        elif ft == 2:
+            for x in range(stride):
+                out.append((line[x] - prior[x]) & 0xFF)
+        elif ft == 3:
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                out.append((line[x] - ((left + prior[x]) >> 1)) & 0xFF)
+        else:
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                c = prior[x - ch] if x >= ch else 0
+                out.append((line[x] - _paeth(a, prior[x], c)) & 0xFF)
+        prior = bytes(line)
+    return out
+
+
+def synthetic_png_palette_assets(
+    spark: SparkSession, n: int = 12, seed: int = 42
+) -> DataFrame:
+    """Palette (color type 3) PNGs with the SAME md5-derived pixels as
+    :func:`synthetic_ppm_assets`: the PLTE is the image's pixels in
+    raster order (fixture dims keep w·h ≤ 48 < 256, so index == pixel
+    position) — a full exercise of the palette-lookup decode path whose
+    features must equal the truecolor/PPM twins bit-for-bit. Scanline
+    filters cycle per row exactly like the truecolor fixture, now over
+    1-byte-per-pixel index rows."""
+    rows = []
+    for i in range(n):
+        w, h = 4 + i % 5, 3 + i % 4
+        px = [
+            hashlib.md5(f"{seed}:{i}:{p}".encode()).digest()[:3]
+            for p in range(w * h)
+        ]
+        plte = b"".join(px)
+        raster = [
+            bytes(range(row * w, (row + 1) * w)) for row in range(h)
+        ]
+        out = _png_filter_rows(raster, w, 1)
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes((8, 3, 0, 0, 0))
+        )
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b"")
+        )
+        rows.append((i, bytearray(blob), "image/png", w, h, None))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def synthetic_png_gray_assets(
+    spark: SparkSession, n: int = 12, seed: int = 42
+) -> DataFrame:
+    """Grayscale (color type 0) PNGs: pixel p of asset i is the single
+    byte md5("{seed}:g:{i}:{p}")[0], which the decoder must expand to
+    (g, g, g); filters cycle per row over the 1-byte-per-pixel rows."""
+    rows = []
+    for i in range(n):
+        w, h = 4 + i % 5, 3 + i % 4
+        gs = [
+            hashlib.md5(f"{seed}:g:{i}:{p}".encode()).digest()[0]
+            for p in range(w * h)
+        ]
+        raster = [
+            bytes(gs[row * w : (row + 1) * w]) for row in range(h)
+        ]
+        out = _png_filter_rows(raster, w, 1)
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes((8, 0, 0, 0, 0))
+        )
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b"")
         )
         rows.append((i, bytearray(blob), "image/png", w, h, None))
     return spark.createDataFrame(rows, ASSET_SCHEMA)

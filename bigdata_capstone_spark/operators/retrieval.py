@@ -194,3 +194,26 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select("query_doc", "doc_id", "n_terms", "bm25_r", "rk")
     )
+
+
+def apply_dfreq_delta(
+    base: DataFrame, removed: DataFrame, added: DataFrame
+) -> DataFrame:
+    """Maintain a document-frequency table under UPDATES and DELETES,
+    not just appends: df(v2) = df(v1) - df(docs leaving) + df(docs
+    arriving), where a changed document leaves with its OLD text and
+    arrives with its NEW text. Counts over disjoint doc sets form a
+    group under addition — the removal side merges with negated
+    counts, and tokens whose df reaches zero drop out entirely
+    (matching a from-scratch recompute bit-for-bit).
+
+    ``removed``/``added`` are (token, dfc) frames from
+    :func:`dfreq_table` over the leaving/arriving document slices.
+    Scale: the merge is a union + re-aggregate on vocabulary-sized
+    frames — O(delta vocabulary), never a corpus re-scan; composed
+    with the re-crawl diff (corpus_recrawl_diff) this is the whole
+    incremental-ingest index path."""
+    neg = removed.select(
+        "token", (-F.col("dfc")).cast("long").alias("dfc")
+    )
+    return merge_dfreq(base, neg, added).filter(F.col("dfc") > 0)

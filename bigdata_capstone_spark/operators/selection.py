@@ -218,3 +218,78 @@ def dsir_log_weights(
         )
         .withColumn("selected", F.col("dsir_logratio_r") > 0)
     )
+
+
+def fair_budget_allocation(
+    supplies: DataFrame,
+    budget_frac: float = 0.6,
+    key_col: str = "src",
+    supply_col: str = "sup",
+) -> DataFrame:
+    """Max-min fair (water-filling) division of a token budget across
+    sources: every source gets min(its supply, L) where the water level
+    L is the unique value making the allocations sum to the budget —
+    the exact-fairness dial the temperature/cap heuristics approximate
+    (caps pick the cutoff per source by fiat; water-filling derives the
+    one level that spends the budget with no source favored).
+
+    Returns (source, supply, alloc_r, saturated): ``saturated`` sources
+    are CLIPPED at the water level (supply > L); the rest sit below the
+    line and keep their full supply. When the budget covers total
+    supply there is no level and every source keeps its supply,
+    saturated = false.
+
+    Scale shape: the closed form needs each source's EXCLUSIVE prefix
+    of the supply-sorted order — ``partitioned_prefix_sum`` +
+    ``partitioned_row_number`` over the |sources| frame (no
+    single-task sort even at millions of domains); the bracket search
+    L_i = (B - prefix_i) / remaining_i <= sup_i is a filter + min_by,
+    and the level broadcasts back as a scalar. All counts BIGINT; L is
+    the only double, produced by one fixed expression.
+    """
+    from bigdata_capstone_spark.operators.relational import (
+        partitioned_prefix_sum,
+        partitioned_row_number,
+    )
+
+    sup = supplies.select(
+        F.col(key_col).alias("src"), F.col(supply_col).alias("sup")
+    )
+    tot = sup.agg(
+        F.sum("sup").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        F.floor(F.col("total") * budget_frac).cast("long").alias("b"),
+        "n",
+    )
+    ordered = partitioned_prefix_sum(
+        sup,
+        order_by=[F.col("sup"), F.col("src")],
+        value=F.col("sup"),
+        alias="cum_excl",
+        inclusive=False,
+    )
+    ordered = partitioned_row_number(
+        ordered, order_by=[F.col("sup"), F.col("src")], alias="idx"
+    )
+    lvl = ordered.crossJoin(F.broadcast(tot)).withColumn(
+        "li",
+        (F.col("b") - F.col("cum_excl"))
+        / (F.col("n") - F.col("idx") + 1.0),
+    ).cache()  # two consumers: bracket search + final allocation
+    sat = lvl.filter(F.col("li") <= F.col("sup") * 1.0).agg(
+        F.min_by("li", F.col("idx")).alias("L")
+    )
+    return lvl.crossJoin(F.broadcast(sat)).select(
+        F.col("src").alias("source"),
+        F.col("sup").alias("supply"),
+        F.round(
+            F.when(F.col("L").isNull(), F.col("sup") * 1.0).otherwise(
+                F.least(F.col("sup") * 1.0, F.col("L"))
+            ),
+            6,
+        ).alias("alloc_r"),
+        (F.col("L").isNotNull() & (F.col("sup") * 1.0 > F.col("L"))).alias(
+            "saturated"
+        ),
+    )

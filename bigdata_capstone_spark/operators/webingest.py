@@ -359,3 +359,126 @@ def domain_blocklist_filter(
         .withColumn("blocked", F.col("__hit").isNotNull())
         .drop("__hit")
     )
+
+
+def synthetic_robots_table(
+    spark: SparkSession, n_domains: int = 5
+) -> DataFrame:
+    """(domain, robots_txt) fixture: each domain's robots.txt is built
+    from the generative formula — a directory disallow, a global /tmp/
+    disallow, and a LONGER allow carving a public subtree back out of
+    the disallowed directory (the rule-precedence case that separates
+    longest-match semantics from first-match)."""
+    rows = []
+    for k in range(n_domains):
+        txt = (
+            "User-agent: *\n"
+            f"Disallow: /private{k}/\n"
+            "Disallow: /tmp/\n"
+            f"Allow: /private{k}/public/\n"
+            "Crawl-delay: 5\n"
+        )
+        rows.append((f"www.example{k}.com", txt))
+    return spark.createDataFrame(rows, "domain STRING, robots_txt STRING")
+
+
+def synthetic_crawl_frontier(
+    spark: SparkSession, n_domains: int = 5, per_kind: int = 4
+) -> DataFrame:
+    """(url_id, url) frontier fixture: per domain, URLs in the
+    disallowed directory, in its allowed public subtree, under the
+    global /tmp/ disallow, and on an unruled path — every precedence
+    branch of the robots decision, all regenerable from the formula.
+    url_id = ((domain*4 + kind) * per_kind) + i."""
+    kinds = [
+        "/private{k}/secret{i}",
+        "/private{k}/public/page{i}",
+        "/tmp/cache{i}",
+        "/docs/page{i}",
+    ]
+    rows = []
+    for k in range(n_domains):
+        for kind, pat in enumerate(kinds):
+            for i in range(per_kind):
+                rows.append(
+                    (
+                        (k * 4 + kind) * per_kind + i,
+                        f"https://www.example{k}.com"
+                        + pat.format(k=k, i=i),
+                    )
+                )
+    return spark.createDataFrame(rows, "url_id INT, url STRING")
+
+
+def parse_robots(robots: DataFrame) -> DataFrame:
+    """robots.txt → (domain, rule, prefix) for the ``*`` user-agent:
+    Allow/Disallow lines split and trimmed, empty prefixes dropped
+    (an empty Disallow permits everything — no rule needed), other
+    directives (Crawl-delay, Sitemap, User-agent) ignored. Pure JVM
+    string work; a robots file is KB-sized, so the rules relation is
+    |domains|·|rules| tiny regardless of frontier size."""
+    line = F.explode(F.split(F.col("robots_txt"), "\n")).alias("line")
+    lines = robots.select("domain", line)
+    rule = F.lower(F.trim(F.regexp_extract("line", r"^([A-Za-z-]+):", 1)))
+    prefix = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+:(.*)$", 1))
+    return (
+        lines.select("domain", rule.alias("rule"), prefix.alias("prefix"))
+        .filter(F.col("rule").isin("allow", "disallow"))
+        .filter(F.col("prefix") != "")
+    )
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Longest-match robots decision per URL (the Google/RFC 9309
+    semantics): among the domain's rules whose prefix starts the URL's
+    path, the LONGEST prefix wins; a length tie goes to allow; no
+    matching rule means allowed. Returns
+    (url_id, url, allowed, matched_prefix — NULL when unruled).
+
+    Scale shape: the rules relation is tiny (robots files are KB), so
+    the join is an equi-join on the domain key with the startswith
+    check as a post-join predicate over that domain's handful of rules
+    — broadcast at any frontier size; the winner is one
+    max_by(struct(len, is_allow, prefix)) aggregate keyed on the URL.
+    No LIKE theta-join against the frontier ever plans."""
+    host = F.regexp_extract("url", r"^[^:]+://([^/?#:]+)", 1)
+    path = F.regexp_extract("url", r"^[^:]+://[^/?#]+([^?#]*)", 1)
+    u = urls.select(
+        "url_id",
+        "url",
+        host.alias("domain"),
+        F.when(path == "", F.lit("/")).otherwise(path).alias("path"),
+    )
+    cand = u.join(F.broadcast(rules), "domain", "left").withColumn(
+        "hit",
+        F.col("prefix").isNotNull()
+        & F.col("path").startswith(F.col("prefix")),
+    )
+    win = F.max_by(
+        F.struct(
+            (F.col("rule") == "allow").alias("is_allow"),
+            F.col("prefix").alias("p"),
+        ),
+        F.when(
+            F.col("hit"),
+            F.struct(
+                F.length("prefix").alias("ln"),
+                (F.col("rule") == "allow").cast("int").alias("ia"),
+                F.col("prefix").alias("pf"),
+            ),
+        ),
+    )
+    agg = cand.groupBy("url_id", "url").agg(
+        win.alias("w"),
+        F.max(F.when(F.col("hit"), 1).otherwise(0)).alias("any_hit"),
+    )
+    return agg.select(
+        "url_id",
+        "url",
+        F.when(F.col("any_hit") == 0, F.lit(True))
+        .otherwise(F.col("w.is_allow"))
+        .alias("allowed"),
+        F.when(F.col("any_hit") == 1, F.col("w.p")).alias(
+            "matched_prefix"
+        ),
+    )

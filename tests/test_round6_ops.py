@@ -84,8 +84,10 @@ def test_png_decode_matches_ppm_and_value_checks(spark):
 
 
 def test_png_unsupported_variants_raise():
-    """Palette/gray/16-bit/interlaced PNGs and corrupt streams raise the
-    honest errors the strict contract promises — never a fake vector."""
+    """Gray+alpha/16-bit/interlaced PNGs and corrupt streams raise the
+    honest errors the strict contract promises — never a fake vector;
+    palette and grayscale (now supported) decode, and a palette image
+    with no PLTE is malformed, not unsupported."""
     import zlib
 
     import pytest
@@ -98,23 +100,40 @@ def test_png_unsupported_variants_raise():
             + zlib.crc32(ctype + body).to_bytes(4, "big")
         )
 
-    def png(bit_depth=8, color_type=2, interlace=0, idat=None, w=1, h=1):
+    def png(bit_depth=8, color_type=2, interlace=0, idat=None, w=1, h=1,
+            plte=None):
         ihdr = (
             w.to_bytes(4, "big") + h.to_bytes(4, "big")
             + bytes((bit_depth, color_type, 0, 0, interlace))
         )
         if idat is None:
             idat = zlib.compress(b"\x00" + b"\x01\x02\x03" * w * h)
-        return (
-            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
-        )
+        blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            blob += chunk(b"PLTE", plte)
+        return blob + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
     assert DECODERS["strict"](png())[15] == 1.0  # 1x1 RGB decodes
+    pal = DECODERS["strict"](png(  # 1x1 palette decodes through PLTE
+        color_type=3, plte=b"\x09\x08\x07",
+        idat=zlib.compress(b"\x00\x00"),
+    ))
+    assert [round(v * 255) for v in pal[5:8]] == [9, 8, 7]
+    gray = DECODERS["strict"](png(  # 1x1 grayscale expands to (g,g,g)
+        color_type=0, idat=zlib.compress(b"\x00\x2a"),
+    ))
+    assert [round(v * 255) for v in gray[5:8]] == [42, 42, 42]
+    with pytest.raises(ValueError):  # palette image without PLTE
+        DECODERS["strict"](
+            png(color_type=3, idat=zlib.compress(b"\x00\x00"))
+        )
+    with pytest.raises(ValueError):  # palette index past PLTE end
+        DECODERS["strict"](png(
+            color_type=3, plte=b"\x09\x08\x07",
+            idat=zlib.compress(b"\x00\x05"),
+        ))
     with pytest.raises(NotImplementedError):
-        DECODERS["strict"](png(color_type=3))  # palette
-    with pytest.raises(NotImplementedError):
-        DECODERS["strict"](png(color_type=0))  # grayscale
+        DECODERS["strict"](png(color_type=4))  # gray+alpha
     with pytest.raises(NotImplementedError):
         DECODERS["strict"](png(bit_depth=16))
     with pytest.raises(NotImplementedError):
@@ -873,3 +892,128 @@ def test_bpe_decode_roundtrip_all_words_lossless(spark, sf_small):
     for r in rows:
         assert r["roundtrip_ok"], r["w"]
         assert 1 <= r["n_tokens"] <= len(r["w"]), (r["w"], r["n_tokens"])
+
+
+def test_fair_budget_allocation_waterfill_invariants(spark):
+    """Closed-form water-filling: supplies (10, 20, 70), budget 60% of
+    100 = 60 -> level L solves 10 + 2L = 60 ... first bracket check:
+    L1=20<=10? no; L2=(60-10)/2=25>20? not <=20; L3=(60-30)/1=30<=70 yes
+    -> L=30: allocs (10, 20, 30), only the big source saturated. And a
+    budget covering everything (frac=1.0) allocates full supply with no
+    saturation."""
+    from bigdata_capstone_spark.operators.selection import (
+        fair_budget_allocation,
+    )
+
+    sup = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 70)], "src string, sup long"
+    )
+    out = {
+        r["source"]: r
+        for r in fair_budget_allocation(sup, budget_frac=0.6).collect()
+    }
+    assert out["a"]["alloc_r"] == 10.0 and not out["a"]["saturated"]
+    assert out["b"]["alloc_r"] == 20.0 and not out["b"]["saturated"]
+    assert out["c"]["alloc_r"] == 30.0 and out["c"]["saturated"]
+    assert sum(r["alloc_r"] for r in out.values()) == 60.0
+
+    full = {
+        r["source"]: r
+        for r in fair_budget_allocation(sup, budget_frac=1.0).collect()
+    }
+    for k, s in (("a", 10.0), ("b", 20.0), ("c", 70.0)):
+        assert full[k]["alloc_r"] == s and not full[k]["saturated"]
+
+
+def test_png_palette_matches_truecolor_twin(spark):
+    """Palette PNGs carrying the same md5 pixels as the truecolor
+    fixture must produce IDENTICAL feature vectors — the PLTE lookup
+    path is bit-equivalent to inline RGB."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        synthetic_png_assets,
+        synthetic_png_palette_assets,
+    )
+
+    pal = {
+        r["asset_id"]: r["features"]
+        for r in extract_features(
+            synthetic_png_palette_assets(spark, n=12, seed=42),
+            decoder="strict",
+        ).collect()
+    }
+    # truecolor twins: even ids are RGB with identical pixels (odd ids
+    # are RGBA in the truecolor fixture — also identical post-drop)
+    true = {
+        r["asset_id"]: r["features"]
+        for r in extract_features(
+            synthetic_png_assets(spark, n=12, seed=42), decoder="strict"
+        ).collect()
+    }
+    assert pal == true
+
+
+def test_dfreq_delta_equals_recompute_under_updates_deletes(spark, sf_small):
+    """df(v1) - df(leaving) + df(arriving) must equal a from-scratch
+    df over v2, including tokens whose count hits zero dropping out
+    (the group-under-addition law under DELETES, not just appends)."""
+    from bigdata_capstone_spark.operators.retrieval import (
+        apply_dfreq_delta,
+        dfreq_table,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    v1 = docs
+    leaving = docs.filter(F.col("doc_id") % 4 == 0)
+    arriving = spark.createDataFrame(
+        [(9001, "zzzuniquetoken alpha"), (9002, "alpha beta")],
+        "doc_id long, text string",
+    )
+    v2 = v1.exceptAll(leaving).unionByName(arriving)
+    delta = {
+        r["token"]: r["dfc"]
+        for r in apply_dfreq_delta(
+            dfreq_table(v1), dfreq_table(leaving), dfreq_table(arriving)
+        ).collect()
+    }
+    full = {r["token"]: r["dfc"] for r in dfreq_table(v2).collect()}
+    assert delta == full
+    assert "zzzuniquetoken" in delta
+
+
+def test_robots_longest_match_precedence(spark):
+    """Hand-built rules: an Allow longer than its enclosing Disallow
+    wins inside the subtree only; length ties go to allow; unruled
+    paths pass with NULL matched_prefix."""
+    from bigdata_capstone_spark.operators.webingest import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("d.com", "disallow", "/a/"),
+            ("d.com", "allow", "/a/pub/"),
+            ("d.com", "allow", "/t/"),   # same length as next
+            ("d.com", "disallow", "/x/"),
+        ],
+        "domain string, rule string, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "https://d.com/a/hidden"),
+            (1, "https://d.com/a/pub/ok"),
+            (2, "https://d.com/free"),
+            (3, "https://d.com/x/no"),
+            (4, "https://d.com/t/yes"),
+        ],
+        "url_id int, url string",
+    )
+    got = {
+        r["url_id"]: (r["allowed"], r["matched_prefix"])
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got == {
+        0: (False, "/a/"),
+        1: (True, "/a/pub/"),
+        2: (True, None),
+        3: (False, "/x/"),
+        4: (True, "/t/"),
+    }
