@@ -97,6 +97,9 @@ HEADLINE = [
     "multimodal_jpeg_features",    # real baseline-JPEG decode (Python kernel)
     "selection_roc_auc_by_lang",   # grouped AUC via offset prefix sums
     "bm25_incremental_dfreq",      # shard-mergeable index statistics
+    "embedding_semantic_communities",  # KNN graph -> mutual edges -> LPA
+    "docs_fair_budget_allocation",     # water-filling via prefix sums
+    "bm25_delta_dfreq",                # df delta under updates+deletes
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

@@ -28,12 +28,19 @@ def test_driver_replica_reports_zero_failures():
     if os.environ.get("REPLICA_GATE_SKIP"):
         pytest.skip("REPLICA_GATE_SKIP set")
     sf_dir = os.environ.get("REPLICA_GATE_SF", "/root/testdata/sf0.001")
+    env = dict(os.environ)
+    # The FULL registry (220+ queries) in one session needs more than
+    # Spark's default 1g driver heap (GCLocker allocation failures past
+    # ~170 queries — see .claude/skills/verify/SKILL.md); the external
+    # driver never hits this because it runs only the ~50 pinned keys.
+    env.setdefault("REPLICA_DRIVER_MEM", "4g")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "driver_replica.py"), sf_dir],
         capture_output=True,
         text=True,
         cwd=REPO,
         timeout=1800,
+        env=env,
     )
     tail = "\n".join(proc.stdout.splitlines()[-120:])
     assert proc.returncode == 0, f"replica rc={proc.returncode}\n{tail}\n{proc.stderr[-2000:]}"
