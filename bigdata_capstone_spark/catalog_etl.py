@@ -2962,7 +2962,10 @@ def bm25_incremental_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_utc(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").cache()
+    # 3 version/shard slices re-read the wide text column;
+    # cache so the corpus scans once (same policy as
+    # docs_token_budget_fill)
     base = docs.filter(F.col("doc_id") < 250)
     d1 = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 375))
     d2 = docs.filter(F.col("doc_id") >= 375)
@@ -3012,7 +3015,10 @@ def corpus_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_capstone_spark.operators.reconcile import snapshot_diff
 
     ensure_utc(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").cache()
+    # 3 version/shard slices re-read the wide text column;
+    # cache so the corpus scans once (same policy as
+    # docs_token_budget_fill)
     v1 = docs.select("doc_id", "text")
     v2 = (
         docs.filter(F.col("doc_id") >= 50)
@@ -3152,7 +3158,10 @@ def bm25_delta_dfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_utc(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").cache()
+    # 4 version/shard slices re-read the wide text column;
+    # cache so the corpus scans once (same policy as
+    # docs_token_budget_fill)
     v1 = docs.select("doc_id", "text")
     changed_new = (
         docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") % 7 == 0))
