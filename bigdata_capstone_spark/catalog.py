@@ -2916,6 +2916,64 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _ann_recall_oracle() -> str:
+    brute = ORACLE_SQL["embedding_topk_bruteforce"]
+    lsh = _ann_lsh_oracle(8, 4, 64, 10)
+    return f"""
+    WITH brute AS ({brute}),
+    lsh AS ({lsh}),
+    hits AS (
+      SELECT b.query_id, count(*) AS n_hits
+      FROM brute b
+      JOIN lsh l ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+      GROUP BY b.query_id
+    )
+    SELECT q.query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(n_hits, 0) / 10.0, 6) AS recall_r
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN hits USING (query_id)
+    """
+
+
+@register("embedding_ann_recall", oracle=_ann_recall_oracle())
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN index against the exact brute-force
+    ground truth, per query — index QUALITY as a registered,
+    value-checked metric rather than only a test-time gate
+    (test_pipelines pins recall >= 0.9; this entry emits the number a
+    serving dashboard would track, and its oracle replays BOTH the
+    approximate chain and the exact chain plus the intersection). The
+    evaluation-family companion for vector search: AUC measures the
+    scorers, this measures the index.
+
+    Scale shape: the ground-truth side is |Q| x corpus (bounded query
+    panel — the standard recall-estimation protocol at 100 TB uses a
+    sampled panel exactly like this); the intersection is a join on
+    (query_id, vec_id) over two k-bounded lists."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        ann_topk,
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(emb, queries, k=10)
+    lsh = ann_topk(emb, queries, dim=64, k=10, n_planes=8, n_tables=4)
+    hits = (
+        brute.join(lsh.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = brute.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6
+        ).alias("recall_r"),
+    )
+
+
 def _ann_ivf_prf_oracle(n_centroids: int = 16, n_probe: int = 2,
                         k: int = 10) -> str:
     """Full PRF-medoid IVF replay: medoid pick (smallest md5 of id), cell
