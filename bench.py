@@ -169,8 +169,14 @@ def _regressions_vs_prior(
     jitter alone."""
     here = os.path.dirname(os.path.abspath(__file__))
     prior_file, prior_q = None, {}
+
+    def _round_no(path: str) -> int:
+        # parse the round NUMBER: lexicographic sort breaks at r100 vs r99
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                       reverse=True):
+                       key=_round_no, reverse=True):
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -187,7 +193,14 @@ def _regressions_vs_prior(
     flagged = {}
     for name, now in times.items():
         prior = prior_q.get(name)
-        if prior and now > prior * 1.25 and now - prior > 0.3:
+        # explicit None/>0 tests: a recorded 0.0 prior must not be
+        # silently skipped as falsy (it would be a real ∞-ratio signal)
+        if (
+            prior is not None
+            and prior >= 0
+            and now > prior * 1.25
+            and now - prior > 0.3
+        ):
             flagged[name] = {
                 "prior": prior,
                 "now": now,

@@ -436,20 +436,17 @@ def connected_components(
     the per-round frames then use reliable ``checkpoint()`` — lineage
     truncation survives executor loss at the price of a distributed-FS
     write per round (labels are (node, component) rows — tiny relative
-    to the edge list).
+    to the edge list). The mechanism is the shared
+    :func:`operators.ckpt.lineage_truncation` context manager, which
+    saves and restores the session's prior checkpoint dir
+    (``setCheckpointDir`` is session-global state — see ckpt.py for the
+    concurrency caveat).
 
     Returns (node, component) with component = min node id in the
     component. Not SQL-expressible without recursive CTEs → rows-only
     oracle; correctness is asserted against a union-find in tests.
     """
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-
-        def _ckpt(frame: DataFrame) -> DataFrame:
-            return frame.checkpoint(eager=True)
-    else:
-        def _ckpt(frame: DataFrame) -> DataFrame:
-            return frame.localCheckpoint(eager=True)
+    from bigdata_capstone_spark.operators.ckpt import lineage_truncation
 
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -458,59 +455,59 @@ def connected_components(
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
-    sym = _ckpt(sym)
-
     comp_type = dict(labels.dtypes)["component"]
-    for _ in range(max_iter):
-        # candidate labels flowing along edges: neighbor's current label
-        neighbor_labels = (
-            sym.join(labels, on=F.col("dst") == F.col("node"))
-            .select(F.col("src").alias("node"), "component")
-        )
-        # Fold the convergence signal INTO the label aggregate: the self
-        # row carries its current label as `old` (max() ignores the nulls
-        # on neighbor rows), so after the groupBy each node knows both its
-        # new and previous label. The changed-check is then a narrow scan
-        # of the just-checkpointed partitions with a limit-1 early exit —
-        # no second join job per round (previously: labels⋈new_labels +
-        # count, a full extra shuffle per iteration).
-        merged = labels.select(
-            "node", "component", F.col("component").alias("old")
-        ).unionByName(
-            neighbor_labels.withColumn("old", F.lit(None).cast(comp_type))
-        )
-        propagated = merged.groupBy("node").agg(
-            F.min("component").alias("component"),
-            F.max("old").alias("old"),
-        )
-        # pointer jump: follow my label to ITS label (labels are node ids,
-        # so the lookup table is `propagated` itself keyed by node). The
-        # left join misses only when my label is already a component root
-        # whose own row carries the same id — coalesce keeps it.
-        lut = propagated.select(
-            F.col("node").alias("component"),
-            F.col("component").alias("component2"),
-        )
-        new_labels = (
-            propagated.join(lut, on="component", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("component2"), F.col("component")),
-                ).alias("component"),
-                "old",
+    with lineage_truncation(edges.sparkSession, checkpoint_dir) as _ckpt:
+        sym = _ckpt(sym)
+        for _ in range(max_iter):
+            # candidate labels flowing along edges: neighbor's current label
+            neighbor_labels = (
+                sym.join(labels, on=F.col("dst") == F.col("node"))
+                .select(F.col("src").alias("node"), "component")
             )
-        )
-        new_labels = _ckpt(new_labels)
-        changed = (
-            new_labels.filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.drop("old")
-        if changed == 0:
-            break
+            # Fold the convergence signal INTO the label aggregate: the self
+            # row carries its current label as `old` (max() ignores the nulls
+            # on neighbor rows), so after the groupBy each node knows both its
+            # new and previous label. The changed-check is then a narrow scan
+            # of the just-checkpointed partitions with a limit-1 early exit —
+            # no second join job per round (previously: labels⋈new_labels +
+            # count, a full extra shuffle per iteration).
+            merged = labels.select(
+                "node", "component", F.col("component").alias("old")
+            ).unionByName(
+                neighbor_labels.withColumn("old", F.lit(None).cast(comp_type))
+            )
+            propagated = merged.groupBy("node").agg(
+                F.min("component").alias("component"),
+                F.max("old").alias("old"),
+            )
+            # pointer jump: follow my label to ITS label (labels are node ids,
+            # so the lookup table is `propagated` itself keyed by node). The
+            # left join misses only when my label is already a component root
+            # whose own row carries the same id — coalesce keeps it.
+            lut = propagated.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("component2"),
+            )
+            new_labels = (
+                propagated.join(lut, on="component", how="left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("component2"), F.col("component")),
+                    ).alias("component"),
+                    "old",
+                )
+            )
+            new_labels = _ckpt(new_labels)
+            changed = (
+                new_labels.filter(F.col("component") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels.drop("old")
+            if changed == 0:
+                break
     return labels
 
 

@@ -36,6 +36,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     broadcast_nodes: bool | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list (src, dst), fixed rounds.
 
@@ -55,7 +56,17 @@ def pagerank(
     join is the honest cost: rank vectors of 1e9 nodes don't fit an
     executor, and each round pays an edges⋈ranks exchange (bucketing
     edges by src would remove even that in a persisted-table setting).
+
+    ``checkpoint_dir``: same contract as dedup.connected_components —
+    None truncates lineage per round with executor-local
+    ``localCheckpoint`` (non-fault-tolerant: one lost executor aborts
+    the run); a reliable HDFS/S3 directory switches to ``checkpoint()``
+    so the run survives preemption. Shared mechanism
+    :func:`operators.ckpt.lineage_truncation` (saves/restores the
+    session checkpoint dir).
     """
+    from bigdata_capstone_spark.operators.ckpt import lineage_truncation
+
     edges = edges.select("src", "dst").cache()
     deg = out_degrees(edges)
     n = deg.count()  # scalar: node count (every node has out-edges)
@@ -68,21 +79,26 @@ def pagerank(
     edges_wd = edges.join(hint(deg), "src").cache()
 
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
-        contrib = edges_wd.join(hint(ranks), F.col("node") == F.col("src")).select(
-            F.col("dst"),
-            (F.col("rank") / F.col("outdeg")).cast("decimal(28,14)").alias("contrib"),
-        )
-        ranks = contrib.groupBy("dst").agg(
-            (
-                F.lit(base)
-                + F.lit(damping) * F.sum("contrib").cast("double")
-            ).alias("rank")
-        ).select(F.col("dst").alias("node"), "rank")
-        # Eagerly truncate lineage: without this, round k re-executes
-        # rounds 1..k-1 (same pathology as dedup.connected_components) —
-        # total work O(k²) joins instead of O(k).
-        ranks = ranks.localCheckpoint(eager=True)
+    with lineage_truncation(edges.sparkSession, checkpoint_dir) as _ckpt:
+        for _ in range(iterations):
+            contrib = edges_wd.join(
+                hint(ranks), F.col("node") == F.col("src")
+            ).select(
+                F.col("dst"),
+                (F.col("rank") / F.col("outdeg"))
+                .cast("decimal(28,14)")
+                .alias("contrib"),
+            )
+            ranks = contrib.groupBy("dst").agg(
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.sum("contrib").cast("double")
+                ).alias("rank")
+            ).select(F.col("dst").alias("node"), "rank")
+            # Eagerly truncate lineage: without this, round k re-executes
+            # rounds 1..k-1 (same pathology as dedup.connected_components)
+            # — total work O(k²) joins instead of O(k).
+            ranks = _ckpt(ranks)
     return ranks
 
 
@@ -140,7 +156,11 @@ def ring_of_cliques(
     return intra.unionByName(bridges)
 
 
-def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over an
     undirected graph given as a one-direction edge list, FIXED rounds,
     fully deterministic: each round every node adopts the label with
@@ -160,9 +180,17 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     cached and NEVER re-shuffles; each round is one join (labels onto
     edge endpoints) + one (node, label) count + one min-by argmax —
     all map-side-combinable aggregations keyed on the node; the label
-    frame is node-sized. Lineage truncates per round via eager
-    localCheckpoint (the dedup.connected_components O(k^2) lesson).
+    frame is node-sized. Lineage truncates per round (the
+    dedup.connected_components O(k^2) lesson) via the shared
+    :func:`operators.ckpt.lineage_truncation` mechanism:
+    ``checkpoint_dir=None`` → executor-local localCheckpoint, a
+    reliable HDFS/S3 dir → fault-tolerant ``checkpoint()`` — pass it on
+    preemptible clusters (a lost executor otherwise aborts the run,
+    and this backs the single most expensive registered query,
+    embedding_semantic_communities).
     """
+    from bigdata_capstone_spark.operators.ckpt import lineage_truncation
+
     und = (
         edges.select("src", "dst")
         .unionByName(
@@ -176,30 +204,30 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(rounds):
-        neigh = und.join(
-            labels, und["dst"] == labels["node"]
-        ).select("src", "label")
-        closed = neigh.unionByName(
-            labels.select(F.col("node").alias("src"), "label")
-        )
-        freq = closed.groupBy("src", "label").agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        labels = (
-            freq.groupBy("src")
-            .agg(
-                F.min_by(
-                    "label",
-                    F.struct(
-                        (-F.col("c")).alias("nc"),
-                        F.col("label").alias("lb"),
-                    ),
-                ).alias("label")
+    with lineage_truncation(edges.sparkSession, checkpoint_dir) as _ckpt:
+        for _ in range(rounds):
+            neigh = und.join(
+                labels, und["dst"] == labels["node"]
+            ).select("src", "label")
+            closed = neigh.unionByName(
+                labels.select(F.col("node").alias("src"), "label")
             )
-            .select(F.col("src").alias("node"), "label")
-            .localCheckpoint(eager=True)
-        )
+            freq = closed.groupBy("src", "label").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            labels = _ckpt(
+                freq.groupBy("src")
+                .agg(
+                    F.min_by(
+                        "label",
+                        F.struct(
+                            (-F.col("c")).alias("nc"),
+                            F.col("label").alias("lb"),
+                        ),
+                    ).alias("label")
+                )
+                .select(F.col("src").alias("node"), "label")
+            )
     return labels
 
 

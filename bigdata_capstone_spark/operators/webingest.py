@@ -338,7 +338,11 @@ def domain_blocklist_filter(
     multiplies rows by the label count (~4) only for the duration of
     one equi-join on the suffix key (broadcast when the blocklist is
     small, plain hash join when it is web-scale); the verdict collapses
-    back to URL granularity via a distinct + left join flag."""
+    back to URL granularity via a distinct + left join flag. No
+    broadcast hint is forced: AQE broadcasts a small build side on its
+    own, and a public-suffix-scale (million-domain) blocklist must be
+    free to plan as a shuffled hash join — a hard-coded hint would
+    instruct the planner to broadcast something too big to broadcast."""
     host = F.regexp_extract(F.col(url_col), r"^[^:]+://([^/?#:]+)", 1)
     with_host = urls.withColumn("host", host)
     hits = (
@@ -346,7 +350,7 @@ def domain_blocklist_filter(
             host_suffix_chain(F.col("host"))
         ).alias("suffix"))
         .join(
-            F.broadcast(blocklist),
+            blocklist,
             F.col("suffix") == F.col("domain"),
             "leftsemi",
         )
