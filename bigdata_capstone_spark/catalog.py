@@ -1913,14 +1913,17 @@ def _warc_extraction_oracle(n_shards: int, docs_per_shard: int,
              '<html><head><title>' || title ||
              '</title><style>p {{margin: 0}}</style></head><body><p>' ||
              p1 || '</p><p>' || p2 ||
-             '</p><script>var x = 1 < 2;</script></body></html>' AS h
+             '</p><p>A &amp;amp; B &lt;x&gt; &#39;y&#39; &#x26;' ||
+             ' Z&nbsp;!</p>' ||
+             '<script>var x = 1 < 2;</script></body></html>' AS h
       FROM parts
     )
     SELECT shard_id::INT AS shard_id, record_idx::INT AS record_idx,
            'https://example.com/' || shard_id || '/' || record_idx AS uri,
            200::INT AS http_status,
            title,
-           md5(title || ' ' || p1 || ' ' || p2) AS text_hash,
+           md5(title || ' ' || p1 || ' ' || p2 ||
+               ' A &amp; B <x> ''y'' & Z !') AS text_hash,
            octet_length(encode(h))::BIGINT AS n_html_bytes
     FROM html
     """
@@ -1994,8 +1997,8 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "robots_frontier_filter",
     oracle="""
-    WITH ids AS (SELECT unnest(range(80)) AS uid),
-    m AS (SELECT uid, uid // 16 AS k, (uid // 4) % 4 AS kind,
+    WITH ids AS (SELECT unnest(range(140)) AS uid),
+    m AS (SELECT uid, uid // 28 AS k, (uid // 4) % 7 AS kind,
                  uid % 4 AS i
           FROM ids)
     SELECT uid::INT AS url_id,
@@ -2003,27 +2006,36 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE kind WHEN 0 THEN '/private' || k || '/secret' || i
                        WHEN 1 THEN '/private' || k || '/public/page' || i
                        WHEN 2 THEN '/tmp/cache' || i
-                       ELSE '/docs/page' || i END AS url,
-           (kind = 1 OR kind = 3) AS allowed,
+                       WHEN 3 THEN '/docs/page' || i
+                       WHEN 4 THEN '/files/doc' || i || '.tmp'
+                       WHEN 5 THEN '/downloads/page' || i || '.html'
+                       ELSE '/files/doc' || i || '.tmpx' END AS url,
+           (kind = 1 OR kind = 3 OR kind = 5 OR kind = 6) AS allowed,
            CASE kind WHEN 0 THEN '/private' || k || '/'
                      WHEN 1 THEN '/private' || k || '/public/'
-                     WHEN 2 THEN '/tmp/' END AS matched_prefix
+                     WHEN 2 THEN '/tmp/'
+                     WHEN 4 THEN '/*.tmp$'
+                     WHEN 5 THEN '/downloads/*.html$' END AS matched_prefix
     FROM m
     """,
 )
 def robots_frontier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt enforcement over a crawl frontier with longest-match
-    (RFC 9309) semantics: Allow/Disallow lines parsed per domain, the
-    longest matching prefix decides, an Allow carves a public subtree
+    (RFC 9309) semantics including the §2.2.3 wildcards: Allow/Disallow
+    lines parsed per domain, each rule path translated to an anchored
+    regex (``*`` → any sequence, trailing ``$`` → end anchor), the
+    longest matching rule decides, an Allow carves a public subtree
     back out of a Disallowed directory (the precedence case first-match
-    parsers get wrong), unruled paths pass. The fixture regenerates
+    parsers get wrong), a wildcard Allow (``/downloads/*.html$``)
+    outranks a shorter directory Disallow, ``.tmpx`` paths prove the
+    ``$`` anchor binds, unruled paths pass. The fixture regenerates
     both the robots files and the frontier from formulas, so the
-    parser, the precedence logic, and the matched prefix are all
-    value-checked.
+    parser, the regex translation, the precedence logic, and the
+    matched pattern are all value-checked.
 
     Scale shape (operators/webingest.py:robots_filter): rules are
-    KB-sized per domain → equi-join on the domain key with startswith
-    as a post-join predicate over that domain's handful of rules
+    KB-sized per domain → equi-join on the domain key with the regex
+    match as a post-join predicate over that domain's handful of rules
     (broadcast at any frontier size); winner = one max_by struct
     aggregate keyed on the URL. The frontier never enters a LIKE
     theta-join."""

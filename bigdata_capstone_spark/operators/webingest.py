@@ -53,10 +53,14 @@ WARC_RECORD_SCHEMA = (
 def _mk_html(i: int, j: int, seed: int) -> str:
     p1 = hashlib.md5(f"{seed}:w:{i}:{j}:1".encode()).hexdigest()
     p2 = hashlib.md5(f"{seed}:w:{i}:{j}:2".encode()).hexdigest()
+    # third paragraph exercises entity decoding: named + numeric forms,
+    # the &amp;amp; single-decode case, and &nbsp; feeding the
+    # whitespace collapse — expected clean text: "A &amp; B <x> 'y' & Z !"
     return (
         f"<html><head><title>Doc {i}-{j}</title>"
         f"<style>p {{margin: 0}}</style></head>"
         f"<body><p>{p1}</p><p>{p2}</p>"
+        f"<p>A &amp;amp; B &lt;x&gt; &#39;y&#39; &#x26; Z&nbsp;!</p>"
         f"<script>var x = 1 < 2;</script></body></html>"
     )
 
@@ -275,13 +279,44 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("canonical_url", canonical)
 
 
+# HTML entity decode table: each named entity plus its decimal and hex
+# numeric forms, for the characters that dominate real-HTML entity use
+# (&amp; alone is the overwhelming majority). ORDER MATTERS: &amp; must
+# decode LAST so "&amp;lt;" yields the literal "&lt;" (HTML decodes
+# once, not to a fixpoint). Numeric code points OUTSIDE this table pass
+# through unchanged — the honest boundary, same policy as the
+# unsupported-codec raises in multimodal.py (a general &#xNN; decoder
+# needs codepoint→UTF-8 synthesis no built-in expression provides).
+HTML_ENTITY_PATTERNS: list[tuple[str, str]] = [
+    (r"&lt;|&#0*60;|&#[xX]0*3[cC];", "<"),
+    (r"&gt;|&#0*62;|&#[xX]0*3[eE];", ">"),
+    (r"&quot;|&#0*34;|&#[xX]0*22;", '"'),
+    (r"&apos;|&#0*39;|&#[xX]0*27;", "'"),
+    (r"&nbsp;|&#0*160;|&#[xX]0*[aA]0;", " "),
+    (r"&amp;|&#0*38;|&#[xX]0*26;", "&"),  # LAST — see above
+]
+
+
+def decode_html_entities(col: Column) -> Column:
+    """Single-pass decode of the common HTML entities (named + numeric
+    forms), pure JVM regexp chain — left in the text they pollute every
+    downstream token/quality/dedup statistic (an ``&amp;`` counts as a
+    symbol-ratio hit, splits shingles, inflates token counts)."""
+    for pat, repl in HTML_ENTITY_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
 def extract_html_text(records: DataFrame) -> DataFrame:
     """HTML → clean text, entirely JVM-side (no Python in this stage):
     script/style blocks removed (their text is code, not prose), tags
-    stripped to spaces, whitespace collapsed, <title> extracted.
-    Returns (shard_id, record_idx, uri, http_status, title, text_hash,
-    n_html_bytes) — ``text_hash`` is the md5 of the cleaned text, so
-    the emitted bytes (not just counts) are oracle-verifiable.
+    stripped to spaces, common HTML entities decoded (AFTER tag-strip,
+    so a decoded ``&lt;tag&gt;`` is text, never re-stripped — the
+    HTML5-correct order), whitespace collapsed, <title> extracted (and
+    entity-decoded). Returns (shard_id, record_idx, uri, http_status,
+    title, text_hash, n_html_bytes) — ``text_hash`` is the md5 of the
+    cleaned text, so the emitted bytes (not just counts) are
+    oracle-verifiable.
 
     The html column dies here: downstream dedup/quality stages see only
     the narrow projection, which is what keeps the post-ingest shuffle
@@ -293,7 +328,11 @@ def extract_html_text(records: DataFrame) -> DataFrame:
     )
     text = F.trim(
         F.regexp_replace(
-            F.regexp_replace(no_blocks, r"<[^>]+>", " "), r"\s+", " "
+            decode_html_entities(
+                F.regexp_replace(no_blocks, r"<[^>]+>", " ")
+            ),
+            r"\s+",
+            " ",
         )
     )
     return records.select(
@@ -301,7 +340,9 @@ def extract_html_text(records: DataFrame) -> DataFrame:
         "record_idx",
         "uri",
         "http_status",
-        F.regexp_extract(h, r"<title>([^<]*)</title>", 1).alias("title"),
+        decode_html_entities(
+            F.regexp_extract(h, r"<title>([^<]*)</title>", 1)
+        ).alias("title"),
         F.md5(text).alias("text_hash"),
         "n_html_bytes",
     )
@@ -370,9 +411,13 @@ def synthetic_robots_table(
 ) -> DataFrame:
     """(domain, robots_txt) fixture: each domain's robots.txt is built
     from the generative formula — a directory disallow, a global /tmp/
-    disallow, and a LONGER allow carving a public subtree back out of
-    the disallowed directory (the rule-precedence case that separates
-    longest-match semantics from first-match)."""
+    disallow, a LONGER allow carving a public subtree back out of the
+    disallowed directory (the rule-precedence case that separates
+    longest-match semantics from first-match), plus RFC 9309 §2.2.3
+    wildcard rules: a ``/*.tmp$`` extension disallow (exercising both
+    ``*`` and the ``$`` end anchor) and an allow/disallow pair on
+    /downloads/ where the longer wildcard ALLOW outranks the directory
+    disallow."""
     rows = []
     for k in range(n_domains):
         txt = (
@@ -380,6 +425,9 @@ def synthetic_robots_table(
             f"Disallow: /private{k}/\n"
             "Disallow: /tmp/\n"
             f"Allow: /private{k}/public/\n"
+            "Disallow: /*.tmp$\n"
+            "Disallow: /downloads/\n"
+            "Allow: /downloads/*.html$\n"
             "Crawl-delay: 5\n"
         )
         rows.append((f"www.example{k}.com", txt))
@@ -391,14 +439,20 @@ def synthetic_crawl_frontier(
 ) -> DataFrame:
     """(url_id, url) frontier fixture: per domain, URLs in the
     disallowed directory, in its allowed public subtree, under the
-    global /tmp/ disallow, and on an unruled path — every precedence
-    branch of the robots decision, all regenerable from the formula.
-    url_id = ((domain*4 + kind) * per_kind) + i."""
+    global /tmp/ disallow, on an unruled path, hit by the ``/*.tmp$``
+    wildcard disallow, carved back out by the ``/downloads/*.html$``
+    wildcard allow, and just PAST the ``$`` anchor (``.tmpx`` — must
+    NOT match ``/*.tmp$``) — every precedence branch of the robots
+    decision including the wildcard ones, all regenerable from the
+    formula. url_id = ((domain*7 + kind) * per_kind) + i."""
     kinds = [
         "/private{k}/secret{i}",
         "/private{k}/public/page{i}",
         "/tmp/cache{i}",
         "/docs/page{i}",
+        "/files/doc{i}.tmp",
+        "/downloads/page{i}.html",
+        "/files/doc{i}.tmpx",
     ]
     rows = []
     for k in range(n_domains):
@@ -406,7 +460,7 @@ def synthetic_crawl_frontier(
             for i in range(per_kind):
                 rows.append(
                     (
-                        (k * 4 + kind) * per_kind + i,
+                        (k * len(kinds) + kind) * per_kind + i,
                         f"https://www.example{k}.com"
                         + pat.format(k=k, i=i),
                     )
@@ -432,17 +486,35 @@ def parse_robots(robots: DataFrame) -> DataFrame:
     )
 
 
+def robots_rule_regex(prefix: Column) -> Column:
+    """RFC 9309 §2.2.3 rule path → anchored Java regex: regex metachars
+    escaped, ``*`` → ``.*`` (matches any char sequence), a TRAILING
+    ``$`` → end-of-path anchor (a mid-pattern ``$`` stays literal, the
+    Google-parser convention). Callers prepend ``^`` — rule paths match
+    from the start of the URL path. Computed over the rules frame only
+    (KB-sized), never over the frontier."""
+    esc = F.regexp_replace(
+        prefix, r"([\\.\[\]\{\}\(\)\+\?\^\$\|])", r"\\$1"
+    )
+    star = F.regexp_replace(esc, r"\*", ".*")
+    return F.regexp_replace(star, r"\\\$$", r"\$")
+
+
 def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
     """Longest-match robots decision per URL (the Google/RFC 9309
-    semantics): among the domain's rules whose prefix starts the URL's
-    path, the LONGEST prefix wins; a length tie goes to allow; no
-    matching rule means allowed. Returns
-    (url_id, url, allowed, matched_prefix — NULL when unruled).
+    semantics, including §2.2.3 ``*`` and ``$`` wildcards): among the
+    domain's rules matching the URL's path — each rule path translated
+    to an anchored regex by :func:`robots_rule_regex` — the rule with
+    the LONGEST raw pattern text wins (octet-length specificity, so
+    ``/downloads/*.html$`` outranks ``/downloads/``); a length tie goes
+    to allow; no matching rule means allowed. Returns
+    (url_id, url, allowed, matched_prefix — the winning rule's raw
+    pattern, NULL when unruled).
 
     Scale shape: the rules relation is tiny (robots files are KB), so
-    the join is an equi-join on the domain key with the startswith
-    check as a post-join predicate over that domain's handful of rules
-    — broadcast at any frontier size; the winner is one
+    the join is an equi-join on the domain key with the regex match as
+    a post-join predicate over that domain's handful of rules —
+    broadcast at any frontier size; the winner is one
     max_by(struct(len, is_allow, prefix)) aggregate keyed on the URL.
     No LIKE theta-join against the frontier ever plans."""
     host = F.regexp_extract("url", r"^[^:]+://([^/?#:]+)", 1)
@@ -453,10 +525,14 @@ def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
         host.alias("domain"),
         F.when(path == "", F.lit("/")).otherwise(path).alias("path"),
     )
+    rules = rules.withColumn(
+        "__rule_re",
+        F.concat(F.lit("^"), robots_rule_regex(F.col("prefix"))),
+    )
     cand = u.join(F.broadcast(rules), "domain", "left").withColumn(
         "hit",
         F.col("prefix").isNotNull()
-        & F.col("path").startswith(F.col("prefix")),
+        & F.rlike(F.col("path"), F.col("__rule_re")),
     )
     win = F.max_by(
         F.struct(

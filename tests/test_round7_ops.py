@@ -91,3 +91,70 @@ def test_lineage_truncation_restores_prior_checkpoint_dir(spark, tmp_path):
     with lineage_truncation(spark, None) as ckpt:
         assert ckpt(df).count() == 5
     assert "session_ckpt" in sc.getCheckpointDir()
+
+
+def test_robots_wildcard_precedence(spark):
+    """RFC 9309 §2.2.3 wildcard semantics: '*' spans any sequence,
+    trailing '$' anchors the end (so .tmpx escapes /*.tmp$), a longer
+    wildcard Allow outranks a shorter directory Disallow, and a literal
+    '.' in a rule is NOT a regex metachar (/a.b must not match /axb)."""
+    from bigdata_capstone_spark.operators.webingest import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("d.com", "disallow", "/*.tmp$"),
+            ("d.com", "disallow", "/downloads/"),
+            ("d.com", "allow", "/downloads/*.html$"),
+            ("d.com", "disallow", "/a.b"),
+        ],
+        "domain STRING, rule STRING, prefix STRING",
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "https://d.com/files/x.tmp"),      # blocked by /*.tmp$
+            (1, "https://d.com/files/x.tmpx"),     # $ anchor → unruled
+            (2, "https://d.com/downloads/p.html"), # wildcard allow wins
+            (3, "https://d.com/downloads/p.pdf"),  # directory disallow
+            (4, "https://d.com/a.b/q"),            # literal-dot rule
+            (5, "https://d.com/axb/q"),            # must NOT match /a.b
+        ],
+        "url_id INT, url STRING",
+    )
+    got = {
+        r["url_id"]: (r["allowed"], r["matched_prefix"])
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got == {
+        0: (False, "/*.tmp$"),
+        1: (True, None),
+        2: (True, "/downloads/*.html$"),
+        3: (False, "/downloads/"),
+        4: (False, "/a.b"),
+        5: (True, None),
+    }
+
+
+def test_html_entity_decode_single_pass(spark):
+    """Entity decode is single-pass (HTML semantics): &amp;amp; yields
+    the literal '&amp;', decoded '<' is text (never re-stripped — the
+    decode runs after tag-strip), and &nbsp; collapses with adjacent
+    whitespace."""
+    from bigdata_capstone_spark.operators.webingest import (
+        decode_html_entities,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("&amp;amp;", "&amp;"),
+            ("&lt;b&gt;", "<b>"),
+            ("&#38; &#x26; &#038;", "& & &"),
+            ("&quot;q&quot; &apos;a&apos; &#39;b&#39;", "\"q\" 'a' 'b'"),
+            ("x&nbsp;y", "x y"),
+            ("&unknown; &#9731; stays", "&unknown; &#9731; stays"),
+        ],
+        "raw STRING, want STRING",
+    )
+    bad = df.select(
+        decode_html_entities(F.col("raw")).alias("got"), "want"
+    ).filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0, bad.collect()
