@@ -146,25 +146,45 @@ def dedup_doc_lines(
     Returns (id, n_lines, kept_lines, removed_lines, clean_hash) with
     ``clean_hash`` = md5 of the kept lines rejoined with newlines, so
     the emitted bytes are oracle-verifiable. First-occurrence is
-    explicit — element i survives iff it is absent from the line-array
-    prefix before i — rather than relying on array_distinct's
-    (undocumented) ordering. The per-line prefix scan is O(lines²) per
-    document, bounded by document length; everything is a pure JVM map,
-    no shuffle, no Python.
+    explicit — a line survives at its MINIMUM position — rather than
+    relying on array_distinct's (undocumented) ordering.
+
+    Scale shape: positional explode → min(pos) per (doc, line) →
+    re-collect sorted by position. Real crawl documents reach tens of
+    thousands of lines, so the earlier single-row-expression
+    formulation (prefix-slice + array_position per element — O(lines²)
+    time AND a per-element prefix-array allocation) was pathological
+    exactly where this cleaner matters; the explode pays two
+    doc-keyed, map-side-combinable shuffles proportional to total line
+    volume instead, and the per-doc re-collect is bounded by document
+    length. Docs whose every line is empty survive with kept=0 and
+    md5('') via the left join back to the per-doc counts.
     """
     lines = F.filter(
         F.split(F.col(text_col), "\n"), lambda l: l != ""
     )
     base = df.select(F.col(id_col), lines.alias("__l"))
-    kept = F.filter(
-        "__l",
-        lambda x, i: F.array_position(F.slice("__l", 1, i), x) == 0,
+    counts = base.select(
+        id_col, F.size("__l").cast("long").alias("n_lines")
     )
-    return base.select(
+    ex = base.select(
+        id_col, F.posexplode("__l").alias("pos", "line")
+    )
+    firsts = ex.groupBy(id_col, "line").agg(F.min("pos").alias("pos"))
+    kept_arr = firsts.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))),
+            lambda s: s["line"],
+        ).alias("__kept")
+    )
+    kept = F.coalesce(
+        F.col("__kept"), F.array().cast("array<string>")
+    )
+    return counts.join(kept_arr, on=id_col, how="left").select(
         id_col,
-        F.size("__l").cast("long").alias("n_lines"),
+        "n_lines",
         F.size(kept).cast("long").alias("kept_lines"),
-        (F.size("__l") - F.size(kept)).cast("long").alias(
+        (F.col("n_lines") - F.size(kept)).cast("long").alias(
             "removed_lines"
         ),
         F.md5(F.array_join(kept, "\n")).alias("clean_hash"),

@@ -158,3 +158,31 @@ def test_html_entity_decode_single_pass(spark):
         decode_html_entities(F.col("raw")).alias("got"), "want"
     ).filter(F.col("got") != F.col("want"))
     assert bad.count() == 0, bad.collect()
+
+
+def test_dedup_doc_lines_order_and_empty_doc(spark):
+    """The exploded first-occurrence formulation must keep lines in
+    original order (clean_hash is order-sensitive) and must not drop
+    documents whose every line filters out."""
+    import hashlib
+
+    from bigdata_capstone_spark.operators.textops import dedup_doc_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "b\na\nb\nc\na"),  # kept: b,a,c — NOT sorted a,b,c
+            (1, ""),                # all-empty doc must survive
+            (2, "\n\n"),            # only empty lines
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["kept_lines"], r["removed_lines"],
+            r["clean_hash"],
+        )
+        for r in dedup_doc_lines(docs).collect()
+    }
+    assert got[0] == (5, 3, 2, hashlib.md5(b"b\na\nc").hexdigest())
+    assert got[1] == (0, 0, 0, hashlib.md5(b"").hexdigest())
+    assert got[2] == (0, 0, 0, hashlib.md5(b"").hexdigest())
