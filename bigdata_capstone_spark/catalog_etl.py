@@ -3044,6 +3044,189 @@ def corpus_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(v1, v2, on=["doc_id"], compare_cols=["text"])
 
 
+def _incremental_batch_oracle(
+    n_perm: int = 8,
+    bands: int = 4,
+    min_jaccard: float = 0.35,
+    max_bucket_size: int = 100,
+) -> str:
+    """Replays the full incremental near-dup path: the recrawl batch
+    (added + changed under the corpus_recrawl_diff v2 derivation), batch
+    shingles/signatures/buckets, the corpus index (shingles, sizes, band
+    buckets with the CORPUS-ONLY hot-bucket cap), the batch×index
+    candidate join, and the exact-Jaccard verify — hash-for-hash with
+    the Spark plan."""
+    rows = n_perm // bands
+    mins = ",\n             ".join(
+        f"min(('0x' || substr(md5('{p // 2}:' || sh), "
+        f"{1 + 15 * (p % 2)}, 15))::BIGINT) AS h{p}"
+        for p in range(n_perm)
+    )
+
+    def band_selects(sigs: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT doc_id, ('0x' || substr(md5('{b}:' || "
+            + " || ':' || ".join(
+                f"h{b * rows + r}::VARCHAR" for r in range(rows)
+            )
+            + f"), 1, 15))::BIGINT AS bucket FROM {sigs}"
+            for b in range(bands)
+        )
+
+    return f"""
+    WITH batch AS (
+      SELECT doc_id, text || ' rev2' AS text FROM documents
+      WHERE doc_id >= 50 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             'new crawl doc ' || doc_id::VARCHAR AS text
+      FROM documents WHERE doc_id < 30
+    ),
+    c_toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    c_sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM c_toks WHERE len(t) >= 3
+    ),
+    b_toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM batch
+    ),
+    b_sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM b_toks WHERE len(t) >= 3
+    ),
+    c_sizes AS (SELECT doc_id, count(*) AS n FROM c_sh GROUP BY doc_id),
+    b_sizes AS (SELECT doc_id, count(*) AS n FROM b_sh GROUP BY doc_id),
+    c_sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM c_sh GROUP BY doc_id
+    ),
+    b_sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM b_sh GROUP BY doc_id
+    ),
+    c_raw_buckets AS (
+      {band_selects('c_sigs')}
+    ),
+    c_bucket_sizes AS (
+      SELECT bucket, count(*) AS bn FROM c_raw_buckets GROUP BY bucket
+    ),
+    c_buckets AS (
+      SELECT rb.doc_id, rb.bucket
+      FROM c_raw_buckets rb
+      JOIN c_bucket_sizes bs ON bs.bucket = rb.bucket
+      WHERE bs.bn <= {max_bucket_size}
+    ),
+    b_buckets AS (
+      {band_selects('b_sigs')}
+    ),
+    cands AS (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM b_buckets b JOIN c_buckets c ON b.bucket = c.bucket
+    ),
+    common AS (
+      SELECT cd.batch_id, cd.corpus_id, max(sa.n) AS nA, max(sb.n) AS nB,
+             count(*) AS n_common
+      FROM cands cd
+      JOIN b_sh a ON a.doc_id = cd.batch_id
+      JOIN c_sh b ON b.doc_id = cd.corpus_id AND b.sh = a.sh
+      JOIN b_sizes sa ON sa.doc_id = cd.batch_id
+      JOIN c_sizes sb ON sb.doc_id = cd.corpus_id
+      GROUP BY 1, 2
+    )
+    SELECT batch_id, corpus_id,
+           round(n_common * 1.0 / (nA + nB - n_common), 6) AS jaccard_r
+    FROM common
+    WHERE n_common * 1.0 / (nA + nB - n_common) >= {min_jaccard}
+    """
+
+
+@register("dedup_incremental_batch", oracle=_incremental_batch_oracle())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup of an ARRIVING batch against the
+    EXISTING corpus LSH index — the composition the recrawl diff was
+    built for, and the last index family to gain an O(batch)
+    maintenance twin (exact-dup digests, BM25 df, PQ, IVF-PQ already
+    have one). The re-crawl's added/changed set (snapshot_diff over the
+    corpus_recrawl_diff v2 derivation) IS the batch; only the batch is
+    shingled/minhashed/banded at arrival, the corpus contributes its
+    persisted index relations untouched — history is never re-banded.
+    Changed docs (v1 text + ' rev2') near-duplicate their own previous
+    version, so the batch→corpus hit structure is planted and the
+    oracle replays banding, the corpus-only hot-bucket cap, candidate
+    generation, and the exact-Jaccard verify hash-for-hash.
+
+    Scale shape (operators/dedup.py:incremental_near_dup_pairs): the
+    cap counts corpus-side members only — a stable property of the
+    persisted index that also makes the result batch-split independent
+    (pairs(b1 ∪ b2) == pairs(b1) ∪ pairs(b2), tested) — and per-batch
+    work is bounded by batch size × cap."""
+    from bigdata_capstone_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        near_dup_index,
+    )
+    from bigdata_capstone_spark.operators.reconcile import snapshot_diff
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").cache()
+    # same 2-slice v2 derivation as corpus_recrawl_diff (cache: the wide
+    # text column scans once across the v1/v2 slices)
+    v1 = docs.select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") >= 50)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(
+                    F.lit("new crawl doc "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    diff = snapshot_diff(v1, v2, on=["doc_id"], compare_cols=["text"])
+    batch = v2.join(
+        diff.filter(F.col("status").isin("added", "changed")).select(
+            "doc_id"
+        ),
+        on="doc_id",
+        how="left_semi",
+    )
+    index = near_dup_index(v1, n_perm=8, bands=4, shingle_n=3)
+    out = incremental_near_dup_pairs(
+        index,
+        batch,
+        n_perm=8,
+        bands=4,
+        shingle_n=3,
+        min_jaccard=0.35,
+        max_bucket_size=100,
+    )
+    return out.select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
 @register(
     "streaming_bm25_dfreq",
     oracle="""

@@ -319,6 +319,126 @@ def cross_corpus_near_dup_pairs(
     ).filter(F.col("jaccard") >= min_jaccard)
 
 
+def near_dup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The PERSISTED MinHash-LSH index of a corpus — built once, then
+    arriving batches dedup against it WITHOUT re-banding history
+    (:func:`incremental_near_dup_pairs`). Returns three relations, each
+    of which a production pipeline writes as a bucketed table:
+
+    - ``buckets`` (id, bucket): band buckets for candidate generation;
+    - ``shingles`` (id, sh): shingle digests for the exact-Jaccard
+      verify step;
+    - ``sizes`` (id, n): per-doc distinct-shingle counts (the Jaccard
+      denominator), persisted so the verify never re-aggregates the
+      corpus.
+
+    This closes the last un-incremental index family: exact-dup
+    digests, BM25 df, PQ, and IVF-PQ already have O(batch) maintenance
+    twins; near-dup now does too.
+    """
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    bk = _band_buckets(
+        _signatures_from_shingles(sh, id_col, n_perm), n_perm, bands, id_col
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    return bk, sh, sizes
+
+
+def incremental_near_dup_pairs(
+    corpus_index: tuple[DataFrame, DataFrame, DataFrame],
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.7,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Near-dup pairs between an ARRIVING batch and an EXISTING corpus
+    LSH index (:func:`near_dup_index`) — the O(batch) incremental twin
+    of :func:`cross_corpus_near_dup_pairs`: only the batch is shingled,
+    minhashed, and banded at arrival; the corpus contributes its three
+    persisted relations untouched. Compose with the re-crawl diff
+    (reconcile.snapshot_diff): its added/changed set IS the batch.
+
+    Hot-bucket cap semantics differ deliberately from the cross-corpus
+    join: the cap counts CORPUS-side members only, because (a) cap
+    decisions must be a stable property of the persisted index, not of
+    how arrivals happen to be batched, and (b) that is what makes the
+    result BATCH-SPLIT INDEPENDENT — pairs(b1 ∪ b2) == pairs(b1) ∪
+    pairs(b2) exactly, the invariant the incremental contract needs
+    (combined-count capping would flip bucket verdicts with batch
+    size). Per-batch fan-out stays bounded: each batch doc meets at
+    most ``max_bucket_size`` corpus members per band bucket.
+
+    Within-batch duplicates are out of scope here (run
+    :func:`minhash_near_dup_pairs` on the batch itself — it is
+    batch-sized); this operator answers "which arriving docs duplicate
+    the EXISTING corpus".
+
+    Scale shape: candidate generation is batch-buckets ⋈ index-buckets
+    (hash join keyed on the bucket digest; probe side is batch-scale);
+    the verify joins batch shingles against the persisted corpus
+    shingle table keyed (id, sh) — at 100 TB that table is bucketed by
+    id so the join co-locates, and the probe volume is candidate-pair ×
+    shingle, never corpus².
+
+    Returns (batch_id, corpus_id, jaccard) for verified pairs ≥
+    threshold.
+    """
+    corpus_buckets, corpus_shingles, corpus_sizes = corpus_index
+    sh_b = exploded_shingles(batch, text_col, id_col, shingle_n).cache()
+    bk_b = _band_buckets(
+        _signatures_from_shingles(sh_b, id_col, n_perm), n_perm, bands, id_col
+    )
+    cb = corpus_buckets
+    if max_bucket_size is not None:
+        small = (
+            corpus_buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bucket_n"))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        cb = corpus_buckets.join(small, on="bucket", how="left_semi")
+    cands = (
+        bk_b.select(F.col(id_col).alias("batch_id"), "bucket")
+        .join(
+            cb.select(F.col(id_col).alias("corpus_id"), "bucket"),
+            on="bucket",
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    size_b = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("nA"))
+    a = sh_b.join(size_b, on=id_col).select(
+        F.col(id_col).alias("batch_id"), "sh", "nA"
+    )
+    b = corpus_shingles.join(corpus_sizes, on=id_col).select(
+        F.col(id_col).alias("corpus_id"), "sh", F.col("n").alias("nB")
+    )
+    common = (
+        cands.join(a, on="batch_id")
+        .join(b, on=["corpus_id", "sh"])
+        .groupBy("batch_id", "corpus_id", "nA", "nB")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return common.select(
+        "batch_id",
+        "corpus_id",
+        (
+            F.col("common") / (F.col("nA") + F.col("nB") - F.col("common"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

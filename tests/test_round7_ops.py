@@ -186,3 +186,44 @@ def test_dedup_doc_lines_order_and_empty_doc(spark):
     assert got[0] == (5, 3, 2, hashlib.md5(b"b\na\nc").hexdigest())
     assert got[1] == (0, 0, 0, hashlib.md5(b"").hexdigest())
     assert got[2] == (0, 0, 0, hashlib.md5(b"").hexdigest())
+
+
+def test_incremental_near_dup_batch_split_independence(spark, sf_small):
+    """The incremental contract: deduping one batch against the corpus
+    index equals deduping its halves separately and unioning —
+    pairs(b1 ∪ b2) == pairs(b1) ∪ pairs(b2). Holds because the
+    hot-bucket cap counts CORPUS-side members only (a combined count
+    would flip bucket verdicts with batch size). Also checks the
+    planted structure: every changed doc must near-dup its own v1
+    version at jaccard ≈ 1."""
+    from bigdata_capstone_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        near_dup_index,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    corpus = docs.cache()
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rev2")).alias("text"),
+    )
+    index = near_dup_index(corpus, n_perm=8, bands=4, shingle_n=3)
+    kw = dict(n_perm=8, bands=4, shingle_n=3, min_jaccard=0.35,
+              max_bucket_size=100)
+
+    def pairs(b):
+        return {
+            (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+            for r in incremental_near_dup_pairs(index, b, **kw).collect()
+        }
+
+    full = pairs(batch)
+    split = pairs(batch.filter(F.col("doc_id") % 2 == 0)) | pairs(
+        batch.filter(F.col("doc_id") % 2 == 1)
+    )
+    assert full == split
+    # planted twins: each changed doc hits its own previous version
+    self_hits = {(b, c) for b, c, _ in full if b == c + 100000}
+    n_batch = batch.count()
+    assert len(self_hits) >= n_batch * 0.9  # cap may drop a hot bucket
