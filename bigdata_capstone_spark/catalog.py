@@ -2104,6 +2104,52 @@ def url_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "html_main_content",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(32)) AS i),
+    m AS (SELECT i, md5('42:mc:' || i || ':1') AS m1,
+                 md5('42:mc:' || i || ':2') AS m2
+          FROM ids)
+    SELECT i::INT AS page_id,
+           'Page ' || i AS title,
+           4::BIGINT AS n_blocks,
+           2::BIGINT AS kept_blocks,
+           md5(m1 || ' ' || m2 || ' ref') AS main_text_hash,
+           69::BIGINT AS main_chars
+    FROM m
+    """,
+)
+def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability-style main-content extraction: block split at
+    block-level closing tags, per-block link-density + min-length
+    verdict — nav and footer (nearly all anchor text) are cut while a
+    prose block with an inline link survives, the distinction that
+    separates link DENSITY from link presence. The fixture's prose is
+    md5-derived, so the oracle regenerates the exact expected main text
+    (nav/footer text absent, the inline anchor text 'ref' retained) and
+    value-checks its md5, the block counts, and the character count.
+
+    Scale shape (operators/webingest.py:extract_main_content): one
+    projection of per-row array folds, all whole-stage-codegen JVM
+    expressions — no shuffle, no Python; boilerplate dies BEFORE the
+    quality/dedup statistics instead of polluting them."""
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_main_content,
+        synthetic_boilerplate_pages,
+    )
+
+    pages = synthetic_boilerplate_pages(spark, n=32)
+    return extract_main_content(pages).select(
+        "page_id",
+        "title",
+        "n_blocks",
+        "kept_blocks",
+        F.md5("main_text").alias("main_text_hash"),
+        "main_chars",
+    )
+
+
 # --------------------------------------------------------------------------
 # Temporal joins (operators/temporal.py) + OLAP extras — common analytics
 # patterns absent from the reference (SURVEY §2.3 "absent join types"),

@@ -348,6 +348,135 @@ def extract_html_text(records: DataFrame) -> DataFrame:
     )
 
 
+# Closing tags that end a text block for the main-content heuristic —
+# the block-level HTML elements; splitting on them approximates the DOM
+# block structure without a parser.
+BLOCK_SPLIT_REGEX = (
+    r"(?i)</(?:p|div|nav|footer|header|aside|section|article"
+    r"|ul|ol|li|table|h[1-6])>"
+)
+
+
+def synthetic_boilerplate_pages(
+    spark: SparkSession, n: int = 32, seed: int = 42
+) -> DataFrame:
+    """(page_id, html) fixture for main-content extraction: every page
+    has a link-saturated <nav> and <footer> (pure boilerplate), one
+    plain-prose <div>, and one prose <div> containing a short inline
+    link (which a correct heuristic must KEEP — link presence alone is
+    not boilerplate, link DENSITY is). Prose is md5-derived, so the
+    expected main text — and its md5 — replays from the formula."""
+    rows = []
+    for i in range(n):
+        m1 = hashlib.md5(f"{seed}:mc:{i}:1".encode()).hexdigest()
+        m2 = hashlib.md5(f"{seed}:mc:{i}:2".encode()).hexdigest()
+        html = (
+            f"<html><head><title>Page {i}</title>"
+            f"<style>a {{color: red}}</style></head><body>"
+            f'<nav><a href="/">Home</a> <a href="/a">About</a> '
+            f'<a href="/c">Contact</a></nav>'
+            f"<div>{m1}</div>"
+            f'<div>{m2} <a href="/x">ref</a></div>'
+            f'<footer><a href="/p">Privacy</a> '
+            f'<a href="/t">Terms</a></footer>'
+            f"</body></html>"
+        )
+        rows.append((i, html))
+    return spark.createDataFrame(rows, "page_id INT, html STRING")
+
+
+def extract_main_content(
+    records: DataFrame,
+    html_col: str = "html",
+    min_chars: int = 20,
+    max_link_density: float = 0.3,
+) -> DataFrame:
+    """Readability-style main-content extraction, entirely JVM-side: the
+    boilerplate cut production curation stacks run BETWEEN tag-strip
+    and the quality ops (tag-stripping alone keeps nav/footer/sidebar
+    text, which then pollutes every token/quality/dedup statistic; the
+    cross-doc shingle detector catches it only statistically, after the
+    damage).
+
+    Heuristic: split the (script/style/head-free) HTML into text blocks
+    at block-level closing tags; per block compute the cleaned text and
+    the character mass of its <a> anchor texts; KEEP blocks with at
+    least ``min_chars`` of text whose link density (link chars ÷ text
+    chars) is at most ``max_link_density``. Nav bars and footers are
+    nearly all anchor text → dropped; prose with an inline link → kept.
+    Appends (title, n_blocks, kept_blocks, main_text, main_chars) —
+    callers hash ``main_text`` for oracle replay and drop it when only
+    stats are needed.
+
+    Scale shape: one projection of per-row array folds (split /
+    transform / filter / aggregate — all whole-stage-codegen
+    expressions); work is bounded by document length, nothing shuffles,
+    no Python. The html column should die immediately downstream, as in
+    :func:`extract_html_text`.
+    """
+    h = F.col(html_col)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(h, r"(?s)<(script|style)[^>]*>.*?</\1>", " "),
+        r"(?s)<head[^>]*>.*?</head>",
+        " ",
+    )
+    blocks = F.split(cleaned, BLOCK_SPLIT_REGEX)
+
+    def _text(b: Column) -> Column:
+        return F.trim(
+            F.regexp_replace(
+                decode_html_entities(
+                    F.regexp_replace(b, r"<[^>]+>", " ")
+                ),
+                r"\s+",
+                " ",
+            )
+        )
+
+    def _link_chars(b: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.regexp_extract_all(
+                    b, F.lit(r"(?s)<a\b[^>]*>(.*?)</a>"), 1
+                ),
+                lambda a: F.length(_text(a)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.filter(
+        F.transform(
+            blocks,
+            lambda b: F.struct(
+                _text(b).alias("text"), _link_chars(b).alias("lc")
+            ),
+        ),
+        lambda s: s["text"] != "",
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["text"]) >= min_chars)
+        & (
+            s["lc"]
+            <= F.lit(max_link_density) * F.length(s["text"])
+        ),
+    )
+    main_text = F.array_join(
+        F.transform(kept, lambda s: s["text"]), " "
+    )
+    return records.select(
+        "*",
+        decode_html_entities(
+            F.regexp_extract(h, r"<title>([^<]*)</title>", 1)
+        ).alias("title"),
+        F.size(scored).cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("kept_blocks"),
+        main_text.alias("main_text"),
+        F.length(main_text).cast("long").alias("main_chars"),
+    )
+
+
 def host_suffix_chain(host: Column) -> Column:
     """All dot-suffix chains of a hostname: ``a.b.c`` →
     [``a.b.c``, ``b.c``, ``c``] — bounded by the label count (a handful),

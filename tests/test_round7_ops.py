@@ -227,3 +227,31 @@ def test_incremental_near_dup_batch_split_independence(spark, sf_small):
     self_hits = {(b, c) for b, c, _ in full if b == c + 100000}
     n_batch = batch.count()
     assert len(self_hits) >= n_batch * 0.9  # cap may drop a hot bucket
+
+
+def test_main_content_drops_boilerplate_keeps_linked_prose(spark):
+    """The link-density heuristic must cut a nav bar and footer (pure
+    anchor text) while KEEPING a long prose block that merely contains
+    an inline link — the distinction tag-strip alone cannot make."""
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_main_content,
+    )
+
+    prose = "word " * 20  # 100 chars of plain prose
+    html = (
+        "<html><head><title>T</title></head><body>"
+        '<nav><a href="/">Home</a> <a href="/a">Archives</a> '
+        '<a href="/c">Categories</a> <a href="/s">Search</a></nav>'
+        f"<p>{prose.strip()} see <a href='/x'>this post</a> too</p>"
+        '<footer><a href="/p">Privacy policy</a> '
+        '<a href="/i">Imprint</a> (c) 2024</footer>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(0, html)], "page_id INT, html STRING")
+    row = extract_main_content(df).collect()[0]
+    assert row["kept_blocks"] == 1
+    assert row["n_blocks"] == 3
+    main = row["main_text"]
+    assert "this post" in main and "word word" in main
+    assert "Home" not in main and "Privacy" not in main
+    assert "(c) 2024" not in main  # short footer tail text also cut
