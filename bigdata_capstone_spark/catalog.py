@@ -1634,6 +1634,113 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_jpeg420_oracle(n: int = 12, seed: int = 42) -> str:
+    """DuckDB replay of synthetic_jpeg420_assets + the REAL 4:2:0
+    decode: Y per 8x8 block and (Cb, Cr) per 16x16 MCU are md5-derived
+    and the fixture is DC-only/unit-quant (bit-exact), so the oracle
+    re-derives every pixel INCLUDING the float YCbCr->RGB arithmetic
+    (same IEEE operation order as the kernel) — value-checking MCU
+    interleave, per-component DC prediction, chroma upsampling, and
+    color conversion end to end. Unlike the 4:4:4 fixture (neutral
+    chroma), the per-MCU chroma is nontrivial, so mean_r/g/b separate."""
+    y_md = f"md5('{seed}:' || aid || ':' || (x // 8) || ':' || (y // 8))"
+    c_md = f"md5('{seed}:' || aid || ':c:' || (x // 16) || ':' || (y // 16))"
+    return f"""
+    WITH ids AS (SELECT unnest(range({n})) AS i),
+    meta AS (
+      SELECT i::BIGINT AS aid, (8 * (1 + i % 3))::INT AS w,
+             (8 * (1 + (i // 3) % 3))::INT AS h
+      FROM ids
+    ),
+    pos AS (
+      SELECT aid, w, h, unnest(generate_series(0, w * h - 1)) AS p
+      FROM meta
+    ),
+    xy AS (SELECT aid, w, h, p, p % w AS x, p // w AS y FROM pos),
+    comp AS (
+      SELECT aid, w, h, p,
+             ('0x' || substr({y_md}, 1, 2))::INT AS yv,
+             ('0x' || substr({c_md}, 1, 2))::INT - 128 AS cb,
+             ('0x' || substr({c_md}, 3, 2))::INT - 128 AS cr
+      FROM xy
+    ),
+    px AS (
+      SELECT aid, w, h, p,
+             least(255, greatest(0,
+               round(yv + 1.402 * cr)::INT)) AS r,
+             least(255, greatest(0,
+               round(yv - 0.344136 * cb - 0.714136 * cr)::INT)) AS g,
+             least(255, greatest(0,
+               round(yv + 1.772 * cb)::INT)) AS b
+      FROM comp
+    ),
+    stats AS (
+      SELECT aid, any_value(w) AS w, any_value(h) AS h, count(*) AS n,
+             sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+             sum(r + g + b) AS sgray,
+             arg_min(r, p) AS fr, arg_min(g, p) AS fg, arg_min(b, p) AS fb,
+             arg_max(r, p) AS lr, arg_max(g, p) AS lg, arg_max(b, p) AS lb
+      FROM px GROUP BY aid
+    )
+    SELECT aid AS asset_id, w, h,
+           round((sr::DOUBLE / n / 255.0)::REAL::DOUBLE, 6) AS mean_r_r,
+           round((sg::DOUBLE / n / 255.0)::REAL::DOUBLE, 6) AS mean_g_r,
+           round((sb::DOUBLE / n / 255.0)::REAL::DOUBLE, 6) AS mean_b_r,
+           round((fr / 255.0)::REAL::DOUBLE, 6) AS first_r_r,
+           round((fg / 255.0)::REAL::DOUBLE, 6) AS first_g_r,
+           round((fb / 255.0)::REAL::DOUBLE, 6) AS first_b_r,
+           round((lr / 255.0)::REAL::DOUBLE, 6) AS last_r_r,
+           round((lg / 255.0)::REAL::DOUBLE, 6) AS last_g_r,
+           round((lb / 255.0)::REAL::DOUBLE, 6) AS last_b_r,
+           round((sgray::DOUBLE / n / 765.0)::REAL::DOUBLE, 6) AS mean_gray_r,
+           n::BIGINT AS n_px
+    FROM stats
+    """
+
+
+@register("multimodal_jpeg420_features", oracle=_multimodal_jpeg420_oracle())
+def multimodal_jpeg420_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode #4: 4:2:0 chroma-subsampled baseline
+    JPEG — the byte layout of virtually every JPEG an actual crawl
+    yields (the round-6 strict decoder raised on it; this closes the
+    dominant-format gap). Four Y blocks + one Cb + one Cr per 16x16
+    MCU, per-component DC prediction, decode-then-crop padding blocks
+    on partial MCUs, nearest-sample chroma upsampling, float
+    YCbCr->RGB. The fixture plants nontrivial per-MCU chroma so the
+    subsampled channels are value-checked separately (mean_r/g/b
+    differ), and the oracle replays every decoded pixel including the
+    color-conversion float arithmetic. Progressive (SOF2) still raises
+    honestly."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        synthetic_jpeg420_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_jpeg420_assets(spark, n=12, seed=42)
+    feats = extract_features(assets, decoder="strict")
+
+    def f(idx: int):  # 1-based element_at; widen float32 -> double first
+        return F.round(F.element_at("features", idx).cast("double"), 6)
+
+    return feats.select(
+        "asset_id",
+        F.element_at("features", 1).cast("int").alias("w"),
+        F.element_at("features", 2).cast("int").alias("h"),
+        f(3).alias("mean_r_r"),
+        f(4).alias("mean_g_r"),
+        f(5).alias("mean_b_r"),
+        f(6).alias("first_r_r"),
+        f(7).alias("first_g_r"),
+        f(8).alias("first_b_r"),
+        f(9).alias("last_r_r"),
+        f(10).alias("last_g_r"),
+        f(11).alias("last_b_r"),
+        f(14).alias("mean_gray_r"),
+        F.element_at("features", 16).cast("long").alias("n_px"),
+    )
+
+
 def _multimodal_audio_oracle(n: int = 8, seed: int = 42) -> str:
     """DuckDB replay of synthetic_wav_assets + the REAL WAV kernel: the
     fixture's int16 samples are md5-derived, so the oracle re-derives

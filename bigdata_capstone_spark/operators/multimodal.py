@@ -740,13 +740,15 @@ def _jpeg_features(data: bytes) -> list[float]:
     every actual crawl asset uses — implemented from the T.81 spec with
     zero dependencies: marker parse, DQT/DHT tables, MSB-first Huffman
     entropy decode with byte unstuffing, DC prediction, zigzag,
-    dequantize, naive float64 IDCT, level shift, YCbCr->RGB. Supported:
-    8-bit baseline (SOF0), grayscale or 4:4:4 (all sampling factors 1).
-    Progressive (SOF2), chroma subsampling, 12-bit precision, restart
-    intervals, and arithmetic coding raise NotImplementedError — the
-    honest boundaries where a production cluster registers libjpeg.
-    The first decoded frame's pixels feed the shared
-    :func:`_pixel_features` statistics."""
+    dequantize, naive float64 IDCT, level shift, interleaved-MCU
+    assembly with chroma upsampling, YCbCr->RGB. Supported: 8-bit
+    baseline (SOF0), grayscale, and ANY sampling-factor combination in
+    1..4 — which covers 4:4:4, 4:2:2, and the 4:2:0 that dominates real
+    crawls (value-checked at 4:2:0 and 4:4:4 by the oracle fixtures).
+    Progressive (SOF2), 12-bit precision, restart intervals, and
+    arithmetic coding raise NotImplementedError — the honest boundaries
+    where a production cluster registers libjpeg. The first decoded
+    frame's pixels feed the shared :func:`_pixel_features` statistics."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -794,17 +796,23 @@ def _jpeg_features(data: bytes) -> list[float]:
             for ci in range(ncomp):
                 cid = body[6 + 3 * ci]
                 samp = body[7 + 3 * ci]
+                hi, vi = samp >> 4, samp & 0x0F
                 tq = body[8 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma-subsampled JPEG unsupported (4:4:4 or "
-                        "grayscale only)"
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"invalid JPEG sampling factors {hi}x{vi}"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG unsupported"
                 )
+            if ncomp == 1:
+                # single-component scans are non-interleaved (T.81
+                # A.2.2): one block per MCU over the full-resolution
+                # grid, whatever the declared sampling factors
+                cid, tq, _, _ = comps[0]
+                comps = [(cid, tq, 1, 1)]
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -824,20 +832,33 @@ def _jpeg_features(data: bytes) -> list[float]:
             if w <= 0 or h <= 0:
                 raise ValueError(f"zero-pixel image: {w}x{h}")
             ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan sequential JPEG unsupported"
+                )
             scan_tables = {}
             for si in range(ns):
                 cs = body[1 + 2 * si]
                 td, ta = body[2 + 2 * si] >> 4, body[2 + 2 * si] & 0x0F
                 scan_tables[cs] = (td, ta)
             reader = _JpegBitReader(data, pos + seglen)
-            bw, bh = (w + 7) // 8, (h + 7) // 8
+            # Interleaved MCU geometry (T.81 A.2.3): the MCU covers
+            # 8*hmax x 8*vmax pixels; component i contributes hi*vi
+            # blocks per MCU in raster order, into a plane whose block
+            # grid is (mw*hi) x (mh*vi) — padding blocks beyond the
+            # visible area are decoded then cropped.
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mw = (w + 8 * hmax - 1) // (8 * hmax)
+            mh = (h + 8 * vmax - 1) // (8 * vmax)
             planes = [
-                [[0] * (bw * 8) for _ in range(bh * 8)] for _ in comps
+                [[0] * (mw * hi * 8) for _ in range(mh * vi * 8)]
+                for (_, _, hi, vi) in comps
             ]
             pred = [0] * len(comps)
-            for by in range(bh):
-                for bx in range(bw):
-                    for ci, (cid, tq) in enumerate(comps):
+            for my in range(mh):
+                for mx in range(mw):
+                    for ci, (cid, tq, hi, vi) in enumerate(comps):
                         td, ta = scan_tables[cid]
                         dc_tab = huff.get((0, td))
                         ac_tab = huff.get((1, ta))
@@ -846,36 +867,42 @@ def _jpeg_features(data: bytes) -> list[float]:
                             raise ValueError(
                                 "JPEG scan references missing DHT/DQT table"
                             )
-                        zz = [0] * 64
-                        t = _jpeg_read_huffman(reader, dc_tab)
-                        diff = _jpeg_extend(reader.bits(t), t)
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_read_huffman(reader, ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "JPEG AC run past end of block"
-                                )
-                            zz[k] = _jpeg_extend(reader.bits(s), s)
-                            k += 1
-                        coef = [[0.0] * 8 for _ in range(8)]
-                        for zi, (rr, cc) in enumerate(_JPEG_ZIGZAG):
-                            coef[rr][cc] = zz[zi] * quant[zi]
-                        blk = _jpeg_idct_block(coef)
-                        for yy in range(8):
-                            row = planes[ci][by * 8 + yy]
-                            for xx in range(8):
-                                v = int(round(blk[yy][xx])) + 128
-                                row[bx * 8 + xx] = min(255, max(0, v))
+                        for dy in range(vi):
+                            for dx in range(hi):
+                                zz = [0] * 64
+                                t = _jpeg_read_huffman(reader, dc_tab)
+                                diff = _jpeg_extend(reader.bits(t), t)
+                                pred[ci] += diff
+                                zz[0] = pred[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = _jpeg_read_huffman(reader, ac_tab)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:  # ZRL
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError(
+                                            "JPEG AC run past end of block"
+                                        )
+                                    zz[k] = _jpeg_extend(reader.bits(s), s)
+                                    k += 1
+                                coef = [[0.0] * 8 for _ in range(8)]
+                                for zi, (rr, cc) in enumerate(_JPEG_ZIGZAG):
+                                    coef[rr][cc] = zz[zi] * quant[zi]
+                                blk = _jpeg_idct_block(coef)
+                                by = my * vi + dy
+                                bx = mx * hi + dx
+                                for yy in range(8):
+                                    row = planes[ci][by * 8 + yy]
+                                    for xx in range(8):
+                                        v = int(round(blk[yy][xx])) + 128
+                                        row[bx * 8 + xx] = min(
+                                            255, max(0, v)
+                                        )
             pixels = []
             if len(comps) == 1:
                 for y in range(h):
@@ -883,11 +910,18 @@ def _jpeg_features(data: bytes) -> list[float]:
                         g = planes[0][y][x]
                         pixels.append((g, g, g))
             else:
+                # chroma upsampling: nearest sample by integer index
+                # scaling (x*hi//hmax, y*vi//vmax) — exact for the
+                # box-replicated subsampled grids baseline encoders emit
+                h1, v1 = comps[1][2], comps[1][3]
+                h2, v2 = comps[2][2], comps[2][3]
                 for y in range(h):
                     for x in range(w):
-                        yv = planes[0][y][x]
-                        cb = planes[1][y][x] - 128
-                        cr = planes[2][y][x] - 128
+                        yv = planes[0][y * comps[0][3] // vmax][
+                            x * comps[0][2] // hmax
+                        ]
+                        cb = planes[1][y * v1 // vmax][x * h1 // hmax] - 128
+                        cr = planes[2][y * v2 // vmax][x * h2 // hmax] - 128
                         r = min(255, max(0, int(round(yv + 1.402 * cr))))
                         g = min(
                             255,
@@ -1386,6 +1420,120 @@ def synthetic_jpeg_assets(
             (i, bytearray(blob), "image/jpeg", w, h, None)
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def synthetic_jpeg420_assets(
+    spark: SparkSession, n: int = 12, seed: int = 42
+) -> DataFrame:
+    """Asset table of REAL 4:2:0 chroma-subsampled baseline JPEGs — the
+    layout of virtually every crawled JPEG (Y sampling 2x2, Cb/Cr 1x1,
+    16x16-pixel MCUs of four Y blocks + one Cb + one Cr). Engineered
+    bit-exact like :func:`synthetic_jpeg_assets`: every 8x8 Y block is
+    a constant level (first md5 byte of "{seed}:{i}:{bx}:{by}" over the
+    PADDED block grid — partial MCUs force the decoder to decode then
+    crop padding blocks) and each MCU carries constant nontrivial
+    chroma (Cb, Cr = first two md5 bytes of "{seed}:{i}:c:{mx}:{my}"),
+    so DC-only blocks + unit quant make the full pipeline — MCU
+    interleave, per-component DC prediction, chroma upsampling, and the
+    REAL YCbCr->RGB conversion — exactly replayable from the formula.
+    Dims span 1..3 blocks per axis, covering full-MCU, half-MCU-wide,
+    and half-MCU-tall geometries."""
+    rows = [
+        (
+            i,
+            bytearray(
+                _dc_only_subsampled_jpeg(
+                    i, seed, 8 * (1 + i % 3), 8 * (1 + (i // 3) % 3)
+                )
+            ),
+            "image/jpeg",
+            8 * (1 + i % 3),
+            8 * (1 + (i // 3) % 3),
+            None,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _dc_only_subsampled_jpeg(
+    i: int, seed: int, w: int, h: int, yh: int = 2, yv: int = 2
+) -> bytes:
+    """One DC-only subsampled baseline JPEG blob: Y sampled ``yh``x``yv``
+    (2x2 → 4:2:0, 2x1 → 4:2:2), chroma 1x1. Y level per 8x8 block from
+    md5("{seed}:{i}:{bx}:{by}") over the PADDED Y-block grid; (Cb, Cr)
+    per MCU from md5("{seed}:{i}:c:{mx}:{my}")[:2]. Shared by the
+    :func:`synthetic_jpeg420_assets` fixture and the 4:2:2 parity test."""
+    dc_cats = 12  # DC diff range +-2040 -> categories 0..11
+    dc_bits = [0, 0, 0, dc_cats] + [0] * 12
+    dc_vals = list(range(dc_cats))
+    dc_codes = {t: (4, t) for t in range(dc_cats)}  # canonical: len 4
+    ac_bits = [1] + [0] * 15
+    ac_vals = [0x00]  # EOB only: fixture blocks are DC-only
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    mw = (w + 8 * yh - 1) // (8 * yh)
+    mh = (h + 8 * yv - 1) // (8 * yv)
+    blocky = [
+        [
+            hashlib.md5(f"{seed}:{i}:{bx}:{by}".encode()).digest()[0]
+            for bx in range(yh * mw)
+        ]
+        for by in range(yv * mh)
+    ]
+    chroma = [
+        [
+            hashlib.md5(f"{seed}:{i}:c:{mx}:{my}".encode()).digest()[:2]
+            for mx in range(mw)
+        ]
+        for my in range(mh)
+    ]
+    writer = _JpegBitWriter()
+    pred = [0, 0, 0]
+
+    def emit_dc(ci: int, level: int) -> None:
+        dc = 8 * (level - 128)
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        t = abs(diff).bit_length()
+        ln, code = dc_codes[t]
+        writer.write(code, ln)
+        if t:
+            writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        writer.write(0, 1)  # EOB (AC code '0', length 1)
+
+    for my in range(mh):
+        for mx in range(mw):
+            for dy in range(yv):
+                for dx in range(yh):
+                    emit_dc(0, blocky[yv * my + dy][yh * mx + dx])
+            emit_dc(1, chroma[my][mx][0])
+            emit_dc(2, chroma[my][mx][1])
+    scan = writer.flush()
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64))
+    sof_body = bytes((8,)) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof_body += bytes((3,))
+    sof_body += bytes((1, (yh << 4) | yv, 0))  # Y
+    sof_body += bytes((2, 0x11, 0))  # Cb: 1x1
+    sof_body += bytes((3, 0x11, 0))  # Cr: 1x1
+    dht = seg(0xC4, bytes((0x00,)) + bytes(dc_bits[:16]) + bytes(dc_vals))
+    dht += seg(0xC4, bytes((0x10,)) + bytes(ac_bits) + bytes(ac_vals))
+    sos_body = bytes((3,))
+    for ci in range(3):
+        sos_body += bytes((ci + 1, 0x00))
+    sos_body += bytes((0, 63, 0))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt
+        + seg(0xC0, sof_body)
+        + dht
+        + seg(0xDA, sos_body)
+        + scan
+        + b"\xff\xd9"
+    )
 
 
 def synthetic_wav_assets(

@@ -493,9 +493,11 @@ def test_jpeg_decode_ac_path_and_failure_modes(spark):
     prog = blob.replace(bytes((0xFF, 0xC0)), bytes((0xFF, 0xC2)), 1)
     with pytest.raises(NotImplementedError):
         DECODERS["jpeg"](prog)
+    # since round 7 subsampling is SUPPORTED; for a single-component scan
+    # the declared sampling factors are irrelevant (T.81 non-interleaved
+    # semantics), so this grayscale decodes identically to its 1x1 twin
     subsampled = blob.replace(bytes((1, 1, 0x11, 0)), bytes((1, 1, 0x22, 0)), 1)
-    with pytest.raises(NotImplementedError):
-        DECODERS["jpeg"](subsampled)
+    assert DECODERS["jpeg"](subsampled) == got
     dri = blob[:2] + seg(0xDD, (8).to_bytes(2, "big")) + blob[2:]
     with pytest.raises(NotImplementedError):
         DECODERS["jpeg"](dri)

@@ -255,3 +255,69 @@ def test_main_content_drops_boilerplate_keeps_linked_prose(spark):
     assert "this post" in main and "word word" in main
     assert "Home" not in main and "Privacy" not in main
     assert "(c) 2024" not in main  # short footer tail text also cut
+
+
+def _expected_subsampled_pixels(i, seed, w, h, yh, yv):
+    """Formula-side replay of the DC-only subsampled JPEG fixture: Y per
+    8x8 block, chroma per MCU, Python-float YCbCr->RGB — the raw-bytes
+    reference the decoder must hit exactly (the PNG/BMP value-check
+    pattern)."""
+    import hashlib
+
+    px = []
+    for y in range(h):
+        for x in range(w):
+            yval = hashlib.md5(
+                f"{seed}:{i}:{x // 8}:{y // 8}".encode()
+            ).digest()[0]
+            d = hashlib.md5(
+                f"{seed}:{i}:c:{x // (8 * yh)}:{y // (8 * yv)}".encode()
+            ).digest()
+            cb, cr = d[0] - 128, d[1] - 128
+            r = min(255, max(0, int(round(yval + 1.402 * cr))))
+            g = min(
+                255,
+                max(0, int(round(yval - 0.344136 * cb - 0.714136 * cr))),
+            )
+            b = min(255, max(0, int(round(yval + 1.772 * cb))))
+            px.append((r, g, b))
+    return px
+
+
+def test_jpeg_420_and_422_pixel_value_parity():
+    """The subsampled JPEG decode must reproduce the md5-derived pixel
+    values exactly for BOTH 4:2:0 (2x2) and 4:2:2 (2x1) geometries —
+    the general MCU interleave, per-component DC prediction,
+    decode-then-crop of padding blocks, and chroma upsampling, checked
+    against the generative formula (no Spark needed: pure kernel)."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        _dc_only_subsampled_jpeg,
+        _jpeg_features,
+        _pixel_features,
+    )
+
+    for yh, yv in ((2, 2), (2, 1), (1, 2)):
+        for i, (w, h) in enumerate(((8, 8), (24, 16), (16, 24), (8, 24))):
+            blob = _dc_only_subsampled_jpeg(i, 42, w, h, yh, yv)
+            want = _pixel_features(
+                w, h, _expected_subsampled_pixels(i, 42, w, h, yh, yv)
+            )
+            assert _jpeg_features(blob) == want, (yh, yv, w, h)
+
+
+def test_jpeg_progressive_still_raises():
+    """Progressive (SOF2) remains an honest NotImplementedError after
+    the subsampling support landed."""
+    import pytest
+
+    from bigdata_capstone_spark.operators.multimodal import (
+        _dc_only_subsampled_jpeg,
+        _jpeg_features,
+    )
+
+    blob = bytearray(_dc_only_subsampled_jpeg(0, 42, 8, 8))
+    sof = blob.find(b"\xff\xc0")
+    assert sof > 0
+    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+        _jpeg_features(bytes(blob))
