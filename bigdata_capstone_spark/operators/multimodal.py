@@ -683,6 +683,19 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Consume a restart boundary (T.81 E.2.4): discard padding bits
+        to the byte boundary, then expect an RST0-7 marker. The marker
+        index is accepted leniently (not checked for modulo-8 cycling)."""
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG scan data")
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
 
 def _jpeg_build_huffman(bits: list[int], vals: list[int]) -> dict:
     """(length, code) -> symbol canonical Huffman map from a DHT
@@ -742,10 +755,11 @@ def _jpeg_features(data: bytes) -> list[float]:
     entropy decode with byte unstuffing, DC prediction, zigzag,
     dequantize, naive float64 IDCT, level shift, interleaved-MCU
     assembly with chroma upsampling, YCbCr->RGB. Supported: 8-bit
-    baseline (SOF0), grayscale, and ANY sampling-factor combination in
+    baseline (SOF0), grayscale, ANY sampling-factor combination in
     1..4 — which covers 4:4:4, 4:2:2, and the 4:2:0 that dominates real
-    crawls (value-checked at 4:2:0 and 4:4:4 by the oracle fixtures).
-    Progressive (SOF2), 12-bit precision, restart intervals, and
+    crawls (value-checked at 4:2:0 and 4:4:4 by the oracle fixtures) —
+    and DRI/RSTn restart intervals (byte-align + predictor reset at
+    each boundary). Progressive (SOF2), 12-bit precision, and
     arithmetic coding raise NotImplementedError — the honest boundaries
     where a production cluster registers libjpeg. The first decoded
     frame's pixels feed the shared :func:`_pixel_features` statistics."""
@@ -755,6 +769,7 @@ def _jpeg_features(data: bytes) -> list[float]:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -821,10 +836,7 @@ def _jpeg_features(data: bytes) -> list[float]:
                 "unsupported — progressive/arithmetic need libjpeg"
             )
         elif marker == 0xDD:  # DRI
-            if int.from_bytes(body[0:2], "big") != 0:
-                raise NotImplementedError(
-                    "JPEG restart intervals unsupported"
-                )
+            restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -856,8 +868,20 @@ def _jpeg_features(data: bytes) -> list[float]:
                 for (_, _, hi, vi) in comps
             ]
             pred = [0] * len(comps)
+            mcu_done = 0
             for my in range(mh):
                 for mx in range(mw):
+                    # restart boundary every `restart_interval` MCUs:
+                    # byte-align, consume RSTn, reset DC predictors
+                    # (T.81 E.2.4)
+                    if (
+                        restart_interval
+                        and mcu_done
+                        and mcu_done % restart_interval == 0
+                    ):
+                        reader.restart()
+                        pred = [0] * len(comps)
+                    mcu_done += 1
                     for ci, (cid, tq, hi, vi) in enumerate(comps):
                         td, ta = scan_tables[cid]
                         dc_tab = huff.get((0, td))
@@ -1341,6 +1365,12 @@ class _JpegBitWriter:
             self.nbits = 0
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-fill, stuffed like any entropy byte) then emit
+        the RSTm marker RAW — markers are never byte-stuffed."""
+        self.flush()
+        self.out += bytes((0xFF, 0xD0 + (m % 8)))
+
 
 def synthetic_jpeg_assets(
     spark: SparkSession, n: int = 12, seed: int = 42
@@ -1437,13 +1467,21 @@ def synthetic_jpeg420_assets(
     interleave, per-component DC prediction, chroma upsampling, and the
     REAL YCbCr->RGB conversion — exactly replayable from the formula.
     Dims span 1..3 blocks per axis, covering full-MCU, half-MCU-wide,
-    and half-MCU-tall geometries."""
+    and half-MCU-tall geometries. Asset i carries restart interval
+    ``i % 3`` MCUs (0 = none): real crawl JPEGs use DRI/RSTn routinely,
+    and restarts change the BYTE STREAM (alignment, marker, predictor
+    reset) but not the pixels — so the same oracle value-checks both
+    the plain and the restart-segmented entropy layouts."""
     rows = [
         (
             i,
             bytearray(
                 _dc_only_subsampled_jpeg(
-                    i, seed, 8 * (1 + i % 3), 8 * (1 + (i // 3) % 3)
+                    i,
+                    seed,
+                    8 * (1 + i % 3),
+                    8 * (1 + (i // 3) % 3),
+                    restart_interval=i % 3,
                 )
             ),
             "image/jpeg",
@@ -1457,13 +1495,22 @@ def synthetic_jpeg420_assets(
 
 
 def _dc_only_subsampled_jpeg(
-    i: int, seed: int, w: int, h: int, yh: int = 2, yv: int = 2
+    i: int,
+    seed: int,
+    w: int,
+    h: int,
+    yh: int = 2,
+    yv: int = 2,
+    restart_interval: int = 0,
 ) -> bytes:
     """One DC-only subsampled baseline JPEG blob: Y sampled ``yh``x``yv``
     (2x2 → 4:2:0, 2x1 → 4:2:2), chroma 1x1. Y level per 8x8 block from
     md5("{seed}:{i}:{bx}:{by}") over the PADDED Y-block grid; (Cb, Cr)
-    per MCU from md5("{seed}:{i}:c:{mx}:{my}")[:2]. Shared by the
-    :func:`synthetic_jpeg420_assets` fixture and the 4:2:2 parity test."""
+    per MCU from md5("{seed}:{i}:c:{mx}:{my}")[:2]. With
+    ``restart_interval`` > 0 a DRI segment is written and an RSTn marker
+    (byte-aligned, DC predictors reset) is inserted every that many MCUs
+    — same decoded pixels, different byte stream. Shared by the
+    :func:`synthetic_jpeg420_assets` fixture and the parity tests."""
     dc_cats = 12  # DC diff range +-2040 -> categories 0..11
     dc_bits = [0, 0, 0, dc_cats] + [0] * 12
     dc_vals = list(range(dc_cats))
@@ -1504,14 +1551,28 @@ def _dc_only_subsampled_jpeg(
             writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
         writer.write(0, 1)  # EOB (AC code '0', length 1)
 
+    mcu_done = 0
     for my in range(mh):
         for mx in range(mw):
+            if (
+                restart_interval
+                and mcu_done
+                and mcu_done % restart_interval == 0
+            ):
+                writer.restart((mcu_done // restart_interval - 1) % 8)
+                pred[0] = pred[1] = pred[2] = 0
+            mcu_done += 1
             for dy in range(yv):
                 for dx in range(yh):
                     emit_dc(0, blocky[yv * my + dy][yh * mx + dx])
             emit_dc(1, chroma[my][mx][0])
             emit_dc(2, chroma[my][mx][1])
     scan = writer.flush()
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
     dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64))
     sof_body = bytes((8,)) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof_body += bytes((3,))
@@ -1528,6 +1589,7 @@ def _dc_only_subsampled_jpeg(
         b"\xff\xd8"
         + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + dqt
+        + dri
         + seg(0xC0, sof_body)
         + dht
         + seg(0xDA, sos_body)

@@ -498,9 +498,10 @@ def test_jpeg_decode_ac_path_and_failure_modes(spark):
     # semantics), so this grayscale decodes identically to its 1x1 twin
     subsampled = blob.replace(bytes((1, 1, 0x11, 0)), bytes((1, 1, 0x22, 0)), 1)
     assert DECODERS["jpeg"](subsampled) == got
+    # since round 7 DRI is SUPPORTED; an interval of 8 MCUs on this
+    # one-MCU image inserts no restart markers, so it decodes unchanged
     dri = blob[:2] + seg(0xDD, (8).to_bytes(2, "big")) + blob[2:]
-    with pytest.raises(NotImplementedError):
-        DECODERS["jpeg"](dri)
+    assert DECODERS["jpeg"](dri) == got
     with pytest.raises(ValueError):
         DECODERS["jpeg"](blob[:-8])  # truncated scan
     with pytest.raises(ValueError):

@@ -305,6 +305,26 @@ def test_jpeg_420_and_422_pixel_value_parity():
             assert _jpeg_features(blob) == want, (yh, yv, w, h)
 
 
+def test_jpeg_restart_intervals_pixel_parity():
+    """DRI/RSTn restart intervals change the entropy byte stream
+    (byte-alignment padding, markers, DC predictor resets) but not the
+    pixels: a restart-segmented encode must decode identically to its
+    plain twin at every interval, including intervals that divide and
+    don't divide the MCU count."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        _dc_only_subsampled_jpeg,
+        _jpeg_features,
+    )
+
+    w, h = 24, 24  # 4 MCUs at 4:2:0
+    plain = _jpeg_features(_dc_only_subsampled_jpeg(3, 42, w, h))
+    for ri in (1, 2, 3, 4, 7):
+        blob = _dc_only_subsampled_jpeg(3, 42, w, h, restart_interval=ri)
+        assert _jpeg_features(blob) == plain, ri
+        if ri in (1, 2, 3):
+            assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+
+
 def test_jpeg_progressive_still_raises():
     """Progressive (SOF2) remains an honest NotImplementedError after
     the subsampling support landed."""
