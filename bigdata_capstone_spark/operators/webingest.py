@@ -546,10 +546,15 @@ def synthetic_robots_table(
     wildcard rules: a ``/*.tmp$`` extension disallow (exercising both
     ``*`` and the ``$`` end anchor) and an allow/disallow pair on
     /downloads/ where the longer wildcard ALLOW outranks the directory
-    disallow."""
+    disallow. A trailing ``User-agent: badbot / Disallow: /`` decoy
+    group and an ungrouped leading Disallow must BOTH be ignored by a
+    ``*`` crawler (RFC 9309 §2.2.1 group selection) — the decoy would
+    flip every URL to blocked, the ungrouped rule would flip the
+    unruled /docs/ branch; the oracle catches either leak."""
     rows = []
     for k in range(n_domains):
         txt = (
+            "Disallow: /docs/\n"
             "User-agent: *\n"
             f"Disallow: /private{k}/\n"
             "Disallow: /tmp/\n"
@@ -558,6 +563,9 @@ def synthetic_robots_table(
             "Disallow: /downloads/\n"
             "Allow: /downloads/*.html$\n"
             "Crawl-delay: 5\n"
+            "\n"
+            "User-agent: badbot\n"
+            "Disallow: /\n"
         )
         rows.append((f"www.example{k}.com", txt))
     return spark.createDataFrame(rows, "domain STRING, robots_txt STRING")
@@ -597,21 +605,71 @@ def synthetic_crawl_frontier(
     return spark.createDataFrame(rows, "url_id INT, url STRING")
 
 
-def parse_robots(robots: DataFrame) -> DataFrame:
-    """robots.txt → (domain, rule, prefix) for the ``*`` user-agent:
-    Allow/Disallow lines split and trimmed, empty prefixes dropped
-    (an empty Disallow permits everything — no rule needed), other
-    directives (Crawl-delay, Sitemap, User-agent) ignored. Pure JVM
-    string work; a robots file is KB-sized, so the rules relation is
-    |domains|·|rules| tiny regardless of frontier size."""
-    line = F.explode(F.split(F.col("robots_txt"), "\n")).alias("line")
-    lines = robots.select("domain", line)
+def parse_robots(robots: DataFrame, user_agent: str = "*") -> DataFrame:
+    """robots.txt → (domain, rule, prefix) with RFC 9309 §2.2.1 GROUP
+    SELECTION: lines are split into groups (consecutive ``User-agent``
+    lines open a group; its rules run until the next group), and a
+    crawler obeys the groups naming ITS product token — falling back to
+    the ``*`` groups only when no specific group exists on that domain.
+    Rules before any ``User-agent`` line belong to no group and are
+    ignored, as are empty prefixes (an empty Disallow permits
+    everything) and non-rule directives (Crawl-delay, Sitemap).
+
+    Pure JVM string work; a robots file is KB-sized, so the per-domain
+    line window and the rules relation are |domains|·|lines| tiny
+    regardless of frontier size — nothing here scales with the
+    frontier."""
+    from pyspark.sql.window import Window
+
+    lines = robots.select(
+        "domain",
+        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias(
+            "pos", "line"
+        ),
+    )
     rule = F.lower(F.trim(F.regexp_extract("line", r"^([A-Za-z-]+):", 1)))
-    prefix = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+:(.*)$", 1))
-    return (
-        lines.select("domain", rule.alias("rule"), prefix.alias("prefix"))
-        .filter(F.col("rule").isin("allow", "disallow"))
-        .filter(F.col("prefix") != "")
+    value = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+:(.*)$", 1))
+    w = Window.partitionBy("domain").orderBy("pos")
+    is_ua = rule == "user-agent"
+    # a group opens at a User-agent line not directly preceded by one
+    # (consecutive UA lines share the group, RFC 9309 §2.2.1)
+    group_start = is_ua & ~F.coalesce(
+        F.lag(is_ua).over(w), F.lit(False)
+    )
+    base = lines.select(
+        "domain",
+        "pos",
+        rule.alias("rule"),
+        value.alias("value"),
+        F.sum(group_start.cast("int")).over(w).alias("grp"),
+    )
+    uas = (
+        base.filter(F.col("rule") == "user-agent")
+        .groupBy("domain", "grp")
+        .agg(F.collect_set(F.lower(F.col("value"))).alias("uas"))
+        .select(
+            "domain",
+            "grp",
+            F.array_contains("uas", user_agent.lower()).alias("specific"),
+            F.array_contains("uas", "*").alias("generic"),
+        )
+    )
+    has_specific = uas.groupBy("domain").agg(
+        F.max(F.col("specific").cast("int")).alias("__has_spec")
+    )
+    rules = (
+        base.filter(F.col("rule").isin("allow", "disallow"))
+        .filter(F.col("value") != "")
+        .join(uas, on=["domain", "grp"])  # ungrouped rules drop here
+        .join(has_specific, on="domain")
+        .filter(
+            F.when(F.col("__has_spec") == 1, F.col("specific")).otherwise(
+                F.col("generic")
+            )
+        )
+    )
+    return rules.select(
+        "domain", "rule", F.col("value").alias("prefix")
     )
 
 

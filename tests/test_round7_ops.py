@@ -134,6 +134,40 @@ def test_robots_wildcard_precedence(spark):
     }
 
 
+def test_robots_user_agent_group_selection(spark):
+    """RFC 9309 §2.2.1: a crawler obeys the group naming its product
+    token, falls back to '*' only when no specific group exists,
+    ignores rules before any User-agent line, and consecutive UA lines
+    share one group."""
+    from bigdata_capstone_spark.operators.webingest import parse_robots
+
+    txt = (
+        "Disallow: /ungrouped/\n"        # no group -> ignored
+        "User-agent: alphabot\n"
+        "User-agent: betabot\n"          # shares the group above
+        "Disallow: /alpha/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /generic/\n"
+    )
+    robots = spark.createDataFrame(
+        [("d.com", txt)], "domain STRING, robots_txt STRING"
+    )
+
+    def rules(ua):
+        return {
+            (r["rule"], r["prefix"])
+            for r in parse_robots(robots, user_agent=ua).collect()
+        }
+
+    # specific group wins; '*' group NOT merged in
+    assert rules("betabot") == {("disallow", "/alpha/")}
+    assert rules("AlphaBot") == {("disallow", "/alpha/")}  # case-insens.
+    # unnamed crawler falls back to '*'; ungrouped rule never appears
+    assert rules("othercrawler") == {("disallow", "/generic/")}
+    assert rules("*") == {("disallow", "/generic/")}
+
+
 def test_html_entity_decode_single_pass(spark):
     """Entity decode is single-pass (HTML semantics): &amp;amp; yields
     the literal '&amp;', decoded '<' is text (never re-stripped — the
