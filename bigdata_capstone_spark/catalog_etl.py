@@ -3227,6 +3227,149 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_delta_oracle(n_perm: int = 8, bands: int = 4) -> str:
+    """Recomputes the near-dup index over v2 FROM SCRATCH and collapses
+    it to per-doc checksums (shingle count, mod-sum of shingle hashes,
+    band-bucket count, mod-sum of bucket keys). The Spark side builds
+    v1's index, applies the recrawl delta, and summarizes identically —
+    delta-maintained must equal recomputed, the same group law the BM25
+    df and (IVF-)PQ twins obey."""
+    rows = n_perm // bands
+    mins = ",\n             ".join(
+        f"min(('0x' || substr(md5('{p // 2}:' || sh), "
+        f"{1 + 15 * (p % 2)}, 15))::BIGINT) AS h{p}"
+        for p in range(n_perm)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, ('0x' || substr(md5('{b}:' || "
+        + " || ':' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + "), 1, 15))::BIGINT AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+               AS text
+      FROM documents WHERE doc_id >= 50
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             'new crawl doc ' || doc_id::VARCHAR AS text
+      FROM documents WHERE doc_id < 30
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM v2
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks WHERE len(t) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    buckets AS (
+      {band_selects}
+    ),
+    sh_sum AS (
+      SELECT doc_id, count(*)::BIGINT AS n_shingles,
+             sum(('0x' || substr(md5(sh), 1, 15))::BIGINT
+                 % 1000000007)::BIGINT AS shingle_sum
+      FROM sh GROUP BY doc_id
+    ),
+    bk_sum AS (
+      SELECT doc_id, count(*)::BIGINT AS n_buckets,
+             sum(bucket % 1000000007)::BIGINT AS bucket_sum
+      FROM buckets GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_shingles, s.shingle_sum,
+           b.n_buckets, b.bucket_sum
+    FROM sh_sum s JOIN bk_sum b ON b.doc_id = s.doc_id
+    """
+
+
+@register("dedup_index_delta", oracle=_index_delta_oracle())
+def dedup_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE maintenance of the persisted near-dup LSH index under a
+    re-crawl: v1's index minus the removed/changed docs' old rows plus
+    freshly-shingled rows for the added/changed batch — and the result
+    must equal the index REBUILT from v2, doc by doc (the oracle
+    recomputes it from scratch; the Spark side only ever shingles the
+    delta). Completes the incremental near-dup story:
+    ``dedup_incremental_batch`` answers "which arrivals duplicate the
+    corpus", this keeps the index itself current in O(delta).
+
+    Scale shape (operators/dedup.py:apply_near_dup_index_delta): one
+    anti-join per persisted relation keyed on doc id (lakehouse MERGE
+    shape — id-partitioned index tables rewrite only touched
+    partitions); minhash/banding runs over the delta only. Output is a
+    per-doc checksum projection (counts + mod-sums of shingle hashes
+    and bucket keys), hash-comparable engine-to-engine."""
+    from bigdata_capstone_spark.functions.portable import md5_long
+    from bigdata_capstone_spark.operators.dedup import (
+        apply_near_dup_index_delta,
+        near_dup_index,
+    )
+    from bigdata_capstone_spark.operators.reconcile import snapshot_diff
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").cache()
+    v1 = docs.select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") >= 50)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(
+                    F.lit("new crawl doc "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    diff = snapshot_diff(v1, v2, on=["doc_id"], compare_cols=["text"])
+    removed = diff.filter(
+        F.col("status").isin("removed", "changed")
+    ).select("doc_id")
+    batch = v2.join(
+        diff.filter(F.col("status").isin("added", "changed")).select(
+            "doc_id"
+        ),
+        on="doc_id",
+        how="left_semi",
+    )
+    index_v1 = near_dup_index(v1, n_perm=8, bands=4, shingle_n=3)
+    bk, sh, sz = apply_near_dup_index_delta(
+        index_v1, batch, removed, n_perm=8, bands=4, shingle_n=3
+    )
+    m = 1000000007
+    sh_sum = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(md5_long(F.col("sh")) % m).alias("shingle_sum"),
+    )
+    bk_sum = bk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("bucket") % m).alias("bucket_sum"),
+    )
+    return sh_sum.join(bk_sum, on="doc_id").select(
+        "doc_id", "n_shingles", "shingle_sum", "n_buckets", "bucket_sum"
+    )
+
+
 @register(
     "streaming_bm25_dfreq",
     oracle="""

@@ -351,6 +351,50 @@ def near_dup_index(
     return bk, sh, sizes
 
 
+def apply_near_dup_index_delta(
+    corpus_index: tuple[DataFrame, DataFrame, DataFrame],
+    batch: DataFrame,
+    removed_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """O(delta) maintenance of the persisted near-dup index under a
+    re-crawl: drop the index rows of ``removed_ids`` (removed docs plus
+    changed docs' OLD versions), append freshly-computed rows for
+    ``batch`` (added docs plus changed docs' NEW text). The group law
+    the other incremental twins obey (BM25 df, PQ, IVF-PQ):
+
+        apply(index(v1), delta(v1→v2)) == index(v2), relation by
+        relation, exactly — shingling/minhash/banding (the expensive
+        work) runs over the DELTA only.
+
+    The removal is an anti-join keyed on doc id over each persisted
+    relation; with the index tables partitioned/bucketed by id (how
+    :func:`near_dup_index` says to persist them) that is lakehouse
+    MERGE shape — only touched partitions rewrite, history is never
+    re-shingled. Compose upstream with reconcile.snapshot_diff: its
+    'removed'+'changed' ids are ``removed_ids``, its 'added'+'changed'
+    (new text) set is ``batch``.
+    """
+    bk, sh, sz = corpus_index
+    rm = removed_ids.select(id_col).distinct()
+
+    def keep(df: DataFrame) -> DataFrame:
+        return df.join(rm, on=id_col, how="left_anti")
+
+    b_bk, b_sh, b_sz = near_dup_index(
+        batch, text_col, id_col, n_perm, bands, shingle_n
+    )
+    return (
+        keep(bk).unionByName(b_bk),
+        keep(sh).unionByName(b_sh),
+        keep(sz).unionByName(b_sz),
+    )
+
+
 def incremental_near_dup_pairs(
     corpus_index: tuple[DataFrame, DataFrame, DataFrame],
     batch: DataFrame,

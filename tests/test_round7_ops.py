@@ -263,6 +263,54 @@ def test_incremental_near_dup_batch_split_independence(spark, sf_small):
     assert len(self_hits) >= n_batch * 0.9  # cap may drop a hot bucket
 
 
+def test_near_dup_index_delta_equals_rebuild(spark, sf_small):
+    """The index group law, relation by relation (buckets, shingles,
+    sizes): applying a recrawl delta to v1's index must equal the index
+    rebuilt from v2 — while only the delta was ever shingled."""
+    from bigdata_capstone_spark.operators.dedup import (
+        apply_near_dup_index_delta,
+        near_dup_index,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "text"
+    ).cache()
+    v1 = docs
+    # v2: drop head, revise every 5th, add 10
+    v2 = (
+        docs.filter(F.col("doc_id") >= 10)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 50000).alias("doc_id"), "text"
+            )
+        )
+    )
+    # delta: batch = v2 rows not identical in v1; removed = v1 ids not
+    # identical in v2 (covers removed + changed-old rows)
+    batch = v2.join(v1, on=["doc_id", "text"], how="left_anti")
+    removed = v1.join(v2, on=["doc_id", "text"], how="left_anti").select(
+        "doc_id"
+    )
+    kw = dict(n_perm=8, bands=4, shingle_n=3)
+    applied = apply_near_dup_index_delta(
+        near_dup_index(v1, **kw), batch, removed, **kw
+    )
+    rebuilt = near_dup_index(v2, **kw)
+    for a, b, name in zip(applied, rebuilt, ("buckets", "shingles", "sizes")):
+        sa = {tuple(r) for r in a.collect()}
+        sb = {tuple(r) for r in b.collect()}
+        assert sa == sb, f"{name}: delta-applied != rebuilt"
+    assert batch.count() < v2.count() * 0.35  # delta really was a delta
+
+
 def test_main_content_drops_boilerplate_keeps_linked_prose(spark):
     """The link-density heuristic must cut a nav bar and footer (pure
     anchor text) while KEEPING a long prose block that merely contains
