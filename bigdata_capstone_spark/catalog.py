@@ -2018,7 +2018,8 @@ def _warc_extraction_oracle(n_shards: int, docs_per_shard: int,
     html AS (
       SELECT shard_id, record_idx, p1, p2, title,
              '<html><head><title>' || title ||
-             '</title><style>p {{margin: 0}}</style></head><body><p>' ||
+             '</title><style>p {{margin: 0}}</style></head><body>' ||
+             '<nav><a href="/">Home</a> <a href="/a">About</a></nav><p>' ||
              p1 || '</p><p>' || p2 ||
              '</p><p>A &amp;amp; B &lt;x&gt; &#39;y&#39; &#x26;' ||
              ' Z&nbsp;!</p>' ||
@@ -2029,7 +2030,7 @@ def _warc_extraction_oracle(n_shards: int, docs_per_shard: int,
            'https://example.com/' || shard_id || '/' || record_idx AS uri,
            200::INT AS http_status,
            title,
-           md5(title || ' ' || p1 || ' ' || p2 ||
+           md5(title || ' Home About ' || p1 || ' ' || p2 ||
                ' A &amp; B <x> ''y'' & Z !') AS text_hash,
            octet_length(encode(h))::BIGINT AS n_html_bytes
     FROM html
@@ -2058,6 +2059,65 @@ def warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shards = synthetic_warc_shards(spark, n_shards=8, docs_per_shard=6)
     return extract_html_text(parse_warc_records(shards))
+
+
+@register(
+    "warc_main_content",
+    oracle="""
+    WITH ij AS (
+      SELECT i.i AS shard_id, j.j AS record_idx
+      FROM (SELECT unnest(range(8)) AS i) i
+      CROSS JOIN (SELECT unnest(range(6)) AS j) j
+    ),
+    parts AS (
+      SELECT shard_id, record_idx,
+             md5('42:w:' || shard_id || ':' || record_idx || ':1') AS p1,
+             md5('42:w:' || shard_id || ':' || record_idx || ':2') AS p2
+      FROM ij
+    )
+    SELECT shard_id::INT AS shard_id, record_idx::INT AS record_idx,
+           'https://example.com/' || shard_id || '/' || record_idx AS uri,
+           'Doc ' || shard_id || '-' || record_idx AS title,
+           4::BIGINT AS n_blocks,
+           3::BIGINT AS kept_blocks,
+           md5(p1 || ' ' || p2 || ' A &amp; B <x> ''y'' & Z !')
+             AS main_hash,
+           89::BIGINT AS main_chars
+    FROM parts
+    """,
+)
+def warc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl front door COMPOSED: WARC shards → response
+    records → main-content extraction. Where ``warc_text_extraction``
+    keeps everything (its text includes the nav's 'Home About'), this
+    entry's link-density cut drops the nav block and the <head> —
+    the oracle's expected main text is the three prose paragraphs
+    only, byte-exact (entities decoded, title absent). The contrast
+    between the two entries' hashes on the SAME fixture is the
+    demonstrable boilerplate removal.
+
+    Scale shape: the mapInPandas WARC parse is per-shard; the content
+    heuristic is a pure JVM array-fold projection — html dies here,
+    and downstream quality/dedup statistics run on main text, not
+    markup or chrome."""
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_main_content,
+        parse_warc_records,
+        synthetic_warc_shards,
+    )
+
+    shards = synthetic_warc_shards(spark, n_shards=8, docs_per_shard=6)
+    recs = parse_warc_records(shards)
+    return extract_main_content(recs).select(
+        "shard_id",
+        "record_idx",
+        "uri",
+        "title",
+        "n_blocks",
+        "kept_blocks",
+        F.md5("main_text").alias("main_hash"),
+        "main_chars",
+    )
 
 
 @register(

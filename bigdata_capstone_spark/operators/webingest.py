@@ -56,10 +56,13 @@ def _mk_html(i: int, j: int, seed: int) -> str:
     # third paragraph exercises entity decoding: named + numeric forms,
     # the &amp;amp; single-decode case, and &nbsp; feeding the
     # whitespace collapse — expected clean text: "A &amp; B <x> 'y' & Z !"
+    # The link-only <nav> is boilerplate: extract_html_text keeps its
+    # text ("Home About"), extract_main_content must cut it.
     return (
         f"<html><head><title>Doc {i}-{j}</title>"
         f"<style>p {{margin: 0}}</style></head>"
-        f"<body><p>{p1}</p><p>{p2}</p>"
+        f'<body><nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        f"<p>{p1}</p><p>{p2}</p>"
         f"<p>A &amp;amp; B &lt;x&gt; &#39;y&#39; &#x26; Z&nbsp;!</p>"
         f"<script>var x = 1 < 2;</script></body></html>"
     )
