@@ -100,6 +100,10 @@ HEADLINE = [
     "embedding_semantic_communities",  # KNN graph -> mutual edges -> LPA
     "docs_fair_budget_allocation",     # water-filling via prefix sums
     "bm25_delta_dfreq",                # df delta under updates+deletes
+    "dedup_incremental_batch",     # O(batch) near-dup vs persisted index
+    "dedup_index_delta",           # MERGE maintenance of the LSH index
+    "multimodal_jpeg420_features", # 4:2:0 subsampled JPEG decode
+    "html_main_content",           # link-density main-content cut
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

@@ -2219,6 +2219,64 @@ def robots_frontier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "crawl_fetch_plan",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(140)) AS uid),
+    m AS (SELECT uid, uid // 28 AS k, (uid // 4) % 7 AS kind,
+                 uid % 4 AS i
+          FROM ids),
+    allowed AS (SELECT * FROM m WHERE kind IN (1, 3, 5, 6)),
+    plan AS (
+      SELECT uid, k, kind, i,
+             row_number() OVER (PARTITION BY k ORDER BY uid) AS slot
+      FROM allowed
+    )
+    SELECT uid::INT AS url_id,
+           'https://www.example' || k || '.com' ||
+             CASE kind WHEN 1 THEN '/private' || k || '/public/page' || i
+                       WHEN 3 THEN '/docs/page' || i
+                       WHEN 5 THEN '/downloads/page' || i || '.html'
+                       ELSE '/files/doc' || i || '.tmpx' END AS url,
+           'www.example' || k || '.com' AS domain,
+           slot::INT AS slot,
+           ((slot - 1) * 5.0)::DOUBLE AS fetch_offset_s
+    FROM plan
+    """,
+)
+def crawl_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled fetch plan for the crawl frontier, composed
+    end to end: robots rules filter the frontier (wildcards + group
+    selection), Crawl-delay parses from the SELECTED group (the decoy
+    badbot group's absence of a delay must not matter), and each
+    domain's allowed URLs get deterministic slots spaced by its delay.
+    The oracle replays the allowed set, the per-domain slot order, and
+    the 5-second spacing from the generative formulas.
+
+    Scale shape (operators/webingest.py:frontier_fetch_plan): one
+    window partitioned by domain — millions of small per-host groups,
+    no global sort — plus a broadcast join against the per-domain delay
+    table; the plan doubles as the work assignment for a
+    domain-partitioned fetcher fleet."""
+    from bigdata_capstone_spark.operators.webingest import (
+        frontier_fetch_plan,
+        parse_crawl_delays,
+        parse_robots,
+        robots_filter,
+        synthetic_crawl_frontier,
+        synthetic_robots_table,
+    )
+
+    urls = synthetic_crawl_frontier(spark, n_domains=5, per_kind=4)
+    robots = synthetic_robots_table(spark, n_domains=5)
+    allowed = (
+        robots_filter(urls, parse_robots(robots))
+        .filter(F.col("allowed"))
+        .select("url_id", "url")
+    )
+    return frontier_fetch_plan(allowed, parse_crawl_delays(robots))
+
+
+@register(
     "url_domain_blocklist",
     oracle="""
     WITH ids AS (SELECT unnest(range(200)) AS i),

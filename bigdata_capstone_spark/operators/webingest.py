@@ -608,20 +608,20 @@ def synthetic_crawl_frontier(
     return spark.createDataFrame(rows, "url_id INT, url STRING")
 
 
-def parse_robots(robots: DataFrame, user_agent: str = "*") -> DataFrame:
-    """robots.txt → (domain, rule, prefix) with RFC 9309 §2.2.1 GROUP
-    SELECTION: lines are split into groups (consecutive ``User-agent``
-    lines open a group; its rules run until the next group), and a
-    crawler obeys the groups naming ITS product token — falling back to
-    the ``*`` groups only when no specific group exists on that domain.
-    Rules before any ``User-agent`` line belong to no group and are
-    ignored, as are empty prefixes (an empty Disallow permits
-    everything) and non-rule directives (Crawl-delay, Sitemap).
+def _robots_selected_lines(
+    robots: DataFrame, user_agent: str
+) -> DataFrame:
+    """(domain, rule, value) directive lines belonging to the RFC 9309
+    §2.2.1 SELECTED group(s) for ``user_agent``: lines split into
+    groups (consecutive ``User-agent`` lines open a group; its
+    directives run until the next group); the groups naming the
+    crawler's product token are selected, with the ``*`` groups as the
+    fallback only when no specific group exists on that domain. Lines
+    before any ``User-agent`` line belong to no group and are dropped.
 
-    Pure JVM string work; a robots file is KB-sized, so the per-domain
-    line window and the rules relation are |domains|·|lines| tiny
-    regardless of frontier size — nothing here scales with the
-    frontier."""
+    Pure JVM string work over the robots relation; a robots file is
+    KB-sized, so the per-domain line window and every frame here are
+    |domains|·|lines| tiny regardless of frontier size."""
     from pyspark.sql.window import Window
 
     lines = robots.select(
@@ -660,19 +660,104 @@ def parse_robots(robots: DataFrame, user_agent: str = "*") -> DataFrame:
     has_specific = uas.groupBy("domain").agg(
         F.max(F.col("specific").cast("int")).alias("__has_spec")
     )
-    rules = (
-        base.filter(F.col("rule").isin("allow", "disallow"))
-        .filter(F.col("value") != "")
-        .join(uas, on=["domain", "grp"])  # ungrouped rules drop here
+    return (
+        base.filter(F.col("rule") != "user-agent")
+        .join(uas, on=["domain", "grp"])  # ungrouped lines drop here
         .join(has_specific, on="domain")
         .filter(
             F.when(F.col("__has_spec") == 1, F.col("specific")).otherwise(
                 F.col("generic")
             )
         )
+        .select("domain", "rule", "value")
     )
-    return rules.select(
-        "domain", "rule", F.col("value").alias("prefix")
+
+
+def parse_robots(robots: DataFrame, user_agent: str = "*") -> DataFrame:
+    """robots.txt → (domain, rule, prefix): the Allow/Disallow rules of
+    the RFC 9309-selected group(s) (:func:`_robots_selected_lines`),
+    empty prefixes dropped (an empty Disallow permits everything — no
+    rule needed), other directives ignored."""
+    sel = _robots_selected_lines(robots, user_agent)
+    return (
+        sel.filter(F.col("rule").isin("allow", "disallow"))
+        .filter(F.col("value") != "")
+        .select("domain", "rule", F.col("value").alias("prefix"))
+    )
+
+
+def parse_crawl_delays(
+    robots: DataFrame,
+    user_agent: str = "*",
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """robots.txt → (domain, crawl_delay) in seconds for the selected
+    group(s): the MINIMUM numeric Crawl-delay among the selected lines
+    (the conservative read when several apply), non-numeric values
+    ignored, ``default_delay`` where the domain declares none. One row
+    per robots-bearing domain — the politeness input to
+    :func:`frontier_fetch_plan`."""
+    sel = _robots_selected_lines(robots, user_agent)
+    declared = (
+        sel.filter(F.col("rule") == "crawl-delay")
+        # try_cast: a malformed delay ("soon") is an ignorable line, not
+        # a query-aborting ANSI cast error
+        .select("domain", F.col("value").try_cast("double").alias("d"))
+        .filter(F.col("d").isNotNull() & (F.col("d") >= 0))
+        .groupBy("domain")
+        .agg(F.min("d").alias("__declared"))
+    )
+    return (
+        robots.select("domain")
+        .distinct()
+        .join(declared, on="domain", how="left")
+        .select(
+            "domain",
+            F.coalesce(F.col("__declared"), F.lit(default_delay)).alias(
+                "crawl_delay"
+            ),
+        )
+    )
+
+
+def frontier_fetch_plan(
+    urls: DataFrame,
+    delays: DataFrame,
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Politeness schedule for a crawl frontier: per domain, URLs get
+    deterministic fetch slots (ordered by url_id) spaced by the
+    domain's Crawl-delay — slot k fetches at offset (k-1)·delay
+    seconds. Returns (url_id, url, domain, slot, fetch_offset_s).
+    Unknown domains (no robots row) fall back to ``default_delay``.
+
+    Scale shape: ONE window partitioned by domain (millions of small
+    per-host groups — exactly the partitioning a distributed fetcher
+    wants; no global sort anywhere) and a broadcast-sized join against
+    the per-domain delay table. The plan IS the work assignment: a
+    fetcher fleet partitioned by domain consumes each group's slots in
+    order and politeness is preserved per host no matter how many
+    workers run."""
+    from pyspark.sql.window import Window
+
+    host = F.regexp_extract("url", r"^[^:]+://([^/?#:]+)", 1)
+    u = urls.select("url_id", "url", host.alias("domain"))
+    w = Window.partitionBy("domain").orderBy("url_id")
+    return (
+        u.join(F.broadcast(delays), on="domain", how="left")
+        .withColumn(
+            "crawl_delay",
+            F.coalesce(F.col("crawl_delay"), F.lit(default_delay)),
+        )
+        .select(
+            "url_id",
+            "url",
+            "domain",
+            F.row_number().over(w).alias("slot"),
+            (
+                (F.row_number().over(w) - 1) * F.col("crawl_delay")
+            ).alias("fetch_offset_s"),
+        )
     )
 
 

@@ -168,6 +168,34 @@ def test_robots_user_agent_group_selection(spark):
     assert rules("*") == {("disallow", "/generic/")}
 
 
+def test_crawl_delay_selected_group_semantics(spark):
+    """Crawl-delay comes from the RFC-selected group only: a decoy
+    group's delay is ignored, several applicable values take the
+    conservative MIN, non-numeric values are skipped, and undeclared
+    domains fall back to the default."""
+    from bigdata_capstone_spark.operators.webingest import (
+        parse_crawl_delays,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nCrawl-delay: 7\nCrawl-delay: 3\n"
+                "User-agent: badbot\nCrawl-delay: 0.1\n",
+            ),
+            ("b.com", "User-agent: *\nCrawl-delay: soon\n"),  # non-numeric
+            ("c.com", "User-agent: *\nDisallow: /x/\n"),      # undeclared
+        ],
+        "domain STRING, robots_txt STRING",
+    )
+    got = {
+        r["domain"]: r["crawl_delay"]
+        for r in parse_crawl_delays(robots, default_delay=2.0).collect()
+    }
+    assert got == {"a.com": 3.0, "b.com": 2.0, "c.com": 2.0}
+
+
 def test_html_entity_decode_single_pass(spark):
     """Entity decode is single-pass (HTML semantics): &amp;amp; yields
     the literal '&amp;', decoded '<' is text (never re-stripped — the
