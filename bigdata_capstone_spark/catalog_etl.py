@@ -132,6 +132,118 @@ def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_CTES = f"""
+    e AS (
+      SELECT user_id, ts, event_id, {_TIER_SQL} AS tier
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, tier,
+             CASE WHEN lag(tier) OVER w IS NULL
+                    OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, tier,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ),
+    hist AS (
+      SELECT user_id, version, min(tier) AS tier, min(ts) AS valid_from,
+             count(*) AS n_events
+      FROM runs GROUP BY user_id, version
+    ),
+    dim AS (
+      SELECT user_id, tier, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to
+      FROM hist
+    )
+"""
+
+
+@register(
+    "events_scd2_enrichment",
+    oracle=f"""
+    WITH {_SCD2_CTES}
+    SELECT d.tier, ev.event_type,
+           count(*)::BIGINT AS n,
+           sum(CAST(ev.value AS DECIMAL(18,2)))::DOUBLE AS value_sum
+    FROM events ev
+    JOIN dim d
+      ON d.user_id = ev.user_id
+     AND ev.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR ev.ts < d.valid_to)
+    GROUP BY d.tier, ev.event_type
+    """,
+)
+def events_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the OTHER half of the SCD2
+    story: ``scd2_user_tiers`` builds the versioned dimension; this
+    entry joins a fact row to the version VALID AT ITS TIMESTAMP
+    (ts ∈ [valid_from, valid_to)), the canonical as-of enrichment every
+    warehouse runs against a type-2 dimension. Summarized per (tier,
+    event_type) with a DECIMAL-exact value sum.
+
+    Scale shape: equi-join on user_id (both sides hash-partition once —
+    the dimension is user-grain, never broadcast at warehouse scale)
+    with the interval containment as a post-join predicate over that
+    user's handful of versions. No theta-join against the fact ever
+    plans; the window chain reuses the single user_id Exchange the SCD2
+    build documents."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events").cache()
+    # the dimension derives from the same events scan; cache so the
+    # corpus scans once across the build + the enrichment probe
+    tier = (
+        F.when(F.col("value") < 30, "low")
+        .when(F.col("value") < 70, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "ts", "event_id", tier.alias("tier")
+    ).withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(w).isNull()
+            | (F.lag("tier").over(w) != F.col("tier")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "version",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    hist = runs.groupBy("user_id", "version").agg(
+        F.min("tier").alias("tier"),
+        F.min("ts").alias("valid_from"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    dim = hist.select(
+        "user_id",
+        "tier",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+    from bigdata_capstone_spark.functions.portable import exact_sum
+
+    fact = events.select("user_id", "ts", "event_type", "value")
+    joined = fact.join(
+        dim,
+        on=(fact["user_id"] == dim["user_id"])
+        & (fact["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (fact["ts"] < dim["valid_to"])),
+    )
+    return joined.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("value", 2).alias("value_sum"),
+    )
+
+
 @register(
     "event_transition_matrix",
     oracle="""
@@ -3042,6 +3154,104 @@ def corpus_recrawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(v1, v2, on=["doc_id"], compare_cols=["text"])
+
+
+@register(
+    "corpus_data_card",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang, source, n_chars,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_toks,
+             md5(text) AS h,
+             (0.3 * least(len(list_filter(string_split_regex(lower(text),
+                  '\\s+'), x -> x <> '')) / 200.0, 1.0)
+            + 0.3 * (len(list_distinct(list_filter(string_split_regex(
+                  lower(text), '\\s+'), x -> x <> ''))) * 1.0
+                / len(list_filter(string_split_regex(lower(text), '\\s+'),
+                      x -> x <> '')))
+            + 0.2 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                * 1.0 / length(text))
+            + 0.2 * (len(list_intersect(list_distinct(list_filter(
+                  string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+                  ['the','and','of','to','a','in','is','that','it','for']))
+                / 10.0)) AS q
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT lang, count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             sum(n_toks) AS total_tokens,
+             sum(n_chars) AS total_chars,
+             count(DISTINCT h) AS distinct_texts,
+             sum(CAST(q AS DECIMAL(18,12))) AS qsum
+      FROM per_doc GROUP BY lang
+    ),
+    tot AS (SELECT sum(total_tokens) AS all_tokens FROM per_lang)
+    SELECT lang,
+           n_docs::BIGINT AS n_docs,
+           n_sources::BIGINT AS n_sources,
+           total_tokens::BIGINT AS total_tokens,
+           total_chars::BIGINT AS total_chars,
+           round(1.0 - distinct_texts * 1.0 / n_docs, 6) AS dup_rate_r,
+           round(qsum::DOUBLE / n_docs, 6) AS mean_quality_r,
+           round(total_tokens * 1.0
+                 / (SELECT all_tokens FROM tot), 6) AS token_share_r
+    FROM per_lang
+    """,
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-language corpus DATA CARD — the one-page summary every
+    released training set ships (docs, sources, token/char volume,
+    exact-duplicate rate, mean quality, token share of the corpus) —
+    composed from the same expressions the per-doc entries check
+    individually, in ONE pass over the text column.
+
+    Determinism: the quality composite aggregates as DECIMAL(18,12)
+    (order-independent) and only the final mean rounds; duplicate rate
+    counts distinct md5(text). The corpus-total token share comes from
+    a broadcast 1-row aggregate, not a global window — no
+    single-partition stage anywhere."""
+    from bigdata_capstone_spark.operators.textops import (
+        quality_score_col,
+        tokens_col,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens_col("text")).alias("n_toks"),
+        F.md5("text").alias("h"),
+        quality_score_col("text").alias("q"),
+    )
+    per_lang = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("h").alias("distinct_texts"),
+        F.sum(F.col("q").cast("decimal(18,12)")).alias("qsum"),
+    )
+    tot = per_lang.agg(F.sum("total_tokens").alias("all_tokens"))
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        "total_tokens",
+        "total_chars",
+        F.round(
+            1.0 - F.col("distinct_texts") / F.col("n_docs"), 6
+        ).alias("dup_rate_r"),
+        F.round(
+            F.col("qsum").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_quality_r"),
+        F.round(
+            F.col("total_tokens") / F.col("all_tokens"), 6
+        ).alias("token_share_r"),
+    )
 
 
 def _incremental_batch_oracle(

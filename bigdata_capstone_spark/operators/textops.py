@@ -82,15 +82,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite [0,1] quality score: favors mid-length, diverse, alphabetic
-    documents — the standard pretraining-filter shape (length/punct/stopword
-    heuristics), deliberately simple and fully portable.
-
-    Terms are combined *unrounded* (rounding only the final score):
-    combining the display-rounded features of :func:`quality_features`
-    would drift the composite by ~1e-6 vs the oracle.
-    """
+def quality_score_col(text_col: str = "text") -> Column:
+    """The UNROUNDED composite quality expression (length / diversity /
+    alphabetic / stopword terms) — exposed as a Column so composites
+    (the corpus data card) aggregate the exact same arithmetic the
+    per-doc entry rounds for display."""
     toks = tokens_col(text_col)
     n_tok = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
@@ -102,13 +98,26 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")
     ) / F.length(text_col)
     length_term = F.least(n_tok / F.lit(200.0), F.lit(1.0))
-    score = (
+    return (
         0.3 * length_term
         + 0.3 * distinct_ratio
         + 0.2 * alpha_ratio
         + 0.2 * stop_ratio
     )
-    return df.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score: favors mid-length, diverse, alphabetic
+    documents — the standard pretraining-filter shape (length/punct/stopword
+    heuristics), deliberately simple and fully portable.
+
+    Terms are combined *unrounded* (rounding only the final score):
+    combining the display-rounded features of :func:`quality_features`
+    would drift the composite by ~1e-6 vs the oracle.
+    """
+    return df.select(
+        "doc_id", F.round(quality_score_col(text_col), 6).alias("quality")
+    )
 
 
 def synthetic_lined_docs(spark, n: int = 64, seed: int = 42):
