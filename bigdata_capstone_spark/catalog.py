@@ -2218,6 +2218,52 @@ def robots_frontier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(urls, rules)
 
 
+def _domain_pagerank_oracle(n_domains: int = 8) -> str:
+    from bigdata_capstone_spark.operators.graph import pagerank_unrolled_sql
+
+    edges_cte = f"""
+      SELECT 'www.example' || k || '.com' AS src,
+             'www.example' || ((k + 1 + o) % {n_domains}) || '.com' AS dst
+      FROM (SELECT unnest(range({n_domains})) AS k)
+      CROSS JOIN (SELECT unnest(range(3)) AS o)
+    """
+    pr = pagerank_unrolled_sql(edges_cte, iterations=3, damping=0.85)
+    return f"""
+    SELECT node AS domain, round(rank, 12) AS pagerank
+    FROM ({pr})
+    """
+
+
+@register("domain_pagerank", oracle=_domain_pagerank_oracle())
+def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph authority over EXTRACTED anchors: pages → absolute
+    http(s) hrefs → distinct host-level edges → 3-round PageRank — the
+    crawl-prioritization signal (harvest high-authority hosts first)
+    composed from the ingest layer and the iterative-graph layer. The
+    fixture's links are formula-derived (and plant relative/fragment
+    hrefs that must NOT become edges), so the oracle rebuilds the exact
+    edge set and unrolls the PageRank loop CTE-for-CTE — DECIMAL-exact
+    per round, bit-identical ranks.
+
+    Scale shape: link extraction is a map (regexp + explode, bounded by
+    anchor count); the only shuffles are the host-keyed distinct and
+    one groupBy(dst) per PageRank round over the cached,
+    never-reshuffled edge list (operators/graph.py:pagerank)."""
+    from bigdata_capstone_spark.operators.graph import pagerank
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_links,
+        synthetic_linked_pages,
+    )
+
+    pages = synthetic_linked_pages(spark, n_domains=8, pages_per_domain=6)
+    edges = extract_links(pages).distinct()
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("domain"),
+        F.round("rank", 12).alias("pagerank"),
+    )
+
+
 @register(
     "crawl_fetch_plan",
     oracle="""

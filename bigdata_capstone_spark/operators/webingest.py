@@ -480,6 +480,72 @@ def extract_main_content(
     )
 
 
+def synthetic_linked_pages(
+    spark: SparkSession,
+    n_domains: int = 8,
+    pages_per_domain: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """(page_id, host, html) fixture for link extraction: page ``j`` of
+    domain ``k`` carries md5-derived prose plus one absolute link to
+    domain ``(k + 1 + j % 3) % n_domains`` — so the DISTINCT host-level
+    edge set is exactly {k → (k+1)%D, (k+2)%D, (k+3)%D} (with
+    pages_per_domain ≥ 3), a formula a DuckDB oracle rebuilds to replay
+    the whole extract→graph→PageRank chain. A relative link and a
+    fragment link are planted on every page and must NOT become
+    edges."""
+    rows = []
+    for k in range(n_domains):
+        for j in range(pages_per_domain):
+            body = hashlib.md5(f"{seed}:lp:{k}:{j}".encode()).hexdigest()
+            t = (k + 1 + j % 3) % n_domains
+            html = (
+                f"<html><body><p>{body}</p>"
+                f'<a href="https://www.example{t}.com/p{j}">ref</a> '
+                f'<a href="/local/page{j}">rel</a> '
+                f'<a href="#sec1">frag</a>'
+                f"</body></html>"
+            )
+            rows.append(
+                (k * pages_per_domain + j, f"www.example{k}.com", html)
+            )
+    return spark.createDataFrame(
+        rows, "page_id INT, host STRING, html STRING"
+    )
+
+
+def extract_links(
+    records: DataFrame,
+    html_col: str = "html",
+    host_col: str = "host",
+) -> DataFrame:
+    """Host-level link edges from HTML anchors: every absolute
+    http(s) ``href`` becomes one (src, dst) row — src the page's host,
+    dst the link target's host. Relative links and fragments are
+    dropped (host-graph analyses want cross-site structure; resolving
+    relative hrefs would only add self-edges). Pure JVM
+    regexp_extract_all + explode; work is bounded by anchor count,
+    nothing shuffles here.
+
+    This is the input to the domain-graph family (PageRank for
+    authority-weighted crawl prioritization, LPA for site communities)
+    — at crawl scale the (src, dst) distinct is the only shuffle, keyed
+    on the short host strings."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r'<a\b[^>]*href="([^"#]+)"'),
+        1,
+    )
+    out = records.select(
+        F.col(host_col).alias("src"),
+        F.explode(hrefs).alias("href"),
+    ).filter(F.col("href").rlike(r"^https?://"))
+    return out.select(
+        "src",
+        F.regexp_extract("href", r"^[^:]+://([^/?#:]+)", 1).alias("dst"),
+    )
+
+
 def host_suffix_chain(host: Column) -> Column:
     """All dot-suffix chains of a hostname: ``a.b.c`` →
     [``a.b.c``, ``b.c``, ``c``] — bounded by the label count (a handful),
