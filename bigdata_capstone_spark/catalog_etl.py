@@ -3362,6 +3362,102 @@ def _incremental_batch_oracle(
     """
 
 
+@register("streaming_decontamination", oracle=_incremental_batch_oracle())
+def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-FLIGHT decontamination through the value gate: the arriving
+    documents stream as micro-batches, each micro-batch is LSH-deduped
+    against the STATIC corpus index inside foreachBatch
+    (incremental_near_dup_pairs — only the micro-batch is ever
+    shingled/banded), and the drained union of per-trigger results must
+    equal the one-shot batch run EXACTLY — the oracle IS
+    dedup_incremental_batch's. This is the batch-split-independence law
+    (corpus-only bucket cap) exercised on real Structured Streaming
+    triggers: the filter a crawl pipeline runs against eval benchmarks
+    while data is still arriving.
+
+    Scale shape: per trigger O(micro-batch) shingling + a bucket-keyed
+    join against the persisted index; no cross-trigger state at all —
+    the index is the state, and it lives in tables, not in the stream."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        near_dup_index,
+    )
+    from bigdata_capstone_spark.operators.reconcile import snapshot_diff
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").cache()
+    v1 = docs.select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") >= 50)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(
+                    F.lit("new crawl doc "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    diff = snapshot_diff(v1, v2, on=["doc_id"], compare_cols=["text"])
+    arriving = v2.join(
+        diff.filter(F.col("status").isin("added", "changed")).select(
+            "doc_id"
+        ),
+        on="doc_id",
+        how="left_semi",
+    )
+    bk, sh, sz = near_dup_index(v1, n_perm=8, bands=4, shingle_n=3)
+    # the persisted-index stand-in: cache all three relations so every
+    # trigger probes the SAME materialized index instead of re-deriving
+    # it from the corpus scan
+    index = (bk.cache(), sh.cache(), sz.cache())
+    work = tempfile.mkdtemp(prefix="stream_decon_")
+    arriving.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+    )
+    out_dir = f"{work}/out"
+
+    def apply(mb: DataFrame, epoch_id: int) -> None:
+        incremental_near_dup_pairs(
+            index,
+            mb,
+            n_perm=8,
+            bands=4,
+            shingle_n=3,
+            min_jaccard=0.35,
+            max_bucket_size=100,
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = spark.read.parquet(out_dir)
+    return res.select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
 @register("dedup_incremental_batch", oracle=_incremental_batch_oracle())
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup dedup of an ARRIVING batch against the
