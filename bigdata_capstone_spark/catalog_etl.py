@@ -3234,7 +3234,11 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.countDistinct("h").alias("distinct_texts"),
         F.sum(F.col("q").cast("decimal(18,12)")).alias("qsum"),
-    )
+    ).cache()
+    # cache the language-grain aggregate (a handful of rows): the
+    # corpus-total branch would otherwise recompute it — i.e. scan the
+    # wide text column a second time (caught by the plan_audit --scans
+    # sweep)
     tot = per_lang.agg(F.sum("total_tokens").alias("all_tokens"))
     return per_lang.crossJoin(F.broadcast(tot)).select(
         "lang",
