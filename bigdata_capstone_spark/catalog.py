@@ -1741,6 +1741,55 @@ def multimodal_jpeg420_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_jpeg_progressive_features",
+    oracle=_multimodal_jpeg420_oracle(),
+)
+def multimodal_jpeg_progressive_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL compressed-image decode #5: PROGRESSIVE JPEG (SOF2) — the
+    other half of what real crawls serve. Five-scan fixture files
+    (interleaved DC first at Al=1 → DC refinement bits → one
+    non-interleaved AC EOB-run scan per component) accumulate
+    coefficients across scans before one dequantize+IDCT; the files are
+    byte-for-byte different from the baseline 4:2:0 twin but must
+    decode to identical pixels, so this entry reuses that oracle
+    verbatim — successive approximation, the interleaved-vs-
+    non-interleaved block grids on partial MCUs, and EOBn run decoding
+    are all value-checked per pixel. The AC first/refine coefficient
+    paths with real (non-zero-band) data are covered by an
+    independent-IDCT reference test."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        extract_features,
+        synthetic_jpeg_progressive_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_jpeg_progressive_assets(spark, n=12, seed=42)
+    feats = extract_features(assets, decoder="strict")
+
+    def f(idx: int):
+        return F.round(F.element_at("features", idx).cast("double"), 6)
+
+    return feats.select(
+        "asset_id",
+        F.element_at("features", 1).cast("int").alias("w"),
+        F.element_at("features", 2).cast("int").alias("h"),
+        f(3).alias("mean_r_r"),
+        f(4).alias("mean_g_r"),
+        f(5).alias("mean_b_r"),
+        f(6).alias("first_r_r"),
+        f(7).alias("first_g_r"),
+        f(8).alias("first_b_r"),
+        f(9).alias("last_r_r"),
+        f(10).alias("last_g_r"),
+        f(11).alias("last_b_r"),
+        f(14).alias("mean_gray_r"),
+        F.element_at("features", 16).cast("long").alias("n_px"),
+    )
+
+
 def _multimodal_audio_oracle(n: int = 8, seed: int = 42) -> str:
     """DuckDB replay of synthetic_wav_assets + the REAL WAV kernel: the
     fixture's int16 samples are md5-derived, so the oracle re-derives

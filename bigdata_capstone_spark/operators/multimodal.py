@@ -748,6 +748,244 @@ def _jpeg_idct_block(coef: list[list[float]]) -> list[list[float]]:
     return out
 
 
+def _jpeg_render_block(zz: list[int], quant: list[int]) -> list[list[float]]:
+    """Zigzag coefficient vector → dequantized 8x8 spatial block."""
+    coef = [[0.0] * 8 for _ in range(8)]
+    for zi, (rr, cc) in enumerate(_JPEG_ZIGZAG):
+        coef[rr][cc] = zz[zi] * quant[zi]
+    return _jpeg_idct_block(coef)
+
+
+def _jpeg_place_block(
+    plane: list[list[int]], by: int, bx: int, blk: list[list[float]]
+) -> None:
+    """Level-shift, clamp, and store one decoded block into its plane."""
+    for yy in range(8):
+        row = plane[by * 8 + yy]
+        for xx in range(8):
+            v = int(round(blk[yy][xx])) + 128
+            row[bx * 8 + xx] = min(255, max(0, v))
+
+
+def _jpeg_nonint_grid(
+    w: int, h: int, hi: int, vi: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Block grid of a NON-interleaved scan (T.81 A.2.2): the component's
+    own ceil dimensions, NOT padded to whole MCUs — smaller than the
+    interleaved grid whenever the image ends mid-MCU."""
+    cw = (w * hi + hmax - 1) // hmax
+    ch = (h * vi + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _prog_ac_first(
+    reader: "_JpegBitReader",
+    zzc: list[int],
+    ac_tab: dict,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC first scan for one block (T.81 G.1.2.2): place new
+    coefficients at magnitude 2^Al; EOBn symbols start a run of
+    end-of-band blocks. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_read_huffman(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past end of band")
+        zzc[k] = _jpeg_extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(
+    reader: "_JpegBitReader",
+    zzc: list[int],
+    ac_tab: dict,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3): one
+    correction bit per already-nonzero coefficient in the band; new
+    coefficients appear at ±2^Al; ZRL skips 16 zero-HISTORY positions
+    (correction bits still read for nonzero ones passed over). Returns
+    the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_read_huffman(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid magnitude in JPEG AC refinement"
+                    )
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                c = zzc[k]
+                if c != 0:
+                    if reader.bit() and (c & p1) == 0:
+                        zzc[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zzc[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = zzc[k]
+            if c != 0:
+                if reader.bit() and (c & p1) == 0:
+                    zzc[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_scan(
+    reader: "_JpegBitReader",
+    body: bytes,
+    comps: list[tuple],
+    coefs: list[list[list[int]]],
+    huff: dict,
+    geom: tuple,
+    restart_interval: int,
+) -> None:
+    """Apply ONE progressive SOS to the accumulated coefficient arrays.
+
+    DC scans (Ss=0) may interleave all components (MCU geometry) or run
+    non-interleaved; AC scans are single-component non-interleaved by
+    definition (T.81 G.1). Successive approximation: first scans (Ah=0)
+    place values at 2^Al; refinement scans (Ah=Al+1) add one bit.
+    Restart markers reset DC predictors and the EOB run.
+    """
+    w, h, hmax, vmax, mw, mh = geom
+    ns = body[0]
+    sel = []
+    for si in range(ns):
+        cs = body[1 + 2 * si]
+        td = body[2 + 2 * si] >> 4
+        ta = body[2 + 2 * si] & 0x0F
+        ci = next(
+            (i for i, c in enumerate(comps) if c[0] == cs), None
+        )
+        if ci is None:
+            raise ValueError("JPEG scan references unknown component")
+        sel.append((ci, td, ta))
+    ss = body[1 + 2 * ns]
+    se = body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+
+    def at_restart(done: int) -> bool:
+        return bool(
+            restart_interval and done and done % restart_interval == 0
+        )
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        preds = [0] * len(comps)
+
+        def dc_one(ci: int, td: int, idx: int) -> None:
+            zzc = coefs[ci][idx]
+            if ah == 0:
+                dc_tab = huff.get((0, td))
+                if dc_tab is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                t = _jpeg_read_huffman(reader, dc_tab)
+                diff = _jpeg_extend(reader.bits(t), t)
+                preds[ci] += diff
+                zzc[0] = preds[ci] << al
+            else:
+                if reader.bit():
+                    zzc[0] |= 1 << al
+
+        done = 0
+        if ns > 1:
+            for my in range(mh):
+                for mx in range(mw):
+                    if at_restart(done):
+                        reader.restart()
+                        preds = [0] * len(comps)
+                    done += 1
+                    for ci, td, _ in sel:
+                        _, _, hi, vi = comps[ci]
+                        for dy in range(vi):
+                            for dx in range(hi):
+                                idx = (my * vi + dy) * (mw * hi) + (
+                                    mx * hi + dx
+                                )
+                                dc_one(ci, td, idx)
+        else:
+            ci, td, _ = sel[0]
+            _, _, hi, vi = comps[ci]
+            bw, bh = _jpeg_nonint_grid(w, h, hi, vi, hmax, vmax)
+            for by in range(bh):
+                for bx in range(bw):
+                    if at_restart(done):
+                        reader.restart()
+                        preds = [0] * len(comps)
+                    done += 1
+                    dc_one(ci, td, by * (mw * hi) + bx)
+        return
+
+    # AC scan: single component, non-interleaved
+    if ns != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    ci, _, ta = sel[0]
+    ac_tab = huff.get((1, ta))
+    if ac_tab is None:
+        raise ValueError("JPEG scan references missing DHT")
+    _, _, hi, vi = comps[ci]
+    bw, bh = _jpeg_nonint_grid(w, h, hi, vi, hmax, vmax)
+    eobrun = 0
+    done = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if at_restart(done):
+                reader.restart()
+                eobrun = 0
+            done += 1
+            zzc = coefs[ci][by * (mw * hi) + bx]
+            if ah == 0:
+                eobrun = _prog_ac_first(
+                    reader, zzc, ac_tab, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _prog_ac_refine(
+                    reader, zzc, ac_tab, ss, se, al, eobrun
+                )
+
+
 def _jpeg_features(data: bytes) -> list[float]:
     """REAL image decode: baseline sequential JFIF/JPEG — the format
     every actual crawl asset uses — implemented from the T.81 spec with
@@ -755,14 +993,16 @@ def _jpeg_features(data: bytes) -> list[float]:
     entropy decode with byte unstuffing, DC prediction, zigzag,
     dequantize, naive float64 IDCT, level shift, interleaved-MCU
     assembly with chroma upsampling, YCbCr->RGB. Supported: 8-bit
-    baseline (SOF0), grayscale, ANY sampling-factor combination in
-    1..4 — which covers 4:4:4, 4:2:2, and the 4:2:0 that dominates real
-    crawls (value-checked at 4:2:0 and 4:4:4 by the oracle fixtures) —
-    and DRI/RSTn restart intervals (byte-align + predictor reset at
-    each boundary). Progressive (SOF2), 12-bit precision, and
-    arithmetic coding raise NotImplementedError — the honest boundaries
-    where a production cluster registers libjpeg. The first decoded
-    frame's pixels feed the shared :func:`_pixel_features` statistics."""
+    baseline (SOF0) AND progressive (SOF2, multi-scan spectral
+    selection + successive approximation incl. AC refinement),
+    grayscale, ANY sampling-factor combination in 1..4 — which covers
+    4:4:4, 4:2:2, and the 4:2:0 that dominates real crawls
+    (value-checked at 4:2:0, 4:4:4, and the progressive twin by the
+    oracle fixtures) — and DRI/RSTn restart intervals (byte-align +
+    predictor reset at each boundary). 12-bit precision and arithmetic
+    coding raise NotImplementedError — the honest boundaries where a
+    production cluster registers libjpeg. The first decoded frame's
+    pixels feed the shared :func:`_pixel_features` statistics."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -770,15 +1010,43 @@ def _jpeg_features(data: bytes) -> list[float]:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(data):
+    progressive = False
+    coefs: list[list[list[int]]] | None = None
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and coefs is not None:
+                # all scans applied: dequantize + IDCT the accumulated
+                # coefficient arrays and assemble pixels
+                w, h, comps = frame
+                hmax = max(c[2] for c in comps)
+                vmax = max(c[3] for c in comps)
+                mw = (w + 8 * hmax - 1) // (8 * hmax)
+                mh = (h + 8 * vmax - 1) // (8 * vmax)
+                planes = [
+                    [[0] * (mw * hi * 8) for _ in range(mh * vi * 8)]
+                    for (_, _, hi, vi) in comps
+                ]
+                for ci, (cid, tq, hi, vi) in enumerate(comps):
+                    quant = qt.get(tq)
+                    if quant is None:
+                        raise ValueError("JPEG frame missing DQT table")
+                    stride = mw * hi
+                    for by in range(mh * vi):
+                        for bx in range(stride):
+                            blk = _jpeg_render_block(
+                                coefs[ci][by * stride + bx], quant
+                            )
+                            _jpeg_place_block(planes[ci], by, bx, blk)
+                return _jpeg_pixels(planes, comps, w, h, hmax, vmax)
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment header")
         seglen = int.from_bytes(data[pos : pos + 2], "big")
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -800,7 +1068,8 @@ def _jpeg_features(data: bytes) -> list[float]:
                 vals = list(body[i + 17 : i + 17 + n])
                 huff[(cls, tid)] = _jpeg_build_huffman(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -829,11 +1098,11 @@ def _jpeg_features(data: bytes) -> list[float]:
                 cid, tq, _, _ = comps[0]
                 comps = [(cid, tq, 1, 1)]
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xff{marker:02x}) "
-                "unsupported — progressive/arithmetic need libjpeg"
+                f"unsupported JPEG SOF marker 0xff{marker:02x} — "
+                "extended/lossless/arithmetic need libjpeg"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -843,6 +1112,33 @@ def _jpeg_features(data: bytes) -> list[float]:
             w, h, comps = frame
             if w <= 0 or h <= 0:
                 raise ValueError(f"zero-pixel image: {w}x{h}")
+            if progressive:
+                hmax = max(c[2] for c in comps)
+                vmax = max(c[3] for c in comps)
+                mw = (w + 8 * hmax - 1) // (8 * hmax)
+                mh = (h + 8 * vmax - 1) // (8 * vmax)
+                if coefs is None:
+                    coefs = [
+                        [
+                            [0] * 64
+                            for _ in range(mw * hi * mh * vi)
+                        ]
+                        for (_, _, hi, vi) in comps
+                    ]
+                reader = _JpegBitReader(data, pos + seglen)
+                _jpeg_progressive_scan(
+                    reader,
+                    body,
+                    comps,
+                    coefs,
+                    huff,
+                    (w, h, hmax, vmax, mw, mh),
+                    restart_interval,
+                )
+                # the entropy-coded segment has no recorded length:
+                # resume the marker walk where the scan's reader stopped
+                pos = reader.pos
+                continue
             ns = body[0]
             if ns != len(comps):
                 raise NotImplementedError(
@@ -914,55 +1210,57 @@ def _jpeg_features(data: bytes) -> list[float]:
                                         )
                                     zz[k] = _jpeg_extend(reader.bits(s), s)
                                     k += 1
-                                coef = [[0.0] * 8 for _ in range(8)]
-                                for zi, (rr, cc) in enumerate(_JPEG_ZIGZAG):
-                                    coef[rr][cc] = zz[zi] * quant[zi]
-                                blk = _jpeg_idct_block(coef)
-                                by = my * vi + dy
-                                bx = mx * hi + dx
-                                for yy in range(8):
-                                    row = planes[ci][by * 8 + yy]
-                                    for xx in range(8):
-                                        v = int(round(blk[yy][xx])) + 128
-                                        row[bx * 8 + xx] = min(
-                                            255, max(0, v)
-                                        )
-            pixels = []
-            if len(comps) == 1:
-                for y in range(h):
-                    for x in range(w):
-                        g = planes[0][y][x]
-                        pixels.append((g, g, g))
-            else:
-                # chroma upsampling: nearest sample by integer index
-                # scaling (x*hi//hmax, y*vi//vmax) — exact for the
-                # box-replicated subsampled grids baseline encoders emit
-                h1, v1 = comps[1][2], comps[1][3]
-                h2, v2 = comps[2][2], comps[2][3]
-                for y in range(h):
-                    for x in range(w):
-                        yv = planes[0][y * comps[0][3] // vmax][
-                            x * comps[0][2] // hmax
-                        ]
-                        cb = planes[1][y * v1 // vmax][x * h1 // hmax] - 128
-                        cr = planes[2][y * v2 // vmax][x * h2 // hmax] - 128
-                        r = min(255, max(0, int(round(yv + 1.402 * cr))))
-                        g = min(
-                            255,
-                            max(
-                                0,
-                                int(
-                                    round(
-                                        yv - 0.344136 * cb - 0.714136 * cr
-                                    )
-                                ),
-                            ),
-                        )
-                        b = min(255, max(0, int(round(yv + 1.772 * cb))))
-                        pixels.append((r, g, b))
-            return _pixel_features(w, h, pixels)
+                                blk = _jpeg_render_block(zz, quant)
+                                _jpeg_place_block(
+                                    planes[ci], my * vi + dy, mx * hi + dx,
+                                    blk,
+                                )
+            return _jpeg_pixels(planes, comps, w, h, hmax, vmax)
         pos += seglen
     raise ValueError("JPEG contains no scan data")
+
+
+def _jpeg_pixels(
+    planes: list[list[list[int]]],
+    comps: list[tuple],
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> list[float]:
+    """Assemble RGB pixels from decoded component planes (grayscale
+    expansion or chroma-upsampled YCbCr→RGB) and hand them to the
+    shared feature statistics — common tail of the baseline and
+    progressive decode paths."""
+    pixels = []
+    if len(comps) == 1:
+        for y in range(h):
+            for x in range(w):
+                g = planes[0][y][x]
+                pixels.append((g, g, g))
+    else:
+        # chroma upsampling: nearest sample by integer index scaling
+        # (x*hi//hmax, y*vi//vmax) — exact for the box-replicated
+        # subsampled grids baseline encoders emit
+        h0, v0 = comps[0][2], comps[0][3]
+        h1, v1 = comps[1][2], comps[1][3]
+        h2, v2 = comps[2][2], comps[2][3]
+        for y in range(h):
+            for x in range(w):
+                yv = planes[0][y * v0 // vmax][x * h0 // hmax]
+                cb = planes[1][y * v1 // vmax][x * h1 // hmax] - 128
+                cr = planes[2][y * v2 // vmax][x * h2 // hmax] - 128
+                r = min(255, max(0, int(round(yv + 1.402 * cr))))
+                g = min(
+                    255,
+                    max(
+                        0,
+                        int(round(yv - 0.344136 * cb - 0.714136 * cr)),
+                    ),
+                )
+                b = min(255, max(0, int(round(yv + 1.772 * cb))))
+                pixels.append((r, g, b))
+    return _pixel_features(w, h, pixels)
 
 
 def _strict_decode(data: bytes) -> list[float]:
@@ -1596,6 +1894,148 @@ def _dc_only_subsampled_jpeg(
         + scan
         + b"\xff\xd9"
     )
+
+
+def _dc_only_progressive_jpeg(
+    i: int, seed: int, w: int, h: int, yh: int = 2, yv: int = 2
+) -> bytes:
+    """PROGRESSIVE (SOF2) twin of :func:`_dc_only_subsampled_jpeg` —
+    identical pixels, five-scan progressive layout: interleaved DC
+    first scan at Al=1, DC refinement scan (raw bits, Ah=1→Al=0), then
+    one non-interleaved AC first scan per component whose entire band
+    is one EOB run (the fixture's blocks are DC-only). Exercises
+    successive approximation, multi-scan coefficient accumulation, the
+    interleaved-vs-non-interleaved grid distinction on partial MCUs,
+    and EOBn run coding — all value-checkable because the decoded
+    pixels must equal the baseline twin's exactly."""
+    dc_cats = 12
+    dc_bits = [0, 0, 0, dc_cats] + [0] * 12
+    dc_vals = list(range(dc_cats))
+    dc_codes = {t: (4, t) for t in range(dc_cats)}
+    # AC table: EOBn symbols r<<4 for r in 0..3 (runs up to 15 blocks),
+    # four codes of length 3
+    ac_bits = [0, 0, 4] + [0] * 13
+    ac_vals = [0x00, 0x10, 0x20, 0x30]
+    ac_codes = {0x00: (3, 0), 0x10: (3, 1), 0x20: (3, 2), 0x30: (3, 3)}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    mw = (w + 8 * yh - 1) // (8 * yh)
+    mh = (h + 8 * yv - 1) // (8 * yv)
+    blocky = [
+        [
+            hashlib.md5(f"{seed}:{i}:{bx}:{by}".encode()).digest()[0]
+            for bx in range(yh * mw)
+        ]
+        for by in range(yv * mh)
+    ]
+    chroma = [
+        [
+            hashlib.md5(f"{seed}:{i}:c:{mx}:{my}".encode()).digest()[:2]
+            for mx in range(mw)
+        ]
+        for my in range(mh)
+    ]
+    samp = [(yh, yv), (1, 1), (1, 1)]
+
+    def mcu_order():  # (ci, dc) stream in interleaved MCU order
+        for my in range(mh):
+            for mx in range(mw):
+                for dy in range(yv):
+                    for dx in range(yh):
+                        yield 0, 8 * (blocky[yv * my + dy][yh * mx + dx] - 128)
+                yield 1, 8 * (chroma[my][mx][0] - 128)
+                yield 2, 8 * (chroma[my][mx][1] - 128)
+
+    def sos(comp_spec: list[tuple[int, int]], ss: int, se: int,
+            ah: int, al: int, scan: bytes) -> bytes:
+        body = bytes((len(comp_spec),))
+        for cid, tdta in comp_spec:
+            body += bytes((cid, tdta))
+        body += bytes((ss, se, (ah << 4) | al))
+        return seg(0xDA, body) + scan
+
+    # scan 1: interleaved DC first, Al=1 (codes dc >> 1 as diffs)
+    wr = _JpegBitWriter()
+    pred = [0, 0, 0]
+    for ci, dc in mcu_order():
+        v = dc >> 1
+        diff = v - pred[ci]
+        pred[ci] = v
+        t = abs(diff).bit_length()
+        ln, code = dc_codes[t]
+        wr.write(code, ln)
+        if t:
+            wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    scan1 = sos([(1, 0), (2, 0), (3, 0)], 0, 0, 0, 1, wr.flush())
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    wr = _JpegBitWriter()
+    for ci, dc in mcu_order():
+        wr.write(dc & 1, 1)
+    scan2 = sos([(1, 0), (2, 0), (3, 0)], 0, 0, 1, 0, wr.flush())
+
+    # scans 3-5: AC first per component — the whole band is one EOB run
+    ac_scans = b""
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        hi, vi = samp[ci]
+        cw = (w * hi + yh - 1) // yh
+        ch = (h * vi + yv - 1) // yv
+        nblocks = ((cw + 7) // 8) * ((ch + 7) // 8)
+        r = nblocks.bit_length() - 1  # 2^r <= nblocks < 2^(r+1)
+        extra = nblocks - (1 << r)
+        wr = _JpegBitWriter()
+        ln, code = ac_codes[r << 4]
+        wr.write(code, ln)
+        if r:
+            wr.write(extra, r)
+        ac_scans += sos([(cid, 0)], 1, 63, 0, 0, wr.flush())
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes([1] * 64))
+    sof_body = bytes((8,)) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof_body += bytes((3,))
+    sof_body += bytes((1, (yh << 4) | yv, 0))
+    sof_body += bytes((2, 0x11, 0))
+    sof_body += bytes((3, 0x11, 0))
+    dht = seg(0xC4, bytes((0x00,)) + bytes(dc_bits[:16]) + bytes(dc_vals))
+    dht += seg(0xC4, bytes((0x10,)) + bytes(ac_bits) + bytes(ac_vals))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt
+        + seg(0xC2, sof_body)
+        + dht
+        + scan1
+        + scan2
+        + ac_scans
+        + b"\xff\xd9"
+    )
+
+
+def synthetic_jpeg_progressive_assets(
+    spark: SparkSession, n: int = 12, seed: int = 42
+) -> DataFrame:
+    """Progressive-JPEG asset table: byte-for-byte DIFFERENT files from
+    :func:`synthetic_jpeg420_assets` (five-scan SOF2 layout) that must
+    decode to byte-for-byte IDENTICAL pixels — so the same per-pixel
+    oracle value-checks the whole progressive machinery."""
+    rows = [
+        (
+            i,
+            bytearray(
+                _dc_only_progressive_jpeg(
+                    i, seed, 8 * (1 + i % 3), 8 * (1 + (i // 3) % 3)
+                )
+            ),
+            "image/jpeg",
+            8 * (1 + i % 3),
+            8 * (1 + (i // 3) % 3),
+            None,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
 def synthetic_wav_assets(

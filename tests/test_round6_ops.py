@@ -489,10 +489,16 @@ def test_jpeg_decode_ac_path_and_failure_modes(spark):
     )
     assert got == expected
 
-    # failure modes
+    # failure modes (progressive is SUPPORTED since round 7 — a
+    # SOF0->SOF2 rewrite of a baseline scan is now a MALFORMED
+    # progressive file, a loud ValueError; arithmetic coding still
+    # raises NotImplementedError)
     prog = blob.replace(bytes((0xFF, 0xC0)), bytes((0xFF, 0xC2)), 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         DECODERS["jpeg"](prog)
+    arith = blob.replace(bytes((0xFF, 0xC0)), bytes((0xFF, 0xC9)), 1)
+    with pytest.raises(NotImplementedError):
+        DECODERS["jpeg"](arith)
     # since round 7 subsampling is SUPPORTED; for a single-component scan
     # the declared sampling factors are irrelevant (T.81 non-interleaved
     # semantics), so this grayscale decodes identically to its 1x1 twin

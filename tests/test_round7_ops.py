@@ -435,19 +435,113 @@ def test_jpeg_restart_intervals_pixel_parity():
             assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
 
 
-def test_jpeg_progressive_still_raises():
-    """Progressive (SOF2) remains an honest NotImplementedError after
-    the subsampling support landed."""
+def test_jpeg_progressive_pixel_parity_and_arithmetic_raises():
+    """Progressive (SOF2) decode: the five-scan progressive twin (DC
+    first at Al=1, DC refinement bits, per-component AC EOB-run scans)
+    must produce pixels identical to its baseline 4:2:0 twin on every
+    geometry — and arithmetic coding still raises honestly."""
     import pytest
 
     from bigdata_capstone_spark.operators.multimodal import (
+        _dc_only_progressive_jpeg,
         _dc_only_subsampled_jpeg,
         _jpeg_features,
     )
 
-    blob = bytearray(_dc_only_subsampled_jpeg(0, 42, 8, 8))
-    sof = blob.find(b"\xff\xc0")
-    assert sof > 0
-    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+    for i, (w, h) in enumerate(((8, 8), (24, 16), (16, 24), (24, 24))):
+        base = _jpeg_features(_dc_only_subsampled_jpeg(i, 42, w, h))
+        prog = _jpeg_features(_dc_only_progressive_jpeg(i, 42, w, h))
+        assert prog == base, (i, w, h)
+    blob = bytearray(_dc_only_progressive_jpeg(0, 42, 8, 8))
+    sof = blob.find(b"\xff\xc2")
+    blob[sof + 1] = 0xC9  # arithmetic sequential
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         _jpeg_features(bytes(blob))
+
+
+def test_jpeg_progressive_ac_first_and_refine_coefficients():
+    """The progressive AC paths with REAL coefficient data (not just
+    EOB runs): a hand-built single-block grayscale SOF2 file whose AC
+    band is split across a first scan at Al=1 and a refinement scan
+    (correction bits for history-nonzero coefs interleaved with
+    newly-nonzero ±1 placements, exactly the G.1.2.3 read order) must
+    reconstruct the exact coefficient vector — checked against an
+    independent numpy matrix IDCT, so the decoder's own loop can't
+    self-certify."""
+    import numpy as np
+
+    from bigdata_capstone_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _JpegBitWriter,
+        _jpeg_features,
+        _pixel_features,
+    )
+
+    def seg(marker, body):
+        return (
+            bytes((0xFF, marker))
+            + (len(body) + 2).to_bytes(2, "big")
+            + body
+        )
+
+    # target zigzag coefficients: DC=40; AC: zz1=5, zz2=-4, zz3=1, zz5=-1
+    # first AC scan at Al=1 sees (|c|>>1 with sign): zz1=2, zz2=-2, rest 0
+    # refine adds: corr bit 1 to zz1 (4->5), 0 to zz2, new +1 at zz3,
+    # new -1 at zz5 after one zero-history run
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_bits = [0, 0, 4] + [0] * 13  # 4 codes of length 3
+    ac_vals = [0x00, 0x01, 0x02, 0x11]
+    ac_codes = {v: (3, k) for k, v in enumerate(ac_vals)}
+
+    # scan 1: DC only (Ss=0 Se=0 Ah=0 Al=0), diff = 40 -> cat 6
+    wr = _JpegBitWriter()
+    wr.write(6, 4)      # DC category 6 (canonical code = value, len 4)
+    wr.write(40, 6)     # magnitude bits
+    s_dc = seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0x00))) + wr.flush()
+
+    # scan 2: AC first, Ss=1 Se=63 Ah=0 Al=1
+    wr = _JpegBitWriter()
+    ln, c = ac_codes[0x02]; wr.write(c, ln); wr.write(2, 2)       # zz1=+2
+    ln, c = ac_codes[0x02]; wr.write(c, ln); wr.write(1, 2)       # zz2=-2
+    ln, c = ac_codes[0x00]; wr.write(c, ln)                       # EOB
+    s_ac1 = seg(0xDA, bytes((1, 1, 0x00, 1, 63, 0x01))) + wr.flush()
+
+    # scan 3: AC refine, Ss=1 Se=63 Ah=1 Al=0 — exact decoder read
+    # order: RS(0x01) sign(+) corr(zz1)=1 corr(zz2)=0 | RS(0x11)
+    # sign(-) | RS(0x00) EOB
+    wr = _JpegBitWriter()
+    ln, c = ac_codes[0x01]; wr.write(c, ln)
+    wr.write(1, 1)  # sign +1 at zz3
+    wr.write(1, 1)  # correction bit for zz1: 4 -> 5
+    wr.write(0, 1)  # correction bit for zz2: stays -4
+    ln, c = ac_codes[0x11]; wr.write(c, ln)
+    wr.write(0, 1)  # sign -1 at zz5
+    ln, c = ac_codes[0x00]; wr.write(c, ln)  # EOB closes the block
+    s_ac2 = seg(0xDA, bytes((1, 1, 0x00, 1, 63, 0x10))) + wr.flush()
+
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes((0x00,)) + bytes([1] * 64))
+        + seg(0xC2, bytes((8, 0, 8, 0, 8, 1, 1, 0x11, 0)))
+        + seg(0xC4, bytes((0x00,)) + bytes(dc_bits[:16]) + bytes(dc_vals))
+        + seg(0xC4, bytes((0x10,)) + bytes(ac_bits) + bytes(ac_vals))
+        + s_dc + s_ac1 + s_ac2
+        + b"\xff\xd9"
+    )
+    got = _jpeg_features(blob)
+
+    coef = np.zeros((8, 8))
+    for zi, v in ((0, 40), (1, 5), (2, -4), (3, 1), (5, -1)):
+        rr, cc = _JPEG_ZIGZAG[zi]
+        coef[rr, cc] = v
+    C = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+    cy = np.cos(
+        np.outer(2 * np.arange(8) + 1, np.arange(8)) * np.pi / 16
+    )
+    s = cy @ (C[:, None] * C[None, :] * coef) @ cy.T / 4.0
+    exp_px = np.clip(np.round(s) + 128, 0, 255).astype(int)
+    expected = _pixel_features(
+        8, 8, [(int(v), int(v), int(v)) for v in exp_px.flatten()]
+    )
+    assert got == expected
