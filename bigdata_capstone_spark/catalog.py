@@ -2045,6 +2045,251 @@ def multimodal_decode_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_resized_features",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(12)) AS i),
+    meta AS (
+      SELECT i::BIGINT AS aid, (4 + i % 5)::INT AS w, (3 + i % 4)::INT AS h
+      FROM ids
+    ),
+    dims AS (
+      SELECT aid, w, h,
+             greatest(floor(w * least(1.0, 4.0 / greatest(w, h))
+                            + 0.5)::INT, 1) AS tw,
+             greatest(floor(h * least(1.0, 4.0 / greatest(w, h))
+                            + 0.5)::INT, 1) AS th
+      FROM meta
+    ),
+    pos AS (
+      SELECT aid, w, h, tw, th,
+             unnest(generate_series(0, tw * th - 1)) AS p
+      FROM dims
+    ),
+    rgb AS (
+      SELECT aid, tw, th, p,
+             md5('42:' || aid || ':' ||
+                 ((((p // tw) * h) // th) * w + (((p % tw) * w) // tw)))
+               AS hx
+      FROM pos
+    ),
+    px AS (
+      SELECT aid, tw, th, p,
+             ('0x' || substr(hx, 1, 2))::INT AS r,
+             ('0x' || substr(hx, 3, 2))::INT AS g,
+             ('0x' || substr(hx, 5, 2))::INT AS b
+      FROM rgb
+    ),
+    stats AS (
+      SELECT aid, any_value(tw) AS tw, any_value(th) AS th, count(*) AS n,
+             sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+             sum(r + g + b) AS sgray,
+             arg_min(r, p) AS fr, arg_min(g, p) AS fg, arg_min(b, p) AS fb,
+             arg_max(r, p) AS lr, arg_max(g, p) AS lg, arg_max(b, p) AS lb
+      FROM px GROUP BY aid
+    )
+    SELECT aid AS asset_id, tw AS w, th AS h,
+           round((sr::DOUBLE / n / 255.0)::REAL::DOUBLE, 6) AS mean_r_r,
+           round((sg::DOUBLE / n / 255.0)::REAL::DOUBLE, 6) AS mean_g_r,
+           round((sb::DOUBLE / n / 255.0)::REAL::DOUBLE, 6) AS mean_b_r,
+           round((fr / 255.0)::REAL::DOUBLE, 6) AS first_r_r,
+           round((fg / 255.0)::REAL::DOUBLE, 6) AS first_g_r,
+           round((fb / 255.0)::REAL::DOUBLE, 6) AS first_b_r,
+           round((lr / 255.0)::REAL::DOUBLE, 6) AS last_r_r,
+           round((lg / 255.0)::REAL::DOUBLE, 6) AS last_g_r,
+           round((lb / 255.0)::REAL::DOUBLE, 6) AS last_b_r,
+           round((sgray::DOUBLE / n / 765.0)::REAL::DOUBLE, 6)
+             AS mean_gray_r,
+           n::BIGINT AS n_px
+    FROM stats
+    """,
+)
+def multimodal_resized_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EXECUTED resize — the pixel work ``multimodal_decode_plan``
+    only plans: decode, aspect-fit nearest-neighbor resize to
+    max_dim=4, features, all in one Arrow mapInPandas kernel. Target
+    dimensions use the plan's exact half-up arithmetic (plan and
+    execution cannot disagree) and the source mapping is integer floor
+    ((x·w)//tw), so the oracle replays every RESIZED pixel from the
+    fixture's md5 formula — resampling indexing is value-checked, not
+    just shapes. Dims 4x3..8x6 fit to 4: downscale, no-op, and
+    clamp-to-1 branches all present."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        resized_features,
+        synthetic_ppm_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_ppm_assets(spark, n=12, seed=42)
+    feats = resized_features(assets, max_dim=4)
+
+    def f(idx: int):
+        return F.round(F.element_at("features", idx).cast("double"), 6)
+
+    return feats.select(
+        "asset_id",
+        F.element_at("features", 1).cast("int").alias("w"),
+        F.element_at("features", 2).cast("int").alias("h"),
+        f(3).alias("mean_r_r"),
+        f(4).alias("mean_g_r"),
+        f(5).alias("mean_b_r"),
+        f(6).alias("first_r_r"),
+        f(7).alias("first_g_r"),
+        f(8).alias("first_b_r"),
+        f(9).alias("last_r_r"),
+        f(10).alias("last_g_r"),
+        f(11).alias("last_b_r"),
+        f(14).alias("mean_gray_r"),
+        F.element_at("features", 16).cast("long").alias("n_px"),
+    )
+
+
+@register(
+    "multimodal_frame_samples",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(6)) AS i),
+    meta AS (
+      SELECT i::BIGINT AS aid, (4 + i % 3)::INT AS w, (3 + i % 2)::INT AS h,
+             (4 + i % 3)::INT AS nf, (40000 * (1 + i % 2))::INT AS usec
+      FROM ids
+    ),
+    fr AS (
+      SELECT aid, w, h, usec, unnest(range(nf)) AS f
+      FROM meta
+    ),
+    sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+    pos AS (
+      SELECT aid, w, h, usec, f,
+             unnest(generate_series(0, w * h - 1)) AS p
+      FROM sampled
+    ),
+    g AS (
+      SELECT aid, usec, f, w * h AS npx, p,
+             ('0x' || substr(md5('42:' || aid || ':' || f || ':' || p),
+                             1, 2))::INT
+           + ('0x' || substr(md5('42:' || aid || ':' || f || ':' || p),
+                             3, 2))::INT
+           + ('0x' || substr(md5('42:' || aid || ':' || f || ':' || p),
+                             5, 2))::INT AS gray
+      FROM pos
+    ),
+    st AS (
+      SELECT aid, f, any_value(usec) AS usec, any_value(npx) AS npx,
+             sum(gray) AS sg, arg_min(gray, p) AS fg,
+             arg_max(gray, p) AS lg
+      FROM g GROUP BY aid, f
+    )
+    SELECT aid AS asset_id, f::INT AS frame_idx,
+           ((f * usec) // 1000)::BIGINT AS frame_ts_ms,
+           round(sg::DOUBLE / npx / 765.0, 6) AS mean_gray_r,
+           round(fg / 765.0, 6) AS first_gray_r,
+           round(lg / 765.0, 6) AS last_gray_r,
+           npx::BIGINT AS n_px
+    FROM st
+    """,
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTED frame sampling — the byte-touching fan-out
+    ``multimodal_decode_plan`` only costs: every 2nd frame of each AVI
+    decoded to one ROW with its timestamp and gray statistics. The
+    oracle re-derives each sampled frame's pixels from the fixture's
+    md5 formula, so the container walk, the stride sampling, the
+    bottom-up/BGR raster decode, and the per-frame statistics are all
+    value-checked at frame granularity (the clip-level entry collapses
+    the temporal axis; this is the per-frame table a multimodal
+    training pipeline actually consumes)."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        sampled_frame_features,
+        synthetic_avi_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_avi_assets(spark, n=6, seed=42)
+    frames = sampled_frame_features(assets, every_n=2)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.round("mean_gray", 6).alias("mean_gray_r"),
+        F.round("first_gray", 6).alias("first_gray_r"),
+        F.round("last_gray", 6).alias("last_gray_r"),
+        "n_px",
+    )
+
+
+@register(
+    "multimodal_audio_decimated",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(8)) AS i),
+    meta AS (
+      SELECT i::BIGINT AS aid, (1 + i % 2)::INT AS ch,
+             (8000 * (1 + i % 3))::INT AS rate,
+             (50 + 10 * i)::INT AS frames
+      FROM ids
+    ),
+    pos AS (
+      SELECT aid, ch, rate, unnest(generate_series(0, frames * ch - 1)) AS p
+      FROM meta
+    ),
+    kept AS (
+      SELECT aid, ch, rate, p,
+             CASE WHEN v > 32767 THEN v - 65536 ELSE v END AS s
+      FROM (
+        SELECT *,
+               ('0x' || substr(md5('42:' || aid || ':' || p), 1, 4))::INT
+                 AS v
+        FROM pos
+      )
+      WHERE (p // ch) % 3 = 0
+    ),
+    st AS (
+      SELECT aid, any_value(ch) AS ch, any_value(rate) AS rate,
+             count(*) AS n, sum(s::BIGINT * s) AS s2,
+             sum(abs(s)::BIGINT) AS sabs,
+             arg_min(s, p) AS first_s, arg_max(s, p) AS last_s
+      FROM kept GROUP BY aid
+    )
+    SELECT aid AS asset_id, ch AS channels, rate AS sample_rate,
+           (rate // 3)::INT AS new_rate,
+           (n // ch)::BIGINT AS kept_frames,
+           round(sqrt(s2::DOUBLE / n) / 32768.0, 6) AS rms_r,
+           round(sabs::DOUBLE / n / 32768.0, 6) AS abs_mean_r,
+           round(first_s / 32768.0, 6) AS first_r,
+           round(last_s / 32768.0, 6) AS last_r
+    FROM st
+    """,
+)
+def multimodal_audio_decimated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EXECUTED audio downsampling: every 3rd frame kept (integer
+    decimation — bit-exact, no filter arithmetic), waveform statistics
+    over the kept samples. The oracle re-derives the kept int16 samples
+    from the fixture's md5 formula, so frame/channel indexing under
+    decimation and each statistic are value-checked — the byte-touching
+    stage the metadata-only plan entries cost out."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        decimated_audio_features,
+        synthetic_wav_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_wav_assets(spark, n=8, seed=42)
+    return decimated_audio_features(assets, factor=3).select(
+        "asset_id",
+        "channels",
+        "sample_rate",
+        "new_rate",
+        "kept_frames",
+        F.round("rms", 6).alias("rms_r"),
+        F.round("abs_mean", 6).alias("abs_mean_r"),
+        F.round("first_s", 6).alias("first_r"),
+        F.round("last_s", 6).alias("last_r"),
+    )
+
+
 def _warc_extraction_oracle(n_shards: int, docs_per_shard: int,
                             seed: int) -> str:
     """Generative replay of the WARC fixture: the oracle recomputes, from

@@ -20,6 +20,7 @@ by asset_id so planning/filtering never touches bytes, and push filters
 from __future__ import annotations
 
 import hashlib
+import math
 import zlib
 from collections.abc import Iterator
 
@@ -111,10 +112,11 @@ def _pixel_features(w: int, h: int, pixels: list[tuple[int, int, int]]) -> list[
     ]
 
 
-def _ppm_features(data: bytes) -> list[float]:
+def _ppm_pixels(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """REAL image decode: binary PPM (P6, maxval 255) — the one raster
     format parseable with zero codec dependencies. Header tokens may be
-    separated by any whitespace/comments per the netpbm spec."""
+    separated by any whitespace/comments per the netpbm spec. Returns
+    (w, h, row-major RGB pixels) for feature or resize consumers."""
     if not data.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     # tokenize header: magic, width, height, maxval (comments start '#')
@@ -142,7 +144,36 @@ def _ppm_features(data: bytes) -> list[float]:
         (raster[3 * p], raster[3 * p + 1], raster[3 * p + 2])
         for p in range(w * h)
     ]
+    return w, h, pixels
+
+
+def _ppm_features(data: bytes) -> list[float]:
+    w, h, pixels = _ppm_pixels(data)
     return _pixel_features(w, h, pixels)
+
+
+def _resize_nearest(
+    w: int,
+    h: int,
+    pixels: list[tuple[int, int, int]],
+    max_dim: int,
+) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Aspect-fit nearest-neighbor resize — the EXECUTED half of the
+    resize_targets plan, with the identical target-dimension arithmetic
+    (half-up via floor(x+0.5), floor-to-1) so plan and execution can
+    never disagree. Source index mapping is pure integer floor
+    ((x·w)//tw), deterministic and SQL-replayable."""
+    scale = min(1.0, max_dim / max(w, h))
+    tw = max(int(math.floor(w * scale + 0.5)), 1)
+    th = max(int(math.floor(h * scale + 0.5)), 1)
+    if (tw, th) == (w, h):
+        return w, h, pixels
+    out = [
+        pixels[((y * h) // th) * w + ((x * w) // tw)]
+        for y in range(th)
+        for x in range(tw)
+    ]
+    return tw, th, out
 
 
 def _bmp_features(data: bytes) -> list[float]:
@@ -294,22 +325,10 @@ def _png_features(data: bytes) -> list[float]:
     return _pixel_features(w, h, pixels)
 
 
-def _wav_features(data: bytes) -> list[float]:
-    """REAL audio decode: 16-bit PCM RIFF/WAVE — like PPM/BMP, the one
-    audio container parseable with zero codec dependencies. Walks the
-    RIFF chunk list (fmt must precede data per spec; unknown chunks are
-    skipped), reads interleaved little-endian int16 samples, and returns
-    a FEATURE_DIM vector of waveform statistics. All accumulation is in
-    exact integers before the final float divisions, so the vector is
-    bit-deterministic across platforms:
-
-    [channels, sample_rate, n_frames, duration_ms, min, max, mean, rms,
-     zero_crossing_rate, first_sample, last_sample, abs_mean, clip_frac,
-     n_samples, energy_db_proxy, 1.0 (audio marker)]
-
-    (amplitudes normalized by 2^15; rms uses sqrt of an exact integer
-    ratio, cross-platform exact like the gray-variance in the image path).
-    """
+def _wav_parse(data: bytes) -> tuple[int, int, list[int]]:
+    """RIFF/WAVE walk shared by the whole-clip feature kernel and the
+    decimation kernel: returns (channels, rate, interleaved int16
+    samples). fmt must precede data per spec; unknown chunks skipped."""
     if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, raw = 12, None, None
@@ -343,6 +362,27 @@ def _wav_features(data: bytes) -> list[float]:
         int.from_bytes(raw[2 * i : 2 * i + 2], "little", signed=True)
         for i in range(n)
     ]
+    return channels, rate, samples
+
+
+def _wav_features(data: bytes) -> list[float]:
+    """REAL audio decode: 16-bit PCM RIFF/WAVE — like PPM/BMP, the one
+    audio container parseable with zero codec dependencies. Walks the
+    RIFF chunk list (fmt must precede data per spec; unknown chunks are
+    skipped), reads interleaved little-endian int16 samples, and returns
+    a FEATURE_DIM vector of waveform statistics. All accumulation is in
+    exact integers before the final float divisions, so the vector is
+    bit-deterministic across platforms:
+
+    [channels, sample_rate, n_frames, duration_ms, min, max, mean, rms,
+     zero_crossing_rate, first_sample, last_sample, abs_mean, clip_frac,
+     n_samples, energy_db_proxy, 1.0 (audio marker)]
+
+    (amplitudes normalized by 2^15; rms uses sqrt of an exact integer
+    ratio, cross-platform exact like the gray-variance in the image path).
+    """
+    channels, rate, samples = _wav_parse(data)
+    n = len(samples)
     frames = n // channels
     s = sum(samples)
     s2 = sum(x * x for x in samples)
@@ -408,6 +448,45 @@ def _avi_features(data: bytes) -> list[float]:
 
     (grays normalized by 765 = 3*255, like the image path).
     """
+    w, h, usec_per_frame, per_frame = _avi_parse(data)
+    npx = w * h
+    nf = len(per_frame)
+    total = nf * npx
+    sgray = sum(g for fr in per_frame for g in fr)
+    s2gray = sum(g * g for fr in per_frame for g in fr)
+    motion = sum(
+        abs(b - a)
+        for f1, f2 in zip(per_frame, per_frame[1:])
+        for a, b in zip(f1, f2)
+    )
+    var = (s2gray / total) - (sgray / total) ** 2
+    full = 765.0
+    return [
+        float(w),
+        float(h),
+        float(nf),
+        1_000_000.0 / usec_per_frame,
+        nf * usec_per_frame / 1000.0,
+        sgray / total / full,
+        sum(per_frame[0]) / npx / full,
+        sum(per_frame[-1]) / npx / full,
+        motion / (npx * (nf - 1)) / full if nf > 1 else 0.0,
+        min(min(fr) for fr in per_frame) / full,
+        max(max(fr) for fr in per_frame) / full,
+        per_frame[0][0] / full,
+        per_frame[-1][-1] / full,
+        var / (full * full),
+        float(total),
+        2.0,
+    ]
+
+
+def _avi_parse(
+    data: bytes,
+) -> tuple[int, int, int, list[list[int]]]:
+    """RIFF/AVI container walk shared by the whole-clip feature kernel
+    and the frame-sampling kernel: returns (w, h, usec_per_frame,
+    per-frame gray lists)."""
     if not (data[:4] == b"RIFF" and data[8:12] == b"AVI "):
         raise ValueError("not a RIFF/AVI payload")
 
@@ -456,36 +535,7 @@ def _avi_features(data: bytes) -> list[float]:
         raise ValueError("AVI with no frames or invalid frame rate")
 
     per_frame = [_decode_dib_frame(raw, w, h) for raw in frames]
-    npx = w * h
-    nf = len(per_frame)
-    total = nf * npx
-    sgray = sum(g for fr in per_frame for g in fr)
-    s2gray = sum(g * g for fr in per_frame for g in fr)
-    motion = sum(
-        abs(b - a)
-        for f1, f2 in zip(per_frame, per_frame[1:])
-        for a, b in zip(f1, f2)
-    )
-    var = (s2gray / total) - (sgray / total) ** 2
-    full = 765.0
-    return [
-        float(w),
-        float(h),
-        float(nf),
-        1_000_000.0 / usec_per_frame,
-        nf * usec_per_frame / 1000.0,
-        sgray / total / full,
-        sum(per_frame[0]) / npx / full,
-        sum(per_frame[-1]) / npx / full,
-        motion / (npx * (nf - 1)) / full if nf > 1 else 0.0,
-        min(min(fr) for fr in per_frame) / full,
-        max(max(fr) for fr in per_frame) / full,
-        per_frame[0][0] / full,
-        per_frame[-1][-1] / full,
-        var / (full * full),
-        float(total),
-        2.0,
-    ]
+    return w, h, usec_per_frame, per_frame
 
 
 def _gif_lzw_decode(
@@ -2163,6 +2213,147 @@ def extract_features(
             )
 
     return assets.select("asset_id", "media").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resized_features(assets: DataFrame, max_dim: int = 8) -> DataFrame:
+    """Decode + REAL aspect-fit nearest-neighbor resize + features in one
+    Arrow mapInPandas kernel — the pixel work :func:`resize_targets`
+    only plans. Target dimensions use the plan's exact arithmetic
+    (half-up, floor-to-1), and the nearest-neighbor source mapping is
+    integer floor — so an oracle can replay the resized pixels from the
+    fixture's generative formula, value-checking the executed resize
+    the same way the decoders are checked. PPM (the raw-pixel
+    container) here; the compressed containers share the same resize
+    helper once decoded."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["media"]:
+                if b is None:
+                    feats.append(None)
+                    continue
+                w, h, px = _ppm_pixels(bytes(b))
+                tw, th, out = _resize_nearest(w, h, px, max_dim)
+                feats.append(_pixel_features(tw, th, out))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": [
+                        len(b) if b is not None else 0
+                        for b in pdf["media"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    return assets.select("asset_id", "media").mapInPandas(
+        run, FEATURES_SCHEMA
+    )
+
+
+DECIMATED_AUDIO_SCHEMA = (
+    "asset_id BIGINT, channels INT, sample_rate INT, new_rate INT, "
+    "kept_frames BIGINT, rms DOUBLE, abs_mean DOUBLE, "
+    "first_s DOUBLE, last_s DOUBLE"
+)
+
+
+def decimated_audio_features(
+    assets: DataFrame, factor: int = 3
+) -> DataFrame:
+    """The EXECUTED audio downsampling: integer decimation (keep every
+    ``factor``-th FRAME, all channels — the resample path that needs no
+    filter arithmetic and stays bit-exact), then waveform statistics
+    over the kept samples. Exact-integer accumulation before one float
+    division per statistic, so every row replays from the fixture's
+    md5-derived samples. One Arrow mapInPandas kernel, output one
+    narrow row per asset."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "channels": [], "sample_rate": [],
+                "new_rate": [], "kept_frames": [], "rms": [],
+                "abs_mean": [], "first_s": [], "last_s": [],
+            }
+            for aid, b in zip(pdf["asset_id"], pdf["media"]):
+                if b is None:
+                    continue
+                ch, rate, samples = _wav_parse(bytes(b))
+                frames = len(samples) // ch
+                kept = [
+                    samples[f * ch + c]
+                    for f in range(0, frames, factor)
+                    for c in range(ch)
+                ]
+                n = len(kept)
+                s2 = sum(x * x for x in kept)
+                sabs = sum(abs(x) for x in kept)
+                out["asset_id"].append(aid)
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["new_rate"].append(rate // factor)
+                out["kept_frames"].append(n // ch)
+                out["rms"].append(math.sqrt(s2 / n) / 32768.0)
+                out["abs_mean"].append(sabs / n / 32768.0)
+                out["first_s"].append(kept[0] / 32768.0)
+                out["last_s"].append(kept[-1] / 32768.0)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media").mapInPandas(
+        run, DECIMATED_AUDIO_SCHEMA
+    )
+
+
+FRAME_FEATURES_SCHEMA = (
+    "asset_id BIGINT, frame_idx INT, frame_ts_ms BIGINT, "
+    "mean_gray DOUBLE, first_gray DOUBLE, last_gray DOUBLE, n_px BIGINT"
+)
+
+
+def sampled_frame_features(
+    assets: DataFrame, every_n: int = 2
+) -> DataFrame:
+    """The EXECUTED frame sampling — the byte-touching stage
+    :func:`frame_sample_plan` only costs: decode the AVI container,
+    keep every ``every_n``-th frame, and emit ONE ROW PER SAMPLED FRAME
+    with its timestamp and gray statistics (the clip-level features
+    collapse the temporal axis; training pipelines want the per-frame
+    fan-out). All statistics are exact-integer sums before one final
+    float division, so the rows are oracle-replayable from the
+    fixture's per-frame md5 pixel formula.
+
+    Scale shape: one Arrow mapInPandas kernel per asset batch, fan-out
+    bounded by the sampled frame count — the plan's n_frames is the
+    exact cardinality contract for this stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "frame_idx": [], "frame_ts_ms": [],
+                "mean_gray": [], "first_gray": [], "last_gray": [],
+                "n_px": [],
+            }
+            for aid, b in zip(pdf["asset_id"], pdf["media"]):
+                if b is None:
+                    continue
+                w, h, usec, per_frame = _avi_parse(bytes(b))
+                npx = w * h
+                for f in range(0, len(per_frame), every_n):
+                    grays = per_frame[f]
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(f)
+                    out["frame_ts_ms"].append(f * usec // 1000)
+                    out["mean_gray"].append(sum(grays) / npx / 765.0)
+                    out["first_gray"].append(grays[0] / 765.0)
+                    out["last_gray"].append(grays[-1] / 765.0)
+                    out["n_px"].append(npx)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media").mapInPandas(
+        run, FRAME_FEATURES_SCHEMA
+    )
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
