@@ -115,6 +115,42 @@ def synthetic_warc_shards(
     return spark.createDataFrame(rows, WARC_SHARD_SCHEMA)
 
 
+def synthetic_charset_warc_shards(
+    spark: SparkSession, n_shards: int = 4, docs_per_shard: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """WARC shard fixture for CHARSET handling: record ``j`` cycles
+    through utf-8 / ISO-8859-1 / quoted windows-1252 / no-charset
+    Content-Type declarations, each carrying non-ASCII text (é, ü, €)
+    encoded in the DECLARED charset — so a parser that ignores the
+    header or guesses wrong produces mojibake and fails the md5 value
+    check. Header case and quoting vary deliberately."""
+    kinds = [
+        ("text/html; charset=utf-8", "utf-8", "café Grüße {h}"),
+        ("text/html; Charset=ISO-8859-1", "latin-1", "naïve café {h}"),
+        ('text/html; charset="windows-1252"', "cp1252", "café €uro {h}"),
+        ("text/html", "utf-8", "plain {h}"),
+    ]
+    rows = []
+    for i in range(n_shards):
+        blob = b""
+        for j in range(docs_per_shard):
+            ctype, codec, pat = kinds[j % len(kinds)]
+            hpart = hashlib.md5(f"{seed}:cs:{i}:{j}".encode()).hexdigest()
+            text = pat.format(h=hpart)
+            html = f"<html><body><p>{text}</p></body></html>".encode(codec)
+            http = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode()
+                + html
+            )
+            uri = f"https://example.com/cs/{i}/{j}"
+            blob += gzip.compress(
+                _warc_record("response", uri, http), mtime=0
+            )
+        rows.append((i, bytearray(blob)))
+    return spark.createDataFrame(rows, WARC_SHARD_SCHEMA)
+
+
 def _split_gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a concatenation of gzip members one member at a time
     (``unused_data`` marks each boundary) — stdlib only, streaming."""
@@ -149,12 +185,48 @@ def _parse_record(raw: bytes) -> tuple[str, str, bytes] | None:
     )
 
 
+# Charsets a crawl actually serves and the stdlib decodes without any
+# external library; anything else falls back to utf-8 (with replacement
+# chars rather than a crash — ingest must not die on a mislabeled page).
+_SUPPORTED_CHARSETS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "us-ascii": "ascii",
+    "ascii": "ascii",
+    "iso-8859-1": "latin-1",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+}
+
+
+def _http_charset(headers: bytes) -> str:
+    """Charset from an HTTP header block's Content-Type (RFC 9110
+    ``charset=`` parameter, case-insensitive, optional quotes);
+    'utf-8' when absent or unrecognized."""
+    import re as _re
+
+    m = _re.search(
+        rb"(?im)^content-type:[^\r\n]*charset=\"?([A-Za-z0-9_-]+)",
+        headers,
+    )
+    if not m:
+        return "utf-8"
+    return _SUPPORTED_CHARSETS.get(
+        m.group(1).decode("ascii", "replace").lower(), "utf-8"
+    )
+
+
 def parse_warc_records(shards: DataFrame) -> DataFrame:
     """One row per WARC *response* record: (shard_id, record_idx, uri,
     http_status, html, n_html_bytes). ``record_idx`` numbers response
     records within their shard in stream order (the stable record
     identity a re-crawl diff would key on); request/metadata records
-    advance the stream but emit nothing.
+    advance the stream but emit nothing. The HTML bytes decode with the
+    charset the HTTP Content-Type declares (utf-8 / ascii / latin-1 /
+    cp1252 — the set real crawls dominate; unknown or absent labels
+    fall back to utf-8 with replacement, never a crash).
 
     The deliberate Python boundary: gzip member framing and WARC/HTTP
     header parsing are byte protocols no SQL engine expresses —
@@ -185,11 +257,12 @@ def parse_warc_records(shards: DataFrame) -> DataFrame:
                     except (IndexError, ValueError):
                         continue
                     html = body[hsep + 4 :]
+                    charset = _http_charset(body[:hsep])
                     out["shard_id"].append(sid)
                     out["record_idx"].append(idx)
                     out["uri"].append(uri)
                     out["http_status"].append(status)
-                    out["html"].append(html.decode("utf-8", "replace"))
+                    out["html"].append(html.decode(charset, "replace"))
                     out["n_html_bytes"].append(len(html))
                     idx += 1
             yield pd.DataFrame(out)
