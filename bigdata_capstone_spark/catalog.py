@@ -917,6 +917,74 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
+@register(
+    "embedding_ann_truncated",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    pre AS (
+      SELECT q.qid AS query_id, c.vec_id,
+             round(
+               list_sum(list_transform(generate_series(1, 16),
+                        i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(generate_series(1, 16),
+                        i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, 16),
+                        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))),
+               6) AS pre_cos
+      FROM q CROSS JOIN embeddings c
+      WHERE q.qid <> c.vec_id
+    ),
+    cands AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pre_cos DESC, vec_id) AS rn
+        FROM pre
+      ) WHERE rn <= 50
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.vec_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(
+                        generate_series(1, len(c.embedding)),
+                        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))),
+               6) AS cosine_r
+      FROM cands cd
+      JOIN q ON q.qid = cd.query_id
+      JOIN embeddings c ON c.vec_id = cd.vec_id
+    )
+    SELECT query_id, vec_id, cosine_r, rank FROM (
+      SELECT *, (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_r DESC, vec_id))::INT
+                  AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def embedding_ann_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension ANN (4th index family after
+    LSH / IVF / (IVF-)PQ): candidates by exact cosine over the FIRST 16
+    of 64 dimensions, exact full-dim re-rank of the per-query top-50
+    shortlist. At corpus scale the prefix persists as its own column —
+    the prefilter reads a quarter of the vector bytes and flops, and
+    full vectors are fetched for |Q|×50 rows only. Whole structure
+    (prefix cosine, shortlist cut, re-rank, tie-breaks) replayed by the
+    oracle — plus a recall gate in tests against the exact top-10."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        truncated_prefilter_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return truncated_prefilter_topk(
+        emb, queries, prefix_dims=16, shortlist=50, k=10
+    )
+
+
 # --------------------------------------------------------------------------
 # Reference-exact pipelines on driver tables: customer "twins"
 # (customer_segmentation semantics, SURVEY §2.9 M1-M3 / J4 / A5)

@@ -100,6 +100,86 @@ def brute_force_topk(
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def truncated_prefilter_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dims: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncated ANN: candidate generation by
+    EXACT cosine over only the first ``prefix_dims`` dimensions, then an
+    exact full-dimension re-rank of each query's ``shortlist``. The MRL
+    idea (Kusupati et al. 2022): embeddings trained so prefixes are
+    usable representations make the prefix a cheap prefilter — at
+    corpus scale the prefix is persisted as its OWN column, so the scan
+    reads prefix_dims/D of the vector bytes and the dot products cost
+    prefix_dims/D of the flops, while the expensive full vectors are
+    fetched only for |Q|·shortlist rows.
+
+    Fully deterministic and SQL-replayable: both stages round cosine to
+    6dp BEFORE ranking and break ties on vec_id — the PQ/IVF
+    shortlist-then-rerank contract applied to a third index family.
+    Returns (query_id, vec_id, cosine_r, rank).
+    """
+    qp = _with_norm(
+        queries.select(
+            F.col(id_col), F.slice(vec_col, 1, prefix_dims).alias("__p")
+        ),
+        "query_id", "qp", "qpn", id_col, "__p",
+    )
+    cp = _with_norm(
+        fan_out(
+            corpus.select(
+                F.col(id_col),
+                F.slice(vec_col, 1, prefix_dims).alias("__p"),
+            )
+        ),
+        id_col, "cp", "cpn", id_col, "__p",
+    )
+    pre = (
+        F.broadcast(qp)
+        .crossJoin(cp)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                dot_product_col(F.col("qp"), F.col("cp"))
+                / (F.col("qpn") * F.col("cpn")),
+                6,
+            ).alias("pre_cos"),
+        )
+    )
+    cands = grouped_top_k(
+        pre, ["query_id"], [F.desc("pre_cos"), F.col(id_col)], shortlist
+    ).select("query_id", id_col)
+    qf = _with_norm(queries, "query_id", "qv", "qn", id_col, vec_col)
+    cf = _with_norm(corpus, id_col, "cv", "cn", id_col, vec_col)
+    scored = (
+        cands.join(F.broadcast(qf), on="query_id")
+        .join(cf, on=id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                dot_product_col(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cosine_r"),
+        )
+    )
+    return grouped_top_k(
+        scored,
+        ["query_id"],
+        [F.desc("cosine_r"), F.col(id_col)],
+        k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def _plane_weights(plane: int, dim: int, table: int = 0) -> list[float]:
     """Deterministic ±1 hyperplane from md5 — no RNG state, reproducible
     anywhere (same values if re-derived in SQL or another engine)."""
