@@ -2428,3 +2428,31 @@ def user_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_by_key(
         events, ["user_id"], ["ts", "event_id"], "value", max_lag=3
     )
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey
+    )
+    SELECT length(bin(n))::INT AS bit_bucket,
+           count(*)::BIGINT AS n_keys,
+           sum(n)::BIGINT AS n_rows,
+           max(n)::BIGINT AS max_key_rows
+    FROM counts GROUP BY 1
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key SKEW pre-flight: the per-key row-count distribution
+    of a prospective join key (lineitem.l_partkey) collapsed to exact
+    bit-length buckets — the report that decides, BEFORE a 100 TB join
+    runs, whether to salt (relational.salted_join), cap, or broadcast.
+    AQE handles skew reactively; choosing the key and strategy is a
+    planning decision that needs this histogram up front. Two map-side-
+    combinable aggregates; the bucket uses integer bit length (binary
+    string length), immune to the 1-ulp float-log2 disagreements
+    engines have at power-of-two boundaries."""
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return rel.key_skew_report(li, ["l_partkey"])

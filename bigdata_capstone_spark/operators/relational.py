@@ -221,6 +221,35 @@ def partitioned_row_number(
     return ranked.withColumn(alias, F.col("__pps_rn")).drop("__pps_rn")
 
 
+def key_skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Pre-flight SKEW diagnosis for a prospective shuffle key: the
+    distribution of per-key row counts, collapsed to log2 buckets —
+    (log2_bucket, n_keys, n_rows, max_key_rows). A healthy key reads as
+    a tight bucket band; a hot key shows as a lonely high bucket whose
+    ``n_rows`` dominates. This is the report that decides, BEFORE a
+    100 TB join runs, whether to salt (salted_join), cap, or broadcast
+    — AQE fixes skew reactively at runtime, but choosing the key and
+    strategy is a planning decision that needs the histogram up front.
+
+    Scale shape: one map-side-combinable groupBy on the key, then a
+    ~60-row aggregate on the bucket — the report never materializes the
+    per-key counts beyond the first hash aggregate. The bucket is the
+    count's BIT LENGTH (= floor(log2 n)+1) via the binary-string length
+    — exact integer arithmetic, immune to the 1-ulp float-log2
+    disagreements engines have at power-of-two boundaries.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    bucket = F.length(F.bin("__n")).cast("int")
+    return (
+        counts.groupBy(bucket.alias("bit_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("__n").alias("n_rows"),
+            F.max("__n").alias("max_key_rows"),
+        )
+    )
+
+
 def union_all(*dfs: DataFrame) -> DataFrame:
     """By-name union (bag semantics), hardening the reference's positional
     ``union`` chain (splitting_data.py:35)."""
