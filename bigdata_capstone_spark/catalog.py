@@ -2429,12 +2429,12 @@ def warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ij AS (
       SELECT i.i AS shard_id, j.j AS record_idx
       FROM (SELECT unnest(range(4)) AS i) i
-      CROSS JOIN (SELECT unnest(range(4)) AS j) j
+      CROSS JOIN (SELECT unnest(range(5)) AS j) j
     ),
     t AS (
       SELECT shard_id, record_idx,
              md5('42:cs:' || shard_id || ':' || record_idx) AS h,
-             record_idx % 4 AS kind
+             record_idx % 5 AS kind
       FROM ij
     )
     SELECT shard_id::INT AS shard_id, record_idx::INT AS record_idx,
@@ -2444,22 +2444,28 @@ def warc_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHEN 0 THEN 'café Grüße ' || h
                  WHEN 1 THEN 'naïve café ' || h
                  WHEN 2 THEN 'café €uro ' || h
-                 ELSE 'plain ' || h END) AS text_hash
+                 WHEN 3 THEN 'plain ' || h
+                 ELSE 'chunked café ' || h END) AS text_hash
     FROM t
     """,
 )
 def warc_charset_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Charset-correct crawl ingestion: HTTP Content-Type charset
-    parameters (case-insensitive, optionally quoted, possibly absent)
-    select the byte decoder per record — the fixture serves the SAME
-    logical text encoded as utf-8, ISO-8859-1, and windows-1252, with
-    non-ASCII characters (é, ü, €) whose bytes DIFFER per encoding, so
-    a parser that assumes utf-8 everywhere produces mojibake and fails
-    the md5 value check. Real crawls are a charset zoo; silently
-    corrupted text poisons every downstream token/dedup statistic.
+    """Charset- and transfer-encoding-correct crawl ingestion: HTTP
+    Content-Type charset parameters (case-insensitive, optionally
+    quoted, possibly absent) select the byte decoder per record, and a
+    Transfer-Encoding: chunked record is DECHUNKED (RFC 9112 §7.1,
+    chunk extensions ignored) before decoding — the fixture serves the
+    SAME logical text encoded as utf-8, ISO-8859-1, and windows-1252,
+    with non-ASCII characters (é, ü, €) whose bytes DIFFER per
+    encoding, plus a two-chunk chunked record; a parser that assumes
+    utf-8-and-identity everywhere produces mojibake or
+    chunk-framing garbage and fails the md5 value check. Real crawls
+    are a charset/encoding zoo; silently corrupted text poisons every
+    downstream token/dedup statistic.
 
-    Scale shape: charset selection happens inside the existing
-    per-shard mapInPandas kernel — zero extra passes, zero shuffle."""
+    Scale shape: charset selection and dechunking happen inside the
+    existing per-shard mapInPandas kernel — zero extra passes, zero
+    shuffle."""
     from bigdata_capstone_spark.operators.webingest import (
         extract_html_text,
         parse_warc_records,
@@ -2467,7 +2473,7 @@ def warc_charset_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     shards = synthetic_charset_warc_shards(
-        spark, n_shards=4, docs_per_shard=4
+        spark, n_shards=4, docs_per_shard=5
     )
     return extract_html_text(parse_warc_records(shards)).select(
         "shard_id", "record_idx", "uri", "text_hash"

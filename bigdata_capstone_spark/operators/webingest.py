@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import gzip
 import hashlib
+import re
 import zlib
 from typing import Iterator
 
@@ -120,29 +121,48 @@ def synthetic_charset_warc_shards(
     seed: int = 42,
 ) -> DataFrame:
     """WARC shard fixture for CHARSET handling: record ``j`` cycles
-    through utf-8 / ISO-8859-1 / quoted windows-1252 / no-charset
-    Content-Type declarations, each carrying non-ASCII text (é, ü, €)
-    encoded in the DECLARED charset — so a parser that ignores the
-    header or guesses wrong produces mojibake and fails the md5 value
-    check. Header case and quoting vary deliberately."""
+    through utf-8 / ISO-8859-1 / quoted windows-1252 / no-charset /
+    CHUNKED-utf-8 Content-Type declarations, each carrying non-ASCII
+    text (é, ü, €) encoded in the DECLARED charset — so a parser that
+    ignores the header or guesses wrong produces mojibake and fails the
+    md5 value check. Header case and quoting vary deliberately; the
+    chunked record splits its body across two RFC 9112 chunks (one with
+    a chunk extension the parser must ignore)."""
     kinds = [
-        ("text/html; charset=utf-8", "utf-8", "café Grüße {h}"),
-        ("text/html; Charset=ISO-8859-1", "latin-1", "naïve café {h}"),
-        ('text/html; charset="windows-1252"', "cp1252", "café €uro {h}"),
-        ("text/html", "utf-8", "plain {h}"),
+        ("text/html; charset=utf-8", "utf-8", "café Grüße {h}", False),
+        ("text/html; Charset=ISO-8859-1", "latin-1", "naïve café {h}",
+         False),
+        ('text/html; charset="windows-1252"', "cp1252", "café €uro {h}",
+         False),
+        ("text/html", "utf-8", "plain {h}", False),
+        ("text/html; charset=utf-8", "utf-8", "chunked café {h}", True),
     ]
     rows = []
     for i in range(n_shards):
         blob = b""
         for j in range(docs_per_shard):
-            ctype, codec, pat = kinds[j % len(kinds)]
+            ctype, codec, pat, chunked = kinds[j % len(kinds)]
             hpart = hashlib.md5(f"{seed}:cs:{i}:{j}".encode()).hexdigest()
             text = pat.format(h=hpart)
             html = f"<html><body><p>{text}</p></body></html>".encode(codec)
-            http = (
-                f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode()
-                + html
-            )
+            if chunked:
+                cut = len(html) // 2
+                body = (
+                    f"{cut:x};ext=1\r\n".encode() + html[:cut] + b"\r\n"
+                    + f"{len(html) - cut:x}\r\n".encode() + html[cut:]
+                    + b"\r\n0\r\n\r\n"
+                )
+                headers = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+                    "Transfer-Encoding: chunked\r\n\r\n"
+                )
+                http = headers.encode() + body
+            else:
+                http = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n"
+                    .encode()
+                    + html
+                )
             uri = f"https://example.com/cs/{i}/{j}"
             blob += gzip.compress(
                 _warc_record("response", uri, http), mtime=0
@@ -201,13 +221,36 @@ _SUPPORTED_CHARSETS = {
 }
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded body (RFC 9112 §7.1):
+    hex size line (chunk extensions after ';' ignored), chunk bytes,
+    CRLF, repeated until the 0-size terminator. Trailers are ignored.
+    Raises on truncation — a half-stored chunked record is corrupt."""
+    out = b""
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("truncated chunked HTTP body")
+        size_token = body[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            raise ValueError("invalid chunk size in HTTP body") from None
+        if size == 0:
+            return out
+        chunk = body[nl + 2 : nl + 2 + size]
+        if len(chunk) != size:
+            raise ValueError("truncated chunked HTTP body")
+        out += chunk
+        pos = nl + 2 + size + 2  # chunk bytes + trailing CRLF
+
+
 def _http_charset(headers: bytes) -> str:
     """Charset from an HTTP header block's Content-Type (RFC 9110
     ``charset=`` parameter, case-insensitive, optional quotes);
     'utf-8' when absent or unrecognized."""
-    import re as _re
-
-    m = _re.search(
+    m = re.search(
         rb"(?im)^content-type:[^\r\n]*charset=\"?([A-Za-z0-9_-]+)",
         headers,
     )
@@ -257,7 +300,13 @@ def parse_warc_records(shards: DataFrame) -> DataFrame:
                     except (IndexError, ValueError):
                         continue
                     html = body[hsep + 4 :]
-                    charset = _http_charset(body[:hsep])
+                    headers = body[:hsep]
+                    if b"chunked" in headers.lower() and re.search(
+                        rb"(?im)^transfer-encoding:[^\r\n]*chunked",
+                        headers,
+                    ):
+                        html = _dechunk(html)
+                    charset = _http_charset(headers)
                     out["shard_id"].append(sid)
                     out["record_idx"].append(idx)
                     out["uri"].append(uri)
