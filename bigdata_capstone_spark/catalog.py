@@ -2684,6 +2684,47 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anchor_text_terms",
+    oracle="""
+    WITH kj AS (
+      SELECT k.k, j.j
+      FROM (SELECT unnest(range(8)) AS k) k
+      CROSS JOIN (SELECT unnest(range(6)) AS j) j
+    ),
+    a AS (SELECT (k + 1 + j % 3) % 8 AS t, j FROM kj),
+    terms AS (
+      SELECT 'www.example' || t || '.com' AS dst, 'site' || t AS term
+      FROM a
+      UNION ALL
+      SELECT 'www.example' || t || '.com', 'page' || j FROM a
+    )
+    SELECT dst, term, count(*)::BIGINT AS n
+    FROM terms GROUP BY dst, term
+    """,
+)
+def anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text term counts per TARGET host — how the web describes
+    a page (the retrieval/quality signal that beats self-description;
+    feeds ranking features and query-independent page quality). The
+    fixture's anchor texts are formula-derived ('site{t} page{j}'), so
+    the oracle replays which terms accrue to which target and how
+    often; relative and fragment links must contribute nothing.
+
+    Scale shape (operators/webingest.py:extract_anchor_terms): anchor
+    extraction is a per-page map; the only shuffle is the (dst, term)
+    count over short strings, map-side combined."""
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_anchor_terms,
+        synthetic_linked_pages,
+    )
+
+    pages = synthetic_linked_pages(spark, n_domains=8, pages_per_domain=6)
+    return extract_anchor_terms(pages).groupBy("dst", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
     "crawl_fetch_plan",
     oracle="""
     WITH ids AS (SELECT unnest(range(140)) AS uid),

@@ -610,12 +610,12 @@ def synthetic_linked_pages(
 ) -> DataFrame:
     """(page_id, host, html) fixture for link extraction: page ``j`` of
     domain ``k`` carries md5-derived prose plus one absolute link to
-    domain ``(k + 1 + j % 3) % n_domains`` — so the DISTINCT host-level
-    edge set is exactly {k → (k+1)%D, (k+2)%D, (k+3)%D} (with
-    pages_per_domain ≥ 3), a formula a DuckDB oracle rebuilds to replay
-    the whole extract→graph→PageRank chain. A relative link and a
-    fragment link are planted on every page and must NOT become
-    edges."""
+    domain ``t = (k + 1 + j % 3) % n_domains`` with anchor text
+    ``site{t} page{j}`` — so the DISTINCT host-level edge set is
+    exactly {k → (k+1)%D, (k+2)%D, (k+3)%D} (with pages_per_domain ≥ 3)
+    and the per-target anchor-term counts are formula-replayable too.
+    A relative link and a fragment link are planted on every page and
+    must NOT become edges."""
     rows = []
     for k in range(n_domains):
         for j in range(pages_per_domain):
@@ -623,7 +623,8 @@ def synthetic_linked_pages(
             t = (k + 1 + j % 3) % n_domains
             html = (
                 f"<html><body><p>{body}</p>"
-                f'<a href="https://www.example{t}.com/p{j}">ref</a> '
+                f'<a href="https://www.example{t}.com/p{j}">'
+                f"site{t} page{j}</a> "
                 f'<a href="/local/page{j}">rel</a> '
                 f'<a href="#sec1">frag</a>'
                 f"</body></html>"
@@ -665,6 +666,50 @@ def extract_links(
     return out.select(
         "src",
         F.regexp_extract("href", r"^[^:]+://([^/?#:]+)", 1).alias("dst"),
+    )
+
+
+def extract_anchor_terms(
+    records: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """(dst, term) rows: the lowercased anchor-text terms of every
+    absolute http(s) link, keyed by the TARGET host — the classic
+    link-based retrieval/quality signal (how the web describes a page
+    beats how the page describes itself; anchor text feeds ranking and
+    query-independent quality features). Tags inside the anchor are
+    stripped and entities decoded with the shared chain.
+
+    Pure JVM: extract whole anchor elements, per-element pull href and
+    inner text, explode to terms. At crawl scale the only shuffle is
+    the (dst, term) count — short strings, map-side combined."""
+    anchors = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r'(?s)<a\b[^>]*href="https?://[^"#]+"[^>]*>.*?</a>'),
+        0,
+    )
+    a = records.select(F.explode(anchors).alias("a"))
+    dst = F.regexp_extract("a", r'href="[^:]+://([^/?#:"]+)', 1)
+    inner = F.trim(
+        F.regexp_replace(
+            decode_html_entities(
+                F.regexp_replace(
+                    F.regexp_extract("a", r"(?s)>(.*)</a>$", 1),
+                    r"<[^>]+>",
+                    " ",
+                )
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        a.select(dst.alias("dst"), F.lower(inner).alias("text"))
+        .select(
+            "dst",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("term"),
+        )
     )
 
 
