@@ -2683,6 +2683,103 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _domain_hits_oracle(n_domains: int = 8) -> str:
+    from bigdata_capstone_spark.operators.graph import hits_unrolled_sql
+
+    edges_cte = f"""
+      SELECT 'www.example' || k || '.com' AS src,
+             'www.example' || ((k + 1 + o) % {n_domains}) || '.com' AS dst
+      FROM (SELECT unnest(range({n_domains})) AS k)
+      CROSS JOIN (SELECT unnest(range(3)) AS o)
+    """
+    h = hits_unrolled_sql(edges_cte, iterations=3)
+    return f"""
+    SELECT node AS domain, round(hub, 12) AS hub, round(auth, 12) AS auth
+    FROM ({h})
+    """
+
+
+@register("domain_hits", oracle=_domain_hits_oracle())
+def domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the extracted host link graph —
+    the companion signal to ``domain_pagerank`` for frontier budgeting:
+    PageRank surfaces globally popular hosts; HITS separates
+    portal/directory hosts (hubs worth re-crawling for DISCOVERY) from
+    content hosts (authorities worth re-crawling for HARVEST). Same
+    formula-derived fixture as domain_pagerank, so the oracle rebuilds
+    the identical edge set and unrolls all 3 L1-normalized rounds —
+    DECIMAL-exact per half-round, bit-identical scores.
+
+    Scale shape (operators/graph.py:hits): cached, never-reshuffled
+    edge list; per half-round one edges⋈scores join + one node-keyed
+    map-side-combined agg + a 1-row broadcast total; score frames stay
+    node-sized."""
+    from bigdata_capstone_spark.operators.graph import hits
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_links,
+        synthetic_linked_pages,
+    )
+
+    pages = synthetic_linked_pages(spark, n_domains=8, pages_per_domain=6)
+    edges = extract_links(pages).distinct()
+    scores = hits(edges, iterations=3)
+    return scores.select(
+        F.col("node").alias("domain"),
+        F.round("hub", 12).alias("hub"),
+        F.round("auth", 12).alias("auth"),
+    )
+
+
+def _crawl_depth_oracle(n_domains: int = 8) -> str:
+    from bigdata_capstone_spark.operators.graph import (
+        bfs_depths_unrolled_sql,
+    )
+
+    edges_cte = f"""
+      SELECT 'www.example' || k || '.com' AS src,
+             'www.example' || ((k + 1 + o) % {n_domains}) || '.com' AS dst
+      FROM (SELECT unnest(range({n_domains})) AS k)
+      CROSS JOIN (SELECT unnest(range(3)) AS o)
+    """
+    seeds_cte = "SELECT 'www.example0.com' AS node"
+    b = bfs_depths_unrolled_sql(edges_cte, seeds_cte, rounds=3)
+    return f"""
+    SELECT node AS domain, depth::INT AS depth
+    FROM ({b})
+    """
+
+
+@register("crawl_depth_from_seeds", oracle=_crawl_depth_oracle())
+def crawl_depth_from_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop crawl depth from a seed host over the extracted link
+    graph — the frontier-budget boundary ("fetch everything within k
+    clicks of the seeds") every focused crawler enforces. The fixture's
+    k → k+1,k+2,k+3 (mod 8) ring gives a non-trivial depth profile from
+    seed host 0 (three hosts at depth 1, three at 2, one at 3), and the
+    oracle unrolls the integer relaxation round for round — exact on
+    any engine, no float tolerance needed.
+
+    Scale shape (operators/graph.py:bfs_depths): cached edge list, one
+    edges⋈depths join + one min-groupBy per round; depth frame stays
+    node-sized; unreached nodes are absent, not ∞."""
+    from bigdata_capstone_spark.operators.graph import bfs_depths
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_links,
+        synthetic_linked_pages,
+    )
+
+    pages = synthetic_linked_pages(spark, n_domains=8, pages_per_domain=6)
+    edges = extract_links(pages).distinct()
+    seeds = spark.createDataFrame(
+        [("www.example0.com",)], "node STRING"
+    )
+    depths = bfs_depths(edges, seeds, rounds=3)
+    return depths.select(
+        F.col("node").alias("domain"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
 @register(
     "anchor_text_terms",
     oracle="""

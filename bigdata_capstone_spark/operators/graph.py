@@ -271,3 +271,219 @@ def label_propagation_unrolled_sql(
         + label_propagation_ctes(rounds)
         + f"\n    SELECT node, label FROM l{rounds}"
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS (Kleinberg 1999, "Authoritative sources in a hyperlinked
+    environment") over a directed edge list (src, dst), FIXED rounds,
+    L1-normalized — hubs point at good authorities, authorities are
+    pointed at by good hubs. Complements :func:`pagerank` for crawl
+    prioritization: PageRank surfaces globally popular hosts, HITS
+    separates directory/portal hosts (hubs) from content hosts
+    (authorities), which is the distinction a frontier scheduler wants
+    when budgeting fetches between discovery and harvest.
+
+    Round structure: auth(v) = Σ_{u→v} hub(u), normalized to sum 1;
+    then hub(u) = Σ_{u→v} auth(v), normalized to sum 1. Every sum —
+    per-node contributions AND the normalization total — accumulates as
+    DECIMAL(28,14) before the cast back to double, so each round is
+    bit-identical between Spark's partitioned partial aggregation and
+    DuckDB's serial scan (:func:`hits_unrolled_sql` unrolls the loop).
+    L1 (not the classical L2) keeps the normalizer inside exact decimal
+    arithmetic — no sqrt of a partition-order-dependent double.
+
+    Nodes with no in-edges hold auth 0, nodes with no out-edges hold
+    hub 0 (the zero rows are materialized, not dropped). Returns
+    (node, hub, auth).
+
+    Scale shape: the edge list is cached and never re-shuffles; each
+    half-round is one edges⋈scores join plus one groupBy on the
+    receiving endpoint (map-side combined, node-sized output) plus a
+    1-row total. The score frames stay (node, value). Lineage truncates
+    per round via the shared :func:`operators.ckpt.lineage_truncation`
+    (``checkpoint_dir=None`` → localCheckpoint; reliable dir →
+    fault-tolerant ``checkpoint()`` for preemptible clusters).
+    """
+    from bigdata_capstone_spark.operators.ckpt import lineage_truncation
+
+    edges = edges.select("src", "dst").cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        # Zero-fill first so the frame stays node-sized and total is
+        # over the same row set as the oracle's LEFT JOIN.
+        full = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce(F.col(col), F.lit(0.0)).alias(col)
+        )
+        tot = full.agg(
+            F.sum(F.col(col).cast("decimal(28,14)"))
+            .cast("double")
+            .alias("__tot")
+        )
+        return full.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col(col) / F.col("__tot")).alias(col)
+        )
+
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = nodes.withColumn("auth", F.lit(0.0))
+    with lineage_truncation(edges.sparkSession, checkpoint_dir) as _ckpt:
+        for _ in range(iterations):
+            auth_raw = (
+                edges.join(hub, edges["src"] == hub["node"])
+                .groupBy("dst")
+                .agg(
+                    F.sum(F.col("hub").cast("decimal(28,14)"))
+                    .cast("double")
+                    .alias("auth")
+                )
+                .select(F.col("dst").alias("node"), "auth")
+            )
+            auth = _ckpt(_normalize(auth_raw, "auth"))
+            hub_raw = (
+                edges.join(auth, edges["dst"] == auth["node"])
+                .groupBy("src")
+                .agg(
+                    F.sum(F.col("auth").cast("decimal(28,14)"))
+                    .cast("double")
+                    .alias("hub")
+                )
+                .select(F.col("src").alias("node"), "hub")
+            )
+            hub = _ckpt(_normalize(hub_raw, "hub"))
+    return hub.join(auth, "node")
+
+
+def hits_unrolled_sql(edges_cte: str, iterations: int = 3) -> str:
+    """DuckDB twin of :func:`hits`: the loop unrolled into CTEs.
+
+    ``edges_cte`` must define a relation ``edges(src, dst)``."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"ar{i} AS (SELECT e.dst AS node, "
+            f"sum(CAST(h.hub AS DECIMAL(28,14)))::DOUBLE AS auth "
+            f"FROM edges e JOIN h{i - 1} h ON h.node = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"af{i} AS (SELECT n.node, "
+            f"coalesce(a.auth, 0.0)::DOUBLE AS auth "
+            f"FROM nodes n LEFT JOIN ar{i} a ON a.node = n.node)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT node, auth / (SELECT "
+            f"sum(CAST(auth AS DECIMAL(28,14)))::DOUBLE FROM af{i}) "
+            f"AS auth FROM af{i})"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT e.src AS node, "
+            f"sum(CAST(a.auth AS DECIMAL(28,14)))::DOUBLE AS hub "
+            f"FROM edges e JOIN a{i} a ON a.node = e.dst "
+            f"GROUP BY e.src)"
+        )
+        parts.append(
+            f"hf{i} AS (SELECT n.node, "
+            f"coalesce(h.hub, 0.0)::DOUBLE AS hub "
+            f"FROM nodes n LEFT JOIN hr{i} h ON h.node = n.node)"
+        )
+        parts.append(
+            f"h{i} AS (SELECT node, hub / (SELECT "
+            f"sum(CAST(hub AS DECIMAL(28,14)))::DOUBLE FROM hf{i}) "
+            f"AS hub FROM hf{i})"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT h.node, h.hub, a.auth "
+        f"FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"
+    )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Minimum-hop distance from a seed set over a directed edge list,
+    FIXED rounds of frontier relaxation — the crawl-depth computation
+    behind "fetch everything within k clicks of the seed list" (the
+    classic crawl-budget boundary; Common Crawl and every focused
+    crawler cut the frontier by hop count). Nodes not reached within
+    ``rounds`` hops are absent from the result — the honest semantics
+    (an unreached node has no depth, not depth ∞).
+
+    ``seeds`` is a one-column (node) frame. Returns (node, depth) with
+    depth 0 for seeds. All arithmetic is integer — exact on any engine;
+    the DuckDB twin (:func:`bfs_depths_unrolled_sql`) unrolls the
+    relaxation.
+
+    Scale shape: the edge list is cached and never re-shuffles; each
+    round is one edges⋈depths join (candidate depth = src depth + 1)
+    plus one min-groupBy on the node key — map-side combined,
+    node-sized output. This is Bellman-Ford-style relaxation, not a
+    delta-frontier BFS: at k ≤ a handful of rounds the full join is one
+    shuffle per round and needs no visited-set bookkeeping; a
+    1000-round traversal would want the delta-frontier variant instead.
+    Lineage truncates per round (shared lineage_truncation contract).
+    """
+    from bigdata_capstone_spark.operators.ckpt import lineage_truncation
+
+    edges = edges.select("src", "dst").cache()
+    depths = seeds.select("node").distinct().withColumn(
+        "depth", F.lit(0)
+    )
+    with lineage_truncation(edges.sparkSession, checkpoint_dir) as _ckpt:
+        for _ in range(rounds):
+            relaxed = (
+                edges.join(depths, edges["src"] == depths["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("depth") + F.lit(1)).alias("depth"),
+                )
+            )
+            depths = _ckpt(
+                depths.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("depth").alias("depth"))
+            )
+    return depths
+
+
+def bfs_depths_unrolled_sql(
+    edges_cte: str, seeds_cte: str, rounds: int = 3
+) -> str:
+    """DuckDB twin of :func:`bfs_depths`: the relaxation unrolled.
+
+    ``edges_cte`` must define (src, dst); ``seeds_cte`` one column
+    ``node``."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        f"d0 AS (SELECT DISTINCT node, 0 AS depth FROM ({seeds_cte}))",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, min(depth) AS depth FROM ("
+            f"SELECT node, depth FROM d{i - 1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, d.depth + 1 AS depth "
+            f"FROM edges e JOIN d{i - 1} d ON d.node = e.src"
+            f") GROUP BY node)"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT node, depth FROM d{rounds}"
+    )

@@ -583,3 +583,79 @@ def test_jpeg_progressive_ac_first_and_refine_coefficients():
         8, 8, [(int(v), int(v), int(v)) for v in exp_px.flatten()]
     )
     assert got == expected
+
+
+def test_hits_known_graph_and_zero_rows(spark):
+    """HITS on a tiny star: hub h points at authorities a1,a2; b points
+    at a1. Expected after round 1 (L1): auth(a1)=2/3, auth(a2)=1/3,
+    hub(h)=3/4... — rather than hand-derive 3 rounds, assert the
+    structural invariants the closed form guarantees: scores sum to 1
+    per side, a1 strictly out-ranks a2 (an extra citer), h strictly
+    out-hubs b (it cites more mass), and pure authorities carry hub 0
+    (zero rows materialized, not dropped)."""
+    from bigdata_capstone_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("b", "a1")],
+        "src STRING, dst STRING",
+    )
+    rows = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges).collect()}
+    assert set(rows) == {"h", "b", "a1", "a2"}
+    assert abs(sum(h for h, _ in rows.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in rows.values()) - 1.0) < 1e-9
+    assert rows["a1"][1] > rows["a2"][1] > 0.0
+    assert rows["h"][0] > rows["b"][0] > 0.0
+    assert rows["a1"][0] == 0.0 and rows["a2"][0] == 0.0  # no out-edges
+    assert rows["h"][1] == 0.0 and rows["b"][1] == 0.0  # no in-edges
+
+
+def test_hits_matches_unrolled_oracle_on_ring(spark):
+    """Bit-equality of the Spark loop vs the DuckDB unrolled CTE twin
+    on the asymmetric-ring fixture — the same contract the catalog
+    entry relies on, checked here without the driver."""
+    import duckdb
+
+    from bigdata_capstone_spark.operators.graph import (
+        hits,
+        hits_unrolled_sql,
+    )
+
+    edges_rows = [
+        (f"n{k}", f"n{(k + 1 + o) % 5}")
+        for k in range(5)
+        for o in range(2)
+    ]
+    edges = spark.createDataFrame(edges_rows, "src STRING, dst STRING")
+    got = {
+        r["node"]: (r["hub"], r["auth"]) for r in hits(edges).collect()
+    }
+    cte = (
+        "SELECT 'n' || k AS src, 'n' || ((k + 1 + o) % 5) AS dst "
+        "FROM (SELECT unnest(range(5)) AS k) "
+        "CROSS JOIN (SELECT unnest(range(2)) AS o)"
+    )
+    want = {
+        n: (h, a)
+        for n, h, a in duckdb.connect()
+        .execute(hits_unrolled_sql(cte, iterations=3))
+        .fetchall()
+    }
+    assert got == want
+
+
+def test_bfs_depths_profile_and_unreached(spark):
+    """Planted chain a→b→c→d with rounds=2: depths 0,1,2 and d ABSENT
+    (unreached within the round budget — no ∞ rows); a seed that is
+    also a target keeps depth 0 (min semantics)."""
+    from bigdata_capstone_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "a")],
+        "src STRING, dst STRING",
+    )
+    seeds = spark.createDataFrame([("a",)], "node STRING")
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depths(edges, seeds, rounds=2).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
