@@ -4570,3 +4570,63 @@ def source_lang_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("lang_entropy_r"),
     )
+
+
+@register(
+    "small_file_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT date_trunc('month', o_orderdate) AS part_key,
+             (o_custkey % 8)::INT AS file_id,
+             (sum(strlen(o_orderpriority)) + 128 * count(*))::BIGINT
+               AS bytes
+      FROM orders GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT part_key, file_id, bytes,
+             coalesce(sum(bytes) OVER (
+               PARTITION BY part_key ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM files
+    )
+    SELECT part_key, file_id, bytes,
+           (cum_before // 8192)::INT AS group_id
+    FROM c
+    """,
+)
+def small_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the first stage of Delta
+    OPTIMIZE / Iceberg rewrite_data_files): a per-partition file
+    inventory is packed into deterministic compaction groups of ~8 KiB
+    target size by fixed-quota sequential packing — group = exclusive
+    cumulative bytes DIV target, all-BIGINT arithmetic, so the oracle
+    replays the assignment bit-for-bit. The inventory here is derived
+    from orders (month partitions × 8 writer buckets, bytes =
+    priority-payload + 128/row overhead) because the planner's input is
+    a metadata frame, not table rows — in production it comes from the
+    filesystem listing / Delta log, one row per file.
+
+    Scale shape (operators/maintenance.py:compaction_plan): ONE window
+    partitioned by the table-partition key, whose width is bounded by
+    the writer's task count (the very quantity being repaired); the
+    rewrite stage downstream is one task per group. No floats anywhere
+    in the decision."""
+    from bigdata_capstone_spark.operators.maintenance import (
+        compaction_plan,
+    )
+
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("part_key"),
+        (F.col("o_custkey") % 8).cast("int").alias("file_id"),
+    ).agg(
+        (
+            F.sum(F.octet_length("o_orderpriority"))
+            + F.lit(128) * F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("bytes")
+    )
+    return compaction_plan(files, target_bytes=8192)

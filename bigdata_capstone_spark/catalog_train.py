@@ -1911,3 +1911,87 @@ def docs_quality_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@register(
+    "docs_perplexity_buckets",
+    oracle=UNIGRAM_LP_CTES
+    + """,
+    langed AS (
+      SELECT s.doc_id, d.lang, s.avg_logprob_r
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, lang, avg_logprob_r,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY avg_logprob_r DESC, doc_id) AS lang_rank,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM langed
+    )
+    SELECT doc_id, lang, avg_logprob_r,
+           lang_rank::BIGINT AS lang_rank,
+           CASE WHEN lang_rank * 3 <= n_lang THEN 'head'
+                WHEN lang_rank * 3 <= 2 * n_lang THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM r
+    """,
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): within each language, rank documents most-fluent-first by
+    the unigram-LM score and split into equal-document head / middle /
+    tail terciles — the published recipe for keeping the head, LM-
+    filtering the middle, and dropping the tail per language rather
+    than globally (a global cut would silently drop low-resource
+    languages whose absolute scores run lower).
+
+    Bucket boundaries are pure integer arithmetic (rank*3 vs n), ties
+    broken by doc_id — no float boundary risk, bit-replayable.
+
+    Scale shape: scores reuse the doc_unigram_logprob plan; the
+    per-language rank does NOT use a per-lang window (a handful of
+    language keys over a 100 TB corpus is the canonical skewed-window
+    trap) — instead ONE global distributed row_number over the total
+    order (lang, score DESC, doc_id) via partitioned_prefix_sum, and
+    per-language ranks fall out by subtracting each language's
+    exclusive offset (a language-count frame, broadcast theta-join,
+    the evaluation.py within-group-cumulative mechanism)."""
+    from bigdata_capstone_spark.catalog_etl import doc_unigram_logprob
+    from bigdata_capstone_spark.operators.relational import (
+        partitioned_row_number,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = (
+        doc_unigram_logprob(spark, sf_dir)
+        .select("doc_id", "avg_logprob_r")
+        .join(docs, "doc_id")
+    )
+    ranked = partitioned_row_number(
+        scored,
+        [F.col("lang"), F.desc("avg_logprob_r"), F.col("doc_id")],
+        "__grn",
+    )
+    cnt = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    a, b = cnt.alias("a"), cnt.alias("b")
+    off = (
+        a.join(F.broadcast(b), F.col("b.lang") < F.col("a.lang"), "left")
+        .groupBy(F.col("a.lang").alias("lang"), F.col("a.n_lang").alias("n_lang"))
+        .agg(F.sum(F.coalesce(F.col("b.n_lang"), F.lit(0))).alias("__off"))
+    )
+    return (
+        ranked.join(F.broadcast(off), "lang")
+        .withColumn("lang_rank", (F.col("__grn") - F.col("__off")).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob_r",
+            "lang_rank",
+            F.when(F.col("lang_rank") * 3 <= F.col("n_lang"), "head")
+            .when(F.col("lang_rank") * 3 <= 2 * F.col("n_lang"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Table-maintenance planning: small-file compaction.
+
+The 100 TB failure mode this addresses: a streaming or fine-grained
+batch writer leaves thousands of KB-sized files per table partition,
+and every subsequent scan pays per-file open/footer costs that dwarf the
+read itself (the "small files problem"). Engines fix it with a periodic
+OPTIMIZE/compaction pass — Delta Lake's OPTIMIZE, Iceberg's
+rewrite_data_files — whose first stage is exactly this operator: turn a
+file inventory into deterministic compaction groups of ~target output
+size. The rewrite itself is then one task per group reading its members
+and writing one file.
+
+The planner is pure DataFrame arithmetic over the inventory frame (one
+row per file), so it is SQL-expressible and oracle-checkable; listing
+the inventory (file path, size) comes from the table metadata layer
+(filesystem listing / Delta log / Iceberg manifest), not from SQL, and
+is the caller's input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_col: str = "part_key",
+    size_col: str = "bytes",
+    order_col: str = "file_id",
+) -> DataFrame:
+    """Assign every file to a compaction group of ~``target_bytes``.
+
+    Semantics (deterministic, engine-portable): within each table
+    partition, files are taken in ``order_col`` order and group k holds
+    the files whose EXCLUSIVE cumulative byte prefix falls in
+    [k*target, (k+1)*target) — fixed-quota sequential packing. A file
+    can straddle a quota boundary (its group is decided by the bytes
+    BEFORE it), so groups end between target and target+max_file bytes:
+    the same guarantee Delta's binPacking gives, without the
+    order-sensitive first-fit heuristics that a distributed engine
+    can't replay deterministically.
+
+    Output: the input columns plus ``group_id`` (int, 0-based per
+    partition). Downstream, one rewrite task per (partition, group_id)
+    reads its members and writes one ~target-sized file; groups with a
+    single member are already compact and get skipped by the executor.
+
+    Scale shape: ONE window, partitioned by the table-partition key —
+    the number of files per partition is bounded by the writer's task
+    count (the very quantity being repaired), so the window never sees
+    an unbounded partition; all arithmetic is BIGINT (exact prefix
+    sums, integer division), no float boundary risk.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before: Column = F.coalesce(
+        F.sum(F.col(size_col).cast("long")).over(w), F.lit(0).cast("long")
+    )
+    return (
+        files.withColumn("__cum_before", cum_before)
+        .withColumn(
+            "group_id",
+            F.expr(f"CAST(__cum_before DIV {int(target_bytes)} AS INT)"),
+        )
+        .drop("__cum_before")
+    )

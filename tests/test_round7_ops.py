@@ -659,3 +659,60 @@ def test_bfs_depths_profile_and_unreached(spark):
         for r in bfs_depths(edges, seeds, rounds=2).collect()
     }
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_compaction_plan_boundary_semantics(spark):
+    """Fixed-quota packing contract: group = exclusive cum bytes DIV
+    target. A file may straddle the quota boundary (group decided by
+    bytes BEFORE it); partitions pack independently; a lone oversized
+    file still lands in its own group rather than exploding."""
+    from bigdata_capstone_spark.operators.maintenance import (
+        compaction_plan,
+    )
+
+    files = spark.createDataFrame(
+        [
+            ("p1", 0, 60), ("p1", 1, 60),   # cum_before 0, 60
+            ("p1", 2, 60),                   # cum_before 120 -> group 1
+            ("p1", 3, 500),                  # oversized, cum 180 -> group 1
+            ("p1", 4, 10),                   # cum 680 -> group 6
+            ("p2", 0, 10), ("p2", 1, 10),    # independent partition
+        ],
+        "part_key STRING, file_id INT, bytes INT",
+    )
+    got = {
+        (r["part_key"], r["file_id"]): r["group_id"]
+        for r in compaction_plan(files, target_bytes=100).collect()
+    }
+    assert got == {
+        ("p1", 0): 0, ("p1", 1): 0, ("p1", 2): 1, ("p1", 3): 1,
+        ("p1", 4): 6, ("p2", 0): 0, ("p2", 1): 0,
+    }
+
+
+def test_perplexity_buckets_tercile_and_per_lang_cut(spark, sf_small):
+    """CCNet semantics: terciles are PER LANGUAGE (each lang's head is
+    its own top third, not a global cut) and bucket sizes obey the
+    integer-arithmetic boundaries |head| = floor(n/3) etc."""
+    from bigdata_capstone_spark.catalog_train import (
+        docs_perplexity_buckets,
+    )
+
+    rows = docs_perplexity_buckets(spark, sf_small).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        heads = [r for r in rs if r["ppl_bucket"] == "head"]
+        tails = [r for r in rs if r["ppl_bucket"] == "tail"]
+        assert len(heads) == n // 3
+        assert len(tails) == n - (2 * n) // 3
+        # every head doc out-scores every tail doc within the language
+        if heads and tails:
+            assert min(h["avg_logprob_r"] for h in heads) >= max(
+                t["avg_logprob_r"] for t in tails
+            )
+        # ranks are a 1..n permutation
+        assert sorted(r["lang_rank"] for r in rs) == list(range(1, n + 1))
