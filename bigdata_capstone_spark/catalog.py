@@ -2730,6 +2730,83 @@ def domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "domain_components",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT k, (k + 1 + o) % 8 AS t
+      FROM (SELECT unnest(range(8)) AS k)
+      CROSS JOIN (SELECT unnest(range(3)) AS o)
+      WHERE (k < 4) = ((k + 1 + o) % 8 < 4)
+    ),
+    edges(src, dst) AS (
+      SELECT 'www.example' || k || '.com', 'www.example' || t || '.com'
+      FROM base
+      UNION
+      SELECT 'www.example' || t || '.com', 'www.example' || k || '.com'
+      FROM base
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(a, b) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS domain, min(b) AS component_id
+             FROM reach GROUP BY a),
+    sizes AS (SELECT component_id, count(*)::BIGINT AS component_size
+              FROM comp GROUP BY component_id)
+    SELECT c.domain, c.component_id, s.component_size
+    FROM comp c JOIN sizes s ON s.component_id = c.component_id
+    """,
+)
+def domain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the host link graph — the
+    site-archipelago map (which hosts form isolated islands vs one
+    connected web) that decides crawl-seed coverage: every component
+    with no seed inside it is invisible to the crawler, whatever the
+    hop budget. Composes the ingest-layer link extraction with the
+    dedup-layer min-label/pointer-jump components engine
+    (operators/dedup.py:connected_components, O(log diameter) rounds).
+    The fixture keeps only within-half links (hosts 0-3 vs 4-7 of the
+    formula-derived page graph), planting exactly two 4-host islands,
+    and the DuckDB oracle rebuilds the same edge set and closes it with
+    a recursive CTE — min-label fixed point checked value-for-value.
+
+    Scale shape: per round one labels⋈edges join + one min-groupBy +
+    pointer jump, AQE handling giant-component skew; the offset-2 link
+    (k → k+2) makes each island more than a path, so the pointer jump
+    is exercised."""
+    from bigdata_capstone_spark.operators.dedup import (
+        connected_components,
+    )
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_links,
+        synthetic_linked_pages,
+    )
+
+    pages = synthetic_linked_pages(spark, n_domains=8, pages_per_domain=6)
+    k = F.regexp_extract("src", r"example(\d+)", 1).cast("int")
+    t = F.regexp_extract("dst", r"example(\d+)", 1).cast("int")
+    edges = (
+        extract_links(pages)
+        .distinct()
+        .filter((k < 4) == (t < 4))
+    )
+    comp = connected_components(edges, a_col="src", b_col="dst")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("domain"),
+            F.col("component").alias("component_id"),
+            "component_size",
+        )
+    )
+
+
 def _crawl_depth_oracle(n_domains: int = 8) -> str:
     from bigdata_capstone_spark.operators.graph import (
         bfs_depths_unrolled_sql,

@@ -1995,3 +1995,66 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ppl_bucket"),
         )
     )
+
+
+@register(
+    "docs_shard_manifest",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, text, n_chars,
+             {md5_long_sql("'7:' || doc_id")} AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT text, n_chars, (h % 8)::INT AS shard,
+             (row_number() OVER (PARTITION BY h % 8
+                                 ORDER BY h, doc_id))::INT AS pos
+      FROM h
+    )
+    SELECT shard,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars,
+           CAST(sum(CAST({md5_long_sql("pos::VARCHAR || ':' || md5(text)")}
+                         AS DECIMAL(38,0))) % 1000000000000000
+                AS BIGINT) AS stream_fingerprint
+    FROM s GROUP BY shard
+    """,
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard MANIFEST for the training export — the provenance artifact
+    a reproducible pipeline publishes next to its shard files: per
+    shard, document count, byte volume, and an ORDER-SENSITIVE stream
+    fingerprint, so a re-export (or a different engine's export) can be
+    verified equal without re-reading the data. The fingerprint is
+    sum(md5(pos ':' md5(text))) mod 1e15 — pairing each document's
+    content hash with its position makes any reorder, drop, or swap
+    change the sum, while plain summation keeps it ASSOCIATIVE: the
+    fingerprint distributes over any partitioning (no ordered
+    concatenation, which would serialize the shard through one task).
+    Sum accumulates in DECIMAL(38,0) (exact), then reduces mod 1e15 to
+    a BIGINT both engines print identically.
+
+    Scale shape: reuses the shuffle_shards PRF assignment (one hash
+    shuffle + per-shard rank); the manifest itself is one
+    map-side-combined aggregate to |shards| rows."""
+    from bigdata_capstone_spark.functions.portable import md5_long
+    from bigdata_capstone_spark.operators.sampling import shuffle_shards
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = shuffle_shards(docs, "doc_id", n_shards=8, seed=7)
+    item = md5_long(
+        F.concat(
+            F.col("pos").cast("string"), F.lit(":"), F.md5("text")
+        )
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        (
+            F.sum(item.cast("decimal(38,0)"))
+            % F.lit(1_000_000_000_000_000)
+        )
+        .cast("long")
+        .alias("stream_fingerprint"),
+    )

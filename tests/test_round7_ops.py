@@ -716,3 +716,50 @@ def test_perplexity_buckets_tercile_and_per_lang_cut(spark, sf_small):
             )
         # ranks are a 1..n permutation
         assert sorted(r["lang_rank"] for r in rs) == list(range(1, n + 1))
+
+
+def test_domain_components_two_islands(spark, sf_small):
+    """The within-half link filter plants exactly two 4-host islands;
+    component ids are the min host of each island and every member
+    reports the island size."""
+    from bigdata_capstone_spark.catalog import QUERIES
+
+    rows = QUERIES["domain_components"](spark, sf_small).collect()
+    comps: dict = {}
+    for r in rows:
+        comps.setdefault(r["component_id"], set()).add(r["domain"])
+        assert r["component_size"] == 4
+    assert set(comps) == {"www.example0.com", "www.example4.com"}
+    assert comps["www.example0.com"] == {
+        f"www.example{i}.com" for i in range(4)
+    }
+    assert comps["www.example4.com"] == {
+        f"www.example{i}.com" for i in range(4, 8)
+    }
+
+
+def test_shard_manifest_order_sensitive_and_partition_invariant(spark):
+    """The stream fingerprint must change when two documents swap
+    positions (order sensitivity — a set hash would miss this) and must
+    NOT change when the same data arrives in a different partitioning
+    (associativity — the scale property that lets it distribute)."""
+    from bigdata_capstone_spark.functions.portable import md5_long
+
+    def fingerprint(rows, n_parts):
+        df = spark.createDataFrame(
+            rows, "pos INT, text STRING"
+        ).repartition(n_parts)
+        item = md5_long(
+            F.concat(F.col("pos").cast("string"), F.lit(":"), F.md5("text"))
+        )
+        return df.agg(
+            (F.sum(item.cast("decimal(38,0)")) % F.lit(10**15))
+            .cast("long")
+            .alias("f")
+        ).first()["f"]
+
+    base = [(i, f"doc-{i}") for i in range(20)]
+    swapped = list(base)
+    swapped[3], swapped[7] = (3, base[7][1]), (7, base[3][1])
+    assert fingerprint(base, 1) == fingerprint(base, 13)
+    assert fingerprint(base, 4) != fingerprint(swapped, 4)
