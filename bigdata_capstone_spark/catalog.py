@@ -2381,8 +2381,9 @@ def _warc_extraction_oracle(n_shards: int, docs_per_shard: int,
       SELECT shard_id, record_idx, p1, p2, title,
              '<html><head><title>' || title ||
              '</title><style>p {{margin: 0}}</style></head><body>' ||
-             '<nav><a href="/">Home</a> <a href="/a">About</a></nav><p>' ||
-             p1 || '</p><p>' || p2 ||
+             '<nav><a href="/">Home</a> <a href="/a">About</a></nav>' ||
+             '<!-- bc > trail <a href="https://tracker.example/t">x</a> -->'
+             || '<p>' || p1 || '</p><p>' || p2 ||
              '</p><p>A &amp;amp; B &lt;x&gt; &#39;y&#39; &#x26;' ||
              ' Z&nbsp;!</p>' ||
              '<script>var x = 1 < 2;</script></body></html>' AS h

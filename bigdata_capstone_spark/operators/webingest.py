@@ -59,10 +59,14 @@ def _mk_html(i: int, j: int, seed: int) -> str:
     # whitespace collapse — expected clean text: "A &amp; B <x> 'y' & Z !"
     # The link-only <nav> is boilerplate: extract_html_text keeps its
     # text ("Home About"), extract_main_content must cut it.
+    # The comment is adversarial: it contains a bare '>' (so a naive
+    # tag-strip leaks 'trail -->') and a commented-out absolute link
+    # (which must NOT reach the text or mint a link-graph edge).
     return (
         f"<html><head><title>Doc {i}-{j}</title>"
         f"<style>p {{margin: 0}}</style></head>"
         f'<body><nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        f'<!-- bc > trail <a href="https://tracker.example/t">x</a> -->'
         f"<p>{p1}</p><p>{p2}</p>"
         f"<p>A &amp;amp; B &lt;x&gt; &#39;y&#39; &#x26; Z&nbsp;!</p>"
         f"<script>var x = 1 < 2;</script></body></html>"
@@ -422,6 +426,18 @@ HTML_ENTITY_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+def strip_html_comments(col: Column) -> Column:
+    """Remove ``<!-- ... -->`` comments BEFORE any tag-strip or link
+    extraction. Real crawl HTML is full of commented-out markup; a
+    naive ``<[^>]+>`` strip cuts only up to the first ``>`` INSIDE the
+    comment and leaks the rest ("breadcrumb -->") into the "clean"
+    text, and commented-out ``<a href>`` blocks would mint phantom
+    link-graph edges. One JVM regexp; unterminated comments are left
+    as-is (the tag-strip then degrades them the old way rather than
+    eating the rest of the document)."""
+    return F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
+
+
 def decode_html_entities(col: Column) -> Column:
     """Single-pass decode of the common HTML entities (named + numeric
     forms), pure JVM regexp chain — left in the text they pollute every
@@ -449,7 +465,7 @@ def extract_html_text(records: DataFrame) -> DataFrame:
     """
     h = F.col("html")
     no_blocks = F.regexp_replace(
-        h, r"(?s)<(script|style)[^>]*>.*?</\1>", " "
+        strip_html_comments(h), r"(?s)<(script|style)[^>]*>.*?</\1>", " "
     )
     text = F.trim(
         F.regexp_replace(
@@ -541,7 +557,11 @@ def extract_main_content(
     """
     h = F.col(html_col)
     cleaned = F.regexp_replace(
-        F.regexp_replace(h, r"(?s)<(script|style)[^>]*>.*?</\1>", " "),
+        F.regexp_replace(
+            strip_html_comments(h),
+            r"(?s)<(script|style)[^>]*>.*?</\1>",
+            " ",
+        ),
         r"(?s)<head[^>]*>.*?</head>",
         " ",
     )
@@ -627,6 +647,9 @@ def synthetic_linked_pages(
                 f"site{t} page{j}</a> "
                 f'<a href="/local/page{j}">rel</a> '
                 f'<a href="#sec1">frag</a>'
+                # commented-out absolute link: must NOT become an edge
+                # or contribute anchor terms (strip_html_comments)
+                f'<!-- <a href="https://decoy{t}.example/z">ghost</a> -->'
                 f"</body></html>"
             )
             rows.append(
@@ -655,7 +678,7 @@ def extract_links(
     — at crawl scale the (src, dst) distinct is the only shuffle, keyed
     on the short host strings."""
     hrefs = F.regexp_extract_all(
-        F.col(html_col),
+        strip_html_comments(F.col(html_col)),
         F.lit(r'<a\b[^>]*href="([^"#]+)"'),
         1,
     )
@@ -683,7 +706,7 @@ def extract_anchor_terms(
     inner text, explode to terms. At crawl scale the only shuffle is
     the (dst, term) count — short strings, map-side combined."""
     anchors = F.regexp_extract_all(
-        F.col(html_col),
+        strip_html_comments(F.col(html_col)),
         F.lit(r'(?s)<a\b[^>]*href="https?://[^"#]+"[^>]*>.*?</a>'),
         0,
     )

@@ -763,3 +763,44 @@ def test_shard_manifest_order_sensitive_and_partition_invariant(spark):
     swapped[3], swapped[7] = (3, base[7][1]), (7, base[3][1])
     assert fingerprint(base, 1) == fingerprint(base, 13)
     assert fingerprint(base, 4) != fingerprint(swapped, 4)
+
+
+def test_html_comment_stripping_everywhere(spark):
+    """Comments must vanish from extracted text (including the
+    bare-'>'-inside-comment leak case) and commented-out absolute links
+    must not mint link-graph edges or anchor terms."""
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_anchor_terms,
+        extract_links,
+    )
+
+    html = (
+        '<html><body><p>real prose here</p>'
+        '<!-- nav > crumb <a href="https://ghost.example/x">ghost</a> -->'
+        '<a href="https://live.example/y">live link</a></body></html>'
+    )
+    recs = spark.createDataFrame(
+        [(0, "src.example", html)], "page_id INT, host STRING, html STRING"
+    )
+    edges = {
+        (r["src"], r["dst"]) for r in extract_links(recs).collect()
+    }
+    assert edges == {("src.example", "live.example")}
+    terms = {r["term"] for r in extract_anchor_terms(recs).collect()}
+    assert terms == {"live", "link"}
+
+    # extract_html_text path: leak-free clean text
+    recs2 = spark.createDataFrame(
+        [(0, 0, "u", 200, html, len(html))],
+        "shard_id INT, record_idx INT, uri STRING, http_status INT, "
+        "html STRING, n_html_bytes BIGINT",
+    )
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_html_text,
+    )
+    import hashlib
+
+    row = extract_html_text(recs2).first()
+    assert row["text_hash"] == hashlib.md5(
+        b"real prose here live link"
+    ).hexdigest()
