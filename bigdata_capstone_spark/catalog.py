@@ -2684,6 +2684,38 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "robots_sitemap_urls",
+    oracle="""
+    WITH k AS (SELECT unnest(range(5)) AS k)
+    SELECT 'www.example' || k || '.com' AS domain,
+           'https://www.example' || k || '.com/sitemap.xml' AS sitemap_url
+    FROM k
+    UNION ALL
+    SELECT 'www.example' || k || '.com',
+           'https://cdn.example' || k || '.com/sm/news.xml'
+    FROM k
+    """,
+)
+def robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt — the frontier-DISCOVERY
+    complement to the enforcement entries: ``Sitemap:`` directives are
+    global per the sitemaps protocol (group-independent, valid outside
+    any group), so the fixture plants one BEFORE any User-agent line
+    (where grouped directives get dropped) and one lowercase inside the
+    badbot decoy group (whose rules a ``*`` crawler ignores) — both
+    must surface here, and neither may leak into parse_robots' rule
+    set (the frontier-filter oracle would catch that leak). Extraction
+    is KB-scale JVM string work; see operators/webingest.py:
+    extract_sitemaps."""
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_sitemaps,
+        synthetic_robots_table,
+    )
+
+    return extract_sitemaps(synthetic_robots_table(spark, n_domains=5))
+
+
 def _domain_hits_oracle(n_domains: int = 8) -> str:
     from bigdata_capstone_spark.operators.graph import hits_unrolled_sql
 

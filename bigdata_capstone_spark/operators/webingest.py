@@ -812,8 +812,14 @@ def synthetic_robots_table(
     unruled /docs/ branch; the oracle catches either leak."""
     rows = []
     for k in range(n_domains):
+        # The two Sitemap lines probe GROUP-INDEPENDENCE: one sits
+        # before any User-agent line (where grouped directives are
+        # dropped), one inside the badbot decoy group (whose
+        # Allow/Disallow a '*' crawler ignores) — extract_sitemaps
+        # must surface BOTH; parse_robots must surface NEITHER.
         txt = (
             "Disallow: /docs/\n"
+            f"Sitemap: https://www.example{k}.com/sitemap.xml\n"
             "User-agent: *\n"
             f"Disallow: /private{k}/\n"
             "Disallow: /tmp/\n"
@@ -825,6 +831,7 @@ def synthetic_robots_table(
             "\n"
             "User-agent: badbot\n"
             "Disallow: /\n"
+            f"sitemap: https://cdn.example{k}.com/sm/news.xml\n"
         )
         rows.append((f"www.example{k}.com", txt))
     return spark.createDataFrame(rows, "domain STRING, robots_txt STRING")
@@ -939,6 +946,35 @@ def parse_robots(robots: DataFrame, user_agent: str = "*") -> DataFrame:
         sel.filter(F.col("rule").isin("allow", "disallow"))
         .filter(F.col("value") != "")
         .select("domain", "rule", F.col("value").alias("prefix"))
+    )
+
+
+def extract_sitemaps(robots: DataFrame) -> DataFrame:
+    """robots.txt → (domain, sitemap_url): every ``Sitemap:`` directive,
+    which per the sitemaps.org protocol (and RFC 9309 §2.2.4 "other
+    records") is GLOBAL — independent of user-agent groups, valid
+    before any ``User-agent`` line and equally valid inside someone
+    else's group — so this deliberately does NOT route through the
+    group-selection machinery that Allow/Disallow/Crawl-delay use.
+    Only absolute http(s) URLs qualify (the protocol requires full
+    URLs); duplicates collapse.
+
+    This is the frontier-DISCOVERY input that complements
+    :func:`robots_filter` (enforcement): a crawler seeds per-domain
+    sitemap fetches from exactly this relation. Pure JVM split +
+    regexp over the KB-sized robots relation; nothing heavy shuffles.
+    """
+    lines = robots.select(
+        "domain",
+        F.explode(F.split(F.col("robots_txt"), "\n")).alias("line"),
+    )
+    url = F.trim(
+        F.regexp_extract("line", r"(?i)^\s*sitemap\s*:(.*)$", 1)
+    )
+    return (
+        lines.select("domain", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike(r"^https?://"))
+        .distinct()
     )
 
 

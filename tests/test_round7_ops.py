@@ -804,3 +804,35 @@ def test_html_comment_stripping_everywhere(spark):
     assert row["text_hash"] == hashlib.md5(
         b"real prose here live link"
     ).hexdigest()
+
+
+def test_sitemap_extraction_group_independent(spark):
+    """Sitemap directives are global: surfaced from before any group
+    AND from inside a foreign group; relative URLs rejected; the
+    directive never leaks into the Allow/Disallow rule set."""
+    from bigdata_capstone_spark.operators.webingest import (
+        extract_sitemaps,
+        parse_robots,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "d.com",
+                "Sitemap: https://d.com/a.xml\n"
+                "User-agent: *\nDisallow: /x/\n"
+                "User-agent: other\n"
+                "SITEMAP: https://cdn.d.com/b.xml\n"
+                "Sitemap: /relative.xml\n",
+            )
+        ],
+        "domain STRING, robots_txt STRING",
+    )
+    maps = {
+        r["sitemap_url"] for r in extract_sitemaps(robots).collect()
+    }
+    assert maps == {"https://d.com/a.xml", "https://cdn.d.com/b.xml"}
+    rules = {
+        (r["rule"], r["prefix"]) for r in parse_robots(robots).collect()
+    }
+    assert rules == {("disallow", "/x/")}
