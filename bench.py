@@ -104,6 +104,13 @@ HEADLINE = [
     "dedup_index_delta",           # MERGE maintenance of the LSH index
     "multimodal_jpeg420_features", # 4:2:0 subsampled JPEG decode
     "html_main_content",           # link-density main-content cut
+    "embedding_kmeans",            # deterministic Lloyd k-means (2 rounds)
+    "embedding_semdedup_prune",    # SemDeDup cell-local semantic prune
+    "hybrid_retrieval_rrf",        # BM25 x dense reciprocal-rank fusion
+    "doc_quality_classifier_lr",   # in-engine GD-trained LR curation
+    "image_dhash_near_dup",        # perceptual-hash image dedup (banded)
+    "bitext_mining_pairs",         # cross-lingual ANN + margin criterion
+    "file_overlap_depth",          # key-range overlap sweep (metadata)
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

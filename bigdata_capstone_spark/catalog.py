@@ -4639,6 +4639,498 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-7 seventh wave: deterministic Lloyd k-means + SemDeDup pruning —
+# the embedding-curation pair (cluster, then dedup within clusters) that
+# published curation stacks (SemDeDup, Abbas et al. 2023) run at scale.
+# --------------------------------------------------------------------------
+
+_KMEANS_COS = (
+    "(list_sum(list_transform(generate_series(1, len(a)), "
+    "i -> a[i] * b[i])) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len(a)), "
+    "i -> a[i] * a[i]))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len(b)), "
+    "i -> b[i] * b[i])))))"
+)
+
+
+def _kmeans_cte(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
+    """CTE chain replaying :func:`kmeans_lloyd` stage by stage: PRF-medoid
+    init (smallest ``ivf:``-salted md5 of id), then per round an
+    argmax-cosine assignment (tie-break smallest cell) and a
+    DECIMAL(28,14)-exact per-dimension mean update rounded to 8 dp
+    (empty cells coalesce to the previous center). Ends at ``med{rounds}``
+    (cell, center)."""
+    parts = [f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    med0 AS (
+      SELECT (row_number() OVER (
+                ORDER BY (('0x' || substr(md5('ivf:' || vec_id), 1, 15))::BIGINT),
+                         vec_id) - 1)::INT AS cell,
+             v AS center
+      FROM e QUALIFY cell < {k}
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    sims{r} AS (
+      SELECT e.vec_id, e.v, m.cell, {_KMEANS_COS} AS sim
+      FROM e CROSS JOIN med{r - 1} m,
+      LATERAL (SELECT e.v AS a, m.center AS b) ab
+    ),
+    asg{r} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vec_id, v, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM sims{r}
+      ) WHERE rn = 1
+    ),
+    upd{r} AS (
+      SELECT cell, gs.i, sum((v[gs.i])::DECIMAL(28,14)) AS s,
+             count(*) AS n
+      FROM asg{r}, generate_series(1, {dim}) AS gs(i)
+      GROUP BY cell, gs.i
+    ),
+    cent{r} AS (
+      SELECT cell, list(round(s::DOUBLE / n, 8) ORDER BY i) AS center
+      FROM upd{r} GROUP BY cell
+    ),
+    med{r} AS (
+      SELECT m.cell, coalesce(c.center, m.center) AS center
+      FROM med{r - 1} m LEFT JOIN cent{r} c USING (cell)
+    )""")
+    return "".join(parts)
+
+
+def _kmeans_assign_sql(rounds: int) -> str:
+    """Final scored assignment against ``med{rounds}`` — argmax on the
+    UNROUNDED cosine (the tie-break rule assign_cells uses), reported
+    rounded to 6 dp."""
+    return f"""
+    fsims AS (
+      SELECT e.vec_id, m.cell, {_KMEANS_COS} AS sim
+      FROM e CROSS JOIN med{rounds} m,
+      LATERAL (SELECT e.v AS a, m.center AS b) ab
+    ),
+    fasg AS (
+      SELECT vec_id, cell, round(sim, 6) AS cos_r FROM (
+        SELECT vec_id, cell, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS rn
+        FROM fsims
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "embedding_kmeans",
+    oracle="WITH "
+    + _kmeans_cte(8, 2, 64)
+    + ","
+    + _kmeans_assign_sql(2)
+    + "\n    SELECT vec_id, cell, cos_r FROM fasg",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd, k=8, 2 full iterations):
+    PRF-medoid init, argmax-cosine assignment, DECIMAL-exact mean
+    updates — the Lloyd-iterated upgrade of the IVF family's
+    0-iteration PRF quantizer, trained and replayed bit-for-bit by the
+    oracle (init pick, both assignment rounds, both mean updates, the
+    empty-cell coalesce, and the final scored assignment).
+
+    Scale shape (operators/simsearch.py:kmeans_lloyd): per round one
+    broadcast cross-join map pass (corpus x k) + per-id top-1 hash agg,
+    and one map-side-combined hash agg whose output is k rows; the
+    centroid frame broadcasts everywhere, the corpus never re-shuffles.
+    Cross-row float sums are DECIMAL(28,14)-accumulated so Spark's
+    partial aggregation and DuckDB's serial scan agree exactly."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        kmeans_assign_scored,
+        kmeans_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    centers = kmeans_lloyd(emb, k=8, rounds=2, dim=64)
+    return kmeans_assign_scored(emb, centers)
+
+
+@register(
+    "embedding_semdedup_prune",
+    oracle="WITH "
+    + _kmeans_cte(8, 2, 64)
+    + """,
+    fasg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT s.vec_id, s.v, s.cell,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY s.sim DESC, s.cell) AS rn
+        FROM (
+          SELECT e.vec_id, e.v, m.cell, """
+    + _KMEANS_COS
+    + """ AS sim
+          FROM e CROSS JOIN med2 m,
+          LATERAL (SELECT e.v AS a, m.center AS b) ab
+        ) s
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id, a.vec_id AS kept_id,
+             round("""
+    + _KMEANS_COS
+    + """, 6) AS cos_r
+      FROM fasg a JOIN fasg b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id,
+      LATERAL (SELECT a.v AS a, b.v AS b) ab
+    )
+    SELECT vec_id, kept_id, cos_r FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_r DESC, kept_id) AS rn
+      FROM pairs WHERE cos_r >= 0.25
+    ) WHERE rn = 1
+    """,
+)
+def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic-duplicate prune list over
+    the trained k-means cells: pairs are compared WITHIN a cell only,
+    the larger id of every pair with cosine >= 0.25 is pruned in favor
+    of its highest-cosine smaller-id cell-mate (keep-first rule). The
+    oracle replays the whole composition — k-means training (both Lloyd
+    rounds), final assignment, cell-local pairing, threshold, and the
+    per-victim argmax.
+
+    The cluster restriction IS the algorithm: cells bound the quadratic
+    pair step to sum(|cell|^2), the property that makes semantic dedup
+    feasible at 100 TB (k grows with the corpus so |cell| stays small;
+    the self-join shuffles on the cell key only). The fixture
+    embeddings are near-uniform (max pairwise cosine ~0.51), so 0.25
+    exercises a non-trivial survivor set."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        kmeans_lloyd,
+        semdedup_prune,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    centers = kmeans_lloyd(emb, k=8, rounds=2, dim=64)
+    return semdedup_prune(emb, centers, min_cosine=0.25)
+
+
+@register(
+    "multimodal_audio_segments",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(8)) AS i),
+    meta AS (
+      SELECT i::BIGINT AS aid, (1 + i % 2)::INT AS ch,
+             (50 + 10 * i)::INT AS frames
+      FROM ids
+    ),
+    pos AS (
+      SELECT aid, ch, unnest(generate_series(0, frames * ch - 1)) AS p
+      FROM meta
+    ),
+    smp AS (
+      SELECT aid, ch, p,
+             CASE WHEN v > 32767 THEN v - 65536 ELSE v END AS s
+      FROM (
+        SELECT *,
+               ('0x' || substr(md5('42:' || aid || ':' || p), 1, 4))::INT
+                 AS v
+        FROM pos
+      )
+    ),
+    win AS (
+      SELECT aid, ((p // ch) // 16)::INT AS win_idx,
+             min((p // ch) // 16 * 16)::INT AS start_frame,
+             count(*)::INT AS n_samples,
+             sum(s::BIGINT * s) AS sum_sq
+      FROM smp GROUP BY aid, (p // ch) // 16
+    ),
+    act AS (
+      SELECT *, win_idx - row_number() OVER (
+               PARTITION BY aid ORDER BY win_idx) AS g
+      FROM win WHERE sum_sq >= 357000000::BIGINT * n_samples
+    )
+    SELECT aid AS asset_id,
+           min(win_idx) AS start_win, max(win_idx) AS end_win,
+           count(*)::INT AS n_windows,
+           min(start_frame) AS start_frame,
+           sum(n_samples)::BIGINT AS n_samples,
+           sum(sum_sq) AS sum_sq,
+           round(sqrt(sum(sum_sq)::DOUBLE / sum(n_samples)) / 32768.0, 6)
+             AS rms_r
+    FROM act GROUP BY aid, g
+    """,
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style energy segmentation over decoded audio: the Python
+    kernel stops at per-window integer energies (decode-only boundary);
+    thresholding (integer cross-multiply, no float decision) and
+    run-fusion (gaps-and-islands) happen JVM-side — the speech/music
+    segment extraction step an audio-curation pipeline runs before
+    transcription. The oracle re-derives every int16 sample from the
+    fixture's md5 formula, rebuilds the windows, replays the activity
+    test and the island grouping, and checks each segment's exact
+    integer energy plus its 6-dp rms.
+
+    Scale shape (operators/multimodal.py:audio_window_energy /
+    audio_energy_segments): samples never leave the kernel; the shuffle
+    carries a few window rows per asset; the one window function
+    partitions per asset (duration-bounded width)."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        audio_energy_segments,
+        audio_window_energy,
+        synthetic_wav_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_wav_assets(spark, n=8, seed=42)
+    return audio_energy_segments(
+        audio_window_energy(assets, window_frames=16),
+        threshold=357_000_000,
+    )
+
+
+def _bitext_oracle(
+    src_lang: str = "en",
+    tgt_lang: str = "de",
+    min_cosine: float = 0.15,
+    min_margin: float = 1.02,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> str:
+    """Full bitext-mining replay: language tagging, hyperplane buckets
+    on both sides, bucket-join candidates, exact-cosine re-rank, top-2
+    pivot, and the margin filter."""
+    sb = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        + _rp_bucket_sql("v", t, n_planes, dim)
+        + " AS bucket FROM src"
+        for t in range(n_tables)
+    )
+    tb = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        + _rp_bucket_sql("v", t, n_planes, dim)
+        + " AS bucket FROM tgt"
+        for t in range(n_tables)
+    )
+    dot = ("list_sum(list_transform(generate_series(1, len(q.v)), "
+           "i -> q.v[i] * cv.v[i]))")
+    nq = ("sqrt(list_sum(list_transform(generate_series(1, len(q.v)), "
+          "i -> q.v[i] * q.v[i])))")
+    nc = ("sqrt(list_sum(list_transform(generate_series(1, len(cv.v)), "
+          "i -> cv.v[i] * cv.v[i])))")
+    return f"""
+    WITH e AS (
+      SELECT em.vec_id, em.embedding::DOUBLE[] AS v, d.lang
+      FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+    ),
+    src AS (SELECT vec_id, v FROM e WHERE lang = '{src_lang}'),
+    tgt AS (SELECT vec_id, v FROM e WHERE lang = '{tgt_lang}'),
+    sbuckets AS (
+      {sb}
+    ),
+    tbuckets AS (
+      {tb}
+    ),
+    cand AS (
+      SELECT DISTINCT sb.vec_id AS query_id, tb.vec_id
+      FROM sbuckets sb
+      JOIN tbuckets tb ON tb.t = sb.t AND tb.bucket = sb.bucket
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round({dot} / ({nq} * {nc}), 6) AS cosine_r
+      FROM cand c
+      JOIN src q  ON q.vec_id  = c.query_id
+      JOIN tgt cv ON cv.vec_id = c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_r DESC, vec_id) AS rank
+      FROM scored
+    ),
+    piv AS (
+      SELECT query_id,
+             max(CASE WHEN rank = 1 THEN vec_id END) AS tgt_id,
+             max(CASE WHEN rank = 1 THEN cosine_r END) AS c1,
+             max(CASE WHEN rank = 2 THEN cosine_r END) AS c2
+      FROM ranked WHERE rank <= 2 GROUP BY query_id
+    )
+    SELECT query_id AS src_id, tgt_id, c1 AS cosine_r,
+           round(c1 / c2, 6) AS margin_r
+    FROM piv
+    WHERE c2 IS NOT NULL AND c1 >= {min_cosine}
+      AND round(c1 / c2, 6) >= {min_margin}
+    """
+
+
+@register("bitext_mining_pairs", oracle=_bitext_oracle())
+def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining (the CCMatrix/LASER recipe): en -> de candidate
+    translation pairs from the shared embedding space, kept only when
+    the best cross-lingual neighbor beats its runner-up by the margin
+    criterion (cos1/cos2) — the hub-suppression trick that makes mined
+    parallel corpora usable for MT training. The oracle replays the
+    whole chain: language tagging, hyperplane buckets on both sides,
+    the bucket join, exact re-rank, top-2 pivot, and the margin filter.
+
+    Scale shape (operators/simsearch.py:bitext_margin_pairs): reuses
+    the LSH ANN with target-language vectors as corpus and
+    source-language vectors as queries — candidates never materialize
+    |src| x |tgt|; the margin pivot is a per-query hash agg over <= 2
+    rows."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        bitext_margin_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    return bitext_margin_pairs(
+        emb, docs, src_lang="en", tgt_lang="de",
+        min_cosine=0.15, min_margin=1.02,
+    )
+
+
+@register(
+    "sitemap_url_extraction",
+    oracle="""
+    WITH k AS (SELECT unnest(range(6)) AS k),
+    even AS (SELECT k FROM k WHERE k % 2 = 0),
+    odd AS (SELECT k FROM k WHERE k % 2 = 1)
+    SELECT 'www.example' || k || '.com' AS domain, 'urlset' AS kind,
+           'https://www.example' || k || '.com/' AS loc,
+           '2026-01-0' || (k + 1) AS lastmod
+    FROM even
+    UNION ALL
+    SELECT 'www.example' || k || '.com', 'urlset',
+           'https://www.example' || k || '.com/products/p' || k, NULL
+    FROM even
+    UNION ALL
+    SELECT 'www.example' || k || '.com', 'urlset',
+           'https://www.example' || k || '.com/news', NULL
+    FROM even
+    UNION ALL
+    SELECT 'www.example' || k || '.com', 'index',
+           'https://www.example' || k || '.com/sitemap-a.xml',
+           '2026-02-0' || (k + 1)
+    FROM odd
+    UNION ALL
+    SELECT 'www.example' || k || '.com', 'index',
+           'https://cdn.example' || k || '.com/sitemap-b.xml', NULL
+    FROM odd
+    """,
+)
+def sitemap_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing — the fetch stage after `robots_sitemap_urls`
+    discovers the sitemap locations: ``<urlset>`` entries become
+    frontier page URLs, ``<sitemapindex>`` entries become MORE sitemaps
+    to fetch (kind keeps them apart; conflating them poisons the
+    frontier with XML fetches). The fixture plants the adversarial
+    cases and the oracle states the exact surviving set: a
+    commented-out ``<url>`` (must not resurface), a whitespace-wrapped
+    loc (trimmed), a relative loc (dropped — the protocol requires
+    absolute http(s)), and lastmod present on only some entries
+    (nullable passthrough).
+
+    Scale shape (operators/webingest.py:parse_sitemap_entries): pure
+    JVM regexp chain — comment strip, one dotall element extract +
+    explode, two field extracts; per-row cost bounded by the protocol's
+    50k-entry cap; sitemap documents parallelize as rows."""
+    from bigdata_capstone_spark.operators.webingest import (
+        parse_sitemap_entries,
+        synthetic_sitemap_table,
+    )
+
+    return parse_sitemap_entries(synthetic_sitemap_table(spark, n_domains=6))
+
+
+@register(
+    "image_dhash_near_dup",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(16)) AS i),
+    meta AS (
+      SELECT i::BIGINT AS aid, (i % 8)::BIGINT AS base,
+             (11 + (i % 8) % 3)::INT AS w, (9 + (i % 8) % 2)::INT AS h,
+             (CASE WHEN i >= 8 THEN 1 ELSE 0 END)::INT AS flip
+      FROM ids
+    ),
+    gray AS (
+      SELECT aid, x, y,
+             (xor(('0x' || substr(hx, 1, 2))::INT, flip)
+              + xor(('0x' || substr(hx, 3, 2))::INT, flip)
+              + xor(('0x' || substr(hx, 5, 2))::INT, flip)) AS g
+      FROM (
+        SELECT m.aid, m.flip, gx.x, gy.y,
+               md5('42:' || m.base || ':' ||
+                   (((gy.y * m.h) // 7) * m.w + (gx.x * m.w) // 9)) AS hx
+        FROM meta m,
+             generate_series(0, 8) AS gx(x),
+             generate_series(0, 6) AS gy(y)
+      )
+    ),
+    bits AS (
+      SELECT a.aid,
+             sum(CASE WHEN b.g > a.g
+                 THEN (1::BIGINT << (a.y * 8 + a.x)) ELSE 0 END)::BIGINT
+               AS dhash
+      FROM gray a
+      JOIN gray b ON b.aid = a.aid AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 8
+      GROUP BY a.aid
+    ),
+    buckets AS (
+      SELECT aid, bb.b AS band, (dhash >> (bb.b * 14)) & 16383 AS key
+      FROM bits, generate_series(0, 3) AS bb(b)
+    ),
+    cands AS (
+      SELECT DISTINCT a.aid AS idA, b.aid AS idB
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.key = b.key
+                    AND a.aid < b.aid
+    )
+    SELECT idA, idB, hamming FROM (
+      SELECT c.idA, c.idB,
+             bit_count(xor(sa.dhash, sb.dhash))::INT AS hamming
+      FROM cands c
+      JOIN bits sa ON sa.aid = c.idA
+      JOIN bits sb ON sb.aid = c.idB
+    ) WHERE hamming <= 3
+    """,
+)
+def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: decode → 9x7 nearest resize →
+    integer grayscale → 56-bit dHash (difference hash) per image, then
+    the SAME pigeonhole-banded Hamming join the SimHash text family
+    uses (4 bands x 14 bits, radius 3) — near-dup detection that sees
+    through re-encode-grade pixel perturbation where md5/exact dedup
+    goes blind. The fixture plants LSB-flipped twins (every channel
+    XOR 1); they surface at Hamming <= 1 while unrelated images sit at
+    >= 23. The oracle replays EVERYTHING from the generative pixel
+    formula: resize floor-mapping, gray sums, the 56 bit comparisons,
+    the band bucketing, and the popcount verify.
+
+    Scale shape: pixels die inside the one Arrow mapInPandas kernel
+    (operators/multimodal.py:image_dhash); everything that shuffles is
+    (id, 56-bit hash) — the digest-only discipline of the text dedup
+    family applied to images; candidate generation is |imgs|·bands
+    bucket rows, never |imgs|^2 (operators/dedup.py:hamming_band_pairs,
+    shared with SimHash)."""
+    from bigdata_capstone_spark.operators.dedup import hamming_band_pairs
+    from bigdata_capstone_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_ppm_pair_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_ppm_pair_assets(spark, n=16, seed=42)
+    # 16-row signature frame feeding 4 band projections + both verify
+    # sides — cache it or the decode kernel runs 6x
+    sigs = image_dhash(assets, hash_w=8, hash_h=7).cache()
+    return hamming_band_pairs(sigs, "asset_id", "dhash", 56, 3)
+
 
 # --------------------------------------------------------------------------
 # Extension catalogs self-register into QUERIES/ORACLE_SQL on import (they

@@ -2456,3 +2456,64 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     return rel.key_skew_report(li, ["l_partkey"])
+
+
+def _hll_overlap_oracle() -> str:
+    from bigdata_capstone_spark.functions.portable import md5_long_sql
+    from bigdata_capstone_spark.operators.sketches import (
+        HLL_ALPHA_64,
+        HLL_M,
+        HLL_M_BITS,
+        _VALUE_BITS,
+    )
+
+    h = md5_long_sql("user_id::VARCHAR")
+    reg = (
+        f"SELECT ({h}) % {HLL_M} AS bucket, "
+        f"max({_VALUE_BITS + 1} - length(bin(({h}) >> {HLL_M_BITS}))) "
+        "AS rho_max FROM events WHERE event_type = '{et}' GROUP BY 1"
+    )
+    fold = (
+        f"round({HLL_ALPHA_64} * {HLL_M * HLL_M} / "
+        "(list_reduce(list(power(2.0, -rho_max) ORDER BY bucket), "
+        f"(a, x) -> a + x)::DOUBLE + ({HLL_M} - count(*))::DOUBLE), 4)"
+    )
+    return f"""
+    WITH ra AS ({reg.format(et="view")}),
+    rb AS ({reg.format(et="purchase")}),
+    ru AS (
+      SELECT bucket, max(rho_max) AS rho_max
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+      GROUP BY bucket
+    ),
+    ea AS (SELECT {fold} AS est_a FROM ra),
+    eb AS (SELECT {fold} AS est_b FROM rb),
+    eu AS (SELECT {fold} AS est_union FROM ru)
+    SELECT est_a, est_b, est_union,
+           round(est_a + est_b - est_union, 4) AS est_overlap
+    FROM ea CROSS JOIN eb CROSS JOIN eu
+    """
+
+
+@register("audience_overlap_hll", oracle=_hll_overlap_oracle())
+def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: estimated overlap between the VIEW audience and
+    the PURCHASE audience by inclusion-exclusion over merged registers
+    (est_a + est_b − est(A∪B), union registers = element-wise max — the
+    streaming merge law applied as set intersection, which HLL lacks
+    natively). The oracle recomputes all three register tables, all
+    three harmonic folds, and the subtraction.
+
+    Scale shape (operators/sketches.py:hll_set_overlap): each side
+    collapses map-side to ≤ 64 register rows; the union is a 128-row
+    groupBy; overlap across two 100 TB streams costs two scans and
+    bytes of shuffle."""
+    from bigdata_capstone_spark.operators.sketches import hll_set_overlap
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    return hll_set_overlap(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+        F.col("user_id").cast("string"),
+    )

@@ -4630,3 +4630,277 @@ def small_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bytes")
     )
     return compaction_plan(files, target_bytes=8192)
+
+
+# --------------------------------------------------------------------------
+# Round-7 eighth wave: hybrid retrieval fusion (RRF) and file key-range
+# overlap depth (the when-to-recluster metric beside the compaction plan).
+# --------------------------------------------------------------------------
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+      GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS dfc
+              FROM tf GROUP BY token),
+    stop AS (SELECT token FROM dfreq ORDER BY dfc DESC, token LIMIT 50),
+    qdocs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5),
+    qterms AS (
+      SELECT tf.doc_id AS query_doc, tf.token
+      FROM tf JOIN qdocs USING (doc_id)
+      WHERE tf.token NOT IN (SELECT token FROM stop)
+    ),
+    scored AS (
+      SELECT q.query_doc, p.doc_id,
+             round(ln(1.0 + (s.n_docs - d.dfc + 0.5) / (d.dfc + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (0.25 + 0.75 * l.dl
+                        / (s.total_len * 1.0 / s.n_docs))), 6) AS s
+      FROM tf p
+      JOIN qterms q ON p.token = q.token
+      JOIN dfreq d ON d.token = p.token
+      JOIN dl l ON l.doc_id = p.doc_id
+      CROSS JOIN stats s
+      WHERE p.doc_id <> q.query_doc
+    ),
+    pp AS (
+      SELECT query_doc, doc_id,
+             sum(round(s * 1000000)::BIGINT) / 1000000.0 AS bm25_r
+      FROM scored GROUP BY query_doc, doc_id
+    ),
+    lex AS (
+      SELECT query_doc, doc_id, rk FROM (
+        SELECT pp.*, (row_number() OVER (
+                 PARTITION BY query_doc ORDER BY bm25_r DESC, doc_id))::INT
+                 AS rk
+        FROM pp
+      ) WHERE rk <= 20
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 5),
+    dscored AS (
+      SELECT q.qid AS query_doc, c.vec_id AS doc_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(
+                        generate_series(1, len(c.embedding)),
+                        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))),
+               6) AS cosine_r
+      FROM q CROSS JOIN embeddings c
+      WHERE q.qid <> c.vec_id
+    ),
+    dense AS (
+      SELECT query_doc, doc_id, rk FROM (
+        SELECT *, (row_number() OVER (PARTITION BY query_doc
+                     ORDER BY cosine_r DESC, doc_id))::INT AS rk
+        FROM dscored
+      ) WHERE rk <= 20
+    ),
+    fused AS (
+      SELECT coalesce(l.query_doc, d.query_doc) AS query_doc,
+             coalesce(l.doc_id, d.doc_id) AS doc_id,
+             coalesce(l.rk, 0)::INT AS lex_rk,
+             coalesce(d.rk, 0)::INT AS dense_rk,
+             round(coalesce(1.0 / (l.rk + 60), 0.0)
+                   + coalesce(1.0 / (d.rk + 60), 0.0), 6) AS rrf_r
+      FROM lex l FULL OUTER JOIN dense d
+        ON l.query_doc = d.query_doc AND l.doc_id = d.doc_id
+    )
+    SELECT query_doc, doc_id, lex_rk, dense_rk, rrf_r, fused_rk FROM (
+      SELECT *, (row_number() OVER (PARTITION BY query_doc
+                   ORDER BY rrf_r DESC, doc_id))::INT AS fused_rk
+      FROM fused
+    ) WHERE fused_rk <= 10
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 and embedding-cosine top-20 for the
+    same 5 query ids, merged by reciprocal-rank fusion (rrf = sum of
+    1/(60+rank), Cormack et al. 2009) — the standard lexical x dense
+    ensemble production RAG stacks serve. Candidates found by only one
+    system report 0 in the other's rank column. The oracle replays BOTH
+    retrieval chains (postings/idf/stopword-cut BM25 and the full
+    cosine scan) plus the fusion join and re-rank.
+
+    Scale shape: each side is k-bounded per query before the merge, so
+    the full-outer join and final top-k touch |Q| x k rows; the
+    corpus-sized work is exactly the two underlying retrieval plans
+    (operators/retrieval.py + simsearch.py, audited separately)."""
+    from bigdata_capstone_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from bigdata_capstone_spark.operators.simsearch import brute_force_topk
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, n_queries=5, k=20, stop_df_top=50).select(
+        "query_doc", "doc_id", F.col("rk").alias("lex_rk")
+    )
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=20
+    ).select(
+        F.col("query_id").alias("query_doc"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("dense_rk"),
+    )
+    return rrf_fuse(lex, dense, k=10, c=60)
+
+
+@register(
+    "file_overlap_depth",
+    oracle="""
+    WITH files AS (
+      SELECT date_trunc('month', o_orderdate) AS part_key,
+             (o_custkey % 8)::INT AS file_id,
+             min(o_orderkey) AS min_key,
+             max(o_orderkey) AS max_key
+      FROM orders GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT part_key, min_key AS point, 1 AS delta FROM files
+      UNION ALL
+      SELECT part_key, max_key AS point, -1 AS delta FROM files
+    ),
+    sweep AS (
+      SELECT part_key,
+             sum(delta) OVER (PARTITION BY part_key
+                              ORDER BY point, delta DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS depth
+      FROM ev
+    )
+    SELECT part_key,
+           (count(*) / 2)::BIGINT AS n_files,
+           max(depth)::INT AS max_depth
+    FROM sweep GROUP BY part_key
+    """,
+)
+def file_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range overlap depth per table partition — the
+    when-to-recluster metric beside `small_file_compaction_plan`'s
+    how-to-group: max number of files whose [min_key, max_key] ranges
+    cover one key point (Iceberg/Delta read-amplification; depth 1 =
+    perfectly clustered, depth = n_files = every point lookup opens
+    every file). Inventory derived from orders (month partition x 8
+    writer buckets, o_orderkey ranges) — bucketing by customer makes
+    the key ranges overlap heavily, exactly the layout an OPTIMIZE
+    ZORDER pass repairs.
+
+    Scale shape (operators/maintenance.py:key_overlap_depth): classic
+    +1/-1 sweep; ONE window partitioned by the table-partition key over
+    2 x files rows (metadata-sized); all-integer arithmetic; ties at a
+    point process starts before ends so touching ranges count as
+    overlapping."""
+    from bigdata_capstone_spark.operators.maintenance import (
+        key_overlap_depth,
+    )
+
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("part_key"),
+        (F.col("o_custkey") % 8).cast("int").alias("file_id"),
+    ).agg(
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    return key_overlap_depth(files)
+
+
+def _lr_oracle(rounds: int = 3, lr: float = 0.5) -> str:
+    """Unrolled-GD replay of selection.lr_source_classifier: feature
+    extraction, per-round margin/sigmoid (both rounded 6 dp),
+    DECIMAL(28,14) gradient accumulation, round(w - lr*grad/n, 8)
+    updates, and the final scoring pass."""
+    parts = ["""
+    WITH feats AS (
+      SELECT doc_id, is_curated, n_tokens,
+             round(n_tokens / 100.0, 6) AS x1,
+             round(n_distinct * 1.0 / n_tokens, 6) AS x2,
+             round(n_chars * 1.0 / n_tokens, 6) AS x3
+      FROM (
+        SELECT doc_id, source IN ('src0', 'src1') AS is_curated,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct,
+               list_sum(list_transform(t, x -> length(x))) AS n_chars
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents)
+      ) WHERE n_tokens > 0
+    ),
+    w0 AS (SELECT 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2,
+                  0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    s{r} AS (
+      SELECT f.*,
+             round(1.0 / (1.0 + exp(-round(
+               f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3 + w.w4, 6))), 6)
+             - (CASE WHEN f.is_curated THEN 1.0 ELSE 0.0 END) AS err
+      FROM feats f CROSS JOIN w{r - 1} w
+    ),
+    g{r} AS (
+      SELECT sum((err * x1)::DECIMAL(28,14)) AS g1,
+             sum((err * x2)::DECIMAL(28,14)) AS g2,
+             sum((err * x3)::DECIMAL(28,14)) AS g3,
+             sum(err::DECIMAL(28,14)) AS g4,
+             count(*) AS n
+      FROM s{r}
+    ),
+    w{r} AS (
+      SELECT round(w.w1 - {lr} * (g.g1::DOUBLE / g.n), 8) AS w1,
+             round(w.w2 - {lr} * (g.g2::DOUBLE / g.n), 8) AS w2,
+             round(w.w3 - {lr} * (g.g3::DOUBLE / g.n), 8) AS w3,
+             round(w.w4 - {lr} * (g.g4::DOUBLE / g.n), 8) AS w4
+      FROM w{r - 1} w CROSS JOIN g{r} g
+    )""")
+    parts.append(f"""
+    SELECT f.doc_id, f.n_tokens,
+           round(f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3 + w.w4, 6)
+             AS lr_margin_r,
+           round(f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3 + w.w4, 6) > 0
+             AS pred_curated,
+           f.is_curated
+    FROM feats f CROSS JOIN w{rounds} w""")
+    return "".join(parts)
+
+
+@register("doc_quality_classifier_lr", oracle=_lr_oracle(3, 0.5))
+def doc_quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based curation, TRAINED member: logistic regression
+    over cheap document statistics (n_tokens/100, type-token ratio,
+    mean token length, bias), fit by 3 full-batch gradient-descent
+    iterations entirely inside the engine — the fastText-style quality
+    filter beside the closed-form NB. The oracle replays TRAINING
+    itself: every margin, every 6-dp sigmoid, every DECIMAL-exact
+    gradient sum, every round(w - lr*grad/n, 8) update, then the final
+    scoring pass — distributed multi-round optimization value-checked
+    end to end.
+
+    Scale shape (operators/selection.py:lr_source_classifier): one
+    cached feature pass; per round ONE broadcast of the 1-row weight
+    frame and one map-side-combinable 5-aggregate reduction; the
+    weights never touch the driver (1-row crossJoins, no collect)."""
+    from bigdata_capstone_spark.operators.selection import (
+        lr_source_classifier,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return lr_source_classifier(
+        docs, curated_sources=("src0", "src1"), rounds=3, learn_rate=0.5
+    )

@@ -762,19 +762,37 @@ def simhash_near_dup_pairs(
     (``bit_count(xor)``). The standard Manku/Jain/Das Sarma web-dedup
     shape: |docs|·bands bucket rows, never |docs|².
     """
+    # the signature frame feeds bands consumers + both verify sides —
+    # cache it or the 60-aggregate signature job runs (bands + 2) times
+    sigs = simhash_signatures(df, text_col, id_col, n_bits).cache()
+    return hamming_band_pairs(sigs, id_col, "simhash", n_bits, max_hamming)
+
+
+def hamming_band_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    n_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Generic pigeonhole-banded Hamming join over a precomputed bit
+    signature column (SimHash, image dHash, any fixed-width sketch):
+    split ``n_bits`` into ``max_hamming + 1`` bands; two signatures
+    within distance d agree exactly on >= 1 band, so candidates come
+    from equi-joins on band values and only candidates pay the popcount
+    verify. Returns (idA, idB, hamming), idA < idB. The caller should
+    cache ``sigs`` when its construction is expensive (it feeds bands
+    bucket projections + both verify sides)."""
     bands = max_hamming + 1
     width = n_bits // bands
     if width * bands != n_bits:
         raise ValueError(f"n_bits={n_bits} not divisible into {bands} bands")
-    # the signature frame feeds bands consumers + both verify sides —
-    # cache it or the 60-aggregate signature job runs (bands + 2) times
-    sigs = simhash_signatures(df, text_col, id_col, n_bits).cache()
     mask = (1 << width) - 1
     parts = [
         sigs.select(
             F.col(id_col),
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+            F.shiftright(F.col(sig_col), b * width).bitwiseAND(
                 F.lit(mask)
             ).alias("key"),
         )
@@ -791,8 +809,8 @@ def simhash_near_dup_pairs(
         .select("idA", "idB")
         .distinct()
     )
-    sa = sigs.select(F.col(id_col).alias("idA"), F.col("simhash").alias("sA"))
-    sb = sigs.select(F.col(id_col).alias("idB"), F.col("simhash").alias("sB"))
+    sa = sigs.select(F.col(id_col).alias("idA"), F.col(sig_col).alias("sA"))
+    sb = sigs.select(F.col(id_col).alias("idB"), F.col(sig_col).alias("sB"))
     return (
         cands.join(sa, on="idA")
         .join(sb, on="idB")

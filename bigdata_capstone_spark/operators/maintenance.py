@@ -69,3 +69,54 @@ def compaction_plan(
         )
         .drop("__cum_before")
     )
+
+
+def key_overlap_depth(
+    files: DataFrame,
+    partition_col: str = "part_key",
+    min_col: str = "min_key",
+    max_col: str = "max_key",
+) -> DataFrame:
+    """Clustering-quality metric per table partition: the maximum number
+    of files whose [min_key, max_key] ranges overlap at any key point —
+    Iceberg/Delta's "overlap depth". Depth 1 means the files are
+    perfectly sorted (a key-range scan opens one file); depth = n_files
+    means every file covers every key (a point lookup opens them all)
+    and the partition needs a re-cluster/OPTIMIZE-ZORDER pass. This is
+    the decision input for when to run the rewrite whose grouping
+    :func:`compaction_plan` computes.
+
+    Algorithm: the classic sweep — each file contributes a (+1 at
+    min_key) and a (-1 at max_key) event; within a partition, events
+    sort by (point, delta DESC) so a file starting exactly where
+    another ends counts as overlapping (inclusive ranges); the running
+    sum's maximum is the depth. Ties among identical (point, delta)
+    rows don't affect the max (equal deltas commute in a prefix sum).
+
+    Scale shape: ONE window partitioned by the table-partition key over
+    2 x files-per-partition rows — metadata-sized, bounded by the
+    writer's task count, never row data. All-integer arithmetic."""
+    starts = files.select(
+        F.col(partition_col),
+        F.col(min_col).alias("point"),
+        F.lit(1).alias("delta"),
+    )
+    ends = files.select(
+        F.col(partition_col),
+        F.col(max_col).alias("point"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col("point"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        starts.unionByName(ends)
+        .withColumn("__depth", F.sum("delta").over(w))
+        .groupBy(partition_col)
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_files"),
+            F.max("__depth").cast("int").alias("max_depth"),
+        )
+    )

@@ -2455,3 +2455,174 @@ def shard_packing_plan(
     return packed.withColumn(
         "pos", F.row_number().over(pos).cast("int")
     ).select(id_col, "shard", "pos", bytes_col)
+
+
+def synthetic_ppm_pair_assets(
+    spark: SparkSession, n: int = 16, seed: int = 42
+) -> DataFrame:
+    """Near-duplicate image fixture for perceptual-hash dedup: asset
+    i >= n/2 carries the SAME md5-derived pixels as asset i - n/2 with
+    every channel's least-significant bit flipped (XOR 1) — the
+    re-encode/requantize-grade perturbation a perceptual hash must see
+    through (gray shifts by at most 3 of 765 per pixel) while md5/exact
+    dedup goes blind. Dims 11-13 x 9-10 so the dHash resize is a real
+    downscale. Deterministic: pixel p of asset i is
+    md5("{seed}:{base}:{p}")[:3] (base = i mod n/2), XOR 1 iff
+    i >= n/2 — replayable in SQL."""
+    rows = []
+    half = n // 2
+    for i in range(n):
+        base = i % half
+        w, h = 11 + base % 3, 9 + base % 2
+        raster = bytearray()
+        for p in range(w * h):
+            r, g, b = hashlib.md5(f"{seed}:{base}:{p}".encode()).digest()[:3]
+            if i >= half:
+                r, g, b = r ^ 1, g ^ 1, b ^ 1
+            raster += bytes((r, g, b))
+        blob = f"P6\n{w} {h}\n255\n".encode() + bytes(raster)
+        rows.append(
+            (i, bytearray(blob), "image/x-portable-pixmap", w, h, None)
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+DHASH_SCHEMA = "asset_id BIGINT, dhash BIGINT"
+
+
+def image_dhash(
+    assets: DataFrame, hash_w: int = 8, hash_h: int = 7
+) -> DataFrame:
+    """Perceptual difference-hash per image: decode, nearest-neighbor
+    resize to (hash_w+1) x hash_h, grayscale as the INTEGER channel sum
+    (no /3 float), bit (x, y) = 1 iff gray(x+1, y) > gray(x, y), packed
+    row-major into a BIGINT. The default 8x7 = 56 bits keeps the hash
+    inside a signed 64-bit lane in every engine (a 64-bit dHash would
+    overflow BIGINT sign in both Spark and the SQL oracle).
+
+    Everything after decode is exact integer arithmetic with the same
+    floor-mapping as the executed resize (src = (t*src_dim)//tgt_dim),
+    so the hash replays bit-for-bit from the fixture's generative
+    formula. One Arrow mapInPandas kernel, one narrow row per asset;
+    downstream near-dup joins see only (id, 56-bit hash) — the
+    digest-only shuffle discipline of the text dedup family applied to
+    pixels."""
+    tw, th = hash_w + 1, hash_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, b in zip(pdf["asset_id"], pdf["media"]):
+                if b is None:
+                    continue
+                w, h, px = _ppm_pixels(bytes(b))
+                gray = [
+                    [
+                        sum(px[((y * h) // th) * w + (x * w) // tw])
+                        for x in range(tw)
+                    ]
+                    for y in range(th)
+                ]
+                v = 0
+                for y in range(hash_h):
+                    for x in range(hash_w):
+                        if gray[y][x + 1] > gray[y][x]:
+                            v |= 1 << (y * hash_w + x)
+                ids.append(aid)
+                hashes.append(v)
+            yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
+
+    return assets.select("asset_id", "media").mapInPandas(run, DHASH_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "asset_id BIGINT, win_idx INT, start_frame INT, "
+    "n_samples INT, sum_sq BIGINT"
+)
+
+
+def audio_window_energy(
+    assets: DataFrame, window_frames: int = 16
+) -> DataFrame:
+    """Decode stage of energy-based audio segmentation: one row per
+    NON-OVERLAPPING ``window_frames`` window with its exact integer
+    energy (sum of squared int16 samples, all channels; the trailing
+    partial window keeps its own n_samples). DELIBERATELY ends here —
+    thresholding and run-grouping are relational work that belongs
+    JVM-side (:func:`audio_energy_segments`), so the Python boundary
+    stays decode-only and the windows frame (a few rows per asset) is
+    what shuffles, never samples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "win_idx": [], "start_frame": [],
+                "n_samples": [], "sum_sq": [],
+            }
+            for aid, b in zip(pdf["asset_id"], pdf["media"]):
+                if b is None:
+                    continue
+                ch, _rate, samples = _wav_parse(bytes(b))
+                frames = len(samples) // ch
+                for w in range((frames + window_frames - 1) // window_frames):
+                    fs = w * window_frames
+                    fe = min(fs + window_frames, frames)
+                    vals = [
+                        samples[f * ch + c]
+                        for f in range(fs, fe)
+                        for c in range(ch)
+                    ]
+                    out["asset_id"].append(aid)
+                    out["win_idx"].append(w)
+                    out["start_frame"].append(fs)
+                    out["n_samples"].append(len(vals))
+                    out["sum_sq"].append(sum(v * v for v in vals))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media").mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA
+    )
+
+
+def audio_energy_segments(
+    windows: DataFrame, threshold: int = 357_000_000
+) -> DataFrame:
+    """VAD-style active segments from per-window energies: a window is
+    ACTIVE when its mean square per sample >= ``threshold``, tested as
+    the integer cross-multiply sum_sq >= threshold * n_samples (no
+    float in the decision); consecutive active windows fuse into one
+    segment via gaps-and-islands (win_idx − row_number). Returns one
+    row per segment: (asset_id, start_win, end_win, n_windows,
+    start_frame, n_samples, sum_sq, rms_r).
+
+    Scale shape: pure DataFrame work over the window frame (a few rows
+    per asset); the one window function partitions by asset_id, whose
+    width is duration-bounded. The only float is the reported rms,
+    rounded 6 dp from exact integers."""
+    from pyspark.sql.window import Window
+
+    # LONG cross-multiply: threshold * n_samples overflows INT lanes
+    act = windows.filter(
+        F.col("sum_sq")
+        >= F.lit(threshold).cast("long") * F.col("n_samples").cast("long")
+    )
+    w = Window.partitionBy("asset_id").orderBy("win_idx")
+    return (
+        act.withColumn("__g", F.col("win_idx") - F.row_number().over(w))
+        .groupBy("asset_id", "__g")
+        .agg(
+            F.min("win_idx").alias("start_win"),
+            F.max("win_idx").alias("end_win"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+            F.min("start_frame").alias("start_frame"),
+            F.sum("n_samples").cast("long").alias("n_samples"),
+            F.sum("sum_sq").alias("sum_sq"),
+        )
+        .select(
+            "asset_id", "start_win", "end_win", "n_windows",
+            "start_frame", "n_samples", "sum_sq",
+            F.round(
+                F.sqrt(F.col("sum_sq") / F.col("n_samples")) / 32768.0, 6
+            ).alias("rms_r"),
+        )
+    )

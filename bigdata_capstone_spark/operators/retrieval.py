@@ -217,3 +217,44 @@ def apply_dfreq_delta(
         "token", (-F.col("dfc")).cast("long").alias("dfc")
     )
     return merge_dfreq(base, neg, added).filter(F.col("dfc") > 0)
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of a lexical and a
+    dense ranking: rrf(d) = sum over systems of 1/(c + rank_d), the
+    standard hybrid-retrieval merge (BM25 x embedding ANN) production
+    RAG stacks run. Inputs are rank lists (query_doc, doc_id, *_rk);
+    candidates absent from one system contribute 0 from it (their rank
+    column reports 0). Returns (query_doc, doc_id, lex_rk, dense_rk,
+    rrf_r, fused_rk) with fused_rk 1..k by (rrf_r DESC, doc_id).
+
+    Determinism: each RRF score is the fixed-order sum of at most two
+    exact reciprocals, rounded to 6 dp BEFORE ranking. Scale shape: both
+    inputs are k-bounded per query, so the full-outer merge join and
+    the per-query top-k touch |Q| x k rows — nothing corpus-sized."""
+    from bigdata_capstone_spark.operators.relational import grouped_top_k
+
+    merged = lex.join(dense, ["query_doc", "doc_id"], "full_outer").select(
+        "query_doc",
+        "doc_id",
+        F.coalesce(F.col("lex_rk"), F.lit(0)).cast("int").alias("lex_rk"),
+        F.coalesce(F.col("dense_rk"), F.lit(0)).cast("int").alias("dense_rk"),
+        F.round(
+            F.when(
+                F.col("lex_rk").isNotNull(), 1.0 / (F.col("lex_rk") + c)
+            ).otherwise(0.0)
+            + F.when(
+                F.col("dense_rk").isNotNull(), 1.0 / (F.col("dense_rk") + c)
+            ).otherwise(0.0),
+            6,
+        ).alias("rrf_r"),
+    )
+    return grouped_top_k(
+        merged, ["query_doc"], [F.desc("rrf_r"), F.col("doc_id")], k,
+        rank_col="fused_rk",
+    ).withColumn("fused_rk", F.col("fused_rk").cast("int"))

@@ -293,3 +293,108 @@ def fair_budget_allocation(
             "saturated"
         ),
     )
+
+
+def lr_source_classifier(
+    docs: DataFrame,
+    curated_sources: Sequence[str] = ("src0", "src1"),
+    rounds: int = 3,
+    learn_rate: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Logistic-regression curation classifier trained by ``rounds``
+    full-batch gradient-descent iterations INSIDE the engine — the
+    trainable upgrade of :func:`nb_source_margin`'s closed-form model
+    (fastText-style quality filters are exactly this shape: a linear
+    model over cheap document statistics).
+
+    Features per doc (all exact rationals rounded to 6 dp): x1 =
+    n_tokens/100, x2 = type-token ratio, x3 = mean token length, plus
+    bias. Label: curated iff ``source`` in ``curated_sources``. Update:
+    w <- round(w - lr * grad/n, 8) with grad components accumulated as
+    DECIMAL(28,14) — the one cross-row float reduction, made
+    order-independent so a serial engine replays training bit-for-bit.
+    Per-doc sigmoid rounds to 6 dp on a margin itself rounded to 6 dp
+    (the transcendental discipline the BM25/unigram-LM family uses).
+    Zero-token docs carry no features and are excluded (same
+    N-semantics note as BM25).
+
+    Returns (doc_id, n_tokens, lr_margin_r, pred_curated, is_curated).
+    Self-training on the full corpus is deliberate (train+score plan
+    demo); a held-out split composes via operators/split.
+
+    Scale shape: ONE feature-extraction pass (cached — it feeds every
+    GD round and the final scoring); per round one broadcast of the
+    1-row weight frame, one map-side-combinable 5-aggregate reduction;
+    nothing wider than the corpus scan ever shuffles, and the weights
+    never touch the driver (crossJoin of 1-row frames, no collect)."""
+    toks = tokens_col(text_col)
+    feats = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.col("source").isin(*curated_sources).alias("is_curated"),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t),
+            ).alias("n_chars"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "is_curated",
+            "n_tokens",
+            F.round(F.col("n_tokens") / 100.0, 6).alias("x1"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("x2"),
+            F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias("x3"),
+        )
+        .cache()
+    )
+
+    def margin_col() -> F.Column:
+        return F.round(
+            F.col("x1") * F.col("w1")
+            + F.col("x2") * F.col("w2")
+            + F.col("x3") * F.col("w3")
+            + F.col("w4"),
+            6,
+        )
+
+    w = docs.sparkSession.range(1).select(
+        *(F.lit(0.0).alias(f"w{j}") for j in (1, 2, 3, 4))
+    )
+    for _ in range(rounds):
+        scored = feats.crossJoin(F.broadcast(w))
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin_col())), 6)
+        err = p - F.when(F.col("is_curated"), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        grad = scored.agg(
+            F.sum((err * F.col("x1")).cast("decimal(28,14)")).alias("g1"),
+            F.sum((err * F.col("x2")).cast("decimal(28,14)")).alias("g2"),
+            F.sum((err * F.col("x3")).cast("decimal(28,14)")).alias("g3"),
+            F.sum(err.cast("decimal(28,14)")).alias("g4"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        w = grad.crossJoin(F.broadcast(w)).select(
+            *[
+                F.round(
+                    F.col(f"w{j}")
+                    - learn_rate
+                    * (F.col(f"g{j}").cast("double") / F.col("n")),
+                    8,
+                ).alias(f"w{j}")
+                for j in (1, 2, 3, 4)
+            ]
+        )
+
+    return feats.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        "n_tokens",
+        margin_col().alias("lr_margin_r"),
+        (margin_col() > 0).alias("pred_curated"),
+        "is_curated",
+    )

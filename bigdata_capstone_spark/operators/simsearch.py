@@ -1056,3 +1056,208 @@ def hard_negatives_topk(
         scored, ["query_id"], [F.desc("cosine_r"), F.col(id_col)], k,
         rank_col="rank",
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic Lloyd k-means + SemDeDup pruning (round 7)
+# --------------------------------------------------------------------------
+
+def _kmeans_update(
+    assigned: DataFrame, prev_centers: DataFrame, dim: int
+) -> DataFrame:
+    """One Lloyd update: per-cell per-dimension means of the assigned
+    vectors, empty cells keep their previous center.
+
+    Determinism: each element contribution is cast float -> double ->
+    DECIMAL(28,14) BEFORE the cross-row sum, so Spark's partitioned
+    partial aggregation and a serial engine (the DuckDB oracle) produce
+    the same exact total regardless of row order; the mean then rounds
+    to 8 dp as a double, which is the centroid BOTH engines use for the
+    next round's distances. Shape: one groupBy("cell") with dim+1
+    map-side-combinable aggregates over the corpus — the centroid frame
+    is k rows; no shuffle wider than the corpus' one hash-agg."""
+    sums = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.col("cv")[i].cast("double").cast("decimal(28,14)")
+            ).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+    )
+    upd = sums.select(
+        "cell",
+        F.array(
+            *[
+                F.round(F.col(f"__s{i}").cast("double") / F.col("__n"), 8)
+                for i in range(dim)
+            ]
+        ).alias("__c"),
+    )
+    return prev_centers.join(upd, "cell", "left").select(
+        "cell", F.coalesce(F.col("__c"), F.col("center")).alias("center")
+    )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd): PRF-medoid init (the same
+    ``ivf:``-salted md5 pick as :func:`prf_medoids`), then ``rounds``
+    full assign-update iterations with argmax-cosine assignment
+    (tie-break smallest cell) and DECIMAL-exact mean updates. Returns
+    (cell, center ARRAY<DOUBLE>) — the trained codebook, replayable
+    bit-for-bit in any engine (no RNG state, no float reduction-order
+    dependence; see :func:`_kmeans_update`).
+
+    This is the Lloyd-iterated upgrade of the 0-iteration PRF-medoid
+    quantizer the IVF family uses: same determinism contract, tighter
+    cells. Scale shape per round: one broadcast cross-join map pass
+    (corpus x k) + per-id top-1 hash agg for the assignment, one
+    map-side-combined hash agg for the update; the centroid frame stays
+    k rows and broadcasts. ``rounds`` is fixed and small (lineage grows
+    linearly; callers iterating further should localCheckpoint the
+    k-row centroid frame, which is trivially small)."""
+    centers = prf_medoids(corpus, k, id_col, vec_col).select(
+        "cell",
+        F.transform("center", lambda x: x.cast("double")).alias("center"),
+    )
+    for _ in range(rounds):
+        asg = assign_cells(corpus, centers, id_col, vec_col, keep_vec=True)
+        centers = _kmeans_update(asg, centers, dim)
+    return centers
+
+
+def kmeans_assign_scored(
+    corpus: DataFrame,
+    centers: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, cos_r) final cluster assignment: argmax UNROUNDED
+    cosine to the broadcast centers (tie-break smallest cell, the
+    :func:`assign_cells` rule), cosine reported rounded to 6 dp."""
+    sims = fan_out(corpus).crossJoin(F.broadcast(centers)).select(
+        F.col(id_col),
+        "cell",
+        cosine_similarity_col(F.col(vec_col), F.col("center")).alias("_sim"),
+    )
+    top = grouped_top_k(
+        sims, [id_col], [F.desc("_sim"), F.col("cell")], 1, rank_col="_arn"
+    )
+    return top.select(
+        F.col(id_col), "cell", F.round(F.col("_sim"), 6).alias("cos_r")
+    )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    centers: DataFrame,
+    min_cosine: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) pruning list: assign every vector to
+    its k-means cell, compare pairs WITHIN a cell only, and mark the
+    larger id of every pair with cosine >= ``min_cosine`` as a semantic
+    duplicate of the smaller ("keep first" rule). Returns one row per
+    pruned vector: (vec_id, kept_id, cos_r) where kept_id is its
+    highest-cosine smaller-id cell-mate (tie-break smallest kept_id).
+
+    The cluster restriction is the algorithm, not an approximation
+    shortcut: cells bound the quadratic pair generation to
+    sum(|cell|^2), which is what makes semantic dedup feasible at
+    100 TB (k grows with the corpus so |cell| stays ~constant; pairs
+    never leave a cell, so the self-join shuffles on the cell key
+    only)."""
+    asg = assign_cells(corpus, centers, id_col, vec_col, keep_vec=True)
+    a = asg.select(
+        F.col("cell"),
+        F.col(id_col).alias("kept_id"),
+        F.col("cv").alias("va"),
+    )
+    b = asg.select(
+        F.col("cell"),
+        F.col(id_col).alias("vec_id_b"),
+        F.col("cv").alias("vb"),
+    )
+    pairs = (
+        a.join(b, on="cell")
+        .filter(F.col("kept_id") < F.col("vec_id_b"))
+        .select(
+            F.col("vec_id_b").alias(id_col),
+            "kept_id",
+            F.round(
+                cosine_similarity_col(F.col("va"), F.col("vb")), 6
+            ).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= min_cosine)
+    )
+    return grouped_top_k(
+        pairs, [id_col], [F.desc("cos_r"), F.col("kept_id")], 1,
+        rank_col="_prn",
+    ).select(id_col, "kept_id", "cos_r")
+
+
+def bitext_margin_pairs(
+    emb: DataFrame,
+    lang_of: DataFrame,
+    src_lang: str = "en",
+    tgt_lang: str = "de",
+    min_cosine: float = 0.15,
+    min_margin: float = 1.02,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bitext mining (CCMatrix/LASER recipe, Artetxe & Schwenk 2019):
+    candidate translation pairs between two languages from a shared
+    embedding space, kept only when the best cross-lingual neighbor
+    BEATS its competition — the margin criterion margin = cos(best) /
+    cos(2nd best) that separates real translations from hubs (vectors
+    near everything score high cosine everywhere, but their margin
+    stays ~1). Sources with no 2nd candidate are dropped (no
+    competition, no evidence).
+
+    Returns (src_id, tgt_id, cosine_r, margin_r) with cosine_r >=
+    ``min_cosine`` and margin_r >= ``min_margin``.
+
+    Scale shape: the cross-lingual search reuses the hyperplane-LSH ANN
+    (:func:`ann_topk`) with the target language as corpus and the
+    source language as queries — bucket-join candidates, exact re-rank
+    of the k-bounded shortlist; the margin pivot is one per-query hash
+    aggregate over <= k rows. Nothing |src| x |tgt| ever materializes,
+    which is what makes mining a 100 TB multilingual crawl feasible."""
+    lang = lang_of.select(F.col(id_col), F.col("lang"))
+    tagged = emb.join(lang, id_col)
+    src = tagged.filter(F.col("lang") == src_lang)
+    tgt = tagged.filter(F.col("lang") == tgt_lang)
+    top2 = ann_topk(
+        tgt, src, dim=dim, k=2, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    )
+    piv = top2.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col(id_col))).alias("tgt_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("cosine_r"))).alias("c1"),
+        F.max(F.when(F.col("rank") == 2, F.col("cosine_r"))).alias("c2"),
+    )
+    return (
+        piv.filter(F.col("c2").isNotNull())
+        .select(
+            F.col("query_id").alias("src_id"),
+            "tgt_id",
+            F.col("c1").alias("cosine_r"),
+            F.round(F.col("c1") / F.col("c2"), 6).alias("margin_r"),
+        )
+        .filter(
+            (F.col("cosine_r") >= min_cosine)
+            & (F.col("margin_r") >= min_margin)
+        )
+    )

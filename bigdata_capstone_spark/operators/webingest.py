@@ -1129,3 +1129,111 @@ def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
             "matched_prefix"
         ),
     )
+
+
+def synthetic_sitemap_table(
+    spark: SparkSession, n_domains: int = 6
+) -> DataFrame:
+    """(domain, sitemap_url, sitemap_xml) fixture: even domains serve a
+    ``<urlset>`` (page entries), odd domains a ``<sitemapindex>``
+    (child-sitemap references — frontier EXPANSION, not page URLs).
+    Adversarial plants the parser must survive: an XML comment holding
+    a decoy ``<url><loc>`` (must not surface), a loc wrapped in
+    whitespace/newlines (must be trimmed), a relative loc (protocol
+    requires absolute http(s) — must be dropped), and lastmod present
+    on only some entries (nullable passthrough)."""
+    rows = []
+    for k in range(n_domains):
+        domain = f"www.example{k}.com"
+        if k % 2 == 0:
+            xml = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                "<urlset "
+                'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                f"  <!-- retired: <url><loc>https://evil.example/old{k}"
+                "</loc></url> -->\n"
+                f"  <url><loc>https://www.example{k}.com/</loc>"
+                f"<lastmod>2026-01-{k + 1:02d}</lastmod>"
+                "<priority>0.8</priority></url>\n"
+                "  <url>\n    <loc>\n"
+                f"      https://www.example{k}.com/products/p{k}\n"
+                "    </loc>\n  </url>\n"
+                f"  <url><loc>/relative/path{k}</loc></url>\n"
+                f"  <url><loc>https://www.example{k}.com/news</loc></url>\n"
+                "</urlset>\n"
+            )
+        else:
+            xml = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                "<sitemapindex "
+                'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                f"  <sitemap><loc>https://www.example{k}.com/sitemap-a.xml"
+                f"</loc><lastmod>2026-02-{k + 1:02d}</lastmod></sitemap>\n"
+                f"  <sitemap>\n<loc>https://cdn.example{k}.com/sitemap-b.xml"
+                "</loc>\n</sitemap>\n"
+                "</sitemapindex>\n"
+            )
+        rows.append((domain, f"https://www.example{k}.com/sitemap.xml", xml))
+    return spark.createDataFrame(
+        rows, "domain STRING, sitemap_url STRING, sitemap_xml STRING"
+    )
+
+
+def parse_sitemap_entries(
+    sitemaps: DataFrame, xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Sitemap XML → (domain, kind, loc, lastmod): the fetch stage after
+    :func:`extract_sitemaps` discovers the sitemap URLs. ``kind`` is
+    'urlset' (entries are page URLs for the frontier) or 'index'
+    (entries are MORE sitemaps — the crawler recurses, it must not
+    enqueue them as pages; conflating the two poisons the frontier with
+    XML fetches). Per sitemaps.org: only absolute http(s) locs qualify
+    (relative locs dropped), surrounding whitespace trimmed, lastmod
+    passed through when present (null otherwise). XML comments are
+    stripped first — commented-out entries are real in retired
+    sitemaps and must not resurface.
+
+    Shape: pure JVM regexp work — comment strip, one dotall
+    ``<url>/<sitemap>`` element extract + explode, two per-element
+    field extracts. Per-row cost is bounded by the 50k-entry protocol
+    cap on sitemap files; shards of sitemap documents parallelize as
+    rows. No Python, no shuffle beyond the explode."""
+    body = strip_html_comments(F.col(xml_col))
+    kind = (
+        F.when(body.rlike(r"(?s)<\s*sitemapindex\b"), F.lit("index"))
+        .when(body.rlike(r"(?s)<\s*urlset\b"), F.lit("urlset"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    elems = F.regexp_extract_all(
+        body,
+        F.lit(r"(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>"),
+        1,
+    )
+    exploded = (
+        sitemaps.select(
+            "domain",
+            kind.alias("kind"),
+            F.explode(elems).alias("elem"),
+        )
+        .filter(F.col("kind").isNotNull())
+    )
+    # \s* INSIDE the pattern, not trim(): SQL trim strips spaces only,
+    # and multiline locs are newline-wrapped
+    loc = F.regexp_extract(
+        "elem", r"(?s)<loc\s*>\s*(.*?)\s*</loc>", 1
+    )
+    lastmod = F.nullif(
+        F.regexp_extract(
+            "elem", r"(?s)<lastmod\s*>\s*(.*?)\s*</lastmod>", 1
+        ),
+        F.lit(""),
+    )
+    return (
+        exploded.select(
+            "domain",
+            "kind",
+            loc.alias("loc"),
+            lastmod.alias("lastmod"),
+        )
+        .filter(F.col("loc").rlike(r"^https?://"))
+    )

@@ -836,3 +836,399 @@ def test_sitemap_extraction_group_independent(spark):
         (r["rule"], r["prefix"]) for r in parse_robots(robots).collect()
     }
     assert rules == {("disallow", "/x/")}
+
+
+def test_kmeans_lloyd_tightens_cells_and_handles_empty(spark):
+    """Lloyd rounds must not loosen the clustering: the mean assignment
+    cosine (objective of spherical k-means) after 2 rounds is >= the
+    0-iteration PRF-medoid assignment's. Empty cells keep their
+    previous center (k rows in, k rows out, no nulls)."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        kmeans_assign_scored,
+        kmeans_lloyd,
+        prf_medoids,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .cache()
+    )
+    init = prf_medoids(emb, 8).select(
+        "cell",
+        F.transform("center", lambda x: x.cast("double")).alias("center"),
+    )
+    trained = kmeans_lloyd(emb, k=8, rounds=2, dim=64)
+    rows = trained.collect()
+    assert len(rows) == 8
+    assert all(r["center"] is not None and len(r["center"]) == 64
+               for r in rows)
+
+    def mean_cos(centers):
+        return (
+            kmeans_assign_scored(emb, centers)
+            .agg(F.avg("cos_r").alias("m"))
+            .collect()[0]["m"]
+        )
+
+    assert mean_cos(trained) >= mean_cos(init) - 1e-9
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    """The DECIMAL mean accumulation must make the trained centers
+    independent of the input partitioning (the property the oracle
+    comparison relies on)."""
+    from bigdata_capstone_spark.operators.simsearch import kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = {
+        r["cell"]: tuple(r["center"])
+        for r in kmeans_lloyd(emb.coalesce(1), k=4, rounds=2).collect()
+    }
+    many = {
+        r["cell"]: tuple(r["center"])
+        for r in kmeans_lloyd(
+            emb.repartition(13, "vec_id"), k=4, rounds=2
+        ).collect()
+    }
+    assert one == many
+
+
+def test_semdedup_prunes_planted_twin_same_cell_only(spark):
+    """A planted exact twin (cosine 1.0) must land in the same cell as
+    its original and appear on the prune list with the original as
+    kept_id; every prune row must reference a smaller kept_id."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        kmeans_lloyd,
+        semdedup_prune,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = emb.unionByName(twin).cache()
+    centers = kmeans_lloyd(corpus, k=4, rounds=1, dim=64)
+    pruned = semdedup_prune(corpus, centers, min_cosine=0.9).collect()
+    by_id = {r["vec_id"]: r for r in pruned}
+    assert 100000 in by_id, "exact twin must be pruned"
+    assert by_id[100000]["kept_id"] == 0
+    assert by_id[100000]["cos_r"] == 1.0
+    assert all(r["kept_id"] < r["vec_id"] for r in pruned)
+
+
+def test_rrf_fuse_known_values_and_single_system_candidates(spark):
+    """RRF on a hand-built pair of rank lists: fused score must equal
+    1/(60+lex) + 1/(60+dense) for shared candidates, and a candidate
+    found by only one system keeps the other's rank at 0 while still
+    competing with its single reciprocal."""
+    from bigdata_capstone_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_doc INT, doc_id INT, lex_rk INT",
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_doc INT, doc_id INT, dense_rk INT",
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(lex, dense, k=10).collect()}
+    assert out[11]["rrf_r"] == round(1 / 62 + 1 / 61, 6)
+    assert out[11]["fused_rk"] == 1  # in both systems -> wins
+    assert out[10]["dense_rk"] == 0 and out[10]["lex_rk"] == 1
+    assert out[10]["rrf_r"] == round(1 / 61, 6)
+    assert out[13]["lex_rk"] == 0 and out[13]["rrf_r"] == round(1 / 62, 6)
+    # 13 (dense rank 2 -> 1/62) ties 10 (lex rank 1 -> 1/61)? no: 1/61 >
+    # 1/62, so 10 outranks 13; doc_id breaks any exact tie.
+    assert out[10]["fused_rk"] < out[13]["fused_rk"]
+
+
+def test_key_overlap_depth_planted_layouts(spark):
+    """Sweep semantics: nested/overlapping ranges count, disjoint ranges
+    give depth 1, and ranges TOUCHING at one key count as overlapping
+    (starts sort before ends at the same point)."""
+    from bigdata_capstone_spark.operators.maintenance import (
+        key_overlap_depth,
+    )
+
+    files = spark.createDataFrame(
+        [
+            # partition a: [0,10], [5,15], [20,30] -> max depth 2
+            ("a", 0, 10), ("a", 5, 15), ("a", 20, 30),
+            # partition b: disjoint -> depth 1
+            ("b", 0, 1), ("b", 2, 3),
+            # partition c: touching at 5 -> depth 2
+            ("c", 0, 5), ("c", 5, 9),
+            # partition d: fully nested triple -> depth 3
+            ("d", 0, 100), ("d", 10, 90), ("d", 20, 80),
+        ],
+        "part_key STRING, min_key INT, max_key INT",
+    )
+    out = {r["part_key"]: r for r in key_overlap_depth(files).collect()}
+    assert out["a"]["max_depth"] == 2 and out["a"]["n_files"] == 3
+    assert out["b"]["max_depth"] == 1 and out["b"]["n_files"] == 2
+    assert out["c"]["max_depth"] == 2
+    assert out["d"]["max_depth"] == 3
+
+
+def test_image_dhash_sees_through_lsb_flip_exact_dedup_blind(spark):
+    """The planted LSB-flipped twins must (a) differ byte-wise — exact
+    md5 dedup finds nothing — and (b) sit within Hamming 1 of their
+    originals in dHash space, while unrelated images stay far (>= 20);
+    the banded join must surface exactly the 8 planted pairs."""
+    from bigdata_capstone_spark.operators.dedup import hamming_band_pairs
+    from bigdata_capstone_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_ppm_pair_assets,
+    )
+
+    assets = synthetic_ppm_pair_assets(spark, n=16, seed=42).cache()
+    # exact-dup view: every payload md5 is unique
+    n_exact = (
+        assets.select(F.md5(F.hex("media")).alias("h")).distinct().count()
+    )
+    assert n_exact == 16
+
+    sigs = image_dhash(assets).cache()
+    pairs = hamming_band_pairs(sigs, "asset_id", "dhash", 56, 3).collect()
+    found = {(r["idA"], r["idB"]): r["hamming"] for r in pairs}
+    assert set(found) == {(i, i + 8) for i in range(8)}
+    assert all(d <= 1 for d in found.values())
+
+    # unrelated distances stay far: exhaustive check on the 16 sigs
+    sig = {r["asset_id"]: r["dhash"] for r in sigs.collect()}
+    far = [
+        bin(sig[a] ^ sig[b]).count("1")
+        for a in range(16)
+        for b in range(a + 1, 16)
+        if b != a + 8
+    ]
+    assert min(far) >= 20
+
+
+def test_image_dhash_fits_signed_64_and_is_deterministic(spark):
+    """56-bit packing must stay positive (BIGINT-safe in any engine)
+    and identical across partitionings of the asset frame."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_ppm_pair_assets,
+    )
+
+    assets = synthetic_ppm_pair_assets(spark, n=16, seed=42)
+    one = {r["asset_id"]: r["dhash"]
+           for r in image_dhash(assets.coalesce(1)).collect()}
+    many = {r["asset_id"]: r["dhash"]
+            for r in image_dhash(assets.repartition(7)).collect()}
+    assert one == many
+    assert all(0 <= v < 2**56 for v in one.values())
+
+
+def test_lr_classifier_first_round_gradient_closed_form(spark):
+    """From w=0 the sigmoid is exactly 0.5, so after one round
+    w_j = round(-lr * mean((0.5 - y) * x_j), 8) — check the trained
+    margin against a hand-computed weight vector on a tiny frame."""
+    from bigdata_capstone_spark.operators.selection import (
+        lr_source_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "src0", "alpha beta gamma delta"),
+            (2, "src0", "alpha alpha beta"),
+            (3, "src9", "x y"),
+            (4, "src9", "longword anotherlongword third fourth fifth"),
+        ],
+        "doc_id INT, source STRING, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lr_source_classifier(docs, rounds=1).collect()
+    }
+
+    # hand-compute: features per doc
+    def feats(text):
+        t = text.lower().split()
+        n = len(t)
+        return (
+            round(n / 100.0, 6),
+            round(len(set(t)) / n, 6),
+            round(sum(len(x) for x in t) / n, 6),
+            1.0,
+        )
+
+    rows = [
+        (feats("alpha beta gamma delta"), 1.0),
+        (feats("alpha alpha beta"), 1.0),
+        (feats("x y"), 0.0),
+        (feats("longword anotherlongword third fourth fifth"), 0.0),
+    ]
+    w = [
+        round(-0.5 * sum((0.5 - y) * f[j] for f, y in rows) / 4, 8)
+        for j in range(4)
+    ]
+    for doc_id, (f, y) in zip((1, 2, 3, 4), rows):
+        want = round(sum(fj * wj for fj, wj in zip(f, w)), 6)
+        assert out[doc_id]["lr_margin_r"] == want
+        assert out[doc_id]["is_curated"] == (y == 1.0)
+
+
+def test_lr_classifier_partition_invariant_and_separates(spark):
+    """Trained margins must be identical across partitionings (DECIMAL
+    gradient law), and on a cleanly separable fixture 3 rounds must
+    rank every curated doc above every non-curated one."""
+    from bigdata_capstone_spark.operators.selection import (
+        lr_source_classifier,
+    )
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:  # curated: long, diverse docs
+            text = " ".join(f"tok{i}w{j}" for j in range(30))
+            rows.append((i, "src0", text))
+        else:  # rest: tiny repetitive docs
+            rows.append((i, "src7", "a a a"))
+    docs = spark.createDataFrame(
+        rows, "doc_id INT, source STRING, text STRING"
+    )
+    out1 = {
+        r["doc_id"]: r["lr_margin_r"]
+        for r in lr_source_classifier(docs.coalesce(1), rounds=3).collect()
+    }
+    out2 = {
+        r["doc_id"]: r["lr_margin_r"]
+        for r in lr_source_classifier(
+            docs.repartition(11, "doc_id"), rounds=3
+        ).collect()
+    }
+    assert out1 == out2
+    cur = [v for k, v in out1.items() if k % 2 == 0]
+    rest = [v for k, v in out1.items() if k % 2 == 1]
+    assert min(cur) > max(rest)
+
+
+def test_sitemap_parse_adversarial_plants(spark):
+    """Comment-decoy exclusion, whitespace-wrapped loc trimming,
+    relative-loc drop, index-vs-urlset kind separation, and non-sitemap
+    XML yielding nothing."""
+    from bigdata_capstone_spark.operators.webingest import (
+        parse_sitemap_entries,
+        synthetic_sitemap_table,
+    )
+
+    out = parse_sitemap_entries(
+        synthetic_sitemap_table(spark, n_domains=2)
+    ).collect()
+    by_loc = {r["loc"]: r for r in out}
+    assert "https://www.example0.com/products/p0" in by_loc  # multiline loc
+    assert by_loc["https://www.example0.com/products/p0"]["lastmod"] is None
+    assert "https://evil.example/old0" not in by_loc  # commented-out decoy
+    assert not any(loc.startswith("/relative") for loc in by_loc)
+    kinds = {r["domain"]: r["kind"] for r in out}
+    assert kinds == {
+        "www.example0.com": "urlset",
+        "www.example1.com": "index",
+    }
+
+    junk = spark.createDataFrame(
+        [("d", "u", "<rss><item><loc>https://a.b/c</loc></item></rss>")],
+        "domain STRING, sitemap_url STRING, sitemap_xml STRING",
+    )
+    assert parse_sitemap_entries(junk).count() == 0
+
+
+def test_bitext_planted_translation_surfaces_with_high_margin(spark):
+    """A planted en/de vector pair (same direction, slightly scaled)
+    must be mined with cosine ~1 and a margin far above the random
+    background; every output row must pair en -> de ids only."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        bitext_margin_pairs,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(F.col("doc_id").alias("vec_id"), "lang")
+    # plant: copy vec 0's embedding under two fresh ids, one per lang
+    base = emb.filter(F.col("vec_id") == 0)
+    plant = base.select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding", "label"
+    ).unionByName(
+        base.select(
+            (F.col("vec_id") + 200001).alias("vec_id"), "embedding",
+            "label",
+        )
+    )
+    lang_plant = spark.createDataFrame(
+        [(200000, "en"), (200001, "de")], "vec_id LONG, lang STRING"
+    )
+    out = bitext_margin_pairs(
+        emb.unionByName(plant),
+        docs.unionByName(lang_plant),
+        min_cosine=0.15,
+        min_margin=1.02,
+    ).collect()
+    by_src = {r["src_id"]: r for r in out}
+    assert 200000 in by_src
+    assert by_src[200000]["tgt_id"] == 200001
+    assert by_src[200000]["cosine_r"] == 1.0
+    assert by_src[200000]["margin_r"] > 1.5
+    en_ids = {r["vec_id"] for r in docs.filter(F.col("lang") == "en").collect()} | {200000}
+    de_ids = {r["vec_id"] for r in docs.filter(F.col("lang") == "de").collect()} | {200001}
+    assert all(r["src_id"] in en_ids and r["tgt_id"] in de_ids for r in out)
+    assert all(r["margin_r"] >= 1.02 and r["cosine_r"] >= 0.15 for r in out)
+
+
+def test_hll_overlap_inclusion_exclusion_sanity(spark):
+    """Disjoint sets must estimate ~zero overlap, identical sets must
+    estimate overlap ~= their own cardinality, and the estimator must
+    equal est_a + est_b - est_union exactly (rounded arithmetic law)."""
+    from bigdata_capstone_spark.operators.sketches import hll_set_overlap
+
+    a = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(500, 1000).select(
+        F.col("id").cast("string").alias("k")
+    )
+    disjoint = hll_set_overlap(a, b, F.col("k")).collect()[0]
+    assert disjoint["est_overlap"] == round(
+        round(disjoint["est_a"] + disjoint["est_b"] - disjoint["est_union"], 4), 4
+    )
+    # raw-HLL error at m=64 is ~13%; disjoint overlap must be small
+    # relative to the set sizes
+    assert abs(disjoint["est_overlap"]) < 0.5 * disjoint["est_a"]
+
+    same = hll_set_overlap(a, a, F.col("k")).collect()[0]
+    assert same["est_union"] == same["est_a"]
+    assert same["est_overlap"] == same["est_a"]
+
+
+def test_audio_segments_island_fusion_and_exact_energy(spark):
+    """Hand-built window frame: consecutive active windows fuse into one
+    segment, separated actives stay separate, all-quiet assets emit
+    nothing, and segment energy is the exact integer sum."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        audio_energy_segments,
+    )
+
+    win = spark.createDataFrame(
+        [
+            # asset 1: active at 0,1 (fused) and 3 (alone); quiet at 2
+            (1, 0, 0, 4, 4_000_000_000), (1, 1, 16, 4, 2_000_000_000),
+            (1, 2, 32, 4, 10), (1, 3, 48, 2, 1_000_000_000),
+            # asset 2: all quiet
+            (2, 0, 0, 4, 10), (2, 1, 16, 4, 20),
+        ],
+        "asset_id LONG, win_idx INT, start_frame INT, "
+        "n_samples INT, sum_sq LONG",
+    )
+    segs = audio_energy_segments(win, threshold=100_000_000).collect()
+    assert {r["asset_id"] for r in segs} == {1}
+    by_start = {r["start_win"]: r for r in segs}
+    assert set(by_start) == {0, 3}
+    assert by_start[0]["end_win"] == 1
+    assert by_start[0]["n_windows"] == 2
+    assert by_start[0]["sum_sq"] == 6_000_000_000
+    assert by_start[0]["n_samples"] == 8
+    assert by_start[3]["n_windows"] == 1
