@@ -4758,7 +4758,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_semdedup_prune",
     oracle="WITH "
-    + _kmeans_cte(8, 2, 64)
+    + _kmeans_cte(32, 2, 64)
     + """,
     fasg AS (
       SELECT vec_id, v, cell FROM (
@@ -4802,16 +4802,19 @@ def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cluster restriction IS the algorithm: cells bound the quadratic
     pair step to sum(|cell|^2), the property that makes semantic dedup
     feasible at 100 TB (k grows with the corpus so |cell| stays small;
-    the self-join shuffles on the cell key only). The fixture
-    embeddings are near-uniform (max pairwise cosine ~0.51), so 0.25
-    exercises a non-trivial survivor set."""
+    the self-join shuffles on the cell key only). k=32 here — 4x the
+    demo entry's k=8 — applying that rule at bench scale: with k fixed
+    the quadratic reappears as (n/k)^2 (the first sf0.1 bench run
+    measured exactly that, 16.8s at k=8). The fixture embeddings are
+    near-uniform (max pairwise cosine ~0.51), so 0.25 exercises a
+    non-trivial survivor set."""
     from bigdata_capstone_spark.operators.simsearch import (
         kmeans_lloyd,
         semdedup_prune,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    centers = kmeans_lloyd(emb, k=8, rounds=2, dim=64)
+    centers = kmeans_lloyd(emb, k=32, rounds=2, dim=64)
     return semdedup_prune(emb, centers, min_cosine=0.25)
 
 

@@ -1076,23 +1076,35 @@ def _kmeans_update(
     next round's distances. Shape: one groupBy("cell") with dim+1
     map-side-combinable aggregates over the corpus — the centroid frame
     is k rows; no shuffle wider than the corpus' one hash-agg."""
-    sums = assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(
-                F.col("cv")[i].cast("double").cast("decimal(28,14)")
-            ).alias(f"__s{i}")
-            for i in range(dim)
-        ],
-    )
-    upd = sums.select(
+    # positional explode -> (cell, dim) hash agg -> re-collect in dim
+    # order. Same exact arithmetic as dim separate per-column sums but
+    # ONE generic two-key aggregate: 64 decimal-sum columns made
+    # whole-stage codegen compile a pathological generated class per
+    # round (profiled: the compile dominated the 8-row output).
+    long = assigned.select(
         "cell",
-        F.array(
-            *[
-                F.round(F.col(f"__s{i}").cast("double") / F.col("__n"), 8)
-                for i in range(dim)
-            ]
-        ).alias("__c"),
+        F.posexplode(F.col("cv")).alias("__i", "__v"),
+    ).groupBy("cell", "__i").agg(
+        F.sum(
+            F.col("__v").cast("double").cast("decimal(28,14)")
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    upd = (
+        long.select(
+            "cell",
+            "__i",
+            F.round(F.col("__s").cast("double") / F.col("__n"), 8).alias(
+                "__m"
+            ),
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__i", "__m"))),
+                lambda s: s["__m"],
+            ).alias("__c")
+        )
     )
     return prev_centers.join(upd, "cell", "left").select(
         "cell", F.coalesce(F.col("__c"), F.col("center")).alias("center")
@@ -1128,9 +1140,15 @@ def kmeans_lloyd(
         F.transform("center", lambda x: x.cast("double")).alias("center"),
     )
     for _ in range(rounds):
+        # cache the k-row centroid frame: every round references its
+        # predecessor TWICE (assignment + empty-cell coalesce) and the
+        # caller references the result again, so uncached lineage
+        # re-executes the whole training prefix 2^rounds times
+        # (profiled: 15s -> 3s at sf0.1). k rows — bytes of memory.
+        centers = centers.cache()
         asg = assign_cells(corpus, centers, id_col, vec_col, keep_vec=True)
         centers = _kmeans_update(asg, centers, dim)
-    return centers
+    return centers.cache()
 
 
 def kmeans_assign_scored(
