@@ -4819,6 +4819,78 @@ def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_source_drift",
+    oracle="""
+    WITH e AS (
+      SELECT em.vec_id, em.embedding::DOUBLE[] AS v, d.source
+      FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+    ),
+    ma AS (
+      SELECT source, gs.i, sum((v[gs.i])::DECIMAL(28,14)) AS s,
+             count(*) AS n
+      FROM e, generate_series(1, 64) AS gs(i)
+      WHERE vec_id < 400 GROUP BY 1, 2
+    ),
+    ca AS (
+      SELECT source, max(n)::BIGINT AS n_a,
+             list(round(s::DOUBLE / n, 8) ORDER BY i) AS c
+      FROM ma GROUP BY source
+    ),
+    mb AS (
+      SELECT source, gs.i, sum((v[gs.i])::DECIMAL(28,14)) AS s,
+             count(*) AS n
+      FROM e, generate_series(1, 64) AS gs(i)
+      WHERE vec_id >= 100 GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT source, max(n)::BIGINT AS n_b,
+             list(round(s::DOUBLE / n, 8) ORDER BY i) AS c
+      FROM mb GROUP BY source
+    )
+    SELECT sa.source, sa.n_a, sb.n_b,
+           round(
+             list_sum(list_transform(generate_series(1, len(a)),
+                      i -> a[i] * b[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(a)),
+                      i -> a[i] * a[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(b)),
+                      i -> b[i] * b[i])))), 6) AS centroid_cos_r
+    FROM ca sa JOIN cb sb ON sb.source = sa.source,
+    LATERAL (SELECT sa.c AS a, sb.c AS b) ab
+    """,
+)
+def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic drift per source between two crawl snapshots (doc_id <
+    400 vs >= 100 — the overlapping-recrawl slices the reconcile family
+    uses): cosine between the source's DECIMAL-exact mean embedding in
+    each snapshot. The monitoring twin of `event_drift_psi` in
+    embedding space — PSI sees token distributions move; this catches
+    paraphrase-level topical shift PSI can't. The oracle replays both
+    centroid builds (explode, DECIMAL sums, 8-dp means, in-order
+    re-collect) and the cosine.
+
+    Scale shape (operators/drift.py:embedding_centroid_drift): each
+    snapshot collapses map-side to a |sources| x 64 frame; the (group,
+    dim) partial sums are mergeable counters a streaming ingest can
+    maintain like the df/HLL/CMS families, so the marginal cost of the
+    monitor at 100 TB is zero."""
+    from bigdata_capstone_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    tagged = emb.join(docs, "vec_id").cache()
+    return embedding_centroid_drift(
+        tagged.filter(F.col("vec_id") < 400),
+        tagged.filter(F.col("vec_id") >= 100),
+        group_col="source",
+    )
+
+
+@register(
     "multimodal_audio_segments",
     oracle="""
     WITH ids AS (SELECT unnest(range(8)) AS i),

@@ -2517,3 +2517,98 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_type") == "purchase"),
         F.col("user_id").cast("string"),
     )
+
+
+@register(
+    "join_size_estimate_cms",
+    oracle=f"""
+    WITH salts AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r),
+    ca AS (
+      SELECT r,
+             ('0x' || substr(md5(user_id::VARCHAR), 1 + 2 * r, 2))::INT
+               AS slot,
+             count(*) AS cnt
+      FROM events CROSS JOIN salts
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT r,
+             ('0x' || substr(md5(o_custkey::VARCHAR), 1 + 2 * r, 2))::INT
+               AS slot,
+             count(*) AS cnt
+      FROM orders CROSS JOIN salts
+      GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT ca.r, sum(ca.cnt * cb.cnt) AS dot
+      FROM ca JOIN cb ON cb.r = ca.r AND cb.slot = ca.slot
+      GROUP BY ca.r
+    ),
+    est AS (
+      -- rows with no slot overlap dot to 0 and must win the min
+      SELECT min(coalesce(d.dot, 0))::BIGINT AS est_join_size
+      FROM salts s LEFT JOIN dots d ON d.r = s.r
+    ),
+    ex AS (
+      SELECT sum(e.n * o.n)::BIGINT AS exact_join_size
+      FROM (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1) e
+      JOIN (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) o
+        ON o.k = e.k
+    )
+    SELECT est_join_size, exact_join_size,
+           round((est_join_size - exact_join_size)
+                 * 1.0 / exact_join_size, 6) AS rel_overestimate_r
+    FROM est CROSS JOIN ex
+    """,
+)
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation BEFORE running the join — the AMS/CMS
+    inner product (sketch algebra, like the HLL overlap): |events ⋈
+    orders ON user_id = o_custkey| estimated as the min over CMS rows
+    of the row-wise dot product of the two sides' counter grids, an
+    upper bound computable from two ≤ 4×256-row sketches without
+    touching either table again. The cost-based-optimizer statistic,
+    mergeable per ingest shard (counters add). Exact join size rides
+    along (computed from per-key counts, never materializing the
+    join) with the relative overestimate.
+
+    Scale shape (operators/sketches.py:cms_join_size_estimate): two
+    map-side-combined passes collapse both tables to ≤ d×256 counters;
+    the dot product and min are sketch-sized; all-integer arithmetic."""
+    from bigdata_capstone_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    est = cms_join_size_estimate(
+        events, F.col("user_id").cast("string"),
+        orders, F.col("o_custkey").cast("string"),
+        d=_CMS_D,
+    )
+    ex = (
+        events.groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_e"))
+        .join(
+            orders.groupBy(F.col("o_custkey").alias("k")).agg(
+                F.count(F.lit(1)).alias("n_o")
+            ),
+            "k",
+        )
+        .agg(
+            F.sum(F.col("n_e") * F.col("n_o"))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return est.crossJoin(ex).select(
+        "est_join_size",
+        "exact_join_size",
+        F.round(
+            (F.col("est_join_size") - F.col("exact_join_size"))
+            * 1.0
+            / F.col("exact_join_size"),
+            6,
+        ).alias("rel_overestimate_r"),
+    )

@@ -109,3 +109,85 @@ def psi_from_contingency(
             / F.lit(1_000_000.0)
         ).alias("psi_r")
     )
+
+
+def group_mean_vectors(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(group, n, centroid ARRAY<DOUBLE>) per-group DECIMAL-exact mean
+    vector: positional explode -> (group, dim) hash agg with
+    DECIMAL(28,14) accumulation -> in-order re-collect, each mean
+    rounded to 8 dp — the same any-engine determinism contract (and the
+    same plan shape) as the k-means update. Map-side combinable; the
+    output is group-count-sized."""
+    return (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.posexplode(F.col(vec_col)).alias("__i", "__v"),
+        )
+        .groupBy("__g", "__i")
+        .agg(
+            F.sum(
+                F.col("__v").cast("double").cast("decimal(28,14)")
+            ).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "__g",
+            "__i",
+            "__n",
+            F.round(F.col("__s").cast("double") / F.col("__n"), 8).alias(
+                "__m"
+            ),
+        )
+        .groupBy("__g")
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__i", "__m"))),
+                lambda s: s["__m"],
+            ).alias("centroid"),
+        )
+        .select(F.col("__g").alias(group_col), "n", "centroid")
+    )
+
+
+def embedding_centroid_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    group_col: str = "source",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic drift per group between two crawl snapshots: the cosine
+    between the group's DECIMAL-exact mean embedding in snapshot A and
+    in snapshot B (1.0 = the source still writes about the same things;
+    the monitoring twin of the lexical PSI drift — PSI sees token
+    distributions move, this sees the embedding distribution move, and
+    catches paraphrase-level shift PSI can't).
+
+    Returns (group, n_a, n_b, centroid_cos_r) for groups present in
+    BOTH snapshots. Scale shape: each snapshot collapses map-side to
+    one |groups| x dim frame; the join and cosine are group-sized. The
+    100 TB cost is two corpus scans — or zero marginal, because the
+    (group, dim) partial sums are mergeable counters a streaming ingest
+    can maintain exactly like the df/HLL/CMS families."""
+    from bigdata_capstone_spark.functions.portable import (
+        cosine_similarity_col,
+    )
+
+    a = group_mean_vectors(emb_a, group_col, vec_col).select(
+        group_col, F.col("n").alias("n_a"), F.col("centroid").alias("__ca")
+    )
+    b = group_mean_vectors(emb_b, group_col, vec_col).select(
+        group_col, F.col("n").alias("n_b"), F.col("centroid").alias("__cb")
+    )
+    return a.join(b, group_col).select(
+        group_col,
+        "n_a",
+        "n_b",
+        F.round(
+            cosine_similarity_col(F.col("__ca"), F.col("__cb")), 6
+        ).alias("centroid_cos_r"),
+    )

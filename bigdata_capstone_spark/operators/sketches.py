@@ -408,3 +408,46 @@ def hll_set_overlap(
             ).alias("est_overlap"),
         )
     )
+
+
+def cms_join_size_estimate(
+    df_a: DataFrame,
+    key_a: Column,
+    df_b: DataFrame,
+    key_b: Column,
+    d: int = 4,
+) -> DataFrame:
+    """Join-cardinality estimate as SKETCH ALGEBRA (the AMS/Count-Min
+    inner product, Cormode & Muthukrishnan §4.2): |A ⋈ B| on a key is
+    sum over keys of cnt_A(k)·cnt_B(k), estimated as the MIN over the d
+    CMS rows of the row-wise dot product of the two sides' counter
+    grids — an upper bound that never reads either table again once the
+    two ≤ d×256-row sketches exist. This is the statistic a
+    cost-based optimizer wants before committing to a join strategy,
+    and both grids are the same mergeable CMS the heavy-hitter path
+    maintains per shard (counters add), so the estimate is available
+    incrementally at 100 TB for the price of two map-side-combined
+    passes — or zero, if the sketches are already maintained.
+
+    Returns one row: (est_join_size BIGINT). All-integer arithmetic
+    (long products, long sums, min) — no float anywhere."""
+    ca = cms_counters(df_a, key_a, d)
+    cb = cms_counters(df_b, key_b, d)
+    dots = (
+        ca.join(
+            cb.select(
+                "r", "slot", F.col("cnt").alias("__cnt_b")
+            ),
+            on=["r", "slot"],
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("__cnt_b")).alias("__dot"))
+    )
+    # a CMS row with NO slot overlap has dot 0 — it must win the min
+    # (disjoint key sets estimate 0), not vanish from the aggregate
+    salts = df_a.sparkSession.range(d).select(F.col("id").cast("int").alias("r"))
+    return (
+        salts.join(dots, "r", "left")
+        .select(F.coalesce(F.col("__dot"), F.lit(0)).alias("__dot"))
+        .agg(F.min("__dot").cast("long").alias("est_join_size"))
+    )

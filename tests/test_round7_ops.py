@@ -1232,3 +1232,59 @@ def test_audio_segments_island_fusion_and_exact_energy(spark):
     assert by_start[0]["sum_sq"] == 6_000_000_000
     assert by_start[0]["n_samples"] == 8
     assert by_start[3]["n_windows"] == 1
+
+
+def test_cms_join_size_upper_bound_and_exact_when_no_collisions(spark):
+    """The CMS inner product must never underestimate, and with a
+    handful of keys in 256 slots it equals the exact join size
+    (sum of cnt_A * cnt_B over shared keys)."""
+    from bigdata_capstone_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [("x",), ("x",), ("y",)], "k STRING"
+    )
+    b = spark.createDataFrame(
+        [("x",), ("y",), ("y",), ("z",)], "k STRING"
+    )
+    est = cms_join_size_estimate(
+        a, F.col("k"), b, F.col("k"), d=4
+    ).collect()[0]["est_join_size"]
+    assert est == 2 * 1 + 1 * 2  # = 4, no collisions at this scale
+
+    # disjoint keys: exact 0; CMS may only collide upward
+    c = spark.createDataFrame([("p",), ("q",)], "k STRING")
+    est0 = cms_join_size_estimate(
+        a, F.col("k"), c, F.col("k"), d=4
+    ).collect()[0]["est_join_size"]
+    assert est0 is not None and est0 >= 0
+
+
+def test_embedding_centroid_drift_identity_and_shift(spark):
+    """Identical snapshots give cosine exactly 1.0 per group; negating
+    one snapshot's vectors flips the cosine to -1.0; groups missing
+    from either side are absent."""
+    from bigdata_capstone_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding", (F.col("vec_id") % 3).alias("source"))
+    same = embedding_centroid_drift(emb, emb).collect()
+    assert len(same) == 3
+    assert all(r["centroid_cos_r"] == 1.0 for r in same)
+    assert all(r["n_a"] == r["n_b"] for r in same)
+
+    neg = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        "source",
+    )
+    flipped = embedding_centroid_drift(emb, neg).collect()
+    assert all(r["centroid_cos_r"] == -1.0 for r in flipped)
+
+    only_a = emb.filter(F.col("source") < 2)
+    part = embedding_centroid_drift(only_a, emb).collect()
+    assert {r["source"] for r in part} == {0, 1}
