@@ -4904,3 +4904,107 @@ def doc_quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lr_source_classifier(
         docs, curated_sources=("src0", "src1"), rounds=3, learn_rate=0.5
     )
+
+
+@register(
+    "zone_map_pruning_stats",
+    oracle="""
+    WITH bucket_files AS (
+      SELECT 'bucket_custkey' AS layout,
+             date_trunc('month', o_orderdate) AS part_key,
+             (o_custkey % 8)::INT AS file_id,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders GROUP BY 2, 3
+    ),
+    range_files AS (
+      SELECT 'range_orderkey' AS layout, part_key, file_id,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM (
+        SELECT date_trunc('month', o_orderdate) AS part_key,
+               ntile(8) OVER (PARTITION BY date_trunc('month', o_orderdate)
+                              ORDER BY o_orderkey) AS file_id,
+               o_orderkey
+        FROM orders
+      ) GROUP BY 1, 2, 3
+    ),
+    files AS (SELECT * FROM bucket_files UNION ALL SELECT * FROM range_files),
+    probes AS (
+      SELECT o_orderkey AS probe_key FROM orders WHERE o_orderkey % 997 = 0
+    ),
+    np AS (SELECT count(*) AS n_probes FROM probes),
+    per_layout AS (
+      SELECT layout, count(*) AS n_files FROM files GROUP BY layout
+    ),
+    hits AS (
+      SELECT f.layout, count(*) AS files_opened
+      FROM files f JOIN probes p
+        ON p.probe_key >= f.min_key AND p.probe_key <= f.max_key
+      GROUP BY f.layout
+    )
+    SELECT pl.layout, pl.n_files::BIGINT AS n_files,
+           np.n_probes::BIGINT AS n_probes,
+           coalesce(h.files_opened, 0)::BIGINT AS files_opened,
+           round(coalesce(h.files_opened, 0) * 1.0 / np.n_probes, 6)
+             AS avg_files_opened_r,
+           round(1.0 - coalesce(h.files_opened, 0) * 1.0
+                 / (np.n_probes * pl.n_files), 6) AS pruned_frac_r
+    FROM per_layout pl
+    LEFT JOIN hits h ON h.layout = pl.layout
+    CROSS JOIN np
+    """,
+)
+def zone_map_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning effectiveness, measured — the experiment that
+    justifies a re-cluster: the SAME orders data laid out two ways
+    (customer-bucketed files vs orderkey-range files, 8 per month) and
+    probed with the same deterministic point-lookup panel
+    (o_orderkey % 997 = 0). A probe must open every file whose
+    [min, max] contains it — Parquet row-group stats / Iceberg manifest
+    / Delta data-skipping semantics. Orderkeys are uncorrelated with
+    order month, so every month still contributes candidates — but the
+    range layout opens ~1 file per month partition while the bucket
+    layout opens all 8 (measured at sf0.01: 69 vs 535 of 634 files,
+    89% vs 16% pruned) — the quantified version of what
+    `file_overlap_depth` diagnoses structurally, and the before/after
+    measurement an OPTIMIZE ZORDER pass would show.
+
+    Scale shape (operators/maintenance.py:zone_map_probe_stats): the
+    probe panel is bounded and broadcast; the file inventory is
+    metadata-sized; zero-hit probes still count (left join);
+    all-integer until the two reported ratios."""
+    from pyspark.sql.window import Window
+
+    from bigdata_capstone_spark.operators.maintenance import (
+        zone_map_probe_stats,
+    )
+
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders").cache()
+    month = F.date_trunc("month", "o_orderdate")
+    bucket_files = orders.groupBy(
+        month.alias("part_key"),
+        (F.col("o_custkey") % 8).cast("int").alias("file_id"),
+    ).agg(
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    ).select(F.lit("bucket_custkey").alias("layout"), "*")
+    w = Window.partitionBy(month).orderBy("o_orderkey")
+    range_files = (
+        orders.select(
+            month.alias("part_key"),
+            F.ntile(8).over(w).alias("file_id"),
+            "o_orderkey",
+        )
+        .groupBy("part_key", "file_id")
+        .agg(
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .select(F.lit("range_orderkey").alias("layout"), "*")
+    )
+    probes = orders.filter(F.col("o_orderkey") % 997 == 0).select(
+        F.col("o_orderkey").alias("probe_key")
+    )
+    return zone_map_probe_stats(
+        bucket_files.unionByName(range_files), probes
+    )

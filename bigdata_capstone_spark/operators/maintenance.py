@@ -120,3 +120,66 @@ def key_overlap_depth(
             F.max("__depth").cast("int").alias("max_depth"),
         )
     )
+
+
+def zone_map_probe_stats(
+    files: DataFrame,
+    probes: DataFrame,
+    layout_col: str = "layout",
+    min_col: str = "min_key",
+    max_col: str = "max_key",
+    probe_col: str = "probe_key",
+) -> DataFrame:
+    """Zone-map (file min/max statistics) pruning effectiveness: for
+    each layout, how many files a point lookup actually opens. A file
+    must be opened when probe BETWEEN min_key AND max_key — exactly the
+    pruning decision Parquet row-group stats / Iceberg manifests /
+    Delta data-skipping make from metadata. Returns one row per layout:
+    (layout, n_files, n_probes, files_opened, avg_files_opened_r,
+    pruned_frac_r) — the measurement that justifies (or indicts) a
+    clustering choice, quantifying what :func:`key_overlap_depth`
+    diagnoses structurally.
+
+    Scale shape: the probe panel is bounded (broadcast) and the file
+    inventory is metadata-sized, so the range join is tiny however big
+    the table data is; probes matching zero files still count (left
+    join), all-integer until the two final reported ratios."""
+    per_layout = files.groupBy(layout_col).agg(
+        F.count(F.lit(1)).alias("n_files")
+    )
+    # 1-row scalar via crossJoin, not a driver-side count() action
+    np_frame = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    hits = (
+        files.join(
+            F.broadcast(probes),
+            (F.col(probe_col) >= F.col(min_col))
+            & (F.col(probe_col) <= F.col(max_col)),
+        )
+        .groupBy(layout_col)
+        .agg(F.count(F.lit(1)).alias("files_opened"))
+    )
+    return (
+        per_layout.join(hits, layout_col, "left")
+        .crossJoin(F.broadcast(np_frame))
+        .select(
+            layout_col,
+            F.col("n_files").cast("long").alias("n_files"),
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.coalesce(F.col("files_opened"), F.lit(0))
+            .cast("long")
+            .alias("files_opened"),
+        )
+        .withColumn(
+            "avg_files_opened_r",
+            F.round(F.col("files_opened") / F.col("n_probes"), 6),
+        )
+        .withColumn(
+            "pruned_frac_r",
+            F.round(
+                1.0
+                - F.col("files_opened")
+                / (F.col("n_probes") * F.col("n_files")),
+                6,
+            ),
+        )
+    )

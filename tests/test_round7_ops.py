@@ -1288,3 +1288,30 @@ def test_embedding_centroid_drift_identity_and_shift(spark):
     only_a = emb.filter(F.col("source") < 2)
     part = embedding_centroid_drift(only_a, emb).collect()
     assert {r["source"] for r in part} == {0, 1}
+
+
+def test_zone_map_probe_stats_perfect_vs_degenerate_layouts(spark):
+    """Disjoint ranges open exactly one file per in-range probe;
+    all-overlapping ranges open every file; probes hitting no file
+    still count in the denominator."""
+    from bigdata_capstone_spark.operators.maintenance import (
+        zone_map_probe_stats,
+    )
+
+    files = spark.createDataFrame(
+        [
+            ("disjoint", 0, 9), ("disjoint", 10, 19), ("disjoint", 20, 29),
+            ("overlap", 0, 29), ("overlap", 0, 29), ("overlap", 0, 29),
+        ],
+        "layout STRING, min_key INT, max_key INT",
+    )
+    probes = spark.createDataFrame(
+        [(5,), (15,), (25,), (100,)], "probe_key INT"
+    )  # 100 hits nothing
+    out = {r["layout"]: r for r in
+           zone_map_probe_stats(files, probes).collect()}
+    d, o = out["disjoint"], out["overlap"]
+    assert d["files_opened"] == 3 and d["n_probes"] == 4
+    assert d["avg_files_opened_r"] == 0.75
+    assert o["files_opened"] == 9  # 3 in-range probes x all 3 files
+    assert o["pruned_frac_r"] == 0.25  # only the miss probe pruned
