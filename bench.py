@@ -111,6 +111,7 @@ HEADLINE = [
     "image_dhash_near_dup",        # perceptual-hash image dedup (banded)
     "bitext_mining_pairs",         # cross-lingual ANN + margin criterion
     "file_overlap_depth",          # key-range overlap sweep (metadata)
+    "unigram_viterbi_segments",    # Viterbi DP over distinct words
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

@@ -5008,3 +5008,155 @@ def zone_map_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zone_map_probe_stats(
         bucket_files.unionByName(range_files), probes
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer family (SentencePiece's other family, next to BPE):
+# substring-frequency vocabulary + Viterbi segmentation, the DP unrolled
+# position-by-position in the oracle.
+# --------------------------------------------------------------------------
+
+_UNIGRAM_VOCAB_CTES = """
+    toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    words AS (SELECT word, count(*) AS wcnt FROM toks GROUP BY word),
+    subs AS (
+      SELECT substr(w.word, st.s, pl.l) AS piece, w.wcnt
+      FROM words w,
+           generate_series(1, 8) AS st(s),
+           generate_series(1, 4) AS pl(l)
+      WHERE st.s <= length(w.word)
+        AND pl.l <= least(4, length(w.word) - st.s + 1)
+    ),
+    counts AS (SELECT piece, sum(wcnt) AS cnt FROM subs GROUP BY piece),
+    vocab0 AS (
+      SELECT * FROM counts WHERE length(piece) = 1
+      UNION ALL
+      SELECT * FROM (
+        SELECT * FROM counts WHERE length(piece) >= 2
+        ORDER BY cnt DESC, piece LIMIT 50
+      )
+    ),
+    tot AS (SELECT sum(cnt) AS t FROM vocab0),
+    vocab AS (
+      SELECT piece, cnt::BIGINT AS cnt,
+             round(log10(cnt * 1.0 / t) * 1000000)::BIGINT AS score_micro
+      FROM vocab0 CROSS JOIN tot
+    )"""
+
+
+def _unigram_dp_oracle(max_word_len: int = 8, max_piece_len: int = 4) -> str:
+    """Viterbi unrolled position-by-position: b{j} holds the per-word
+    best (score, path, n_pieces) ending at position j, tie-break
+    (score DESC, piece length DESC, piece ASC) — the exact rule the
+    Spark DP applies each step."""
+    # MATERIALIZED: DuckDB inlines CTEs, and the DP references vocab
+    # and words up to 4 x max_word_len times — uninlined, the corpus
+    # substring pipeline re-ran per reference (52s oracle; 0.3s
+    # materialized). Values unchanged — purely the oracle's own plan.
+    ctes = _UNIGRAM_VOCAB_CTES.replace(
+        "words AS (", "words AS MATERIALIZED (", 1
+    ).replace("vocab AS (", "vocab AS MATERIALIZED (", 1)
+    parts = [
+        "WITH " + ctes + """,
+    b0 AS (
+      SELECT word, length(word) AS wl, 0::BIGINT AS score,
+             '' AS path, 0 AS np
+      FROM words
+    )"""
+    ]
+    for j in range(1, max_word_len + 1):
+        exts = []
+        for plen in range(1, min(max_piece_len, j) + 1):
+            i = j - plen
+            exts.append(f"""
+        SELECT b.word, b.wl, b.score + v.score_micro AS score,
+               CASE WHEN b.path = '' THEN v.piece
+                    ELSE b.path || ' ' || v.piece END AS path,
+               b.np + 1 AS np, length(v.piece) AS plen, v.piece
+        FROM b{i} b JOIN vocab v
+          ON length(v.piece) = {plen}
+         AND substr(b.word, {i + 1}, {plen}) = v.piece
+        WHERE b.wl >= {j}""")
+        union = "\n        UNION ALL".join(exts)
+        parts.append(f""",
+    b{j} AS (
+      SELECT word, wl, score, path, np FROM (
+        SELECT c.*, row_number() OVER (
+                 PARTITION BY word
+                 ORDER BY score DESC, plen DESC, piece) AS rn
+        FROM ({union}
+        ) c
+      ) WHERE rn = 1
+    )""")
+    finals = "\n      UNION ALL ".join(
+        f"SELECT * FROM b{j} WHERE wl = {j}"
+        for j in range(1, max_word_len + 1)
+    )
+    parts.append(f"""
+    SELECT word, path AS pieces, np::INT AS n_pieces,
+           score AS score_micro
+    FROM ({finals})""")
+    return "".join(parts)
+
+
+@register(
+    "unigram_piece_vocab",
+    oracle="WITH " + _UNIGRAM_VOCAB_CTES + """
+    SELECT piece, cnt, score_micro FROM vocab
+    """,
+)
+def unigram_piece_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer VOCABULARY (SentencePiece's other family, next
+    to the BPE artifacts): every single character plus the top-50
+    multi-character substrings (length <= 4) by corpus frequency, each
+    scored with its micro-unit log10 unigram probability over the
+    selected inventory — deterministic (no EM, no RNG), so the oracle
+    replays counting, the bounded top-k cut, and every score.
+
+    Scale shape (operators/textops.py:unigram_piece_vocab): the corpus
+    collapses to (word, wcnt) first; substring enumeration explodes the
+    DISTINCT-WORD frame only; the top-k is a bounded TakeOrdered."""
+    from bigdata_capstone_spark.operators.textops import (
+        unigram_piece_vocab,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_piece_vocab(docs, max_piece_len=4, top_k=50)
+
+
+@register("unigram_viterbi_segments", oracle=_unigram_dp_oracle(8, 4))
+def unigram_viterbi_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-likelihood unigram segmentation of every distinct corpus
+    word — VITERBI AS AN ITERATIVE DATAFRAME DP, value-checked: the DP
+    state at position j is a |words|-row frame, each step unions <= 4
+    candidate extensions (broadcast joins of state j-len against the
+    vocabulary on substring equality) and keeps the per-word argmax
+    under the deterministic tie-break (score DESC, piece length DESC,
+    piece ASC). The oracle unrolls the SAME dynamic program position by
+    position (b1..b8), so the chosen path, piece count, and micro-unit
+    score of every word are hash-compared — a nontrivial algorithm, not
+    just an aggregate, replayed stage-for-stage in SQL.
+
+    Scale shape (operators/textops.py:viterbi_segment_words):
+    segmentation runs on DISTINCT words (vocabulary-sized, like the BPE
+    encode path), so the loop cost is independent of corpus size;
+    applying it to a 100 TB corpus is this DP plus one broadcast join
+    of the segmentation table onto the token stream."""
+    from bigdata_capstone_spark.operators.textops import (
+        unigram_piece_vocab,
+        viterbi_segment_words,
+        word_frequencies,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_piece_vocab(docs, max_piece_len=4, top_k=50).cache()
+    words = word_frequencies(docs).select("word")
+    return viterbi_segment_words(
+        words, vocab, max_piece_len=4, max_word_len=8
+    )

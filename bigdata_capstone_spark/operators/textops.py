@@ -917,3 +917,192 @@ def bpe_decode_roundtrip(
             "roundtrip_ok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece's other family, deterministic
+# variant): substring-frequency vocabulary + Viterbi max-likelihood
+# segmentation as an ITERATIVE DataFrame dynamic program.
+# ---------------------------------------------------------------------------
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wcnt) corpus token frequencies — the vocabulary-sized frame
+    every tokenizer stage works on (the corpus collapses here first, the
+    same economy as the BPE trainer)."""
+    return (
+        docs.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
+def unigram_piece_vocab(
+    docs: DataFrame,
+    max_piece_len: int = 4,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-tokenizer vocabulary: every single character (so any word
+    stays segmentable) plus the ``top_k`` most frequent multi-character
+    substrings of length <= ``max_piece_len`` (count DESC, piece ASC
+    tie-break), each scored with its micro-unit log10 unigram
+    probability over the selected inventory — the deterministic
+    EM-free stand-in for SentencePiece's unigram training (same
+    vocabulary shape, no iterative pruning), replayable in any engine.
+
+    Returns (piece, cnt, score_micro BIGINT). Scale shape: the corpus
+    collapses to (word, wcnt) first; substring enumeration explodes the
+    DISTINCT-WORD frame only (|vocab| x len x max_piece_len rows, never
+    corpus-sized); the top-k is a bounded TakeOrdered."""
+    words = word_frequencies(docs, text_col)
+    subs = (
+        words.select(
+            "word",
+            "wcnt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word"))
+            ).alias("start"),
+        )
+        .select(
+            "word",
+            "wcnt",
+            "start",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_piece_len),
+                        F.length("word") - F.col("start") + 1,
+                    ),
+                )
+            ).alias("plen"),
+        )
+        .select(
+            F.substring(F.col("word"), F.col("start"), F.col("plen")).alias(
+                "piece"
+            ),
+            "wcnt",
+        )
+    )
+    counts = subs.groupBy("piece").agg(F.sum("wcnt").alias("cnt"))
+    chars = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(top_k)
+    )
+    vocab = chars.unionByName(multi)
+    total = vocab.agg(F.sum("cnt").alias("__t"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.round(F.log10(F.col("cnt") / F.col("__t")) * 1_000_000, 0)
+        .cast("long")
+        .alias("score_micro"),
+    )
+
+
+def viterbi_segment_words(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    max_word_len: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Max-likelihood segmentation of each word under the unigram piece
+    vocabulary — Viterbi as an ITERATIVE DataFrame dynamic program: the
+    DP state at position j is a |words|-row frame; step j unions the
+    <= ``max_piece_len`` candidate extensions (each one broadcast-join
+    of state j-len against the vocab on substring equality) and keeps
+    the per-word argmax with the deterministic tie-break (total score
+    DESC, piece length DESC, piece ASC) — so the chosen path is unique
+    and any engine replays it. Single characters are always in the
+    vocabulary, so every position is reachable.
+
+    Returns (word, pieces STRING space-joined, n_pieces INT,
+    score_micro BIGINT). Words longer than ``max_word_len`` are not
+    segmented (absent from the output — raise the cap for real corpora;
+    each extra position is one more bounded join on the
+    vocabulary-sized state frame, and the loop cost is independent of
+    corpus size because segmentation runs on DISTINCT words).
+
+    Lineage: each position's state is checkpoint-truncated via the
+    shared ckpt mechanism (localCheckpoint by default,
+    ``checkpoint_dir`` for reliable storage) — cache() alone leaves the
+    logical plan nested max_word_len levels deep and Catalyst
+    re-analysis of the final union dies long before the data does
+    (observed: 91s then driver death at position 8 on a 31-word
+    frame)."""
+    from bigdata_capstone_spark.operators.ckpt import lineage_truncation
+    from bigdata_capstone_spark.operators.relational import grouped_top_k
+
+    spark = words.sparkSession
+    v = vocab.select(
+        "piece",
+        F.length("piece").alias("plen"),
+        "score_micro",
+    ).cache()
+    with lineage_truncation(spark, checkpoint_dir) as ckpt:
+        state = {
+            0: ckpt(
+                words.select(
+                    "word",
+                    F.length("word").alias("wl"),
+                    F.lit(0).cast("long").alias("score"),
+                    F.lit("").alias("path"),
+                    F.lit(0).alias("np"),
+                )
+            )
+        }
+        for j in range(1, max_word_len + 1):
+            cands = None
+            for plen in range(1, min(max_piece_len, j) + 1):
+                i = j - plen
+                prev = state[i].filter(F.col("wl") >= j)
+                c = prev.join(
+                    F.broadcast(v.filter(F.col("plen") == plen)),
+                    F.substring(F.col("word"), i + 1, plen)
+                    == F.col("piece"),
+                ).select(
+                    "word",
+                    "wl",
+                    (F.col("score") + F.col("score_micro")).alias("score"),
+                    F.concat(
+                        F.col("path"),
+                        F.when(F.col("path") == "", F.lit("")).otherwise(
+                            F.lit(" ")
+                        ),
+                        F.col("piece"),
+                    ).alias("path"),
+                    (F.col("np") + 1).alias("np"),
+                    F.col("plen"),
+                    F.col("piece"),
+                )
+                cands = c if cands is None else cands.unionByName(c)
+            # pre-cluster by word at a width matched to the
+            # vocabulary-bounded state: HashPartitioning(word, 8)
+            # satisfies the window's ClusteredDistribution, so the
+            # per-step argmax runs on 8 real partitions instead of
+            # re-shuffling to the session default (200 near-empty
+            # tasks per position in a plain session)
+            best = grouped_top_k(
+                cands.repartition(8, "word"),
+                ["word"],
+                [F.desc("score"), F.desc("plen"), F.col("piece")],
+                1,
+                rank_col="__rn",
+            ).select("word", "wl", "score", "path", "np")
+            state[j] = ckpt(best)
+
+        out = None
+        for j in range(1, max_word_len + 1):
+            part = state[j].filter(F.col("wl") == j)
+            out = part if out is None else out.unionByName(part)
+        return ckpt(
+            out.select(
+                "word",
+                F.col("path").alias("pieces"),
+                F.col("np").cast("int").alias("n_pieces"),
+                F.col("score").alias("score_micro"),
+            )
+        )

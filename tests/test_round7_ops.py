@@ -1315,3 +1315,58 @@ def test_zone_map_probe_stats_perfect_vs_degenerate_layouts(spark):
     assert d["avg_files_opened_r"] == 0.75
     assert o["files_opened"] == 9  # 3 in-range probes x all 3 files
     assert o["pruned_frac_r"] == 0.25  # only the miss probe pruned
+
+
+def test_viterbi_segmentation_picks_max_likelihood_and_reconstructs(spark):
+    """Hand-built vocab: a frequent bigram must beat two singles, every
+    word must reconstruct from its pieces, and chars-only words stay
+    segmentable (single characters are always in the vocabulary)."""
+    from bigdata_capstone_spark.operators.textops import (
+        viterbi_segment_words,
+    )
+
+    # scores: micro-unit log-probs (bigger = more likely)
+    vocab = spark.createDataFrame(
+        [
+            ("a", -1_000_000), ("b", -1_000_000), ("c", -1_500_000),
+            ("ab", -1_200_000),  # cheaper than a+b (-2_000_000)
+            ("bc", -3_600_000),  # dearer than b+c (-2_500_000)
+        ],
+        "piece STRING, score_micro LONG",
+    )
+    words = spark.createDataFrame(
+        [("ab",), ("abc",), ("bbc",), ("cab",)], "word STRING"
+    )
+    out = {r["word"]: r for r in
+           viterbi_segment_words(words, vocab, max_piece_len=2,
+                                 max_word_len=4).collect()}
+    assert out["ab"]["pieces"] == "ab"
+    assert out["ab"]["score_micro"] == -1_200_000
+    assert out["abc"]["pieces"] == "ab c"          # ab+c beats a+bc
+    assert out["bbc"]["pieces"] == "b b c"          # bc too dear
+    assert out["cab"]["pieces"] == "c ab"
+    for r in out.values():
+        assert r["pieces"].replace(" ", "") == r["word"]
+        assert r["n_pieces"] == len(r["pieces"].split(" "))
+
+
+def test_viterbi_corpus_words_reconstruct_and_scores_negative(spark):
+    """On the real corpus vocab, every distinct word must reconstruct
+    exactly, and multi-char pieces must actually be used (the top-50
+    cut makes frequent stems single pieces)."""
+    from bigdata_capstone_spark.operators.textops import (
+        unigram_piece_vocab,
+        viterbi_segment_words,
+        word_frequencies,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = unigram_piece_vocab(docs).cache()
+    words = word_frequencies(docs).select("word")
+    segs = viterbi_segment_words(words, vocab).collect()
+    assert len(segs) == words.count()
+    assert all(r["pieces"].replace(" ", "") == r["word"] for r in segs)
+    assert all(r["score_micro"] < 0 for r in segs)
+    assert any(
+        any(len(p) > 1 for p in r["pieces"].split(" ")) for r in segs
+    )
