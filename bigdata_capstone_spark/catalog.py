@@ -4819,6 +4819,63 @@ def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_shard_update_merge",
+    oracle="WITH "
+    + _kmeans_cte(8, 1, 64)
+    + """
+    SELECT m.cell, gs.i::INT AS i, m.center[gs.i] AS center_i
+    FROM med1 m, generate_series(1, 64) AS gs(i)
+    """,
+)
+def kmeans_shard_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means codebook's MERGEABLE-STATE law, registered: one Lloyd
+    update computed as two disjoint ingest shards' partial (cell, dim)
+    DECIMAL sums MERGED BY ADDITION, then finished — and the oracle is
+    simply the single-pass round-1 update (med1), because the group law
+    makes them identical. This is the same maintenance story every
+    other persisted index family carries (exact-dup digests, BM25 df,
+    PQ, IVF-PQ, HLL/CMS/Bloom): a sharded or streaming ingest keeps the
+    codebook's training state current in O(shard) without re-seeing
+    history. Output in long (cell, i, center_i) form — empty cells
+    coalesce to their PRF-medoid center.
+
+    Scale shape (operators/simsearch.py:kmeans_partial_update /
+    kmeans_merge_partials / kmeans_centers_from_partials): each shard
+    collapses map-side to a k x dim partial frame; the merge is a
+    k x dim groupBy; nothing corpus-sized survives the shard pass."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        assign_cells,
+        kmeans_centers_from_partials,
+        kmeans_merge_partials,
+        kmeans_partial_update,
+        prf_medoids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    centers0 = prf_medoids(emb, 8).select(
+        "cell",
+        F.transform("center", lambda x: x.cast("double")).alias("center"),
+    ).cache()
+    shard_a = emb.filter(F.col("vec_id") < 250)
+    shard_b = emb.filter(F.col("vec_id") >= 250)
+    pa = kmeans_partial_update(
+        assign_cells(shard_a, centers0, keep_vec=True)
+    )
+    pb = kmeans_partial_update(
+        assign_cells(shard_b, centers0, keep_vec=True)
+    )
+    centers1 = kmeans_centers_from_partials(
+        kmeans_merge_partials(pa, pb), centers0
+    )
+    return centers1.select(
+        "cell",
+        F.posexplode("center").alias("pos", "center_i"),
+    ).select(
+        "cell", (F.col("pos") + 1).cast("int").alias("i"), "center_i"
+    )
+
+
+@register(
     "embedding_source_drift",
     oracle="""
     WITH e AS (

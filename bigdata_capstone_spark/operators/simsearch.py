@@ -1076,33 +1076,62 @@ def _kmeans_update(
     next round's distances. Shape: one groupBy("cell") with dim+1
     map-side-combinable aggregates over the corpus — the centroid frame
     is k rows; no shuffle wider than the corpus' one hash-agg."""
-    # positional explode -> (cell, dim) hash agg -> re-collect in dim
-    # order. Same exact arithmetic as dim separate per-column sums but
-    # ONE generic two-key aggregate: 64 decimal-sum columns made
-    # whole-stage codegen compile a pathological generated class per
-    # round (profiled: the compile dominated the 8-row output).
-    long = assigned.select(
+    return kmeans_centers_from_partials(
+        kmeans_partial_update(assigned), prev_centers
+    )
+
+
+def kmeans_partial_update(assigned: DataFrame) -> DataFrame:
+    """The MERGEABLE state of one Lloyd update: (cell, i, s, n) partial
+    per-cell per-dimension DECIMAL sums + counts. Positional explode ->
+    one generic (cell, dim) hash agg — same exact arithmetic as dim
+    separate per-column sums, but 64 decimal-sum columns made
+    whole-stage codegen compile a pathological generated class per
+    round (profiled: the compile dominated the 8-row output). Partials
+    over disjoint shards MERGE BY ADDITION (:func:`kmeans_merge_
+    partials`), which is what lets a sharded/streaming ingest maintain
+    the codebook update without seeing the whole corpus in one pass —
+    the same group law as the df/HLL/CMS state families."""
+    return assigned.select(
         "cell",
-        F.posexplode(F.col("cv")).alias("__i", "__v"),
-    ).groupBy("cell", "__i").agg(
+        F.posexplode(F.col("cv")).alias("i", "__v"),
+    ).groupBy("cell", "i").agg(
         F.sum(
             F.col("__v").cast("double").cast("decimal(28,14)")
-        ).alias("__s"),
-        F.count(F.lit(1)).alias("__n"),
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
+
+
+def kmeans_merge_partials(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two shards' update partials: DECIMAL sums and counts add
+    (exact — decimal addition is associative and commutative, so any
+    shard split produces the identical merged state)."""
+    return (
+        a.unionByName(b)
+        .groupBy("cell", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+
+def kmeans_centers_from_partials(
+    partials: DataFrame, prev_centers: DataFrame
+) -> DataFrame:
+    """Finish a Lloyd update from (merged) partials: 8-dp means,
+    in-order re-collect, empty cells keep their previous center."""
     upd = (
-        long.select(
+        partials.select(
             "cell",
-            "__i",
-            F.round(F.col("__s").cast("double") / F.col("__n"), 8).alias(
+            "i",
+            F.round(F.col("s").cast("double") / F.col("n"), 8).alias(
                 "__m"
             ),
         )
         .groupBy("cell")
         .agg(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("__i", "__m"))),
-                lambda s: s["__m"],
+                F.sort_array(F.collect_list(F.struct("i", "__m"))),
+                lambda st: st["__m"],
             ).alias("__c")
         )
     )

@@ -1370,3 +1370,45 @@ def test_viterbi_corpus_words_reconstruct_and_scores_negative(spark):
     assert any(
         any(len(p) > 1 for p in r["pieces"].split(" ")) for r in segs
     )
+
+
+def test_kmeans_partial_update_shard_split_independence(spark):
+    """The update group law: partials from ANY disjoint shard split
+    merge to the identical centers as the single-pass update —
+    including empty-cell coalesce behavior."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        _kmeans_update,
+        assign_cells,
+        kmeans_centers_from_partials,
+        kmeans_merge_partials,
+        kmeans_partial_update,
+        prf_medoids,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).cache()
+    centers0 = prf_medoids(emb, 4).select(
+        "cell",
+        F.transform("center", lambda x: x.cast("double")).alias("center"),
+    ).cache()
+    asg = assign_cells(emb, centers0, keep_vec=True)
+    single = {
+        r["cell"]: tuple(r["center"])
+        for r in _kmeans_update(asg, centers0, 64).collect()
+    }
+    pa = kmeans_partial_update(
+        assign_cells(emb.filter(F.col("vec_id") % 3 == 0), centers0,
+                     keep_vec=True)
+    )
+    pb = kmeans_partial_update(
+        assign_cells(emb.filter(F.col("vec_id") % 3 != 0), centers0,
+                     keep_vec=True)
+    )
+    merged = {
+        r["cell"]: tuple(r["center"])
+        for r in kmeans_centers_from_partials(
+            kmeans_merge_partials(pa, pb), centers0
+        ).collect()
+    }
+    assert merged == single
