@@ -4819,6 +4819,74 @@ def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_kmeans_assign",
+    oracle="WITH "
+    + _kmeans_cte(8, 2, 64)
+    + ","
+    + _kmeans_assign_sql(2)
+    + "\n    SELECT vec_id, cell, cos_r FROM fasg",
+)
+def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-FLIGHT cluster assignment through the value gate (15th
+    streaming entry): embedding micro-batches drain through
+    foreachBatch against the FROZEN trained k-means codebook, and the
+    drained union of per-trigger assignments must equal the one-shot
+    batch run EXACTLY — the oracle IS embedding_kmeans's. Assignment
+    against frozen centers is a pure map, so the law holds by
+    construction (no cross-trigger state; the codebook is the state
+    and it lives in a k-row table) — which is precisely why routing
+    arriving corpus shards to semantic shards at ingest time is safe
+    at 100 TB: per trigger O(micro-batch) cosines against a broadcast
+    k-row frame, nothing else.
+
+    Scale note: the codebook here is trained once before the stream
+    starts (kmeans_lloyd) and updated out-of-band via the mergeable
+    partials law (`kmeans_shard_update_merge`) — the standard
+    frozen-quantizer discipline the IVF-PQ incremental path also
+    follows."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.simsearch import (
+        kmeans_assign_scored,
+        kmeans_lloyd,
+    )
+
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    centers = kmeans_lloyd(emb, k=8, rounds=2, dim=64)
+    # localCheckpoint: the codebook must be a FROZEN k-row relation the
+    # stream probes, not a lineage that re-trains inside every trigger
+    centers = centers.localCheckpoint(eager=True)
+
+    work = tempfile.mkdtemp(prefix="stream_kmeans_")
+    emb.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+    )
+    out_dir = f"{work}/out"
+
+    def assign(mb: DataFrame, epoch_id: int) -> None:
+        kmeans_assign_scored(mb, centers).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(assign)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
+@register(
     "kmeans_shard_update_merge",
     oracle="WITH "
     + _kmeans_cte(8, 1, 64)
