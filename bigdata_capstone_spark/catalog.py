@@ -4818,6 +4818,119 @@ def embedding_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(emb, centers, min_cosine=0.25)
 
 
+def _mmr_oracle(n_q: int = 5, kc: int = 20, k: int = 5,
+                lam: float = 0.7) -> str:
+    """Unrolled greedy MMR replay: exact top-kc candidates, pairwise
+    candidate cosines, then k selection steps each re-scoring the
+    remaining candidates against everything already picked. The
+    (1 - lam) penalty literal is emitted via repr() so the SQL double
+    is BIT-IDENTICAL to the Python-computed Spark literal
+    (1.0 - 0.7 = 0.30000000000000004, not 0.3)."""
+    cos = (
+        "round(list_sum(list_transform(generate_series(1, len(va)), "
+        "i -> va[i] * vb[i])) / "
+        "(sqrt(list_sum(list_transform(generate_series(1, len(va)), "
+        "i -> va[i] * va[i]))) * "
+        "sqrt(list_sum(list_transform(generate_series(1, len(vb)), "
+        "i -> vb[i] * vb[i])))), 6)"
+    )
+    pen = repr(1.0 - lam)
+    parts = [f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_q}),
+    scored0 AS (
+      SELECT q.qid AS query_id, c.vec_id, {cos} AS rel_r
+      FROM q CROSS JOIN e c,
+      LATERAL (SELECT q.qv AS va, c.v AS vb) vv
+      WHERE q.qid <> c.vec_id
+    ),
+    cands AS MATERIALIZED (
+      SELECT query_id, vec_id, rel_r FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel_r DESC, vec_id) AS rn
+        FROM scored0
+      ) WHERE rn <= {kc}
+    ),
+    sims AS MATERIALIZED (
+      SELECT ca.query_id, ca.vec_id AS a, cb.vec_id AS b, {cos} AS sim_r
+      FROM cands ca
+      JOIN cands cb ON cb.query_id = ca.query_id
+                   AND cb.vec_id <> ca.vec_id
+      JOIN e ea ON ea.vec_id = ca.vec_id
+      JOIN e eb ON eb.vec_id = cb.vec_id,
+      LATERAL (SELECT ea.v AS va, eb.v AS vb) vv
+    ),
+    p1 AS (
+      SELECT query_id, vec_id, 1 AS pick, rel_r AS mmr_r FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel_r DESC, vec_id) AS rn
+        FROM cands
+      ) WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, vec_id FROM p1)"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+    p{t} AS (
+      SELECT query_id, vec_id, {t} AS pick, mmr AS mmr_r FROM (
+        SELECT x.query_id, x.vec_id, x.mmr,
+               row_number() OVER (PARTITION BY x.query_id
+                 ORDER BY x.mmr DESC, x.vec_id) AS rn
+        FROM (
+          SELECT c.query_id, c.vec_id,
+                 round({lam} * c.rel_r - {pen} * max(s.sim_r), 6) AS mmr
+          FROM cands c
+          JOIN sel{t - 1} sl ON sl.query_id = c.query_id
+          JOIN sims s ON s.query_id = c.query_id
+                     AND s.a = c.vec_id AND s.b = sl.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} z
+                            WHERE z.query_id = c.query_id
+                              AND z.vec_id = c.vec_id)
+          GROUP BY c.query_id, c.vec_id, c.rel_r
+        ) x
+      ) WHERE rn = 1
+    ),
+    sel{t} AS (SELECT * FROM sel{t - 1}
+               UNION ALL SELECT query_id, vec_id FROM p{t})""")
+    finals = "\n      UNION ALL ".join(
+        f"SELECT * FROM p{t}" for t in range(1, k + 1)
+    )
+    parts.append(f"""
+    SELECT query_id, vec_id, pick, mmr_r FROM ({finals})""")
+    return "".join(parts)
+
+
+@register("embedding_mmr_rerank", oracle=_mmr_oracle(5, 20, 5, 0.7))
+def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware serving re-rank: Maximal Marginal Relevance over
+    each query's exact top-20 — pick 1 is the most relevant, each later
+    pick maximizes 0.7*relevance − 0.3*max-similarity-to-picked — the
+    pass a RAG stack runs so a context window isn't five paraphrases of
+    one document. GREEDY SELECTION VALUE-CHECKED: the oracle unrolls
+    all five picks (anti-join of already-picked, max-penalty aggregate,
+    per-query argmax with the id tie-break), and the (1−λ) literal is
+    emitted via repr() so both engines compute with the identical
+    IEEE double.
+
+    Scale shape (operators/simsearch.py:mmr_rerank /
+    candidate_pair_sims): everything downstream of the ANN runs on the
+    |Q|·k candidate frame and its |Q|·k² pairwise-sim frame —
+    serving-sized; per-step lineage is localCheckpoint-truncated (the
+    Viterbi lesson)."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        brute_force_topk,
+        candidate_pair_sims,
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    cands = brute_force_topk(emb, queries, k=20).select(
+        "query_id", "vec_id", F.col("cosine_r").alias("rel_r")
+    ).localCheckpoint(eager=True)
+    sims = candidate_pair_sims(cands, emb).localCheckpoint(eager=True)
+    return mmr_rerank(cands, sims, k=5, lam=0.7)
+
+
 @register(
     "streaming_kmeans_assign",
     oracle="WITH "

@@ -1308,3 +1308,120 @@ def bitext_margin_pairs(
             & (F.col("margin_r") >= min_margin)
         )
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results per query trading relevance against
+    redundancy — pick 1 is the most relevant candidate; pick t
+    maximizes round(lam*rel − (1−lam)*max_sim_to_already_picked, 6)
+    (ties: smaller id) — the diversity pass a RAG serving stack runs so
+    the context window isn't five paraphrases of one document.
+
+    ``cands``: (query_id, vec_id, rel_r) k-bounded per query;
+    ``sims``: (query_id, a, b, sim_r) pairwise candidate similarities
+    (directed — supply both directions). Returns (query_id, vec_id,
+    pick, mmr_r); pick 1 reports its relevance as mmr_r.
+
+    Scale shape: everything operates on the |Q| x k candidate frame and
+    its |Q| x k^2 pairwise-sim frame — serving-sized, never corpus-
+    sized; each greedy step is one anti-join + one max-aggregate + one
+    per-query argmax, with per-step lineage truncated (the Viterbi
+    lesson: cache() alone leaves a k-deep nested plan)."""
+    from bigdata_capstone_spark.operators.relational import grouped_top_k
+
+    first = grouped_top_k(
+        cands, ["query_id"], [F.desc("rel_r"), F.col("vec_id")], 1,
+        rank_col="__rn",
+    ).select(
+        "query_id",
+        "vec_id",
+        F.lit(1).alias("pick"),
+        F.col("rel_r").alias("mmr_r"),
+    )
+    selected = first.localCheckpoint(eager=True)
+    for t in range(2, k + 1):
+        rem = cands.join(
+            selected.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "left_anti",
+        )
+        pen = (
+            rem.join(
+                sims.select(
+                    "query_id",
+                    F.col("a").alias("vec_id"),
+                    F.col("b").alias("__sel"),
+                    "sim_r",
+                ),
+                ["query_id", "vec_id"],
+            )
+            .join(
+                selected.select(
+                    "query_id", F.col("vec_id").alias("__sel")
+                ),
+                ["query_id", "__sel"],
+            )
+            .groupBy("query_id", "vec_id", "rel_r")
+            .agg(F.max("sim_r").alias("__maxsim"))
+        )
+        scored = pen.select(
+            "query_id",
+            "vec_id",
+            F.round(
+                lam * F.col("rel_r") - (1.0 - lam) * F.col("__maxsim"), 6
+            ).alias("__mmr"),
+        )
+        pick = grouped_top_k(
+            scored, ["query_id"], [F.desc("__mmr"), F.col("vec_id")], 1,
+            rank_col="__rn",
+        ).select(
+            "query_id",
+            "vec_id",
+            F.lit(t).alias("pick"),
+            F.col("__mmr").alias("mmr_r"),
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected
+
+
+def candidate_pair_sims(
+    cands: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, a, b, sim_r) pairwise 6-dp cosines between a query's
+    candidates (both directions, a <> b) — the redundancy input MMR
+    consumes. |Q| x k^2 rows; vectors join in once per side."""
+    va = corpus.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("__va")
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        cands.select("query_id", F.col(id_col).alias("a"))
+        .join(
+            cands.select("query_id", F.col(id_col).alias("b")),
+            "query_id",
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    return (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(
+                cosine_similarity_col(F.col("__va"), F.col("__vb")), 6
+            ).alias("sim_r"),
+        )
+    )

@@ -1412,3 +1412,31 @@ def test_kmeans_partial_update_shard_split_independence(spark):
         ).collect()
     }
     assert merged == single
+
+
+def test_mmr_rerank_diversity_beats_pure_relevance(spark):
+    """Hand-built panel: candidates b,c are near-duplicates with the
+    top relevance; MMR must pick one of them first, then prefer the
+    less relevant but DIVERSE d over the redundant twin."""
+    from bigdata_capstone_spark.operators.simsearch import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.89), (1, 12, 0.5)],
+        "query_id INT, vec_id INT, rel_r DOUBLE",
+    )
+    # 10 and 11 nearly identical; 12 orthogonal to both
+    sims_rows = []
+    for a, b, s in [(10, 11, 0.99), (10, 12, 0.0), (11, 12, 0.0)]:
+        sims_rows += [(1, a, b, s), (1, b, a, s)]
+    sims = spark.createDataFrame(
+        sims_rows, "query_id INT, a INT, b INT, sim_r DOUBLE"
+    )
+    out = {r["pick"]: r for r in
+           mmr_rerank(cands, sims, k=3, lam=0.7).collect()}
+    assert out[1]["vec_id"] == 10 and out[1]["mmr_r"] == 0.9
+    # pick 2: 11 scores .7*.89-.3*.99=.326; 12 scores .7*.5-0=.35 -> 12
+    assert out[2]["vec_id"] == 12
+    assert out[2]["mmr_r"] == round(0.7 * 0.5 - (1.0 - 0.7) * 0.0, 6)
+    assert out[3]["vec_id"] == 11
+    # picks are distinct per query
+    assert len({r["vec_id"] for r in out.values()}) == 3
