@@ -5160,3 +5160,106 @@ def unigram_viterbi_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viterbi_segment_words(
         words, vocab, max_piece_len=4, max_word_len=8
     )
+
+
+@register(
+    "bm25_prf_expansion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+      GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS dfc
+              FROM tf GROUP BY token),
+    stop AS MATERIALIZED (
+      SELECT token FROM dfreq ORDER BY dfc DESC, token LIMIT 50
+    ),
+    qdocs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5),
+    qterms AS MATERIALIZED (
+      SELECT tf.doc_id AS query_doc, tf.token
+      FROM tf JOIN qdocs USING (doc_id)
+      WHERE tf.token NOT IN (SELECT token FROM stop)
+    ),
+    scored AS (
+      SELECT q.query_doc, p.doc_id,
+             round(ln(1.0 + (s.n_docs - d.dfc + 0.5) / (d.dfc + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (0.25 + 0.75 * l.dl
+                        / (s.total_len * 1.0 / s.n_docs))), 6) AS s
+      FROM tf p
+      JOIN qterms q ON p.token = q.token
+      JOIN dfreq d ON d.token = p.token
+      JOIN dl l ON l.doc_id = p.doc_id
+      CROSS JOIN stats s
+      WHERE p.doc_id <> q.query_doc
+    ),
+    pp AS (
+      SELECT query_doc, doc_id,
+             sum(round(s * 1000000)::BIGINT) / 1000000.0 AS bm25_r
+      FROM scored GROUP BY query_doc, doc_id
+    ),
+    fb AS MATERIALIZED (
+      SELECT query_doc, doc_id FROM (
+        SELECT pp.*, row_number() OVER (
+                 PARTITION BY query_doc ORDER BY bm25_r DESC, doc_id) AS rk
+        FROM pp
+      ) WHERE rk <= 5
+    ),
+    allq AS (
+      SELECT tf.doc_id AS query_doc, tf.token
+      FROM tf JOIN qdocs USING (doc_id)
+    ),
+    mined AS (
+      SELECT f.query_doc, p.token, sum(p.tf)::BIGINT AS fb_tf
+      FROM tf p
+      JOIN fb f ON f.doc_id = p.doc_id
+      WHERE p.token NOT IN (SELECT token FROM stop)
+        AND NOT EXISTS (SELECT 1 FROM allq q
+                        WHERE q.query_doc = f.query_doc
+                          AND q.token = p.token)
+      GROUP BY f.query_doc, p.token
+    )
+    SELECT query_doc, token, fb_tf, expansion_rank FROM (
+      SELECT *, (row_number() OVER (PARTITION BY query_doc
+                   ORDER BY fb_tf DESC, token))::INT AS expansion_rank
+      FROM mined
+    ) WHERE expansion_rank <= 5
+    """,
+)
+def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM1-lite / Rocchio):
+    each query's BM25 top-5 acts as the feedback set, and the 5
+    strongest NEW terms (summed tf across feedback docs; stopwords and
+    the query's own vocabulary excluded) become the expansion — the
+    recall lever classical IR stacks pull before a second retrieval
+    pass. The oracle replays the whole chain: postings, idf, the
+    feedback retrieval, both exclusion sets, the mining aggregate, and
+    the ranked cut.
+
+    Note the exclusion asymmetry, deliberately pinned: the ORIGINAL
+    query-term exclusion uses the query's FULL vocabulary (including
+    its stopwords — an expansion must not resurface a term the query
+    already had in any form), while retrieval's qterms drop stopwords
+    first.
+
+    Scale shape (operators/retrieval.py:prf_expansion_terms): one
+    cached postings pass feeds everything; the feedback set is |Q| x 5
+    doc ids broadcast onto postings, so mining touches only those
+    documents' rows."""
+    from bigdata_capstone_spark.operators.retrieval import (
+        prf_expansion_terms,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return prf_expansion_terms(
+        docs, n_queries=5, fb_k=5, n_terms=5, stop_df_top=50
+    )

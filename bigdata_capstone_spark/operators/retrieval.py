@@ -258,3 +258,57 @@ def rrf_fuse(
         merged, ["query_doc"], [F.desc("rrf_r"), F.col("doc_id")], k,
         rank_col="fused_rk",
     ).withColumn("fused_rk", F.col("fused_rk").cast("int"))
+
+
+def prf_expansion_terms(
+    docs: DataFrame,
+    n_queries: int = 5,
+    fb_k: int = 5,
+    n_terms: int = 5,
+    stop_df_top: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM1-lite, the Rocchio/
+    relevance-model recipe): retrieve each query's BM25 top-``fb_k``,
+    then mine the ``n_terms`` strongest expansion terms from those
+    feedback documents — term weight = summed tf across the feedback
+    set, stopwords (top-``stop_df_top`` df) and the query's own terms
+    excluded, ties on the token. The re-query step is then one more
+    BM25 pass with the expanded term set; the mining is the part with
+    new semantics, so it is what this operator (and its oracle) pins.
+
+    Returns (query_doc, token, fb_tf, expansion_rank). Scale shape: one
+    cached postings pass feeds retrieval, the stopword cut, query
+    terms, and the feedback-term mining; the feedback set is
+    |Q| x fb_k doc ids (broadcast), so mining touches only their
+    postings rows."""
+    post = postings_table(docs, text_col).cache()
+    fb = bm25_topk(
+        docs, n_queries=n_queries, k=fb_k, stop_df_top=stop_df_top,
+        text_col=text_col,
+    ).select("query_doc", "doc_id")
+    dfreq = post.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("dfc")
+    )
+    stop = (
+        dfreq.orderBy(F.desc("dfc"), "token")
+        .limit(stop_df_top)
+        .select("token")
+    )
+    qdocs = docs.select("doc_id").orderBy("doc_id").limit(n_queries)
+    qterms = post.join(F.broadcast(qdocs), "doc_id").select(
+        F.col("doc_id").alias("query_doc"), "token"
+    )
+    mined = (
+        post.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(stop), "token", "left_anti")
+        .join(F.broadcast(qterms), ["query_doc", "token"], "left_anti")
+        .groupBy("query_doc", "token")
+        .agg(F.sum("tf").cast("long").alias("fb_tf"))
+    )
+    from bigdata_capstone_spark.operators.relational import grouped_top_k
+
+    return grouped_top_k(
+        mined, ["query_doc"], [F.desc("fb_tf"), F.col("token")], n_terms,
+        rank_col="expansion_rank",
+    ).withColumn("expansion_rank", F.col("expansion_rank").cast("int"))

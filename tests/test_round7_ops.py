@@ -1440,3 +1440,41 @@ def test_mmr_rerank_diversity_beats_pure_relevance(spark):
     assert out[3]["vec_id"] == 11
     # picks are distinct per query
     assert len({r["vec_id"] for r in out.values()}) == 3
+
+
+def test_prf_expansion_excludes_query_vocab_and_stopwords(spark):
+    """Expansion terms must contain no stopword, no term the query
+    document already contains (in ANY form), and be ranked by summed
+    feedback tf with the token tie-break."""
+    from bigdata_capstone_spark.operators.retrieval import (
+        postings_table,
+        prf_expansion_terms,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = prf_expansion_terms(
+        docs, n_queries=3, fb_k=5, n_terms=5, stop_df_top=20
+    ).collect()
+    assert out, "expansion must produce terms on the fixture corpus"
+
+    post = postings_table(docs)
+    dfreq = post.groupBy("token").count().orderBy(
+        F.desc("count"), "token"
+    )
+    stops = {r["token"] for r in dfreq.limit(20).collect()}
+    qvocab = {
+        (r["doc_id"], r["token"])
+        for r in post.filter(F.col("doc_id") < 3).collect()
+    }
+    for r in out:
+        assert r["token"] not in stops
+        assert (r["query_doc"], r["token"]) not in qvocab
+        assert 1 <= r["expansion_rank"] <= 5
+    # ranks strictly ordered by (fb_tf desc, token) within a query
+    from itertools import groupby
+
+    rows = sorted(out, key=lambda r: (r["query_doc"], r["expansion_rank"]))
+    for _, grp in groupby(rows, key=lambda r: r["query_doc"]):
+        grp = list(grp)
+        keys = [(-r["fb_tf"], r["token"]) for r in grp]
+        assert keys == sorted(keys)
