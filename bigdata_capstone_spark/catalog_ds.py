@@ -2612,3 +2612,64 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_overestimate_r"),
     )
+
+
+@register(
+    "event_drift_ks",
+    oracle="""
+    WITH cont AS (
+      SELECT floor(value / 2.0)::BIGINT AS bin,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+               AS ca,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+               AS cb
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin,
+             sum(ca) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(cb) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+             sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+      FROM cont
+    ),
+    diff AS (
+      SELECT bin, n_a, n_b,
+             abs(cum_a * n_b - cum_b * n_a) AS d
+      FROM cum
+    )
+    SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           round(d * 1.0 / (n_a * n_b), 6) AS ks_d_r,
+           round((bin + 1) * 2.0, 6) AS at_upper_r
+    FROM (SELECT *, row_number() OVER (ORDER BY d DESC, bin) AS rn
+          FROM diff)
+    WHERE rn = 1
+    """,
+)
+def event_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift of the event value
+    distribution between the month's two halves — the third drift lens
+    beside PSI (per-bin mass ratios) and the embedding centroid cosine
+    (semantic direction): KS reports the WORST single point of
+    cumulative divergence, the alarm that fires on a shifted tail even
+    when most bins' ratios stay calm. Exact integer decision throughout
+    (BIGINT cross-multiplied CDFs, integer argmax with the smallest-bin
+    tie-break, one final division), so the oracle replays the
+    contingency, both cumulative sums, and the supremum bit-for-bit.
+
+    Scale shape (operators/drift.py:ks_statistic): one scan tags
+    (period, bin); the |bins|x2 contingency merges across shards
+    (counts add — a streaming ingest maintains it like the PSI state);
+    the cumulative window runs over the bin-sized frame under a
+    constant partition key."""
+    from bigdata_capstone_spark.operators.drift import ks_statistic
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ks_statistic(
+        ev,
+        period_col=F.col("ts") >= F.to_timestamp(F.lit("2024-01-16")),
+        value_col=F.col("value"),
+        bin_width=2.0,
+    )

@@ -21,7 +21,7 @@ standard transcendental discipline — see functions/portable.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -190,4 +190,89 @@ def embedding_centroid_drift(
         F.round(
             cosine_similarity_col(F.col("__ca"), F.col("__cb")), 6
         ).alias("centroid_cos_r"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    period_col: Column,
+    value_col: Column,
+    bin_width: float,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the rows where
+    ``period_col`` is false (sample A) and true (sample B), computed
+    from the same mergeable fixed-width histogram the PSI monitor uses
+    — the third drift lens (PSI sees per-bin mass ratios, the centroid
+    cosine sees semantic direction, KS sees the WORST single point of
+    cumulative-distribution divergence, the right alarm for a shifted
+    tail that leaves most bins' ratios calm).
+
+    D = max over bin edges of |CDF_A − CDF_B|, evaluated exactly: the
+    running counts cross-multiply in BIGINT (|cum_a·n_b − cum_b·n_a|),
+    the max and its arg (tie: smallest bin) are integer decisions, and
+    the single division to [0, 1] happens once on the final row.
+    Returns (n_a, n_b, ks_d_r, at_upper_r) — at_upper_r is the bin
+    upper edge where the supremum is attained.
+
+    Scale shape: ONE scan tags (period, bin); a map-side-combined
+    groupBy yields the |bins|x2 contingency (mergeable across shards —
+    counts add, so a streaming ingest maintains it like the PSI
+    state); the cumulative window runs over the bin-sized frame under
+    a constant partition key (the sanctioned global-window route)."""
+    binned = df.select(
+        F.when(period_col, F.lit("b")).otherwise(F.lit("a")).alias("__p"),
+        F.floor(value_col / F.lit(bin_width)).cast("long").alias("bin"),
+    )
+    cont = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("__p") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("__p") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    # the constant scope column must pre-exist the window select (a
+    # lateral alias cannot feed a window's partition spec)
+    cont = cont.withColumn("__s", F.lit("all"))
+    w_cum = (
+        Window.partitionBy("__s")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cont.select(
+        "__s",
+        "bin",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+    ).select(
+        "__s",
+        "bin",
+        "cum_a",
+        "cum_b",
+        F.max("cum_a").over(w_tot).alias("n_a"),
+        F.max("cum_b").over(w_tot).alias("n_b"),
+    )
+    diff = cum.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("__d"),
+    )
+    from bigdata_capstone_spark.operators.relational import grouped_top_k
+
+    best = grouped_top_k(
+        diff.withColumn("__one", F.lit(1)),
+        ["__one"],
+        [F.desc("__d"), F.col("bin")],
+        1,
+        rank_col="__rn",
+    )
+    return best.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("__d") / (F.col("n_a") * F.col("n_b")), 6).alias(
+            "ks_d_r"
+        ),
+        F.round((F.col("bin") + 1) * bin_width, 6).alias("at_upper_r"),
     )

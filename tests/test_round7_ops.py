@@ -1478,3 +1478,35 @@ def test_prf_expansion_excludes_query_vocab_and_stopwords(spark):
         grp = list(grp)
         keys = [(-r["fb_tf"], r["token"]) for r in grp]
         assert keys == sorted(keys)
+
+
+def test_ks_statistic_known_distributions(spark):
+    """Identical samples give D = 0; disjoint ranges give D = 1 at the
+    boundary; a known half-shift gives the exact hand-computed D."""
+    from bigdata_capstone_spark.operators.drift import ks_statistic
+
+    def frame(vals_a, vals_b):
+        rows = [(float(v), False) for v in vals_a] + [
+            (float(v), True) for v in vals_b
+        ]
+        return spark.createDataFrame(rows, "value DOUBLE, is_b BOOLEAN")
+
+    same = ks_statistic(
+        frame([1, 2, 3, 4], [1, 2, 3, 4]),
+        F.col("is_b"), F.col("value"), 1.0,
+    ).collect()[0]
+    assert same["ks_d_r"] == 0.0
+
+    disjoint = ks_statistic(
+        frame([1, 2], [10, 11]), F.col("is_b"), F.col("value"), 1.0
+    ).collect()[0]
+    assert disjoint["ks_d_r"] == 1.0
+    assert disjoint["at_upper_r"] == 3.0  # sup attained at A's last bin
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: sup |CDF_A - CDF_B| = 1/2 at x<=2
+    shift = ks_statistic(
+        frame([1, 2, 3, 4], [3, 4, 5, 6]),
+        F.col("is_b"), F.col("value"), 1.0,
+    ).collect()[0]
+    assert shift["ks_d_r"] == 0.5
+    assert shift["n_a"] == 4 and shift["n_b"] == 4
