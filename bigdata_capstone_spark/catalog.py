@@ -4859,7 +4859,17 @@ def _mmr_oracle(n_q: int = 5, kc: int = 20, k: int = 5,
       JOIN e ea ON ea.vec_id = ca.vec_id
       JOIN e eb ON eb.vec_id = cb.vec_id,
       LATERAL (SELECT ea.v AS va, eb.v AS vb) vv
-    ),
+    )"""]
+    parts.append(_mmr_steps_sql(k, lam, pen))
+    return "".join(parts)
+
+
+def _mmr_steps_sql(k: int, lam: float, pen: str) -> str:
+    """The unrolled greedy MMR steps, parameterized over pre-existing
+    ``cands`` (query_id, vec_id, rel_r) and ``sims`` (query_id, a, b,
+    sim_r) CTEs — shared by the standalone MMR oracle and the serving-
+    pipeline oracle so the selection logic cannot desync."""
+    parts = [f""",
     p1 AS (
       SELECT query_id, vec_id, 1 AS pick, rel_r AS mmr_r FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4897,6 +4907,91 @@ def _mmr_oracle(n_q: int = 5, kc: int = 20, k: int = 5,
     parts.append(f"""
     SELECT query_id, vec_id, pick, mmr_r FROM ({finals})""")
     return "".join(parts)
+
+
+def _rag_pipeline_oracle(k: int = 5, lam: float = 0.7) -> str:
+    """End-to-end serving replay: the shared hybrid-RRF chain
+    (shared_sql.HYBRID_RRF_CTES) feeds rank-relevance candidates
+    (rel = 1/fused_rk) into the shared unrolled MMR steps
+    (_mmr_steps_sql) — both stage oracles are reused verbatim, so the
+    composite cannot desync from its members."""
+    from bigdata_capstone_spark.shared_sql import HYBRID_RRF_CTES
+
+    cos = (
+        "round(list_sum(list_transform(generate_series(1, len(va)), "
+        "i -> va[i] * vb[i])) / "
+        "(sqrt(list_sum(list_transform(generate_series(1, len(va)), "
+        "i -> va[i] * va[i]))) * "
+        "sqrt(list_sum(list_transform(generate_series(1, len(vb)), "
+        "i -> vb[i] * vb[i])))), 6)"
+    )
+    return (
+        "WITH "
+        + HYBRID_RRF_CTES
+        + f""",
+    cands AS MATERIALIZED (
+      SELECT query_doc AS query_id, doc_id AS vec_id,
+             round(1.0 / fused_rk, 6) AS rel_r
+      FROM rrf_ranked WHERE fused_rk <= 10
+    ),
+    emb_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS MATERIALIZED (
+      SELECT ca.query_id, ca.vec_id AS a, cb.vec_id AS b, {cos} AS sim_r
+      FROM cands ca
+      JOIN cands cb ON cb.query_id = ca.query_id
+                   AND cb.vec_id <> ca.vec_id
+      JOIN emb_e ea ON ea.vec_id = ca.vec_id
+      JOIN emb_e eb ON eb.vec_id = cb.vec_id,
+      LATERAL (SELECT ea.v AS va, eb.v AS vb) vv
+    )"""
+        + _mmr_steps_sql(k, lam, repr(1.0 - lam))
+    )
+
+
+@register("rag_serving_pipeline", oracle=_rag_pipeline_oracle(5, 0.7))
+def rag_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval SERVING path in one value-checked query —
+    the serving-side sibling of `docs_curation_pipeline`: BM25 top-20
+    and dense top-20 fuse by reciprocal rank (RRF), the fused top-10
+    become MMR candidates with RANK-based relevance (rel = 1/fused_rk,
+    which puts relevance on the same scale as the cosine penalty —
+    fusing raw RRF scores with cosine penalties would let diversity
+    drown relevance), and greedy MMR picks the final 5 per query. The
+    oracle composes the two SHARED stage chains (HYBRID_RRF_CTES +
+    _mmr_steps_sql) so the composite and its member entries cannot
+    drift apart.
+
+    Scale shape: the corpus-sized work is the two audited retrieval
+    plans; fusion, rank-relevance, pairwise sims, and all greedy picks
+    run on |Q| x k serving-sized frames."""
+    from bigdata_capstone_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from bigdata_capstone_spark.operators.simsearch import (
+        brute_force_topk,
+        candidate_pair_sims,
+        mmr_rerank,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    lex = bm25_topk(docs, n_queries=5, k=20, stop_df_top=50).select(
+        "query_doc", "doc_id", F.col("rk").alias("lex_rk")
+    )
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=20
+    ).select(
+        F.col("query_id").alias("query_doc"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("dense_rk"),
+    )
+    fused = rrf_fuse(lex, dense, k=10, c=60)
+    cands = fused.select(
+        F.col("query_doc").alias("query_id"),
+        F.col("doc_id").alias("vec_id"),
+        F.round(1.0 / F.col("fused_rk"), 6).alias("rel_r"),
+    ).localCheckpoint(eager=True)
+    sims = candidate_pair_sims(cands, emb).localCheckpoint(eager=True)
+    return mmr_rerank(cands, sims, k=5, lam=0.7)
 
 
 @register("embedding_mmr_rerank", oracle=_mmr_oracle(5, 20, 5, 0.7))

@@ -37,6 +37,7 @@ from bigdata_capstone_spark.operators.relational import fan_out
 from bigdata_capstone_spark.session import ensure_utc
 from bigdata_capstone_spark.shared_sql import (
     DSIR_CTES,
+    HYBRID_RRF_CTES,
     NB_MARGIN_CTES,
     UNIGRAM_LP_CTES,
 )
@@ -4639,92 +4640,9 @@ def small_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hybrid_retrieval_rrf",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-                                 x -> x <> '') AS t
-      FROM documents
-    ),
-    tf AS (
-      SELECT doc_id, token, count(*) AS tf
-      FROM (SELECT doc_id, unnest(t) AS token FROM toks)
-      GROUP BY doc_id, token
-    ),
-    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
-    dfreq AS (SELECT token, count(DISTINCT doc_id) AS dfc
-              FROM tf GROUP BY token),
-    stop AS (SELECT token FROM dfreq ORDER BY dfc DESC, token LIMIT 50),
-    qdocs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5),
-    qterms AS (
-      SELECT tf.doc_id AS query_doc, tf.token
-      FROM tf JOIN qdocs USING (doc_id)
-      WHERE tf.token NOT IN (SELECT token FROM stop)
-    ),
-    scored AS (
-      SELECT q.query_doc, p.doc_id,
-             round(ln(1.0 + (s.n_docs - d.dfc + 0.5) / (d.dfc + 0.5))
-                   * (p.tf * (1.2 + 1.0))
-                   / (p.tf + 1.2 * (0.25 + 0.75 * l.dl
-                        / (s.total_len * 1.0 / s.n_docs))), 6) AS s
-      FROM tf p
-      JOIN qterms q ON p.token = q.token
-      JOIN dfreq d ON d.token = p.token
-      JOIN dl l ON l.doc_id = p.doc_id
-      CROSS JOIN stats s
-      WHERE p.doc_id <> q.query_doc
-    ),
-    pp AS (
-      SELECT query_doc, doc_id,
-             sum(round(s * 1000000)::BIGINT) / 1000000.0 AS bm25_r
-      FROM scored GROUP BY query_doc, doc_id
-    ),
-    lex AS (
-      SELECT query_doc, doc_id, rk FROM (
-        SELECT pp.*, (row_number() OVER (
-                 PARTITION BY query_doc ORDER BY bm25_r DESC, doc_id))::INT
-                 AS rk
-        FROM pp
-      ) WHERE rk <= 20
-    ),
-    q AS (SELECT vec_id AS qid, embedding AS qv
-          FROM embeddings WHERE vec_id < 5),
-    dscored AS (
-      SELECT q.qid AS query_doc, c.vec_id AS doc_id,
-             round(
-               list_sum(list_transform(generate_series(1, len(q.qv)),
-                        i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
-               / (sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
-                        i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
-                * sqrt(list_sum(list_transform(
-                        generate_series(1, len(c.embedding)),
-                        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))),
-               6) AS cosine_r
-      FROM q CROSS JOIN embeddings c
-      WHERE q.qid <> c.vec_id
-    ),
-    dense AS (
-      SELECT query_doc, doc_id, rk FROM (
-        SELECT *, (row_number() OVER (PARTITION BY query_doc
-                     ORDER BY cosine_r DESC, doc_id))::INT AS rk
-        FROM dscored
-      ) WHERE rk <= 20
-    ),
-    fused AS (
-      SELECT coalesce(l.query_doc, d.query_doc) AS query_doc,
-             coalesce(l.doc_id, d.doc_id) AS doc_id,
-             coalesce(l.rk, 0)::INT AS lex_rk,
-             coalesce(d.rk, 0)::INT AS dense_rk,
-             round(coalesce(1.0 / (l.rk + 60), 0.0)
-                   + coalesce(1.0 / (d.rk + 60), 0.0), 6) AS rrf_r
-      FROM lex l FULL OUTER JOIN dense d
-        ON l.query_doc = d.query_doc AND l.doc_id = d.doc_id
-    )
-    SELECT query_doc, doc_id, lex_rk, dense_rk, rrf_r, fused_rk FROM (
-      SELECT *, (row_number() OVER (PARTITION BY query_doc
-                   ORDER BY rrf_r DESC, doc_id))::INT AS fused_rk
-      FROM fused
-    ) WHERE fused_rk <= 10
+    oracle="WITH " + HYBRID_RRF_CTES + """
+    SELECT query_doc, doc_id, lex_rk, dense_rk, rrf_r, fused_rk
+    FROM rrf_ranked WHERE fused_rk <= 10
     """,
 )
 def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
