@@ -112,6 +112,17 @@ HEADLINE = [
     "bitext_mining_pairs",         # cross-lingual ANN + margin criterion
     "file_overlap_depth",          # key-range overlap sweep (metadata)
     "unigram_viterbi_segments",    # Viterbi DP over distinct words
+    "embedding_mmr_rerank",        # greedy MMR diversity re-rank
+    "bm25_prf_expansion",          # RM1-lite feedback-term mining
+    "selection_model_comparison",  # NB vs LR AUC, both chains
+    "rag_serving_pipeline",        # hybrid RRF -> rank-relevance MMR
+    "event_drift_ks",              # KS supremum from mergeable bins
+    "join_size_estimate_cms",      # AMS/CMS inner-product cardinality
+    "embedding_source_drift",      # per-source centroid cosine drift
+    "zone_map_pruning_stats",      # data-skipping measured, 2 layouts
+    "multimodal_audio_segments",   # VAD islands over decoded windows
+    "audience_overlap_hll",        # HLL inclusion-exclusion overlap
+    "kmeans_shard_update_merge",   # mergeable Lloyd-update partials
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round
