@@ -3652,6 +3652,58 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("idA", "idB", F.round("jaccard", 6).alias("jaccard_r"))
 
 
+def _lsh_precision_oracle() -> str:
+    """The SAME chain as dedup_minhash_lsh_pairs' oracle (cut at its
+    final SELECT — banding, hot-bucket cap, candidate join, exact
+    verify are byte-identical), finished with the two counts and their
+    ratio instead of the pair list."""
+    base = _minhash_lsh_pairs_oracle(8, 4, 0.35, max_bucket_size=100)
+    marker = "    SELECT idA, idB,"
+    chain = base[: base.index(marker)].rstrip()
+    assert chain.endswith(")")
+    return chain + """,
+    nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cands),
+    nv AS (
+      SELECT count(*)::BIGINT AS n_verified
+      FROM common
+      WHERE n_common * 1.0 / (nA + nB - n_common) >= 0.35
+    )
+    SELECT n_candidates, n_verified,
+           round(n_verified * 1.0 / n_candidates, 6) AS precision_r
+    FROM nc CROSS JOIN nv
+    """
+
+
+@register("dedup_lsh_candidate_precision", oracle=_lsh_precision_oracle())
+def dedup_lsh_candidate_precision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INDEX OBSERVABILITY for the production LSH config (8 perms, 4
+    bands, cap 100, threshold 0.35): the fraction of banding-stage
+    candidate pairs that survive the exact-Jaccard verify — the
+    precision side of the bands/rows dial (recall is gated by the
+    planted-twin tests). Low precision means the verify join pays for
+    pairs the banding should have rejected; this is the number an index
+    operator reads before re-banding a 100 TB corpus, and it costs one
+    extra 1-row crossJoin on top of the dedup run it audits. The oracle
+    is the SAME chain as `dedup_minhash_lsh_pairs` cut before its final
+    SELECT, so the measured pipeline and the measured metric cannot
+    diverge.
+
+    Scale shape (operators/dedup.py:lsh_candidate_precision): shares
+    the cached shingle frame across signatures, sizes, and both verify
+    sides; both counts are frame aggregates (no driver actions)."""
+    from bigdata_capstone_spark.operators.dedup import (
+        lsh_candidate_precision,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_precision(
+        docs, n_perm=8, bands=4, shingle_n=3, min_jaccard=0.35,
+        max_bucket_size=100,
+    )
+
+
 _XC_PRF = "(('0x' || substr(md5('xc:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10)"
 
 

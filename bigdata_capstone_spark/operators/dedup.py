@@ -1046,3 +1046,60 @@ def excise_repeated_spans(
         ),
         F.md5(F.concat_ws(" ", kept)).alias("clean_hash"),
     )
+
+
+def lsh_candidate_precision(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.7,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Index observability for the MinHash-LSH config: how much of the
+    banding stage's candidate volume survives the exact-Jaccard verify —
+    the precision side of the bands/rows dial (the recall side is the
+    planted-twin recall gate in tests). Low precision means the verify
+    join is paying for pairs the banding should have rejected (too few
+    rows per band); tuning bands trades this against recall. This is
+    the number an index operator watches before re-banding a 100 TB
+    corpus, computed for the price of the dedup run itself.
+
+    Returns one row: (n_candidates, n_verified, precision_r). Shares
+    the cached shingle frame across signatures, sizes, and both verify
+    sides exactly like the production pipeline; the two counts are
+    frame aggregates combined by a 1-row crossJoin (no driver
+    actions)."""
+    sh = exploded_shingles(df, text_col, id_col, shingle_n).cache()
+    sigs = _signatures_from_shingles(sh, id_col, n_perm)
+    cands = lsh_candidate_pairs(
+        sigs, n_perm, bands, id_col, max_bucket_size
+    ).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.join(sizes, on=id_col).select(
+        F.col(id_col).alias("idA"), F.col("sh"), F.col("n").alias("nA")
+    )
+    b = sh.join(sizes, on=id_col).select(
+        F.col(id_col).alias("idB"), F.col("sh"), F.col("n").alias("nB")
+    )
+    common = (
+        cands.join(a, on="idA")
+        .join(b, on=["idB", "sh"])
+        .groupBy("idA", "idB", "nA", "nB")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    verified = common.filter(
+        F.col("common") / (F.col("nA") + F.col("nB") - F.col("common"))
+        >= min_jaccard
+    )
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nv = verified.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+    return nc.crossJoin(nv).select(
+        "n_candidates",
+        "n_verified",
+        F.round(F.col("n_verified") / F.col("n_candidates"), 6).alias(
+            "precision_r"
+        ),
+    )

@@ -1510,3 +1510,34 @@ def test_ks_statistic_known_distributions(spark):
     ).collect()[0]
     assert shift["ks_d_r"] == 0.5
     assert shift["n_a"] == 4 and shift["n_b"] == 4
+
+
+def test_lsh_candidate_precision_planted_corpus(spark):
+    """Planted twins + noise: precision must equal verified/candidates
+    exactly, verified <= candidates, and a corpus of exact twins gives
+    precision 1.0 (every candidate verifies)."""
+    from bigdata_capstone_spark.operators.dedup import (
+        lsh_candidate_precision,
+    )
+
+    twins = []
+    for i in range(6):
+        text = " ".join(f"tok{i}w{j}" for j in range(12))
+        twins += [(2 * i, text), (2 * i + 1, text)]
+    docs = spark.createDataFrame(twins, "doc_id LONG, text STRING")
+    r = lsh_candidate_precision(
+        docs, n_perm=8, bands=4, min_jaccard=0.9, max_bucket_size=100
+    ).collect()[0]
+    assert r["n_candidates"] == 6  # one pair per twin, no cross-pairs
+    assert r["n_verified"] == 6
+    assert r["precision_r"] == 1.0
+
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r2 = lsh_candidate_precision(
+        real, n_perm=8, bands=4, min_jaccard=0.35, max_bucket_size=100
+    ).collect()[0]
+    assert 0 <= r2["n_verified"] <= r2["n_candidates"]
+    if r2["n_candidates"]:
+        assert r2["precision_r"] == round(
+            r2["n_verified"] / r2["n_candidates"], 6
+        )
