@@ -3704,6 +3704,70 @@ def dedup_lsh_candidate_precision(
     )
 
 
+def _lsh_recall_oracle() -> str:
+    """The pairs chain (cut before its final SELECT) plus the exact
+    all-co-occurring-pairs ground truth over the SAME shingle CTE,
+    finished with hit/truth counts."""
+    base = _minhash_lsh_pairs_oracle(8, 4, 0.35, max_bucket_size=100)
+    marker = "    SELECT idA, idB,"
+    chain = base[: base.index(marker)].rstrip()
+    assert chain.endswith(")")
+    return chain + """,
+    lshp AS (
+      SELECT idA, idB FROM common
+      WHERE n_common * 1.0 / (nA + nB - n_common) >= 0.35
+    ),
+    tcommon AS (
+      SELECT a.doc_id AS idA, b.doc_id AS idB,
+             max(sa.n) AS nA, max(sb.n) AS nB, count(*) AS n_common
+      FROM sh a
+      JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT idA, idB FROM tcommon
+      WHERE n_common * 1.0 / (nA + nB - n_common) >= 0.35
+    ),
+    nt AS (SELECT count(*)::BIGINT AS n_true_pairs FROM truth),
+    nh AS (
+      SELECT count(*)::BIGINT AS n_hits
+      FROM truth t JOIN lshp l
+        ON l.idA = t.idA AND l.idB = t.idB
+    )
+    SELECT n_true_pairs, n_hits,
+           CASE WHEN n_true_pairs > 0
+                THEN round(n_hits * 1.0 / n_true_pairs, 6)
+                ELSE 1.0 END AS recall_r
+    FROM nt CROSS JOIN nh
+    """
+
+
+@register("dedup_lsh_recall", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECALL side of the LSH dial as a registered, oracle-checked
+    metric (pairing `dedup_lsh_candidate_precision` the way
+    `embedding_ann_recall` pairs the ANN ladder): of all TRUE near-dup
+    pairs — exact shingle-Jaccard >= 0.35 over every co-occurring pair
+    — the fraction the banded-and-capped production pipeline surfaces.
+    The oracle shares the pairs chain (cut before its final SELECT) and
+    adds the exact ground truth over the SAME shingle CTE, so index,
+    metric, and truth all derive from one definition.
+
+    Scale note: the ground-truth side is the quadratic co-occurrence
+    join — exact and therefore the expensive path; at 100 TB this runs
+    on a SAMPLED panel (the standard recall-estimation protocol), while
+    the fixture scale affords the full truth set."""
+    from bigdata_capstone_spark.operators.dedup import lsh_pair_recall
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_pair_recall(
+        docs, n_perm=8, bands=4, shingle_n=3, min_jaccard=0.35,
+        max_bucket_size=100,
+    )
+
+
 _XC_PRF = "(('0x' || substr(md5('xc:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10)"
 
 

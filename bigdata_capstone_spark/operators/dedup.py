@@ -1103,3 +1103,79 @@ def lsh_candidate_precision(
             "precision_r"
         ),
     )
+
+
+def lsh_pair_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.7,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """The RECALL side of the LSH dial, as a registered metric beside
+    :func:`lsh_candidate_precision`: of all TRUE near-dup pairs (exact
+    shingle-Jaccard >= threshold over every co-occurring pair), how
+    many does the banded-and-capped pipeline surface? Together the two
+    metrics bracket the bands/rows/cap trade the way
+    `embedding_ann_recall` brackets the ANN ladder.
+
+    Returns one row: (n_true_pairs, n_hits, recall_r). The ground-truth
+    side is the quadratic co-occurrence join — exact, and therefore the
+    expensive path: at 100 TB you run it on a SAMPLED panel (the
+    standard recall-estimation protocol, as the ANN recall row does);
+    registered here at fixture scale where exact is affordable.
+    Shares one cached shingle frame across ground truth, signatures,
+    and both verify sides; counts are frame aggregates (no driver
+    actions)."""
+    sh = exploded_shingles(df, text_col, id_col, shingle_n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.join(sizes, on=id_col).select(
+        F.col(id_col).alias("idA"), F.col("sh"), F.col("n").alias("nA")
+    )
+    b = sh.join(sizes, on=id_col).select(
+        F.col(id_col).alias("idB"), F.col("sh"), F.col("n").alias("nB")
+    )
+    truth = (
+        a.join(b, on="sh")
+        .filter(F.col("idA") < F.col("idB"))
+        .groupBy("idA", "idB", "nA", "nB")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(
+            F.col("common")
+            / (F.col("nA") + F.col("nB") - F.col("common"))
+            >= min_jaccard
+        )
+        .select("idA", "idB")
+    )
+    sigs = _signatures_from_shingles(sh, id_col, n_perm)
+    cands = lsh_candidate_pairs(sigs, n_perm, bands, id_col, max_bucket_size)
+    lsh_pairs = (
+        cands.join(a, on="idA")
+        .join(b, on=["idB", "sh"])
+        .groupBy("idA", "idB", "nA", "nB")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(
+            F.col("common")
+            / (F.col("nA") + F.col("nB") - F.col("common"))
+            >= min_jaccard
+        )
+        .select("idA", "idB")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    nh = (
+        truth.join(lsh_pairs, ["idA", "idB"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return nt.crossJoin(nh).select(
+        "n_true_pairs",
+        "n_hits",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.round(F.col("n_hits") / F.col("n_true_pairs"), 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("recall_r"),
+    )

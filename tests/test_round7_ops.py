@@ -1541,3 +1541,27 @@ def test_lsh_candidate_precision_planted_corpus(spark):
         assert r2["precision_r"] == round(
             r2["n_verified"] / r2["n_candidates"], 6
         )
+
+
+def test_lsh_recall_planted_twins_full_recall(spark):
+    """Exact twins are found by every band, so recall is 1.0; a
+    no-near-dup corpus reports recall 1.0 by the 0/0 convention."""
+    from bigdata_capstone_spark.operators.dedup import lsh_pair_recall
+
+    twins = []
+    for i in range(5):
+        text = " ".join(f"tok{i}w{j}" for j in range(12))
+        twins += [(2 * i, text), (2 * i + 1, text)]
+    docs = spark.createDataFrame(twins, "doc_id LONG, text STRING")
+    r = lsh_pair_recall(
+        docs, n_perm=8, bands=4, min_jaccard=0.9, max_bucket_size=100
+    ).collect()[0]
+    assert r["n_true_pairs"] == 5 and r["n_hits"] == 5
+    assert r["recall_r"] == 1.0
+
+    distinct = spark.createDataFrame(
+        [(i, " ".join(f"u{i}x{j}" for j in range(12))) for i in range(6)],
+        "doc_id LONG, text STRING",
+    )
+    r0 = lsh_pair_recall(distinct, min_jaccard=0.9).collect()[0]
+    assert r0["n_true_pairs"] == 0 and r0["recall_r"] == 1.0
