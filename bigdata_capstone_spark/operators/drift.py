@@ -220,16 +220,24 @@ def ks_statistic(
     state); the cumulative window runs over the bin-sized frame under
     a constant partition key (the sanctioned global-window route)."""
     binned = df.select(
+        F.lit("all").alias("__s"),
         F.when(period_col, F.lit("b")).otherwise(F.lit("a")).alias("__p"),
         F.floor(value_col / F.lit(bin_width)).cast("long").alias("bin"),
     )
-    cont = binned.groupBy("bin").agg(
+    # the scope key joins the GROUP BY so it reaches the windows as an
+    # aggregation-output attribute: a bare withColumn(lit) partition
+    # key gets constant-folded out of the window spec entirely, which
+    # plans the banned unpartitioned WindowExec (plan-shape test.
+    # caught it); a grouping attribute survives. Window width is still
+    # bounded by the bin count either way.
+    # the cache is the same optimizer barrier quantiles_from_bins uses:
+    # without it FoldablePropagation pushes the literal scope THROUGH
+    # the aggregate and still folds the window's partition spec away
+    # (plan-shape test caught both variants). Bin-sized frame — bytes.
+    cont = binned.groupBy("__s", "bin").agg(
         F.sum(F.when(F.col("__p") == "a", 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("__p") == "b", 1).otherwise(0)).alias("cb"),
-    )
-    # the constant scope column must pre-exist the window select (a
-    # lateral alias cannot feed a window's partition spec)
-    cont = cont.withColumn("__s", F.lit("all"))
+    ).cache()
     w_cum = (
         Window.partitionBy("__s")
         .orderBy("bin")
@@ -252,6 +260,7 @@ def ks_statistic(
         F.max("cum_b").over(w_tot).alias("n_b"),
     )
     diff = cum.select(
+        "__s",
         "bin",
         "n_a",
         "n_b",
@@ -262,8 +271,8 @@ def ks_statistic(
     from bigdata_capstone_spark.operators.relational import grouped_top_k
 
     best = grouped_top_k(
-        diff.withColumn("__one", F.lit(1)),
-        ["__one"],
+        diff,
+        ["__s"],
         [F.desc("__d"), F.col("bin")],
         1,
         rank_col="__rn",
