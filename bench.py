@@ -15,12 +15,21 @@ and per-query MEDIANS are reported; each query still runs cold-cache
 not warm-data shortcuts.
 
 Regression gate: the output's ``regressions`` block compares each query's
-median against the newest recorded ``BENCH_r*.json`` at the same sf
-(>25% slower and >0.3s absolute → flagged, with both values), so a round
-that slows a query down is visible in BENCH_r{N}.json itself instead of
-requiring manual cross-round diffing. Flags are informational (exit code
-stays 0): on this box a 30% pass-to-pass swing is documented noise
-(SCALE.md), so a flag means "triage with n=5 quiet-box runs", not "fail".
+median against the newest recorded bench at the same sf (>25% slower and
+>0.3s absolute → flagged, with both values), so a round that slows a query
+down is visible in BENCH_r{N}.json itself instead of requiring manual
+cross-round diffing. Flags are informational (exit code stays 0): on this
+box a 30% pass-to-pass swing is documented noise (SCALE.md), so a flag
+means "triage with n=5 quiet-box runs", not "fail".
+
+Baseline source: the driver's ``BENCH_r{N}.json`` keeps only a bounded
+stdout tail, which truncates the full per-query JSON line (r06/r07 both
+recorded ``parsed: null``) — so the gate was silently baselining against
+the last COMPLETE driver record, two-plus rounds stale. Each run therefore
+also writes its full output to ``BENCH_LOCAL_r{N}.json`` (N = current
+round = newest driver round + 1; first run of a round wins, so the local
+snapshot is the round's ENTRY state), and the gate prefers local
+recordings over driver tails at the same or newer round.
 """
 
 from __future__ import annotations
@@ -177,43 +186,75 @@ def main() -> int:
         file=sys.stderr,
         flush=True,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "runs": n_runs,
-                "regressions": {
-                    "baseline": reg.get("baseline"),
-                    "flagged": sorted(reg.get("flagged", {})),
-                },
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "runs": n_runs,
+        "regressions": {
+            "baseline": reg.get("baseline"),
+            "flagged": sorted(reg.get("flagged", {})),
+        },
+    }
+    _record_local(out, sf)
+    print(json.dumps(out))
     return 0
+
+
+def _round_no(path: str) -> int:
+    # parse the round NUMBER: lexicographic sort breaks at r100 vs r99
+    m = re.search(r"r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def _record_local(out: dict, sf: float | None) -> None:
+    """Write the FULL bench JSON to BENCH_LOCAL_r{N}.json (N = newest
+    driver round + 1 = the round in progress). First run of a round
+    wins — the local snapshot is the round's entry state, so later
+    same-round runs (and next round's gate) baseline against it instead
+    of a truncated driver tail. Skipped at non-default sf (a sf0.01
+    smoke run must not become the sf0.1 baseline) or when
+    SPARK_GRAFT_BENCH_LOCAL=0 (ad-hoc experiments)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_LOCAL", "1") == "0" or sf != 0.1:
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        _round_no(p) for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
+    n = (max(rounds) if rounds else 0) + 1
+    path = os.path.join(here, f"BENCH_LOCAL_r{n}.json")
+    if os.path.exists(path):
+        print(f"# local record exists, keeping: {path}",
+              file=sys.stderr, flush=True)
+        return
+    with open(path, "w") as f:
+        json.dump(out, f)
+    print(f"# recorded {path}", file=sys.stderr, flush=True)
 
 
 def _regressions_vs_prior(
     times: dict[str, float], sf: float | None
 ) -> dict[str, object]:
-    """Compare per-query medians to the newest recorded BENCH_r*.json at
-    the same sf. Returns {"baseline": file or None, "flagged": {query:
+    """Compare per-query medians to the newest recorded bench at the
+    same sf — BENCH_LOCAL_r*.json (full, written by this script) preferred
+    over the driver's BENCH_r*.json (bounded tail, often truncated) within
+    a round. Returns {"baseline": file or None, "flagged": {query:
     {"prior": s, "now": s, "ratio": r}}} — queries >25% AND >0.3s slower.
     The absolute floor keeps sub-second queries from flagging on scheduler
     jitter alone."""
     here = os.path.dirname(os.path.abspath(__file__))
     prior_file, prior_q = None, {}
 
-    def _round_no(path: str) -> int:
-        # parse the round NUMBER: lexicographic sort breaks at r100 vs r99
-        m = re.search(r"r(\d+)", os.path.basename(path))
-        return int(m.group(1)) if m else -1
-
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                       key=_round_no, reverse=True):
+    candidates = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
+        os.path.join(here, "BENCH_LOCAL_r*.json")
+    )
+    for path in sorted(
+        candidates,
+        key=lambda p: (_round_no(p), "LOCAL" in os.path.basename(p)),
+        reverse=True,
+    ):
         try:
             with open(path) as f:
                 rec = json.load(f)

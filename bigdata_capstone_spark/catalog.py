@@ -3669,7 +3669,9 @@ def _lsh_precision_oracle() -> str:
       WHERE n_common * 1.0 / (nA + nB - n_common) >= 0.35
     )
     SELECT n_candidates, n_verified,
-           round(n_verified * 1.0 / n_candidates, 6) AS precision_r
+           CASE WHEN n_candidates > 0
+                THEN round(n_verified * 1.0 / n_candidates, 6)
+                ELSE 1.0 END AS precision_r
     FROM nc CROSS JOIN nv
     """
 

@@ -2640,7 +2640,9 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum
     )
     SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
-           round(d * 1.0 / (n_a * n_b), 6) AS ks_d_r,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN round(d * 1.0 / (n_a * n_b), 6)
+                ELSE 0.0 END AS ks_d_r,
            round((bin + 1) * 2.0, 6) AS at_upper_r
     FROM (SELECT *, row_number() OVER (ORDER BY d DESC, bin) AS rn
           FROM diff)

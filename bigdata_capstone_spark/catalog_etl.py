@@ -4957,13 +4957,24 @@ _UNIGRAM_VOCAB_CTES = """
       FROM documents
     ),
     words AS (SELECT word, count(*) AS wcnt FROM toks GROUP BY word),
+    starts AS (
+      -- start positions bounded by the word ITSELF, mirroring the Spark
+      -- operator's F.sequence(1, length(word)) (textops.py
+      -- unigram_piece_vocab). A fixed literal here silently drops
+      -- substrings of words longer than the literal and desyncs every
+      -- downstream unigram score (generate_series can't take a lateral
+      -- column arg in DuckDB; unnest(range(...)) can).
+      SELECT word, wcnt,
+             unnest(range(1, length(word)::BIGINT + 1)) AS s
+      FROM words
+    ),
     subs AS (
-      SELECT substr(w.word, st.s, pl.l) AS piece, w.wcnt
-      FROM words w,
-           generate_series(1, 8) AS st(s),
+      -- the "4" literals are max_piece_len, shared with the Spark
+      -- operator's default — change both together
+      SELECT substr(st.word, st.s::INT, pl.l::INT) AS piece, st.wcnt
+      FROM starts st,
            generate_series(1, 4) AS pl(l)
-      WHERE st.s <= length(w.word)
-        AND pl.l <= least(4, length(w.word) - st.s + 1)
+      WHERE pl.l <= least(4, length(st.word) - st.s + 1)
     ),
     counts AS (SELECT piece, sum(wcnt) AS cnt FROM subs GROUP BY piece),
     vocab0 AS (
@@ -5274,3 +5285,283 @@ def selection_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr_source_classifier(docs), "lr_margin_r", "is_curated"
     ).select(F.lit("lr").alias("model"), "*")
     return nb.unionByName(lr)
+
+
+# --------------------------------------------------------------------------
+# Round-8: bounded-error mergeable quantile sketch (the sixth mergeable-
+# state family — see operators/sketches.py qsketch_* for the design).
+# Three entries, ONE oracle: batch build, 4-shard merge, and streaming
+# maintenance must all land on identical bits, which is the family's
+# whole point.
+# --------------------------------------------------------------------------
+
+_QSKETCH_CAPACITY = 512
+_QSKETCH_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _qsketch_oracle(
+    capacity: int = _QSKETCH_CAPACITY, qs: tuple[float, ...] = _QSKETCH_QS
+) -> str:
+    """Full DuckDB replay of build + estimate: PRF levels, the integer-
+    minimal threshold, the kept sample, and every order-statistic pick.
+    Because the state is a canonical function of the item set, this one
+    SQL string is also the oracle for the shard-merge and streaming
+    entries — the merge law is driver-gated, not just unit-tested."""
+    from bigdata_capstone_spark.functions.portable import md5_long_sql
+    from bigdata_capstone_spark.operators.sketches import (
+        _quantile_label,
+        qsketch_lvl_sql,
+    )
+
+    h = md5_long_sql("'qs:' || event_id::VARCHAR")
+    picks = ",\n           ".join(
+        f"round(min(CASE WHEN rn >= greatest(1, ceil({q} * m)) "
+        f"THEN value END), 6) AS p{_quantile_label(q)}_r"
+        for q in qs
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT event_id::VARCHAR AS qs_id, value::DOUBLE AS value,
+             {h} AS __h
+      FROM events
+    ),
+    items AS (
+      SELECT qs_id, value, {qsketch_lvl_sql("qs_id")} AS lvl FROM hashed
+    ),
+    lv AS (SELECT lvl, count(*) AS cnt FROM items GROUP BY 1),
+    cum AS (
+      SELECT lvl, sum(cnt) OVER (ORDER BY lvl DESC) AS cum FROM lv
+    ),
+    thr AS (
+      SELECT coalesce(max(CASE WHEN cum > {capacity} THEN lvl + 1 END),
+                      0)::INT AS thr
+      FROM cum
+    ),
+    state AS (
+      SELECT qs_id, value FROM items CROSS JOIN thr WHERE lvl >= thr
+    ),
+    ranked AS (
+      SELECT value, row_number() OVER (ORDER BY value, qs_id) AS rn,
+             count(*) OVER () AS m
+      FROM state
+    )
+    SELECT max(m)::BIGINT AS n_kept,
+           (SELECT thr FROM thr) AS thr,
+           {picks}
+    FROM ranked
+    """
+
+
+@register("event_value_quantile_sketch", oracle=_qsketch_oracle())
+def event_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of the event value distribution from the LEVEL-SAMPLING
+    sketch (operators/sketches.py qsketch_*): a KLL-style compactor
+    cascade whose compaction coins are item PRFs, giving a canonical
+    <=512-row mergeable state over an UNKNOWN value domain — the
+    capability gap the fixed-width bin sketch (event_value_quantiles)
+    leaves open, since bins need a width chosen a priori. Every decision
+    (levels, the integer-minimal threshold, each rank pick) is integer-
+    deterministic, so the oracle replays the whole construction.
+
+    Scale shape: level assignment is a map-side expression; the
+    threshold derives from a <=41-row contingency; ranking runs over the
+    <=capacity-row state under the constant-scope cache barrier. State
+    stays <=512 rows however many values stream through."""
+    from bigdata_capstone_spark.operators.sketches import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    state = qsketch_build(
+        ev, F.col("event_id"), F.col("value"), _QSKETCH_CAPACITY
+    )
+    return qsketch_quantiles(state, _QSKETCH_QS)
+
+
+@register("quantile_sketch_shard_merge", oracle=_qsketch_oracle())
+def quantile_sketch_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD-MERGE law for the quantile sketch, driver-gated: four
+    disjoint event shards each build their own sketch; the merged
+    sketch must equal the one-shot build BIT-FOR-BIT (same oracle as
+    `event_value_quantile_sketch`). PRF compaction coins are what make
+    this exact — randomized-KLL merges are only error-bounded, not
+    replayable. This is how 1000 executors maintain one corpus-wide
+    quantile dashboard: per-shard states (<=512 rows each) union and
+    recompact, never re-scanning the data."""
+    from bigdata_capstone_spark.operators.sketches import (
+        qsketch_build,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    states = [
+        qsketch_build(
+            ev.filter(F.col("event_id") % 4 == i),
+            F.col("event_id"),
+            F.col("value"),
+            _QSKETCH_CAPACITY,
+        )
+        for i in range(4)
+    ]
+    merged = qsketch_merge(states, _QSKETCH_CAPACITY)
+    return qsketch_quantiles(merged, _QSKETCH_QS)
+
+
+@register("streaming_quantile_sketch", oracle=_qsketch_oracle())
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance twin of the quantile sketch (the sixth
+    mergeable-state family's stream side, like HLL/CMS/Bloom/bins/PSI
+    before it): events stream in 4 micro-batches; each batch builds its
+    partial sketch and folds into the snapshot via union + canonical
+    recompaction (start_state_fold_maintenance — the generalization of
+    keyed-column upsert to states whose merge is a recompaction). The
+    drained snapshot is batch-split independent, so the one-pass batch
+    oracle value-checks it hash-exactly. O(batch) per trigger, <=512-row
+    state forever — the unknown-domain quantile dashboard kept current
+    at ingest time."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.sketches import (
+        qsketch_build,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot_or_empty,
+        start_state_fold_maintenance,
+    )
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_qsketch_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+    )
+    q = start_state_fold_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        partial_fn=lambda b: qsketch_build(
+            b, F.col("event_id"), F.col("value"), _QSKETCH_CAPACITY
+        ),
+        fold_fn=lambda old, new: qsketch_merge(
+            [old, new], _QSKETCH_CAPACITY
+        ),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = read_latest_snapshot_or_empty(
+        spark,
+        f"{work}/state",
+        "qs_id STRING, value DOUBLE, lvl INT, thr INT",
+    )
+    return qsketch_quantiles(state, _QSKETCH_QS)
+
+
+_JSONL_BAD_LINES = (
+    '{"doc_id": 12,',
+    "not json at all",
+    '{"doc_id": }',
+)
+_JSONL_MOD = 1_000_000_007
+
+
+def _jsonl_ingest_oracle() -> str:
+    from bigdata_capstone_spark.functions.portable import md5_long_sql
+
+    bad_values = ", ".join(
+        "('" + line.replace("'", "''") + "')" for line in _JSONL_BAD_LINES
+    )
+    good_h = md5_long_sql("doc_id::VARCHAR || ':' || text")
+    bad_h = md5_long_sql("line")
+    return f"""
+    WITH g AS (
+      SELECT count(*)::BIGINT AS n_good,
+             sum({good_h} % {_JSONL_MOD})::BIGINT AS good_content_mod
+      FROM documents
+    ),
+    b AS (
+      SELECT count(*)::BIGINT AS n_quarantined,
+             sum({bad_h} % {_JSONL_MOD})::BIGINT AS quarantine_mod
+      FROM (VALUES {bad_values}) t(line)
+    )
+    SELECT n_good, good_content_mod, n_quarantined, quarantine_mod
+    FROM g CROSS JOIN b
+    """
+
+
+@register("documents_jsonl_ingest", oracle=_jsonl_ingest_oracle())
+def documents_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL INGESTION with a queryable quarantine (sources/tables.py
+    read_jsonl) — the arrival format of most LLM corpora, which the
+    engine previously only wrote (sinks.write_json), never read. The
+    documents table round-trips through JSON lines with three
+    deterministic malformed lines injected; the schema'd PERMISSIVE
+    read must (a) recover every good row byte-exactly — proven by a
+    content hash over (doc_id, text) that the oracle computes from the
+    PARQUET side, so any JSON escaping/precision drift breaks the match
+    — and (b) land exactly the malformed lines in the quarantine
+    column raw, proven by hashing the quarantined strings against the
+    fixture literals.
+
+    Scale shape: JSONL splits by line, so even one giant file fans out
+    across executors; the explicit schema avoids the eager inference
+    scan (a second 100 TB read); the quarantine is a column, not a
+    crash, so one bad byte cannot kill an ingest job, and the
+    dead-letter count is a frame aggregate any monitor can alert on."""
+    import os
+    import tempfile
+
+    from bigdata_capstone_spark.functions.portable import md5_long
+    from bigdata_capstone_spark.sources.tables import (
+        TABLE_SCHEMAS,
+        read_jsonl,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    docs.write.mode("overwrite").json(f"{work}/in")
+    with open(
+        os.path.join(work, "in", "part-zz-malformed.json"),
+        "w",
+        encoding="utf-8",
+    ) as fh:
+        fh.write("\n".join(_JSONL_BAD_LINES) + "\n")
+    # cache before splitting: Spark disallows a query whose referenced
+    # columns are ONLY the corrupt record (the parser would have to
+    # re-parse with nothing to parse INTO); materializing the full parse
+    # once is also the production shape — parse the landing zone one
+    # time, then route good/bad from the materialized frame (at 100 TB,
+    # a parquet staging write instead of a cache).
+    out = read_jsonl(spark, f"{work}/in", TABLE_SCHEMAS["documents"]).cache()
+    good = out.filter(F.col("_corrupt_record").isNull())
+    bad = out.filter(F.col("_corrupt_record").isNotNull())
+    g = good.agg(
+        F.count(F.lit(1)).cast("long").alias("n_good"),
+        F.sum(
+            md5_long(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), "text")
+            )
+            % F.lit(_JSONL_MOD)
+        )
+        .cast("long")
+        .alias("good_content_mod"),
+    )
+    b = bad.agg(
+        F.count(F.lit(1)).cast("long").alias("n_quarantined"),
+        F.sum(md5_long(F.col("_corrupt_record")) % F.lit(_JSONL_MOD))
+        .cast("long")
+        .alias("quarantine_mod"),
+    )
+    return g.crossJoin(b)

@@ -1096,12 +1096,18 @@ def lsh_candidate_precision(
     )
     nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     nv = verified.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+    # 0/0 pins to 1.0 (an empty candidate set wastes no verify work),
+    # mirroring lsh_pair_recall's convention — a monitoring metric must
+    # never be NULL.
     return nc.crossJoin(nv).select(
         "n_candidates",
         "n_verified",
-        F.round(F.col("n_verified") / F.col("n_candidates"), 6).alias(
-            "precision_r"
-        ),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_verified") / F.col("n_candidates"), 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("precision_r"),
     )
 
 

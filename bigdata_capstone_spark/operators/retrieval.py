@@ -94,6 +94,7 @@ def bm25_topk(
     b: float = 0.75,
     stop_df_top: int = 50,
     text_col: str = "text",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic BM25 retrieval demo: the ``n_queries`` lowest
     doc_ids act as query documents; each retrieves its top-``k`` other
@@ -114,8 +115,16 @@ def bm25_topk(
     Returns (query_doc, doc_id, n_terms, bm25_r, rk) with rk 1..k by
     (score DESC, doc_id) — ties broken on the key so the result is a
     deterministic set.
+
+    ``postings`` lets a composing operator (prf_expansion_terms, the
+    RAG pipeline) pass its own already-cached postings frame so the
+    corpus is exploded and cached ONCE per composition instead of once
+    per stage; when omitted, one is built and cached here.
     """
-    post = postings_table(docs, text_col).cache()
+    post = (
+        postings if postings is not None
+        else postings_table(docs, text_col).cache()
+    )
 
     # Corpus statistics — all derived from the cached postings frame.
     dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -285,7 +294,7 @@ def prf_expansion_terms(
     post = postings_table(docs, text_col).cache()
     fb = bm25_topk(
         docs, n_queries=n_queries, k=fb_k, stop_df_top=stop_df_top,
-        text_col=text_col,
+        text_col=text_col, postings=post,
     ).select("query_doc", "doc_id")
     dfreq = post.groupBy("token").agg(
         F.countDistinct("doc_id").alias("dfc")

@@ -451,3 +451,196 @@ def cms_join_size_estimate(
         .select(F.coalesce(F.col("__dot"), F.lit(0)).alias("__dot"))
         .agg(F.min("__dot").cast("long").alias("est_join_size"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-error mergeable quantile sketch — the SIXTH mergeable-state
+# family (HLL: max, CMS/bins: +, Bloom: OR, PSI contingency: +, and now
+# level-sampling: union-and-recompact), and the first with a rank-error
+# guarantee over an UNKNOWN, unbounded value domain (the fixed-width bin
+# sketch above needs a bin width — i.e. a domain — a priori).
+#
+# Design: a KLL-style compactor cascade where the per-item compaction
+# "coin" is a PRF of the item key instead of an RNG draw. Item i sits at
+# level lvl(i) = trailing-zero-bits of md5_long('qs:' || key) — i.e. the
+# item survives compaction 1..ℓ iff its first ℓ hash bits are zero. The
+# sketch state is every item with lvl >= thr plus the threshold itself,
+# where thr is the MINIMAL integer making the kept count fit `capacity`.
+# PRF coins make the state a CANONICAL function of the item SET:
+#   compact(state(A) ∪ state(B)) == state(A ∪ B)   (bit-for-bit)
+# — an exact merge group law true randomized KLL cannot have (its state
+# depends on arrival order), which is what lets shard-merge and
+# streaming maintenance share ONE oracle with the batch build, like the
+# five families before it. The trade: kept items form a uniform
+# 2^-thr-rate hash sample, so the rank error is the sampling bound
+# ε ≈ sqrt(ln(2/δ) / (2·m)) of DKW (m = kept rows) rather than
+# randomized-KLL's O(1/m) — ~3% of n at m=512, the monitoring regime
+# this engine's drift/quality dashboards run in. Reference framing:
+# Karnin-Lang-Liberty (FOCS'16) for the compactor cascade; the PRF-coin
+# canonicalization follows the engine's seeded-PRF discipline
+# (functions/portable.py) so DuckDB replays every decision.
+#
+# Scale shape: lvl is a map-side expression; thr derives from a ≤41-row
+# (lvl, count) contingency; the state is ≤`capacity` rows however many
+# values stream through; merge = union + one recompact over state-sized
+# frames, O(batch) for streaming ingest.
+# ---------------------------------------------------------------------------
+
+QSKETCH_MAX_LVL = 40
+
+
+def qsketch_lvl_col(key_col: Column) -> Column:
+    """Compaction level of an item: trailing-zero-bits of its 60-bit PRF
+    hash, capped at QSKETCH_MAX_LVL (P(cap) = 2^-40 — unreachable in
+    practice, but keeps the expression total). Pure integer indicators
+    (h % 2^j == 0), identical in any engine — no log2/float bit tricks
+    whose libm rounding could differ."""
+    h = md5_long(F.concat(F.lit("qs:"), key_col.cast("string")))
+    lvl = F.lit(0)
+    for j in range(1, QSKETCH_MAX_LVL + 1):
+        lvl = lvl + F.when(h % F.lit(1 << j) == 0, 1).otherwise(0)
+    return lvl.cast("int")
+
+
+def qsketch_lvl_sql(key_expr: str) -> str:
+    """DuckDB twin of :func:`qsketch_lvl_col` over a precomputed 60-bit
+    hash column named ``__h`` (materialize the hash once — inlining the
+    md5 40 times re-hashes per indicator)."""
+    terms = " + ".join(
+        f"CASE WHEN __h % {1 << j} = 0 THEN 1 ELSE 0 END"
+        for j in range(1, QSKETCH_MAX_LVL + 1)
+    )
+    return f"({terms})::INT"
+
+
+def qsketch_items(df: DataFrame, key_col: Column, value_col: Column) -> DataFrame:
+    """(qs_id, value, lvl) item rows — the sketch's raw input. ``key_col``
+    must be unique per row (the PRF coin is per-item; duplicate keys
+    would correlate their coins and bias the sample)."""
+    return df.select(
+        key_col.cast("string").alias("qs_id"),
+        value_col.cast("double").alias("value"),
+    ).withColumn("lvl", qsketch_lvl_col(F.col("qs_id")))
+
+
+def qsketch_compact(items: DataFrame, capacity: int) -> DataFrame:
+    """Canonical compaction: keep items with lvl >= thr, where thr is
+    the minimal INTEGER (not merely minimal present level — integer
+    minimality is what makes the merge law exact when one shard's items
+    all happen to sit high) such that the kept count <= capacity:
+    thr = max over levels L with count(lvl >= L) > capacity of (L+1),
+    or 0 when everything fits. Returns (qs_id, value, lvl, thr) with
+    thr constant across rows — the state carries its own threshold so a
+    merge can floor at max(thr_a, thr_b) before recompacting.
+
+    The (lvl, count) contingency is <=41 rows; its cumulative count runs
+    under a constant scope key via the cache-barrier recipe
+    (relational.constant_scope) so no unpartitioned window ever touches
+    item rows."""
+    from pyspark.sql.window import Window
+
+    from bigdata_capstone_spark.operators.relational import constant_scope
+
+    per = constant_scope(
+        items.groupBy("lvl").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("__s")
+        .orderBy(F.desc("lvl"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select("lvl", F.sum("cnt").over(w).alias("cum"))
+    thr = cum.agg(
+        F.coalesce(
+            F.max(F.when(F.col("cum") > capacity, F.col("lvl") + 1)),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("thr")
+    )
+    return (
+        items.crossJoin(F.broadcast(thr))
+        .filter(F.col("lvl") >= F.col("thr"))
+        .select("qs_id", "value", "lvl", "thr")
+    )
+
+
+def qsketch_build(
+    df: DataFrame, key_col: Column, value_col: Column, capacity: int
+) -> DataFrame:
+    """One-pass batch build: items -> canonical compaction."""
+    return qsketch_compact(qsketch_items(df, key_col, value_col), capacity)
+
+
+def qsketch_merge(states: list[DataFrame], capacity: int) -> DataFrame:
+    """Merge sketches built over DISJOINT item sets: union the state
+    rows, floor at the max carried threshold (a row another shard
+    already compacted away must not resurrect — dropping below-floor
+    rows first is what keeps the recompacted threshold identical to the
+    from-scratch build's), then recompact. O(sum of state sizes);
+    associative and commutative, so shard trees and streaming folds
+    land on the same bits."""
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    floor = u.agg(F.max("thr").alias("__floor"))
+    items = (
+        u.crossJoin(F.broadcast(floor))
+        .filter(F.col("lvl") >= F.col("__floor"))
+        .select("qs_id", "value", "lvl")
+    )
+    return qsketch_compact(items, capacity)
+
+
+def qsketch_quantiles(
+    state: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Quantile estimates from a sketch state: the kept rows are a
+    uniform hash sample, so the q-quantile estimate is the sample's
+    order statistic at rank ceil(q*m) (ties broken by qs_id — every
+    pick integer-deterministic, so any engine replays it). Returns one
+    row: (n_kept, thr, p{label}_r ...). Ranking runs over the
+    <=capacity-row state under the constant-scope cache barrier."""
+    from pyspark.sql.window import Window
+
+    from bigdata_capstone_spark.operators.relational import constant_scope
+
+    labels = [_quantile_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile labels collide for qs={qs!r}: {labels}")
+    s = constant_scope(state.select("qs_id", "value", "thr"))
+    w_rank = Window.partitionBy("__s").orderBy("value", "qs_id")
+    w_tot = Window.partitionBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = s.select(
+        "__s",
+        "value",
+        "thr",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_tot).alias("m"),
+    )
+    aggs = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    >= F.greatest(
+                        F.lit(1), F.ceil(F.lit(q) * F.col("m"))
+                    ),
+                    F.col("value"),
+                )
+            ),
+            6,
+        ).alias(f"p{lbl}_r")
+        for q, lbl in zip(qs, labels)
+    ]
+    return (
+        ranked.groupBy("__s")
+        .agg(
+            F.max("m").cast("long").alias("n_kept"),
+            F.max("thr").cast("int").alias("thr"),
+            *aggs,
+        )
+        .drop("__s")
+    )

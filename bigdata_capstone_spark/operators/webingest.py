@@ -229,8 +229,13 @@ def _dechunk(body: bytes) -> bytes:
     """Decode an HTTP/1.1 chunked transfer-encoded body (RFC 9112 §7.1):
     hex size line (chunk extensions after ';' ignored), chunk bytes,
     CRLF, repeated until the 0-size terminator. Trailers are ignored.
-    Raises on truncation — a half-stored chunked record is corrupt."""
-    out = b""
+    Raises on truncation — a half-stored chunked record is corrupt.
+
+    Reassembly is list-append + one join: ``out += chunk`` would copy
+    the accumulated prefix per chunk (quadratic — a 10 MB body in 4 KiB
+    chunks pushes ~13 GB through the heap inside the per-record WARC
+    kernel); the join is linear in body size regardless of chunking."""
+    parts: list[bytes] = []
     pos = 0
     while True:
         nl = body.find(b"\r\n", pos)
@@ -242,11 +247,11 @@ def _dechunk(body: bytes) -> bytes:
         except ValueError:
             raise ValueError("invalid chunk size in HTTP body") from None
         if size == 0:
-            return out
+            return b"".join(parts)
         chunk = body[nl + 2 : nl + 2 + size]
         if len(chunk) != size:
             raise ValueError("truncated chunked HTTP body")
-        out += chunk
+        parts.append(chunk)
         pos = nl + 2 + size + 2  # chunk bytes + trailing CRLF
 
 

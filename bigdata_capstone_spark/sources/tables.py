@@ -242,3 +242,47 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     job entirely — at 100 TB an inference pass is a second 100 TB scan.
     """
     return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema'd JSONL (newline-delimited JSON) scan with a QUARANTINE
+    column — the arrival format of most LLM text corpora. PERMISSIVE
+    mode with an explicit ``columnNameOfCorruptRecord``: a malformed
+    line lands as one row whose data columns are null and whose
+    ``corrupt_col`` holds the raw line, so ingest never dies on one bad
+    record and the quarantine is queryable (count it, sample it, route
+    it to a dead-letter sink) instead of silently dropped (DROPMALFORMED
+    loses rows with no ledger; FAILFAST turns one bad byte into a dead
+    100 TB job).
+
+    The returned frame is the declared schema + ``corrupt_col STRING``.
+    Callers split it once:
+        good = out.filter(out[corrupt_col].isNull()).drop(corrupt_col)
+        bad  = out.filter(out[corrupt_col].isNotNull())
+    Note Spark's documented caveat: a query over ONLY the corrupt
+    column must materialize another column too (the parser skips rows
+    it can fully prune) — the split above keeps the full schema, which
+    avoids it.
+
+    Like read_csv, the schema is explicit: JSON inference is an eager
+    extra full read, i.e. a second 100 TB scan. JSONL splits by line, so
+    a single file still fans out across executors (unlike multiline
+    JSON, which is one-task-per-file)."""
+    if any(f.name == corrupt_col for f in schema.fields):
+        raise ValueError(
+            f"schema already contains the quarantine column {corrupt_col!r}"
+        )
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -148,3 +148,38 @@ def read_latest_snapshot_or_empty(
     if snap is not None:
         return snap
     return spark.createDataFrame([], schema_ddl)
+
+
+def start_state_fold_maintenance(
+    stream: DataFrame,
+    base_path: str,
+    checkpoint: str,
+    partial_fn,
+    fold_fn,
+):
+    """Maintain an arbitrary MERGEABLE state under a canonical fold: each
+    micro-batch computes ``partial_fn(batch)`` (a bounded state frame)
+    and the new snapshot is ``fold_fn(old, partial)`` — the generalization
+    of :func:`start_aggregate_maintenance` for states whose merge is not
+    a keyed column-combine (e.g. the level-sampling quantile sketch,
+    whose merge is union + recompaction). The value contract is the same:
+    when the fold is associative+commutative and canonical
+    (fold(state(A), state(B)) == state(A ∪ B)), the drained snapshot is
+    independent of the batch split and a batch oracle value-checks it.
+    Snapshots are epoch-versioned (idempotent retries, no in-place
+    mutation)."""
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = partial_fn(batch_df)
+        old = read_latest_snapshot(batch_df.sparkSession, base_path)
+        merged = partial if old is None else fold_fn(old, partial)
+        merged.write.mode("overwrite").parquet(f"{base_path}/v_{epoch_id:010d}")
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
