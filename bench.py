@@ -132,6 +132,9 @@ HEADLINE = [
     "multimodal_audio_segments",   # VAD islands over decoded windows
     "audience_overlap_hll",        # HLL inclusion-exclusion overlap
     "kmeans_shard_update_merge",   # mergeable Lloyd-update partials
+    "event_value_quantile_sketch", # level-sampling mergeable quantile sketch
+    "quantile_sketch_shard_merge", # sketch merge law (union + recompact)
+    "documents_jsonl_ingest",      # JSONL round-trip + quarantine parity
 ]
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round

@@ -2019,6 +2019,111 @@ def _multimodal_video_oracle(n: int = 6, seed: int = 42) -> str:
     """
 
 
+def _mp4_metadata_oracle(n: int = 8) -> str:
+    """Every field synthetic_mp4_assets writes is a closed-form function
+    of the asset index, so the oracle re-derives the expected per-track
+    table without touching bytes — the box walk (largesize headers,
+    moov-after-mdat streaming layout, unknown skip boxes) is what the
+    match proves."""
+    return f"""
+    WITH ids AS (SELECT unnest(range({n})) AS i),
+    v AS (
+      SELECT i::BIGINT AS asset_id, 'isom' AS major_brand,
+             1000::INT AS mvhd_timescale,
+             (1200 + 100 * i)::BIGINT AS mvhd_duration_ms,
+             1::INT AS track_id, 'vide' AS handler,
+             ['avc1', 'hev1', 'vp09'][(i % 3)::INT + 1] AS codec,
+             90000::INT AS timescale,
+             (1200 + 100 * i)::BIGINT AS duration_ms,
+             (160 + 16 * i)::INT AS width, (90 + 9 * i)::INT AS height,
+             'und' AS lang
+      FROM ids
+    ),
+    a AS (
+      SELECT i::BIGINT, 'isom', 1000::INT, (1200 + 100 * i)::BIGINT,
+             2::INT, 'soun', 'mp4a', 48000::INT,
+             (1200 + 100 * i)::BIGINT, 0::INT, 0::INT,
+             ['eng', 'deu', 'fra'][(i % 3)::INT + 1]
+      FROM ids WHERE i % 2 = 1
+    )
+    SELECT * FROM v UNION ALL SELECT * FROM a
+    """
+
+
+@register("multimodal_mp4_metadata", oracle=_mp4_metadata_oracle())
+def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 / ISO-BMFF container METADATA, decode-free (operators/
+    multimodal.py:mp4_container_metadata): a 14496-12 box walk
+    extracting major brand, movie duration, per-track handler / codec
+    fourcc / timescale / duration / geometry / language — the fields a
+    multimodal curation filter reads BEFORE any decode (codec
+    allowlists, duration and geometry gates, language routing), and the
+    feasible metadata rung for the compressed codecs the strict
+    decoders honestly refuse. The fixture bakes in the adversarial
+    layouts real crawls serve: streaming order (moov AFTER mdat),
+    64-bit largesize mdat headers, and unknown boxes inside moov; every
+    expected field is a closed-form function of the asset index, so the
+    oracle value-checks the walk without parsing bytes.
+
+    Scale shape: the kernel reads a few hundred header bytes per asset
+    and SKIPS mdat (the payload mass) via the length-prefixed grammar;
+    bytes stay in Arrow buffers, one kernel call per batch."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        mp4_container_metadata,
+        synthetic_mp4_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_mp4_assets(spark, n=8, seed=42)
+    return mp4_container_metadata(assets)
+
+
+def _jpeg_exif_oracle(n: int = 8) -> str:
+    """Closed-form replay of synthetic_jpeg_exif_assets — the walk under
+    test handles BOTH EXIF byte orders (II/MM alternating by parity),
+    inline vs offset ASCII storage, and the JFIF/SOF segments."""
+    return f"""
+    WITH ids AS (SELECT unnest(range({n})) AS i)
+    SELECT i::BIGINT AS asset_id, '1.02' AS jfif_version,
+           1::INT AS density_units,
+           (72 + 2 * i)::INT AS x_density, (96 + 3 * i)::INT AS y_density,
+           CASE WHEN i % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           'maker' || (i % 3)::VARCHAR AS make,
+           'm' || i::VARCHAR AS model,
+           (1 + i % 8)::INT AS orientation,
+           '2024:01:' || lpad((2 + i)::VARCHAR, 2, '0')
+             || ' 10:00:00' AS datetime,
+           (32 + 8 * i)::INT AS width, (24 + 6 * i)::INT AS height
+    FROM ids
+    """
+
+
+@register("multimodal_jpeg_exif_metadata", oracle=_jpeg_exif_oracle())
+def multimodal_jpeg_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG JFIF/EXIF header metadata, decode-free (operators/
+    multimodal.py:jpeg_header_metadata) — the still-image sibling of
+    `multimodal_mp4_metadata`: orientation (rotation normalization),
+    camera make/model and capture time (provenance filters), pixel
+    density, and SOF geometry, all read from marker segments without
+    touching entropy-coded data — so it works identically on the
+    compressed JPEGs the strict pixel decoders refuse. The fixture
+    alternates EXIF byte order II/MM per asset and exercises both
+    inline and offset ASCII tag storage; every field is a closed-form
+    function of the index, so the oracle value-checks the walk without
+    parsing bytes.
+
+    Scale shape: tens of header bytes per asset regardless of image
+    size; Arrow mapInPandas, one kernel call per batch."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        jpeg_header_metadata,
+        synthetic_jpeg_exif_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_jpeg_exif_assets(spark, n=8, seed=42)
+    return jpeg_header_metadata(assets)
+
+
 @register("multimodal_video_features", oracle=_multimodal_video_oracle())
 def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode through the mapInPandas pipeline: AVI (RIFF)
@@ -4281,6 +4386,86 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").cache()
     return knn_graph(emb, dim=64, k=5, n_planes=6, n_tables=2,
                      max_bucket=100)
+
+
+def _nn_descent_oracle(
+    rounds: int = 2,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    dim: int = 64,
+    max_bucket: int | None = 100,
+) -> str:
+    """Unrolled NN-descent rounds on top of the seed-graph CTE chain
+    (the LPA/HITS/GD fixed-round oracle discipline): each round's
+    neighbor-of-neighbor candidate set, exact re-rank, and top-k keep
+    are replayed literally, so the refinement trajectory — not just the
+    final edge list — is value-checked."""
+    dot = ("list_sum(list_transform(generate_series(1, len(sv.v)), "
+           "i -> sv.v[i] * dv.v[i]))")
+    ns = ("sqrt(list_sum(list_transform(generate_series(1, len(sv.v)), "
+          "i -> sv.v[i] * sv.v[i])))")
+    nd = ("sqrt(list_sum(list_transform(generate_series(1, len(dv.v)), "
+          "i -> dv.v[i] * dv.v[i])))")
+    parts = [_knn_graph_cte(n_planes, n_tables, dim, k, max_bucket)]
+    prev = "graph"
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    und{r} AS (
+      SELECT src AS a, dst AS b FROM {prev}
+      UNION
+      SELECT dst AS a, src AS b FROM {prev}
+    ),
+    cand{r} AS (
+      SELECT x.a AS src, y.b AS dst
+      FROM und{r} x JOIN und{r} y ON y.a = x.b AND y.b <> x.a
+      UNION
+      SELECT src, dst FROM {prev}
+    ),
+    scored{r} AS (
+      SELECT c.src, c.dst, round({dot} / ({ns} * {nd}), 6) AS cosine_r
+      FROM cand{r} c
+      JOIN e sv ON sv.vec_id = c.src
+      JOIN e dv ON dv.vec_id = c.dst
+    ),
+    g{r} AS (
+      SELECT src, dst, cosine_r, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY src
+                      ORDER BY cosine_r DESC, dst))::INT AS rank
+        FROM scored{r}
+      ) WHERE rank <= {k}
+    )""")
+        prev = f"g{r}"
+    parts.append(
+        f"\n    SELECT src, dst, cosine_r, rank FROM {prev}"
+    )
+    return "".join(parts)
+
+
+@register("embedding_nn_descent", oracle=_nn_descent_oracle(2, 5))
+def embedding_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-DESCENT graph-ANN (operators/simsearch.py:nn_descent): two
+    refinement rounds over the LSH-seeded KNN graph — each round
+    proposes neighbor-of-neighbor candidates, exact-cosine re-ranks,
+    and keeps the per-node top-5. The graph-index family production ANN
+    serving uses, in the one formulation that is a data-parallel
+    fixed-point iteration (full HNSW is inherently sequential). The
+    oracle unrolls both rounds on top of the seed-graph chain, so the
+    refinement itself is hash-verified; the candidate pool only grows,
+    so recall vs the exact graph is provably non-decreasing per round
+    (gated in tests alongside the recall floor vs the LSH seed).
+
+    Scale shape: state is the |V|·k edge list; candidates are
+    |V|·(2k)² graph-sized rows, never |V|²; re-rank joins the (id, vec,
+    norm) projection by id; per-round lineage checkpoint-truncated."""
+    from bigdata_capstone_spark.operators.simsearch import nn_descent
+
+    # corpus-level cache, deliberate: seed bucketing and every round's
+    # exact re-rank read the raw vectors (embedding_knn_graph rationale)
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    return nn_descent(
+        emb, dim=64, k=5, rounds=2, n_planes=6, n_tables=2, max_bucket=100
+    )
 
 
 @register(

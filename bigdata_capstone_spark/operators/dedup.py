@@ -876,24 +876,38 @@ def _merged_hit_spans(
     id_col: str,
     k: int,
     min_docs: int,
+    gram_digest=None,
 ) -> DataFrame:
     """Merged repeated-k-gram hit spans over a materialized (id, toks)
     frame: every POSITIONAL k-gram (not distinct — positions are the
     point) is hashed; a k-gram whose hash occurs in >= ``min_docs``
-    distinct documents is a hit; overlapping/abutting hits (position gap
-    <= k) merge into spans. Returns one row per merged span:
-    (id, dl, island, hits_in_span, span_start, span_end) with 1-based
-    inclusive token positions. Shared core of
+    distinct documents is a CANDIDATE hit; candidates are then
+    BYTE-VERIFIED — the actual gram text is re-derived from the token
+    frame and a candidate survives only if ITS OWN text occurs in >=
+    ``min_docs`` distinct documents, so a digest collision (two
+    different grams sharing a 60-bit hash) can no longer plant a false
+    span — the false-positive window Lee et al.'s suffix-array method
+    never had is now closed here too. Overlapping/abutting verified
+    hits (position gap <= k) merge into spans. Returns one row per
+    merged span: (id, dl, island, hits_in_span, span_start, span_end)
+    with 1-based inclusive token positions. Shared core of
     :func:`repeated_span_stats` (statistics) and
     :func:`excise_repeated_spans` (the cleaned-text transform).
 
+    ``gram_digest`` (default md5_long) is injectable so tests can force
+    collisions with a degenerate digest and prove the verify join
+    discards them — real md5-60bit collisions cannot be synthesized.
+
     Scale shape: one explode pass (n_tokens rows/doc); the cross-doc
     frequency table is digest-only (60-bit gram hashes, never gram
-    text) and map-side combines; the hit filter is a hash-key join; the
-    span merge windows are PARTITIONED BY doc (bounded by doc length,
-    never global). The gram frame is cached for its two consumers
-    (frequency table, hit join) — one tokenize pass, not two.
+    text) and map-side combines; gram TEXT moves only for the candidate
+    hit set (re-sliced from the cached token frame — bounded by real
+    repeats plus collisions, never corpus-sized); the span merge
+    windows are PARTITIONED BY doc (bounded by doc length, never
+    global). ``toks`` must be cached by the caller — it feeds both the
+    gram explode and the verify re-slice.
     """
+    digest = gram_digest if gram_digest is not None else md5_long
     grams = (
         toks.filter(F.size("toks") >= k).select(
             F.col(id_col),
@@ -909,15 +923,34 @@ def _merged_hit_spans(
             F.col(id_col),
             "dl",
             (F.col("pos0") + 1).alias("pos"),
-            md5_long(F.col("gram")).alias("gh"),
+            digest(F.col("gram")).alias("gh"),
         )
         .cache()
     )
     dfreq = grams.groupBy("gh").agg(
         F.countDistinct(id_col).alias("dfc")
     )
-    hits = grams.join(
+    cand = grams.join(
         dfreq.filter(F.col("dfc") >= min_docs).select("gh"), "gh"
+    )
+    # byte-verify: re-slice each candidate's actual gram text and require
+    # min_docs distinct documents of THAT text (identical slice/concat
+    # expression as construction, so equal text <=> equal bytes)
+    cand_txt = cand.join(toks, on=id_col).select(
+        id_col,
+        "dl",
+        "pos",
+        "gh",
+        F.concat_ws(" ", F.slice("toks", F.col("pos"), k)).alias("gram"),
+    )
+    verified = (
+        cand_txt.groupBy("gh", "gram")
+        .agg(F.countDistinct(id_col).alias("vdf"))
+        .filter(F.col("vdf") >= min_docs)
+        .select("gh", "gram")
+    )
+    hits = cand_txt.join(
+        verified, on=["gh", "gram"], how="left_semi"
     ).select(id_col, "dl", "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     return (
@@ -961,7 +994,8 @@ def repeated_span_stats(
     shorter than k tokens have no k-grams and are absent by design.
     Scale shape: see :func:`_merged_hit_spans`.
     """
-    toks = tokenized(fan_out(df), text_col, id_col)
+    # cached: feeds the gram explode AND the verify re-slice
+    toks = tokenized(fan_out(df), text_col, id_col).cache()
     spans = _merged_hit_spans(toks, id_col, k, min_docs)
     return (
         spans.groupBy(id_col, "dl")

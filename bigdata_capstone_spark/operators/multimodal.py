@@ -2626,3 +2626,474 @@ def audio_energy_segments(
             ).alias("rms_r"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container METADATA (ISO/IEC 14496-12 box walk) — decode-
+# free. The strict decoders above honestly refuse compressed codecs
+# (H.264/HEVC/AAC payloads need real codec libraries); what multimodal
+# curation filters on BEFORE any decode is the container metadata:
+# duration, track geometry, codec fourcc, language. A box walk needs no
+# codec — only the length-prefixed box grammar — so it belongs in the
+# pure-Python kernel family with full fixture-replay oracles.
+# ---------------------------------------------------------------------------
+
+MP4_META_SCHEMA = (
+    "asset_id BIGINT, major_brand STRING, mvhd_timescale INT, "
+    "mvhd_duration_ms BIGINT, track_id INT, handler STRING, codec STRING, "
+    "timescale INT, duration_ms BIGINT, width INT, height INT, lang STRING"
+)
+
+
+def _mp4_boxes(buf: bytes, start: int = 0, end: int | None = None):
+    """Iterate (type, body_start, body_end) over a box sequence,
+    honoring 64-bit largesize (size==1) and size==0 (box extends to end
+    of enclosure, ISO 14496-12 §4.2). Raises on truncation — a half
+    box is a corrupt container, not a silent stop."""
+    pos = start
+    end = len(buf) if end is None else end
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated ISO-BMFF box header")
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if pos + size > end or size < body - pos:
+            raise ValueError("ISO-BMFF box overruns its enclosure")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_child(buf: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _mp4_boxes(buf, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _mp4_metadata(data: bytes) -> list[dict]:
+    """One dict per track: the decode-free curation fields. Box ORDER is
+    not assumed (streaming layouts put moov after mdat); unknown boxes
+    (free/skip/mdat/udta/...) are skipped by the grammar itself."""
+    top = {t: (s, e) for t, s, e in _mp4_boxes(data)}
+    if b"ftyp" not in top or b"moov" not in top:
+        raise ValueError("not an ISO-BMFF file (missing ftyp/moov)")
+    fs, _fe = top[b"ftyp"]
+    brand = data[fs : fs + 4].decode("ascii", "replace")
+    ms, me = top[b"moov"]
+    mv = _mp4_child(data, ms, me, b"mvhd")
+    if mv is None:
+        raise ValueError("moov has no mvhd")
+    s, _ = mv
+    mv_ts = int.from_bytes(data[s + 12 : s + 16], "big")
+    mv_dur = int.from_bytes(data[s + 16 : s + 20], "big")
+    rows = []
+    for t, ts_, te in _mp4_boxes(data, ms, me):
+        if t != b"trak":
+            continue
+        tk = _mp4_child(data, ts_, te, b"tkhd")
+        md = _mp4_child(data, ts_, te, b"mdia")
+        if tk is None or md is None:
+            raise ValueError("trak missing tkhd/mdia")
+        ks, _ = tk
+        track_id = int.from_bytes(data[ks + 12 : ks + 16], "big")
+        width = int.from_bytes(data[ks + 76 : ks + 80], "big") >> 16
+        height = int.from_bytes(data[ks + 80 : ks + 84], "big") >> 16
+        mh = _mp4_child(data, *md, b"mdhd")
+        hd = _mp4_child(data, *md, b"hdlr")
+        mi = _mp4_child(data, *md, b"minf")
+        if mh is None or hd is None or mi is None:
+            raise ValueError("mdia missing mdhd/hdlr/minf")
+        hs, _ = mh
+        ts = int.from_bytes(data[hs + 12 : hs + 16], "big")
+        dur = int.from_bytes(data[hs + 16 : hs + 20], "big")
+        packed = int.from_bytes(data[hs + 20 : hs + 22], "big")
+        lang = "".join(
+            chr(0x60 + ((packed >> sh) & 0x1F)) for sh in (10, 5, 0)
+        )
+        ds, _ = hd
+        handler = data[ds + 8 : ds + 12].decode("ascii", "replace")
+        sb = _mp4_child(data, *mi, b"stbl")
+        if sb is None:
+            raise ValueError("minf missing stbl")
+        sd = _mp4_child(data, *sb, b"stsd")
+        if sd is None:
+            raise ValueError("stbl missing stsd")
+        ss, _ = sd
+        # stsd: vf(4) + entry_count(4) + first entry (size(4) + fourcc(4))
+        codec = data[ss + 12 : ss + 16].decode("ascii", "replace")
+        rows.append(
+            {
+                "major_brand": brand,
+                "mvhd_timescale": mv_ts,
+                "mvhd_duration_ms": mv_dur * 1000 // mv_ts,
+                "track_id": track_id,
+                "handler": handler,
+                "codec": codec,
+                "timescale": ts,
+                "duration_ms": dur * 1000 // ts,
+                "width": width,
+                "height": height,
+                "lang": lang,
+            }
+        )
+    return rows
+
+
+def _mp4_box(btype: bytes, body: bytes, large: bool = False) -> bytes:
+    if large:
+        return (
+            (1).to_bytes(4, "big")
+            + btype
+            + (16 + len(body)).to_bytes(8, "big")
+            + body
+        )
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def synthetic_mp4_assets(
+    spark: SparkSession, n: int = 8, seed: int = 42
+) -> DataFrame:
+    """Asset table whose payloads are REAL minimal ISO-BMFF files with
+    deterministic metadata derived from the asset index (ms = 1200 +
+    100*i, geometry 160+16*i x 90+9*i, codec cycling avc1/hev1/vp09,
+    audio language cycling eng/deu/fra) — every field the box walk
+    extracts is a closed-form function of i, so a DuckDB oracle
+    re-derives the expected table without parsing bytes.
+
+    Adversarial orderings baked in: odd assets use the streaming layout
+    (moov AFTER mdat, with a free box in between); i % 3 == 0 assets
+    carry an unknown 'skip' box INSIDE moov; i % 4 == 0 assets write
+    mdat with a 64-bit largesize header. mdat payloads are md5-derived
+    junk the walk must never read."""
+
+    def u32(v: int) -> bytes:
+        return v.to_bytes(4, "big")
+
+    def u16(v: int) -> bytes:
+        return v.to_bytes(2, "big")
+
+    def fixed1616(v: int) -> bytes:
+        return u32(v << 16)
+
+    def lang_pack(lang: str) -> bytes:
+        c1, c2, c3 = (ord(c) - 0x60 for c in lang)
+        return u16((c1 << 10) | (c2 << 5) | c3)
+
+    matrix = b"".join(
+        u32(x) for x in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    )
+
+    def trak(
+        track_id: int, handler: bytes, codec: bytes, w: int, h: int,
+        ts: int, dur: int, lang: str,
+    ) -> bytes:
+        tkhd = _mp4_box(
+            b"tkhd",
+            u32(7) + u32(0) + u32(0) + u32(track_id) + u32(0) + u32(0)
+            + b"\x00" * 8 + u16(0) + u16(0) + u16(0) + u16(0) + matrix
+            + fixed1616(w) + fixed1616(h),
+        )
+        mdhd = _mp4_box(
+            b"mdhd",
+            u32(0) + u32(0) + u32(0) + u32(ts) + u32(dur)
+            + lang_pack(lang) + u16(0),
+        )
+        hdlr = _mp4_box(
+            b"hdlr", u32(0) + u32(0) + handler + b"\x00" * 12 + b"x\x00"
+        )
+        entry_body = b"\x00" * 6 + u16(1) + b"\x00" * 16 + u16(w) + u16(h)
+        entry = (8 + len(entry_body)).to_bytes(4, "big") + codec + entry_body
+        stsd = _mp4_box(b"stsd", u32(0) + u32(1) + entry)
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        return _mp4_box(b"trak", tkhd + mdia)
+
+    video_codecs = [b"avc1", b"hev1", b"vp09"]
+    audio_langs = ["eng", "deu", "fra"]
+    rows = []
+    for i in range(n):
+        ms_dur = 1200 + 100 * i
+        w, h = 160 + 16 * i, 90 + 9 * i
+        mvhd = _mp4_box(
+            b"mvhd",
+            u32(0) + u32(0) + u32(0) + u32(1000) + u32(ms_dur)
+            + u32(0x10000) + u16(0x0100) + u16(0) + b"\x00" * 8 + matrix
+            + b"\x00" * 24 + u32(3),
+        )
+        traks = trak(
+            1, b"vide", video_codecs[i % 3], w, h, 90000, ms_dur * 90, "und"
+        )
+        if i % 2 == 1:
+            traks += trak(
+                2, b"soun", b"mp4a", 0, 0, 48000, ms_dur * 48,
+                audio_langs[i % 3],
+            )
+        moov_body = mvhd + traks
+        if i % 3 == 0:
+            moov_body += _mp4_box(b"skip", b"ignore me")
+        moov = _mp4_box(b"moov", moov_body)
+        junk = b"".join(
+            hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()
+            for j in range(4 + i)
+        )
+        mdat = _mp4_box(b"mdat", junk, large=(i % 4 == 0))
+        ftyp = _mp4_box(b"ftyp", b"isom" + u32(0x200) + b"isomiso2avc1mp41")
+        if i % 2 == 1:  # streaming layout: moov after mdat
+            blob = ftyp + _mp4_box(b"free", b"\x00" * 8) + mdat + moov
+        else:
+            blob = ftyp + moov + mdat
+        rows.append(
+            (i, bytearray(blob), "video/mp4", w, h, ms_dur)
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def mp4_container_metadata(assets: DataFrame) -> DataFrame:
+    """Decode-free ISO-BMFF metadata walk via Arrow mapInPandas: one row
+    per track — (major_brand, mvhd duration, track id, handler, codec
+    fourcc, media timescale, duration, geometry, language). These are
+    the fields a multimodal curation filter reads BEFORE deciding to
+    decode anything (codec allowlists, duration/geometry gates, language
+    routing); at 100 TB the walk touches a few hundred header bytes per
+    asset while mdat (the overwhelming payload mass) is skipped by the
+    box grammar — bytes stay in Arrow buffers, one kernel call per
+    batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "major_brand", "mvhd_timescale",
+                "mvhd_duration_ms", "track_id", "handler", "codec",
+                "timescale", "duration_ms", "width", "height", "lang",
+            )}
+            for aid, blob in zip(pdf["asset_id"], pdf["media"]):
+                for row in _mp4_metadata(bytes(blob)):
+                    out["asset_id"].append(aid)
+                    for k, v in row.items():
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media").mapInPandas(
+        run, MP4_META_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# JPEG JFIF / EXIF tag walk — the still-image sibling of the MP4 box
+# walk: decode-free header metadata (density, orientation, camera
+# make/model, capture time, geometry) read from APP0/APP1/SOF segments
+# without touching entropy-coded data. EXIF's TIFF IFD comes in BOTH
+# byte orders in the wild (II little / MM big) — the walk handles both.
+# ---------------------------------------------------------------------------
+
+JPEG_META_SCHEMA = (
+    "asset_id BIGINT, jfif_version STRING, density_units INT, "
+    "x_density INT, y_density INT, byte_order STRING, make STRING, "
+    "model STRING, orientation INT, datetime STRING, width INT, "
+    "height INT"
+)
+
+_EXIF_TAGS = {0x010F: "make", 0x0110: "model",
+              0x0112: "orientation", 0x0132: "datetime"}
+
+
+def _exif_ifd0(tiff: bytes) -> dict:
+    """Parse IFD0 of an EXIF TIFF blob (both byte orders). ASCII values
+    beyond the 4 inline bytes follow the offset; trailing NUL stripped.
+    Returns {name: value} for the curation tags (make, model,
+    orientation, datetime) plus 'byte_order'."""
+    if tiff[:2] == b"II":
+        bo = "little"
+    elif tiff[:2] == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("EXIF TIFF header has unknown byte order")
+
+    def u(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    if u(tiff[2:4]) != 42:
+        raise ValueError("EXIF TIFF magic != 42")
+    ifd = u(tiff[4:8])
+    if ifd + 2 > len(tiff):
+        raise ValueError("truncated EXIF IFD0")
+    n = u(tiff[ifd : ifd + 2])
+    out: dict = {"byte_order": "II" if bo == "little" else "MM"}
+    for e in range(n):
+        off = ifd + 2 + 12 * e
+        ent = tiff[off : off + 12]
+        if len(ent) < 12:
+            raise ValueError("truncated EXIF IFD entry")
+        tag, typ, cnt = u(ent[0:2]), u(ent[2:4]), u(ent[4:8])
+        name = _EXIF_TAGS.get(tag)
+        if name is None:
+            continue
+        if typ == 2:  # ASCII
+            size = cnt
+            if size <= 4:
+                raw = ent[8 : 8 + size]
+            else:
+                p = u(ent[8:12])
+                raw = tiff[p : p + size]
+            out[name] = raw.rstrip(b"\x00").decode("ascii", "replace")
+        elif typ == 3:  # SHORT
+            out[name] = u(ent[8:10])
+    return out
+
+
+def _jpeg_header_metadata(data: bytes) -> dict:
+    """Walk JPEG marker segments up to SOS/EOI collecting JFIF (APP0),
+    EXIF (APP1) and frame geometry (SOFn) — no entropy-coded byte is
+    read. Raises on truncation or a missing SOI, honest like the strict
+    decoders; absent optional segments yield None fields."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    out = {
+        "jfif_version": None, "density_units": None,
+        "x_density": None, "y_density": None, "byte_order": None,
+        "make": None, "model": None, "orientation": None,
+        "datetime": None, "width": None, "height": None,
+    }
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: header region over
+            return out
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment header")
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xE0 and body[:5] == b"JFIF\x00":
+            out["jfif_version"] = f"{body[5]}.{body[6]:02d}"
+            out["density_units"] = body[7]
+            out["x_density"] = int.from_bytes(body[8:10], "big")
+            out["y_density"] = int.from_bytes(body[10:12], "big")
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            out.update(_exif_ifd0(body[6:]))
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            out["height"] = int.from_bytes(body[1:3], "big")
+            out["width"] = int.from_bytes(body[3:5], "big")
+        pos += 2 + seg_len
+    raise ValueError("JPEG ended without SOS/EOI")
+
+
+def synthetic_jpeg_exif_assets(
+    spark: SparkSession, n: int = 8, seed: int = 42
+) -> DataFrame:
+    """JPEG headers with JFIF + EXIF segments whose every field is a
+    closed-form function of the asset index: density (72+2i, 96+3i),
+    orientation 1+(i%8), make/model/datetime strings, geometry
+    (32+8i x 24+6i) — and the EXIF byte order ALTERNATES II/MM so both
+    endiannesses are exercised. Long ASCII values spill past the 4
+    inline entry bytes into offset storage (the other layout branch).
+    No scan data: the walk's whole point is reading curation fields
+    without decoding."""
+    rows = []
+    for i in range(n):
+        bo = "little" if i % 2 == 0 else "big"
+
+        def u16(v, bo=None, _bo_default=bo):
+            return v.to_bytes(2, bo or _bo_default)
+
+        def u32(v, bo=None, _bo_default=bo):
+            return v.to_bytes(4, bo or _bo_default)
+
+        make = f"maker{i % 3}"  # <= 6 chars + NUL -> offset storage
+        model = f"m{i}"  # short enough to inline when <= 3 chars + NUL
+        dt = f"2024:01:{2 + i:02d} 10:00:00"
+        # IFD0 with 4 entries; ASCII values longer than 4 bytes live
+        # after the entry table
+        entries = []
+        tail = b""
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * 4 + 4
+        for tag, typ, val in (
+            (0x010F, 2, make.encode() + b"\x00"),
+            (0x0110, 2, model.encode() + b"\x00"),
+            (0x0112, 3, 1 + (i % 8)),
+            (0x0132, 2, dt.encode() + b"\x00"),
+        ):
+            if typ == 2:
+                cnt = len(val)
+                if cnt <= 4:
+                    inline = val + b"\x00" * (4 - cnt)
+                else:
+                    inline = u32(data_off + len(tail))
+                    tail += val
+                entries.append(u16(tag) + u16(typ) + u32(cnt) + inline)
+            else:
+                entries.append(
+                    u16(tag) + u16(typ) + u32(1) + u16(val) + b"\x00\x00"
+                )
+        tiff = (
+            (b"II" if bo == "little" else b"MM")
+            + u16(42)
+            + u32(ifd_off)
+            + u16(4)
+            + b"".join(entries)
+            + u32(0)  # next-IFD pointer
+            + tail
+        )
+        exif = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + (2 + len(exif)).to_bytes(2, "big") + exif
+        jfif = (
+            b"JFIF\x00\x01\x02"
+            + bytes([1])
+            + (72 + 2 * i).to_bytes(2, "big")
+            + (96 + 3 * i).to_bytes(2, "big")
+            + b"\x00\x00"
+        )
+        app0 = b"\xff\xe0" + (2 + len(jfif)).to_bytes(2, "big") + jfif
+        w, h = 32 + 8 * i, 24 + 6 * i
+        sof_body = (
+            bytes([8])
+            + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0])
+        )
+        sof = b"\xff\xc0" + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+        blob = b"\xff\xd8" + app0 + app1 + sof + b"\xff\xd9"
+        rows.append((i, bytearray(blob), "image/jpeg", w, h, None))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def jpeg_header_metadata(assets: DataFrame) -> DataFrame:
+    """Decode-free JPEG JFIF/EXIF metadata via Arrow mapInPandas — the
+    still-image curation fields (orientation for rotation-normalizing,
+    capture time and camera for provenance filters, density and
+    geometry gates) read from header segments only; entropy-coded data
+    is never touched, so cost per asset is tens of header bytes
+    regardless of image size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "jfif_version", "density_units", "x_density", "y_density",
+            "byte_order", "make", "model", "orientation", "datetime",
+            "width", "height",
+        )
+        for pdf in batches:
+            out = {"asset_id": []}
+            out.update({c: [] for c in cols})
+            for aid, blob in zip(pdf["asset_id"], pdf["media"]):
+                meta = _jpeg_header_metadata(bytes(blob))
+                out["asset_id"].append(aid)
+                for c in cols:
+                    out[c].append(meta[c])
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media").mapInPandas(
+        run, JPEG_META_SCHEMA
+    )

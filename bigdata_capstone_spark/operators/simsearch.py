@@ -1425,3 +1425,101 @@ def candidate_pair_sims(
             ).alias("sim_r"),
         )
     )
+
+
+def nn_descent(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    rounds: int = 2,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 2000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """NN-DESCENT refinement of the LSH-seeded corpus KNN graph (Dong,
+    Moses & Li, WWW'11) — the graph-ANN family the ladder (LSH / IVF /
+    PQ / IVF-PQ / matryoshka) lacked: each round proposes every
+    neighbor-of-neighbor as a candidate ("a neighbor of my neighbor is
+    likely my neighbor"), exact-cosine re-ranks, and keeps the per-node
+    top-k. Full HNSW is inherently sequential (greedy walks over a
+    mutable graph); NN-descent is the member of the family that IS a
+    data-parallel fixed-point iteration, so it fits this engine's
+    iterative-DataFrame pattern — and its fixed-round unrolled-oracle
+    discipline — exactly.
+
+    Determinism/monotonicity contract: candidates are a SET (current
+    edges ∪ neighbor-of-neighbor pairs, distinct), the keep rule is the
+    usual total order (cosine_r DESC, dst) — so the candidate pool only
+    grows round over round, every true top-k member once seen can never
+    be displaced (at most k-1 vectors outrank it under the total
+    order), and recall vs the exact graph is provably non-decreasing
+    per round (tested). All decisions replay in SQL: md5 hyperplanes
+    seed the graph, cosines round to 6dp before ranking, ties break on
+    dst.
+
+    Scale shape: the state is the |V|·k edge list; the join-of-
+    neighbors candidate step is |V|·(2k)² rows — graph-sized, never
+    |V|² — shuffled on node ids; the exact re-rank joins the (id, vec,
+    norm) projection by id (at 100 TB both sides bucket by id); the
+    per-src top-k is a key-partitioned window. Per-round lineage is
+    checkpoint-truncated via the shared ckpt mechanism (the Viterbi/LPA
+    lesson: cache alone nests the plan ``rounds`` levels deep).
+    """
+    from bigdata_capstone_spark.operators.ckpt import lineage_truncation
+
+    spark = corpus.sparkSession
+    vs = _with_norm(fan_out(corpus), "src", "sv", "sn", id_col, vec_col)
+    vd = _with_norm(fan_out(corpus), "dst", "dv", "dn", id_col, vec_col)
+    g = knn_graph(
+        corpus, dim, k, n_planes, n_tables, id_col, vec_col, max_bucket
+    )
+    with lineage_truncation(spark, checkpoint_dir) as ckpt:
+        g = ckpt(g)
+        for _ in range(rounds):
+            und = (
+                g.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+                .unionByName(
+                    g.select(
+                        F.col("dst").alias("a"), F.col("src").alias("b")
+                    )
+                )
+                .distinct()
+            )
+            non = (
+                und.alias("x")
+                .join(
+                    und.alias("y"),
+                    (F.col("x.b") == F.col("y.a"))
+                    & (F.col("y.b") != F.col("x.a")),
+                )
+                .select(
+                    F.col("x.a").alias("src"), F.col("y.b").alias("dst")
+                )
+            )
+            cand = non.unionByName(g.select("src", "dst")).distinct()
+            scored = (
+                cand.join(vs, on="src")
+                .join(vd, on="dst")
+                .select(
+                    "src",
+                    "dst",
+                    F.round(
+                        dot_product_col(F.col("sv"), F.col("dv"))
+                        / (F.col("sn") * F.col("dn")),
+                        6,
+                    ).alias("cosine_r"),
+                )
+            )
+            g = ckpt(
+                grouped_top_k(
+                    scored,
+                    ["src"],
+                    [F.desc("cosine_r"), F.col("dst")],
+                    k,
+                    rank_col="rank",
+                ).withColumn("rank", F.col("rank").cast("int"))
+            )
+    return g

@@ -568,7 +568,11 @@ def qsketch_compact(items: DataFrame, capacity: int) -> DataFrame:
 def qsketch_build(
     df: DataFrame, key_col: Column, value_col: Column, capacity: int
 ) -> DataFrame:
-    """One-pass batch build: items -> canonical compaction."""
+    """Batch build: items -> canonical compaction. The source is scanned
+    TWICE (threshold contingency, then the keep filter), both scans
+    column-pruned to (key, value) — the honest cost of a canonical
+    batch state; the streaming twin never rescans (each micro-batch
+    builds its own bounded partial and folds)."""
     return qsketch_compact(qsketch_items(df, key_col, value_col), capacity)
 
 
@@ -583,6 +587,11 @@ def qsketch_merge(states: list[DataFrame], capacity: int) -> DataFrame:
     u = states[0]
     for s in states[1:]:
         u = u.unionByName(s)
+    # cache the union: bounded by len(states)*capacity rows BY DESIGN,
+    # and read twice here (floor aggregate + the floor filter) plus
+    # twice more inside the recompaction — without it every consumer
+    # re-executes each shard's full build lineage
+    u = u.cache()
     floor = u.agg(F.max("thr").alias("__floor"))
     items = (
         u.crossJoin(F.broadcast(floor))

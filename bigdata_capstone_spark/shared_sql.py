@@ -85,7 +85,7 @@ REPEATED_SPAN_CTES = """
       FROM documents
     ),
     grams AS (
-      SELECT doc_id, len(t) AS dl, p.pos AS pos,
+      SELECT doc_id, len(t) AS dl, p.pos AS pos, p.g AS g,
              (('0x' || substr(md5(p.g), 1, 15))::BIGINT) AS gh
       FROM (
         SELECT doc_id, t,
@@ -97,8 +97,14 @@ REPEATED_SPAN_CTES = """
     ),
     dfreq AS (SELECT gh FROM grams
               GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-    hits AS (SELECT g.doc_id, g.dl, g.pos
+    cand AS (SELECT g.doc_id, g.dl, g.pos, g.gh, g.g
              FROM grams g JOIN dfreq USING (gh)),
+    -- byte-verify: a candidate survives only if its ACTUAL gram text
+    -- repeats across >= min_docs documents (discards digest collisions)
+    verified AS (SELECT gh, g FROM cand
+                 GROUP BY gh, g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT c.doc_id, c.dl, c.pos
+             FROM cand c JOIN verified v ON v.gh = c.gh AND v.g = c.g),
     i1 AS (
       SELECT doc_id, dl, pos,
              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
