@@ -135,7 +135,14 @@ HEADLINE = [
     "event_value_quantile_sketch", # level-sampling mergeable quantile sketch
     "quantile_sketch_shard_merge", # sketch merge law (union + recompact)
     "documents_jsonl_ingest",      # JSONL round-trip + quarantine parity
+    "event_type_value_quantile_sketch",  # per-group sketches, one pass
+    "embedding_nn_descent",        # graph-ANN: LSH seed + 2 refine rounds
+    "multimodal_mp4_metadata",     # decode-free ISO-BMFF box walk
 ]
+# embedding_nn_descent_convergence is deliberately NOT in the headline:
+# its Spark cost IS the nn_descent trajectory (already measured above)
+# plus k-bounded anti-join diffs — a second timing would double-count
+# the same stages (docs_training_prep_pipeline precedent).
 # docs_training_prep_pipeline (the end-to-end composite) is deliberately
 # NOT in the headline: its cost at bench scale is the fixed per-round
 # overhead of the iterative closure (~20s for 300 surviving rows — see

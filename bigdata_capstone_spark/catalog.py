@@ -4468,6 +4468,66 @@ def embedding_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nn_descent_convergence_oracle(rounds: int = 2, k: int = 5) -> str:
+    """Per-round metrics over the same unrolled chain as
+    _nn_descent_oracle: edge count, changed-edge count (EXCEPT vs the
+    previous round), and the exact micro-unit cosine total."""
+    base = _nn_descent_oracle(rounds, k)
+    chain = base[: base.rindex("\n    SELECT ")]
+    names = ["graph"] + [f"g{r}" for r in range(1, rounds + 1)]
+    # MATERIALIZED: each round's graph is referenced by the next round,
+    # its own metrics row, AND two EXCEPT diffs — inlined, DuckDB re-runs
+    # the whole seed chain per reference (21s at sf0.01; ~1s
+    # materialized). Values unchanged — purely the oracle's own plan
+    # (the unigram-DP oracle precedent).
+    for name in names:
+        chain = chain.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+    rows = []
+    for r, cur in enumerate(names):
+        if r == 0:
+            changed = "count(*)"
+        else:
+            changed = f"""(SELECT count(*) FROM
+               (SELECT src, dst FROM {cur}
+                EXCEPT SELECT src, dst FROM {names[r - 1]}))"""
+        rows.append(f"""
+    SELECT {r}::INT AS round, count(*)::BIGINT AS n_edges,
+           ({changed})::BIGINT AS n_changed,
+           sum(round(cosine_r * 1000000)::BIGINT)::BIGINT
+             AS sum_cosine_micro
+    FROM {cur}""")
+    return chain + "\n    " + "\n    UNION ALL".join(rows)
+
+
+@register(
+    "embedding_nn_descent_convergence",
+    oracle=_nn_descent_convergence_oracle(2, 5),
+)
+def embedding_nn_descent_convergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONVERGENCE observability for NN-descent — the operational 'one
+    more round or stop?' dial, sibling of the LSH candidate-precision /
+    pair-recall rows: per round, the edge count, how many edges CHANGED
+    vs the previous round (anti-join of k-bounded edge lists), and the
+    exact micro-unit cosine total (provably non-decreasing under the
+    growing candidate pool). n_changed decaying toward zero is the
+    fixed-point signal an index operator watches before spending
+    another |V|·(2k)² candidate round at 100 TB. The oracle replays
+    every round AND every diff over the shared unrolled chain."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        nn_descent_convergence,
+        nn_descent_trajectory,
+    )
+
+    ensure_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    states = nn_descent_trajectory(
+        emb, dim=64, k=5, rounds=2, n_planes=6, n_tables=2, max_bucket=100
+    )
+    return nn_descent_convergence(states)
+
+
 @register(
     "embedding_mutual_knn_edges",
     oracle=_knn_graph_cte(6, 2, 64, 5, max_bucket=100)

@@ -5565,3 +5565,95 @@ def documents_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quarantine_mod"),
     )
     return g.crossJoin(b)
+
+
+def _qsketch_grouped_oracle(
+    capacity: int = 256, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> str:
+    from bigdata_capstone_spark.functions.portable import md5_long_sql
+    from bigdata_capstone_spark.operators.sketches import (
+        _quantile_label,
+        qsketch_lvl_sql,
+    )
+
+    h = md5_long_sql("'qs:' || event_id::VARCHAR")
+    picks = ",\n           ".join(
+        f"round(min(CASE WHEN rn >= greatest(1, ceil({q} * m)) "
+        f"THEN value END), 6) AS p{_quantile_label(q)}_r"
+        for q in qs
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT event_type, event_id::VARCHAR AS qs_id, value::DOUBLE AS value,
+             {h} AS __h
+      FROM events
+    ),
+    items AS (
+      SELECT event_type, qs_id, value, {qsketch_lvl_sql("qs_id")} AS lvl
+      FROM hashed
+    ),
+    lv AS (
+      SELECT event_type, lvl, count(*) AS cnt FROM items GROUP BY 1, 2
+    ),
+    thr AS (
+      SELECT event_type,
+             coalesce(max(CASE WHEN cum > {capacity} THEN lvl + 1 END),
+                      0)::INT AS thr
+      FROM (
+        SELECT event_type, lvl,
+               sum(cnt) OVER (PARTITION BY event_type
+                              ORDER BY lvl DESC) AS cum
+        FROM lv
+      )
+      GROUP BY 1
+    ),
+    state AS (
+      SELECT i.event_type, i.qs_id, i.value, t.thr
+      FROM items i JOIN thr t USING (event_type)
+      WHERE i.lvl >= t.thr
+    ),
+    ranked AS (
+      SELECT event_type, value, thr,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, qs_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM state
+    )
+    SELECT event_type, max(m)::BIGINT AS n_kept, max(thr)::INT AS thr,
+           {picks}
+    FROM ranked GROUP BY event_type
+    """
+
+
+@register(
+    "event_type_value_quantile_sketch", oracle=_qsketch_grouped_oracle()
+)
+def event_type_value_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-GROUP quantile sketches in one pass (operators/sketches.py
+    qsketch_grouped_*): every event type gets its own canonical
+    <=256-row level-sampling state and its own p50/p90/p99 — the
+    production shape of the family (a value-distribution dashboard per
+    event type / language / source), where the global entry is the
+    single-dial case. The per-group states obey the same exact merge
+    law, so shard partials fold groupwise; every window partitions by
+    the REAL group column (no constant-scope barrier needed), and the
+    oracle replays levels, each group's integer-minimal threshold, and
+    every per-group rank pick.
+
+    Scale shape: one scan + one |groups| x 41 contingency; thresholds
+    broadcast back; state is |groups| x capacity rows forever."""
+    from bigdata_capstone_spark.operators.sketches import (
+        qsketch_grouped_build,
+        qsketch_grouped_quantiles,
+    )
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    state = qsketch_grouped_build(
+        ev, ["event_type"], F.col("event_id"), F.col("value"), 256
+    )
+    return qsketch_grouped_quantiles(
+        state, ["event_type"], (0.5, 0.9, 0.99)
+    )

@@ -1468,6 +1468,29 @@ def nn_descent(
     checkpoint-truncated via the shared ckpt mechanism (the Viterbi/LPA
     lesson: cache alone nests the plan ``rounds`` levels deep).
     """
+    return nn_descent_trajectory(
+        corpus, dim, k, rounds, n_planes, n_tables, id_col, vec_col,
+        max_bucket, checkpoint_dir,
+    )[-1]
+
+
+def nn_descent_trajectory(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    rounds: int = 2,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 2000,
+    checkpoint_dir: str | None = None,
+) -> list[DataFrame]:
+    """The full refinement trajectory [seed, round1, ..., roundN] of
+    :func:`nn_descent` — each element checkpoint-truncated, so
+    convergence observability (per-round changed-edge counts, the
+    operational signal for 'one more round or stop') can diff
+    consecutive states without re-executing the chain."""
     from bigdata_capstone_spark.operators.ckpt import lineage_truncation
 
     spark = corpus.sparkSession
@@ -1478,6 +1501,7 @@ def nn_descent(
     )
     with lineage_truncation(spark, checkpoint_dir) as ckpt:
         g = ckpt(g)
+        states = [g]
         for _ in range(rounds):
             und = (
                 g.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -1522,4 +1546,48 @@ def nn_descent(
                     rank_col="rank",
                 ).withColumn("rank", F.col("rank").cast("int"))
             )
-    return g
+            states.append(g)
+    return states
+
+
+def nn_descent_convergence(states: list[DataFrame]) -> DataFrame:
+    """Convergence observability for an NN-descent trajectory: one row
+    per round — (round, n_edges, n_changed, sum_cosine_micro), where
+    n_changed counts edges not present in the previous round's graph
+    (round 0 = the seed, all edges 'new') and sum_cosine_micro is the
+    exact micro-unit edge-quality total (monotone non-decreasing under
+    the growing candidate pool — the operational 'keep iterating?'
+    dial, the NN-descent sibling of the LSH precision/recall rows).
+    All states are k-bounded edge lists, so every diff is an
+    anti-join on |V|·k rows."""
+    out = None
+    for r, g in enumerate(states):
+        base = g.select(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(F.round(F.col("cosine_r") * 1_000_000, 0).cast("long"))
+            .cast("long")
+            .alias("sum_cosine_micro"),
+        )
+        if r == 0:
+            changed = base.select(F.col("n_edges").alias("n_changed"))
+        else:
+            changed = (
+                g.select("src", "dst")
+                .join(
+                    states[r - 1].select("src", "dst"),
+                    on=["src", "dst"],
+                    how="left_anti",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("n_changed"))
+            )
+        row = (
+            base.crossJoin(changed)
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "n_edges",
+                "n_changed",
+                "sum_cosine_micro",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

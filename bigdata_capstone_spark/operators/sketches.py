@@ -653,3 +653,104 @@ def qsketch_quantiles(
         )
         .drop("__s")
     )
+
+
+def qsketch_grouped_build(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: Column,
+    value_col: Column,
+    capacity: int,
+) -> DataFrame:
+    """PER-GROUP level-sampling sketches in one pass — the production
+    shape of the quantile family (a value-distribution dashboard per
+    event type / language / source): every group gets its own canonical
+    <=capacity-row state, all built from a single scan + one grouped
+    contingency. The merge law holds per group (states over disjoint
+    item sets union-and-recompact groupwise), so shard partials fold
+    exactly like the global sketch's.
+
+    Returns (group..., qs_id, value, lvl, thr). Unlike the global
+    build, every window here partitions by REAL group columns — no
+    constant-scope barrier needed; state is |groups| x capacity rows
+    however many values stream through."""
+    items = df.select(
+        *group_cols,
+        key_col.cast("string").alias("qs_id"),
+        value_col.cast("double").alias("value"),
+    ).withColumn("lvl", qsketch_lvl_col(F.col("qs_id")))
+    from pyspark.sql.window import Window
+
+    per = items.groupBy(*group_cols, "lvl").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.desc("lvl"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thr = (
+        per.select(*group_cols, "lvl", F.sum("cnt").over(w).alias("cum"))
+        .groupBy(*group_cols)
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("cum") > capacity, F.col("lvl") + 1)
+                ),
+                F.lit(0),
+            )
+            .cast("int")
+            .alias("thr")
+        )
+    )
+    return (
+        items.join(F.broadcast(thr), on=group_cols)
+        .filter(F.col("lvl") >= F.col("thr"))
+        .select(*group_cols, "qs_id", "value", "lvl", "thr")
+    )
+
+
+def qsketch_grouped_quantiles(
+    state: DataFrame,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates from grouped sketch states: one row
+    per group — (group..., n_kept, thr, p{label}_r ...), each pick the
+    group's sample order statistic at rank ceil(q*m) with the qs_id
+    tie-break. Ranking windows partition by the group columns over the
+    |groups| x capacity state."""
+    from pyspark.sql.window import Window
+
+    labels = [_quantile_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile labels collide for qs={qs!r}: {labels}")
+    w_rank = Window.partitionBy(*group_cols).orderBy("value", "qs_id")
+    w_tot = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = state.select(
+        *group_cols,
+        "value",
+        "thr",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_tot).alias("m"),
+    )
+    aggs = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    >= F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("m"))),
+                    F.col("value"),
+                )
+            ),
+            6,
+        ).alias(f"p{lbl}_r")
+        for q, lbl in zip(qs, labels)
+    ]
+    return ranked.groupBy(*group_cols).agg(
+        F.max("m").cast("long").alias("n_kept"),
+        F.max("thr").cast("int").alias("thr"),
+        *aggs,
+    )

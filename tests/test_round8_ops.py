@@ -511,3 +511,71 @@ def test_jpeg_exif_walk_raises_on_corruption():
     bad = blob.replace(b"II", b"XX", 1)
     with pytest.raises(ValueError):
         _jpeg_header_metadata(bad)  # unknown TIFF byte order
+
+
+def test_qsketch_grouped_split_independence(spark, sf_small):
+    """The per-group merge law: groupwise union + recompact of shard
+    states equals the one-shot grouped build bit-for-bit. Recompaction
+    reuses qsketch_grouped_build's threshold rule per group with the
+    carried-threshold floor applied first, mirroring the global
+    qsketch_merge."""
+    from bigdata_capstone_spark.operators.sketches import (
+        qsketch_grouped_build,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_small, "events").cache()
+    cap = 64
+    full = qsketch_grouped_build(
+        ev, ["event_type"], F.col("event_id"), F.col("value"), cap
+    )
+    shards = [
+        qsketch_grouped_build(
+            ev.filter(F.col("event_id") % 2 == i),
+            ["event_type"],
+            F.col("event_id"),
+            F.col("value"),
+            cap,
+        )
+        for i in range(2)
+    ]
+    u = shards[0].unionByName(shards[1]).cache()
+    floor = u.groupBy("event_type").agg(F.max("thr").alias("__floor"))
+    items = (
+        u.join(floor, on="event_type")
+        .filter(F.col("lvl") >= F.col("__floor"))
+        .select("event_type", "qs_id", "value", "lvl")
+    )
+    # recompact groupwise: same rule as the build, applied to the floored
+    # union (inline here; the operator path is exercised via the entry)
+    from pyspark.sql.window import Window
+
+    per = items.groupBy("event_type", "lvl").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("lvl"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thr = (
+        per.select("event_type", "lvl", F.sum("cnt").over(w).alias("cum"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("cum") > cap, F.col("lvl") + 1)),
+                F.lit(0),
+            ).cast("int").alias("thr")
+        )
+    )
+    merged = (
+        items.join(F.broadcast(thr), on="event_type")
+        .filter(F.col("lvl") >= F.col("thr"))
+        .select("event_type", "qs_id", "value", "lvl", "thr")
+    )
+
+    def key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert key(merged) == key(full)
