@@ -5657,3 +5657,141 @@ def event_type_value_quantile_sketch(
     return qsketch_grouped_quantiles(
         state, ["event_type"], (0.5, 0.9, 0.99)
     )
+
+
+_PHRASE_SEARCH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT array_to_string(t[i:i+2], ' ') AS phrase
+      FROM (SELECT t, unnest(range(1, len(t)::BIGINT - 1)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ),
+    top2 AS (
+      SELECT phrase FROM grams GROUP BY phrase
+      ORDER BY count(*) DESC, phrase LIMIT 2
+    ),
+    terms AS (
+      SELECT phrase, len(pts) AS m, u.idx AS term_idx, u.tok AS token
+      FROM (SELECT phrase, string_split(phrase, ' ') AS pts FROM top2),
+           unnest([struct_pack(idx := i, tok := pts[i])
+                   for i in range(1, len(pts) + 1)]) AS s(u)
+    ),
+    post AS (
+      SELECT doc_id, u.tok AS token, u.pos AS pos
+      FROM (SELECT doc_id,
+                   unnest([struct_pack(pos := i, tok := t[i])
+                           for i in range(1, len(t) + 1)]) AS u
+            FROM toks)
+    ),
+    votes AS (
+      SELECT tm.phrase, tm.m, p.doc_id,
+             p.pos - tm.term_idx + 1 AS anchor, tm.term_idx
+      FROM post p JOIN terms tm USING (token)
+      WHERE p.pos - tm.term_idx + 1 >= 1
+    ),
+    anchors AS (
+      SELECT phrase, m, doc_id, anchor,
+             count(DISTINCT term_idx) AS found
+      FROM votes GROUP BY 1, 2, 3, 4
+    )
+    SELECT phrase, doc_id, count(*)::BIGINT AS n_matches,
+           min(anchor)::BIGINT AS first_pos
+    FROM anchors WHERE found = m
+    GROUP BY phrase, doc_id
+    """
+
+
+@register("doc_phrase_search", oracle=_PHRASE_SEARCH_ORACLE)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT PHRASE SEARCH over positional postings (operators/
+    retrieval.py:phrase_search) — the quoted-query capability the BM25
+    stack lacks, expressed as ONE broadcast join instead of an m-way
+    self-join: each posting of a phrase term votes for anchor =
+    pos - term_idx + 1, and an anchor holding all m distinct term
+    indexes is a match. The query phrases are the corpus's own top-2
+    most frequent trigrams (count DESC, phrase ASC), so the entry is
+    fixture-literal-free and survives any SF; the oracle replays
+    phrase derivation, the vote join, and the anchor test.
+
+    Scale shape: the corpus-sized side is the positional postings
+    table, touched once by the broadcast term join; only postings of
+    phrase terms survive; the anchor groupBy is bounded by matching
+    postings. At 100 TB the postings bucket by doc_id like every other
+    index table here."""
+    from bigdata_capstone_spark.operators.retrieval import (
+        phrase_search,
+        positional_postings,
+        top_ngram_phrases,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").cache()
+    phrases = top_ngram_phrases(docs, n=3, k=2)
+    return phrase_search(positional_postings(docs), phrases)
+
+
+@register(
+    "streaming_grouped_quantile_sketch", oracle=_qsketch_grouped_oracle()
+)
+def streaming_grouped_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING maintenance of the PER-GROUP quantile sketches — the
+    grouped state gets its O(batch) twin like every other persisted
+    index here: each micro-batch builds its own per-group partials and
+    folds via groupwise union + recompaction
+    (sketches.qsketch_grouped_merge through
+    start_state_fold_maintenance). The drained snapshot is batch-split
+    independent per group, so the one-pass grouped batch oracle
+    value-checks it hash-exactly. State stays |groups| x capacity rows
+    however long the stream runs — the per-event-type value dashboard
+    maintained at ingest time."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.sketches import (
+        qsketch_grouped_build,
+        qsketch_grouped_merge,
+        qsketch_grouped_quantiles,
+    )
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot_or_empty,
+        start_state_fold_maintenance,
+    )
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_gqsketch_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+    )
+    q = start_state_fold_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        partial_fn=lambda b: qsketch_grouped_build(
+            b, ["event_type"], F.col("event_id"), F.col("value"), 256
+        ),
+        fold_fn=lambda old, new: qsketch_grouped_merge(
+            [old, new], ["event_type"], 256
+        ),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = read_latest_snapshot_or_empty(
+        spark,
+        f"{work}/state",
+        "event_type STRING, qs_id STRING, value DOUBLE, lvl INT, thr INT",
+    )
+    return qsketch_grouped_quantiles(
+        state, ["event_type"], (0.5, 0.9, 0.99)
+    )

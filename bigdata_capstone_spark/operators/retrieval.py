@@ -321,3 +321,90 @@ def prf_expansion_terms(
         mined, ["query_doc"], [F.desc("fb_tf"), F.col("token")], n_terms,
         rank_col="expansion_rank",
     ).withColumn("expansion_rank", F.col("expansion_rank").cast("int"))
+
+
+def positional_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, token, pos) POSITIONAL postings — the index shape phrase
+    and proximity queries need (the tf postings above deliberately drop
+    positions; BM25 never looks at them). One explode pass, 1-based
+    positions matching the repeated-span convention."""
+    return fan_out(docs).select(
+        "doc_id",
+        F.posexplode(tokens_col(text_col)).alias("pos0", "token"),
+    ).select("doc_id", "token", (F.col("pos0") + 1).alias("pos"))
+
+
+def top_ngram_phrases(
+    docs: DataFrame, n: int = 3, k: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """The corpus's top-``k`` most frequent word ``n``-grams (count DESC,
+    phrase ASC) as (phrase, n_occurrences) — used to derive DETERMINISTIC
+    query phrases from the corpus itself, so the phrase-search entry
+    needs no literal fixture strings and survives any SF. Positional
+    n-grams (not distinct per doc — occurrences are the point); one
+    explode pass; the top-k is a bounded TakeOrdered."""
+    toks = fan_out(docs).select(
+        "doc_id", tokens_col(text_col).alias("toks")
+    )
+    grams = toks.filter(F.size("toks") >= n).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            )
+        ).alias("phrase")
+    )
+    return (
+        grams.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "phrase")
+        .limit(k)
+    )
+
+
+def phrase_search(
+    postings: DataFrame, phrases: DataFrame
+) -> DataFrame:
+    """EXACT PHRASE SEARCH over positional postings — the quoted-query
+    capability of the retrieval stack: a document matches phrase
+    t1..tm at anchor position p iff token(p+j-1) = tj for every j.
+
+    Expressed as ONE join instead of an m-way self-join: broadcast the
+    (phrase, term_idx, token) terms onto the postings; every matching
+    posting votes for anchor = pos - term_idx + 1; an anchor with all m
+    DISTINCT term indexes present is a match (duplicate tokens inside a
+    phrase work — each required index must be found at its own offset).
+    Returns (phrase, doc_id, n_matches, first_pos).
+
+    Scale shape: the corpus-sized side is the postings table, touched
+    once by the broadcast join; only postings of phrase terms survive;
+    the anchor groupBy is bounded by |matching postings|. This is the
+    positional-index lookup expressed relationally — Catalyst plans it,
+    and at 100 TB the postings bucket by doc_id like every other index
+    table here."""
+    terms = phrases.select(
+        "phrase",
+        F.posexplode(F.split("phrase", " ")).alias("idx0", "token"),
+    ).select(
+        "phrase",
+        (F.col("idx0") + 1).alias("term_idx"),
+        "token",
+        F.size(F.split("phrase", " ")).alias("m"),
+    )
+    votes = postings.join(F.broadcast(terms), on="token").select(
+        "phrase",
+        "m",
+        "doc_id",
+        (F.col("pos") - F.col("term_idx") + 1).alias("anchor"),
+        "term_idx",
+    )
+    anchors = (
+        votes.filter(F.col("anchor") >= 1)
+        .groupBy("phrase", "m", "doc_id", "anchor")
+        .agg(F.countDistinct("term_idx").alias("found"))
+        .filter(F.col("found") == F.col("m"))
+    )
+    return anchors.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )

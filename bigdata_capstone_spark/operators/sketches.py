@@ -523,7 +523,9 @@ def qsketch_items(df: DataFrame, key_col: Column, value_col: Column) -> DataFram
     ).withColumn("lvl", qsketch_lvl_col(F.col("qs_id")))
 
 
-def qsketch_compact(items: DataFrame, capacity: int) -> DataFrame:
+def qsketch_compact(
+    items: DataFrame, capacity: int, floor: DataFrame | None = None
+) -> DataFrame:
     """Canonical compaction: keep items with lvl >= thr, where thr is
     the minimal INTEGER (not merely minimal present level — integer
     minimality is what makes the merge law exact when one shard's items
@@ -532,6 +534,16 @@ def qsketch_compact(items: DataFrame, capacity: int) -> DataFrame:
     or 0 when everything fits. Returns (qs_id, value, lvl, thr) with
     thr constant across rows — the state carries its own threshold so a
     merge can floor at max(thr_a, thr_b) before recompacting.
+
+    ``floor`` (a 1-row (__floor) frame, used by :func:`qsketch_merge`)
+    marks that ``items`` were already filtered to lvl >= __floor: the
+    recomputed threshold is then max(__floor, minimal-over-items).
+    Without this clamp the merge law breaks EXACTLY when the carried
+    floor already equals the from-scratch threshold — the floored
+    survivors fit capacity, no level exceeds it, and the recompaction
+    would record thr = 0 while the from-scratch build records the
+    floor (the kept ROWS still matched, which is why small-split tests
+    passed; a 4-shard sequential fold caught the thr column drift).
 
     The (lvl, count) contingency is <=41 rows; its cumulative count runs
     under a constant scope key via the cache-barrier recipe
@@ -550,14 +562,22 @@ def qsketch_compact(items: DataFrame, capacity: int) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = per.select("lvl", F.sum("cnt").over(w).alias("cum"))
-    thr = cum.agg(
+    cand = cum.agg(
         F.coalesce(
             F.max(F.when(F.col("cum") > capacity, F.col("lvl") + 1)),
             F.lit(0),
         )
         .cast("int")
-        .alias("thr")
+        .alias("__cand")
     )
+    if floor is not None:
+        thr = cand.crossJoin(F.broadcast(floor)).select(
+            F.greatest(F.col("__cand"), F.col("__floor"))
+            .cast("int")
+            .alias("thr")
+        )
+    else:
+        thr = cand.select(F.col("__cand").alias("thr"))
     return (
         items.crossJoin(F.broadcast(thr))
         .filter(F.col("lvl") >= F.col("thr"))
@@ -598,7 +618,9 @@ def qsketch_merge(states: list[DataFrame], capacity: int) -> DataFrame:
         .filter(F.col("lvl") >= F.col("__floor"))
         .select("qs_id", "value", "lvl")
     )
-    return qsketch_compact(items, capacity)
+    # floor passed through: the recompacted threshold must never fall
+    # below the carried floor (see qsketch_compact)
+    return qsketch_compact(items, capacity, floor=floor)
 
 
 def qsketch_quantiles(
@@ -753,4 +775,62 @@ def qsketch_grouped_quantiles(
         F.max("m").cast("long").alias("n_kept"),
         F.max("thr").cast("int").alias("thr"),
         *aggs,
+    )
+
+
+def qsketch_grouped_merge(
+    states: list[DataFrame], group_cols: list[str], capacity: int
+) -> DataFrame:
+    """Groupwise merge of per-group sketch states built over DISJOINT
+    item sets: union, floor each group at its max carried threshold,
+    recompact per group — the grouped twin of :func:`qsketch_merge`,
+    with the identical exactness argument applied within every group.
+    O(sum of state sizes); associative and commutative."""
+    from pyspark.sql.window import Window
+
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    # bounded by len(states) * |groups| * capacity rows by design; read
+    # by the floor aggregate, the floor filter, and the recompaction
+    u = u.cache()
+    floor = u.groupBy(*group_cols).agg(F.max("thr").alias("__floor"))
+    items = (
+        u.join(F.broadcast(floor), on=group_cols)
+        .filter(F.col("lvl") >= F.col("__floor"))
+        .select(*group_cols, "qs_id", "value", "lvl")
+    )
+    per = items.groupBy(*group_cols, "lvl").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.desc("lvl"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = (
+        per.select(*group_cols, "lvl", F.sum("cnt").over(w).alias("cum"))
+        .groupBy(*group_cols)
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("cum") > capacity, F.col("lvl") + 1)),
+                F.lit(0),
+            )
+            .cast("int")
+            .alias("__cand")
+        )
+    )
+    # clamp at the carried floor, groupwise (see qsketch_compact): a
+    # group whose floored survivors fit capacity must keep thr = floor,
+    # not reset to 0 — the 4-shard sequential fold drifts otherwise
+    thr = cand.join(F.broadcast(floor), on=group_cols).select(
+        *group_cols,
+        F.greatest(F.col("__cand"), F.col("__floor"))
+        .cast("int")
+        .alias("thr"),
+    )
+    return (
+        items.join(F.broadcast(thr), on=group_cols)
+        .filter(F.col("lvl") >= F.col("thr"))
+        .select(*group_cols, "qs_id", "value", "lvl", "thr")
     )

@@ -514,13 +514,11 @@ def test_jpeg_exif_walk_raises_on_corruption():
 
 
 def test_qsketch_grouped_split_independence(spark, sf_small):
-    """The per-group merge law: groupwise union + recompact of shard
-    states equals the one-shot grouped build bit-for-bit. Recompaction
-    reuses qsketch_grouped_build's threshold rule per group with the
-    carried-threshold floor applied first, mirroring the global
-    qsketch_merge."""
+    """The per-group merge law: qsketch_grouped_merge of shard states
+    equals the one-shot grouped build bit-for-bit."""
     from bigdata_capstone_spark.operators.sketches import (
         qsketch_grouped_build,
+        qsketch_grouped_merge,
     )
     from bigdata_capstone_spark.sources.tables import load_table
     from pyspark.sql import functions as F
@@ -540,42 +538,93 @@ def test_qsketch_grouped_split_independence(spark, sf_small):
         )
         for i in range(2)
     ]
-    u = shards[0].unionByName(shards[1]).cache()
-    floor = u.groupBy("event_type").agg(F.max("thr").alias("__floor"))
-    items = (
-        u.join(floor, on="event_type")
-        .filter(F.col("lvl") >= F.col("__floor"))
-        .select("event_type", "qs_id", "value", "lvl")
-    )
-    # recompact groupwise: same rule as the build, applied to the floored
-    # union (inline here; the operator path is exercised via the entry)
-    from pyspark.sql.window import Window
-
-    per = items.groupBy("event_type", "lvl").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.desc("lvl"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    thr = (
-        per.select("event_type", "lvl", F.sum("cnt").over(w).alias("cum"))
-        .groupBy("event_type")
-        .agg(
-            F.coalesce(
-                F.max(F.when(F.col("cum") > cap, F.col("lvl") + 1)),
-                F.lit(0),
-            ).cast("int").alias("thr")
-        )
-    )
-    merged = (
-        items.join(F.broadcast(thr), on="event_type")
-        .filter(F.col("lvl") >= F.col("thr"))
-        .select("event_type", "qs_id", "value", "lvl", "thr")
-    )
+    merged = qsketch_grouped_merge(shards, ["event_type"], cap)
 
     def key(df):
         return sorted(tuple(r) for r in df.collect())
 
     assert key(merged) == key(full)
+
+
+# ---------------------------------------------------------------------------
+# Phrase search
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_overlaps_and_duplicate_terms(spark):
+    """Overlapping matches both count; phrases with REPEATED tokens only
+    match where every term index is satisfied at its own offset (the
+    countDistinct(term_idx) == m rule); no cross-doc or off-by-one
+    anchors."""
+    from bigdata_capstone_spark.operators.retrieval import (
+        phrase_search,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),
+            (2, "a a a"),
+            (3, "b a b"),
+            (4, "x y z"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    phrases = spark.createDataFrame(
+        [("a b a",), ("a a",), ("z",)], "phrase STRING"
+    )
+    got = {
+        (r["phrase"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search(positional_postings(docs), phrases).collect()
+    }
+    assert got == {
+        ("a b a", 1): (2, 1),   # anchors 1 and 3 overlap — both count
+        ("a a", 2): (2, 1),     # "a a a": anchors 1, 2
+        ("z", 4): (1, 3),       # single-token phrase
+    }, got
+
+
+def test_qsketch_sequential_fold_thr_clamp(spark, sf_oracle):
+    """The streaming-shaped SEQUENTIAL fold (merge one shard at a time)
+    equals the one-shot build bit-for-bit — global and grouped. This is
+    the case that caught the floor-clamp bug: when the carried floor
+    already equals the from-scratch threshold, the floored survivors
+    fit capacity and an unclamped recompaction records thr = 0 (kept
+    rows matched; the thr column drifted)."""
+    from bigdata_capstone_spark.operators.sketches import (
+        qsketch_build,
+        qsketch_grouped_build,
+        qsketch_grouped_merge,
+        qsketch_merge,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_oracle, "events").cache()
+
+    full = qsketch_build(ev, F.col("event_id"), F.col("value"), 512)
+    state = None
+    for i in range(4):
+        p = qsketch_build(
+            ev.filter(F.col("event_id") % 4 == i),
+            F.col("event_id"), F.col("value"), 512,
+        )
+        state = p if state is None else qsketch_merge([state, p], 512)
+    assert _collect_state(state) == _collect_state(full)
+
+    gfull = qsketch_grouped_build(
+        ev, ["event_type"], F.col("event_id"), F.col("value"), 256
+    )
+    gstate = None
+    for i in range(4):
+        p = qsketch_grouped_build(
+            ev.filter(F.col("event_id") % 4 == i),
+            ["event_type"], F.col("event_id"), F.col("value"), 256,
+        )
+        gstate = (
+            p if gstate is None
+            else qsketch_grouped_merge([gstate, p], ["event_type"], 256)
+        )
+    assert sorted(map(tuple, gstate.collect())) == sorted(
+        map(tuple, gfull.collect())
+    )
