@@ -5795,3 +5795,188 @@ def streaming_grouped_quantile_sketch(
     return qsketch_grouped_quantiles(
         state, ["event_type"], (0.5, 0.9, 0.99)
     )
+
+
+def _column_stats_oracle() -> str:
+    from bigdata_capstone_spark.functions.portable import md5_long_sql
+    from bigdata_capstone_spark.operators.sketches import (
+        HLL_ALPHA_64,
+        HLL_M,
+        HLL_M_BITS,
+    )
+
+    h = md5_long_sql("canon")
+    vb = 60 - HLL_M_BITS
+    return f"""
+    WITH stacked AS (
+      SELECT 'o_orderkey' AS col_name, o_orderkey::VARCHAR AS canon
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', o_totalprice::DECIMAL(18,2)::VARCHAR
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    base AS (
+      SELECT col_name, count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN canon IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_nulls,
+             count(DISTINCT canon)::BIGINT AS exact_ndv
+      FROM stacked GROUP BY 1
+    ),
+    regs AS (
+      SELECT col_name, ({h}) % {HLL_M} AS bucket,
+             max({vb + 1} - length(bin(({h}) >> {HLL_M_BITS}))) AS rho_max
+      FROM stacked WHERE canon IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    hll AS (
+      SELECT col_name,
+             round({HLL_ALPHA_64} * {HLL_M * HLL_M} /
+                   (list_reduce(list(power(2.0, -rho_max) ORDER BY bucket),
+                                (a, x) -> a + x)::DOUBLE
+                    + ({HLL_M} - count(*))::DOUBLE), 4) AS hll_ndv
+      FROM regs GROUP BY col_name
+    ),
+    minmax AS (
+      SELECT 'o_orderkey' AS col_name, min(o_orderkey)::VARCHAR AS min_s,
+             max(o_orderkey)::VARCHAR AS max_s FROM orders
+      UNION ALL
+      SELECT 'o_custkey', min(o_custkey)::VARCHAR,
+             max(o_custkey)::VARCHAR FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', min(o_orderstatus), max(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', min(o_totalprice::DECIMAL(18,2))::VARCHAR,
+             max(o_totalprice::DECIMAL(18,2))::VARCHAR FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+             strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', min(o_orderpriority),
+             max(o_orderpriority) FROM orders
+    )
+    SELECT b.col_name, b.n_rows, b.n_nulls, b.exact_ndv, h.hll_ndv,
+           m.min_s, m.max_s
+    FROM base b JOIN hll h USING (col_name) JOIN minmax m USING (col_name)
+    """
+
+
+@register("orders_column_stats", oracle=_column_stats_oracle())
+def orders_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics over the orders table
+    (operators/maintenance.py:column_profile) — the stats collection a
+    cost-based optimizer (and a data-quality monitor) runs before
+    planning: per column, row/null counts, EXACT distinct count, the
+    portable-HLL estimate beside it (estimation error visible, the
+    sketch-family convention), and typed min/max. Canonical string
+    encodings keep the HLL registers byte-identical across engines
+    (doubles through DECIMAL(18,2), timestamps through a pinned
+    strftime format — raw double/timestamp rendering differs between
+    engines); min/max run on the TYPED columns, so numeric ordering is
+    numeric.
+
+    Scale shape: two column-pruned scans — the stacked explode feeding
+    null counts/NDV/registers (all map-side combinable, |cols| x 64
+    register rows in the shuffle), and one single-row min/max
+    aggregate unpivoted from cache. At 100 TB this is exactly the
+    ANALYZE TABLE job, and the HLL column is the one you keep when
+    exact NDV's distinct shuffle becomes the bottleneck."""
+    from bigdata_capstone_spark.operators.maintenance import column_profile
+
+    ensure_utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    ts_s = F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    encoded = [
+        ("o_orderkey", F.col("o_orderkey"), F.col("o_orderkey")),
+        ("o_custkey", F.col("o_custkey"), F.col("o_custkey")),
+        ("o_orderstatus", F.col("o_orderstatus"), F.col("o_orderstatus")),
+        ("o_totalprice", price_dec, price_dec),
+        ("o_orderdate", ts_s, ts_s),
+        (
+            "o_orderpriority",
+            F.col("o_orderpriority"),
+            F.col("o_orderpriority"),
+        ),
+    ]
+    return column_profile(o, encoded)
+
+
+def _stratified_sample_oracle(total_n: int = 100, seed: int = 42) -> str:
+    from bigdata_capstone_spark.functions.portable import (
+        salted_md5_long_sql,
+    )
+
+    h = salted_md5_long_sql("doc_id::VARCHAR", seed)
+    return f"""
+    WITH sizes AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
+    tot AS (SELECT sum(ns) AS n FROM sizes),
+    base AS (
+      SELECT lang, ns, ({total_n} * ns) % n AS rem,
+             ({total_n} * ns) // n AS floor_q
+      FROM sizes CROSS JOIN tot
+    ),
+    seats_left AS (
+      SELECT {total_n} - sum(floor_q) AS l FROM base
+    ),
+    quotas AS (
+      SELECT lang,
+             (floor_q + CASE WHEN seat_rank <= l THEN 1 ELSE 0 END)
+               AS quota
+      FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, lang)
+                      AS seat_rank
+            FROM base)
+      CROSS JOIN seats_left
+    ),
+    picked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {h}, doc_id) AS pick_rank
+      FROM documents
+    )
+    SELECT p.lang, p.doc_id, q.quota::BIGINT AS quota,
+           p.pick_rank::BIGINT AS pick_rank
+    FROM picked p JOIN quotas q USING (lang)
+    WHERE p.pick_rank <= q.quota
+    """
+
+
+@register(
+    "documents_stratified_sample", oracle=_stratified_sample_oracle()
+)
+def documents_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic PROPORTIONAL stratified sample (operators/
+    sampling.py:stratified_sample): a 100-document panel apportioned
+    across languages by the largest-remainder (Hamilton) method —
+    floor seats up front, leftovers to the biggest integer remainders
+    (tie: lang ASC) — each stratum filled in seeded-PRF order. The
+    reproducible eval-panel / annotation-batch constructor: every seat
+    decision is integer arithmetic and every pick a hash order, so the
+    exact member set replays in any engine, at any partitioning, at
+    any SF (an eval panel that drifts when the corpus is re-sharded is
+    useless as a benchmark).
+
+    Scale shape: stratum sizes are one map-side-combined groupBy; all
+    seat arithmetic lives on the |strata|-sized frame (its one ranking
+    window runs under the constant-scope barrier); the per-stratum
+    pick is ONE window partitioned by stratum with the quota frame
+    broadcast back."""
+    from bigdata_capstone_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", 100, seed=42)

@@ -183,3 +183,91 @@ def zone_map_probe_stats(
             ),
         )
     )
+
+
+def column_profile(
+    df: DataFrame, encoded: "list[tuple[str, Column, Column]]"
+) -> DataFrame:
+    """ANALYZE-style per-column table statistics — the stats collection
+    every cost-based optimizer (and every data-quality monitor) runs
+    before planning against a table: per column, row count, null
+    count, EXACT distinct count, the portable-HLL distinct ESTIMATE
+    (error visible next to its exact twin, the sketch-family
+    convention), and typed min/max rendered as strings.
+
+    ``encoded`` is [(name, typed_col, canon_col)]: ``typed_col`` drives
+    min/max in the column's own ordering (string min of a numeric
+    column would order "10" < "9"); ``canon_col`` is a STRING encoding
+    that must be engine-canonical — injective per engine is enough for
+    the exact NDV, but the HLL registers hash the exact bytes, so
+    doubles go through DECIMAL and timestamps through epoch seconds
+    (raw double/timestamp → string rendering differs between engines).
+
+    Scale shape: TWO column-pruned scans — (1) the stacked
+    (column, canon) explode feeding null counts + exact NDV + the HLL
+    registers, all map-side combinable with |cols| x 64 register rows
+    in the shuffle; (2) one single-row aggregate for every typed
+    min/max, unpivoted JVM-side. Nothing corpus-sized shuffles."""
+    from bigdata_capstone_spark.operators.relational import fan_out
+    from bigdata_capstone_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    src = fan_out(df)
+    stacked = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        canon.cast("string").alias("canon"),
+                    )
+                    for name, _typed, canon in encoded
+                ]
+            )
+        ).alias("c")
+    ).select("c.col_name", "c.canon")
+    base = stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("canon").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+        F.countDistinct("canon").cast("long").alias("exact_ndv"),
+    )
+    regs = hll_registers(
+        stacked.filter(F.col("canon").isNotNull()),
+        ["col_name"],
+        F.col("canon"),
+    )
+    hll = hll_estimate_from_registers(regs, ["col_name"]).select(
+        "col_name", F.col("hll_estimate").alias("hll_ndv")
+    )
+    # cached: the unpivot below selects from this 1-row frame once per
+    # column — uncached, each select re-runs the whole min/max scan
+    minmax_row = src.agg(
+        *[
+            agg
+            for name, typed, _canon in encoded
+            for agg in (
+                F.min(typed).cast("string").alias(f"__min_{name}"),
+                F.max(typed).cast("string").alias(f"__max_{name}"),
+            )
+        ]
+    ).cache()
+    minmax = None
+    for name, _typed, _canon in encoded:
+        row = minmax_row.select(
+            F.lit(name).alias("col_name"),
+            F.col(f"__min_{name}").alias("min_s"),
+            F.col(f"__max_{name}").alias("max_s"),
+        )
+        minmax = row if minmax is None else minmax.unionByName(row)
+    return (
+        base.join(hll, on="col_name")
+        .join(F.broadcast(minmax), on="col_name")
+        .select(
+            "col_name", "n_rows", "n_nulls", "exact_ndv", "hll_ndv",
+            "min_s", "max_s",
+        )
+    )

@@ -146,3 +146,95 @@ def epoch_repeat_factors(
             F.round("__f", 6).alias("repeat_factor_r"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    total_n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic PROPORTIONAL stratified sample of ``total_n`` rows:
+    each stratum's quota is its exact proportional share apportioned by
+    the largest-remainder (Hamilton) method — floor(total_n * n_s / N)
+    seats up front, leftover seats to the largest integer remainders
+    (tie: stratum value ASC) — then the quota is filled by the seeded
+    PRF order (md5 of the key, key tie-break) WITHIN the stratum. Every
+    decision is integer arithmetic or a hash order, so any engine
+    replays the exact member set: the reproducible eval-panel /
+    annotation-batch constructor (a panel that drifts when the corpus
+    is re-partitioned is useless as a benchmark).
+
+    Returns the sampled rows: (stratum, key, quota, pick_rank).
+    Empty-stratum note: quotas derive from the observed strata, so the
+    sample always has exactly ``total_n`` rows when N >= total_n
+    (Hamilton seats sum to total_n by construction).
+
+    Scale shape: one groupBy for stratum sizes (|strata| rows, all
+    seat arithmetic on that tiny frame — the remainder ranking is a
+    window over |strata|); the per-stratum pick is ONE hash-ordered
+    window partitioned by stratum, filtered to the broadcast quota.
+    Nothing corpus-sized shuffles twice."""
+    sizes = (
+        df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__ns"))
+    )
+    tot = sizes.agg(F.sum("__ns").cast("long").alias("__n"))
+    # integer-exact floor: (t*ns - t*ns % n) / n divides exactly, so the
+    # double intermediate is integral — no float-floor boundary risk
+    seats = F.lit(total_n) * F.col("__ns")
+    rem = seats % F.col("__n")
+    base = sizes.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "__ns",
+        rem.alias("__rem"),
+        ((seats - rem) / F.col("__n")).cast("long").alias("__floor_q"),
+    )
+    # leftover seats = total_n - sum(floor quotas); award by remainder
+    # DESC (tie: stratum ASC) — a window over the |strata|-sized frame,
+    # under the constant-scope cache barrier (no unpartitioned windows,
+    # even on bounded frames — registry-wide gate)
+    from bigdata_capstone_spark.operators.relational import constant_scope
+
+    base = constant_scope(base)
+    leftover = base.agg(
+        (F.lit(total_n) - F.sum("__floor_q")).cast("long").alias("__left")
+    )
+    w = Window.partitionBy("__s").orderBy(
+        F.desc("__rem"), F.col(stratum_col)
+    )
+    quotas = (
+        base.crossJoin(F.broadcast(leftover))
+        .withColumn("__seat_rank", F.row_number().over(w))
+        .select(
+            stratum_col,
+            (
+                F.col("__floor_q")
+                + F.when(
+                    F.col("__seat_rank") <= F.col("__left"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    picked = df.select(
+        stratum_col,
+        F.col(key_col),
+        salted_md5_long(F.col(key_col).cast("string"), seed).alias("__h"),
+    ).withColumn(
+        "pick_rank",
+        F.row_number().over(
+            Window.partitionBy(stratum_col).orderBy("__h", key_col)
+        ),
+    )
+    return (
+        picked.join(F.broadcast(quotas), on=stratum_col)
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select(
+            stratum_col,
+            key_col,
+            "quota",
+            F.col("pick_rank").cast("long").alias("pick_rank"),
+        )
+    )

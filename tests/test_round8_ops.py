@@ -628,3 +628,54 @@ def test_qsketch_sequential_fold_thr_clamp(spark, sf_oracle):
     assert sorted(map(tuple, gstate.collect())) == sorted(
         map(tuple, gfull.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_hamilton_quotas_and_partition_invariance(
+    spark, sf_small
+):
+    """Exactly total_n rows; quotas are the Hamilton apportionment of
+    stratum sizes (computed independently here); the member SET is
+    identical after an adversarial repartition (panel must not drift
+    when the corpus is re-sharded)."""
+    from bigdata_capstone_spark.operators.sampling import stratified_sample
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").cache()
+    total_n = 50
+    out = stratified_sample(docs, "lang", "doc_id", total_n, seed=42)
+    rows = out.collect()
+    assert len(rows) == total_n
+
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    n = sum(sizes.values())
+    floor_q = {g: total_n * s // n for g, s in sizes.items()}
+    rem = {g: (total_n * sizes[g]) % n for g in sizes}
+    seats_left = total_n - sum(floor_q.values())
+    order = sorted(sizes, key=lambda g: (-rem[g], g))
+    expect_quota = {
+        g: floor_q[g] + (1 if i < seats_left else 0)
+        for i, g in enumerate(order)
+    }
+    got_quota = {r["lang"]: r["quota"] for r in rows}
+    assert got_quota == {g: q for g, q in expect_quota.items() if q > 0}
+    from collections import Counter
+
+    per = Counter(r["lang"] for r in rows)
+    assert dict(per) == {g: q for g, q in expect_quota.items() if q > 0}
+
+    reparted = stratified_sample(
+        docs.repartition(7, "doc_id"), "lang", "doc_id", total_n, seed=42
+    )
+    assert {(r["lang"], r["doc_id"]) for r in rows} == {
+        (r["lang"], r["doc_id"]) for r in reparted.collect()
+    }
