@@ -5299,28 +5299,15 @@ _QSKETCH_CAPACITY = 512
 _QSKETCH_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
-def _qsketch_oracle(
-    capacity: int = _QSKETCH_CAPACITY, qs: tuple[float, ...] = _QSKETCH_QS
-) -> str:
-    """Full DuckDB replay of build + estimate: PRF levels, the integer-
-    minimal threshold, the kept sample, and every order-statistic pick.
-    Because the state is a canonical function of the item set, this one
-    SQL string is also the oracle for the shard-merge and streaming
-    entries — the merge law is driver-gated, not just unit-tested."""
+def _qsketch_state_ctes(capacity: int = _QSKETCH_CAPACITY) -> str:
+    """The build chain up to the kept state — SHARED by the quantile
+    oracle and the CDF oracle, so the two query directions can never
+    drift from the same sketch construction."""
     from bigdata_capstone_spark.functions.portable import md5_long_sql
-    from bigdata_capstone_spark.operators.sketches import (
-        _quantile_label,
-        qsketch_lvl_sql,
-    )
+    from bigdata_capstone_spark.operators.sketches import qsketch_lvl_sql
 
     h = md5_long_sql("'qs:' || event_id::VARCHAR")
-    picks = ",\n           ".join(
-        f"round(min(CASE WHEN rn >= greatest(1, ceil({q} * m)) "
-        f"THEN value END), 6) AS p{_quantile_label(q)}_r"
-        for q in qs
-    )
-    return f"""
-    WITH hashed AS (
+    return f"""hashed AS (
       SELECT event_id::VARCHAR AS qs_id, value::DOUBLE AS value,
              {h} AS __h
       FROM events
@@ -5339,7 +5326,26 @@ def _qsketch_oracle(
     ),
     state AS (
       SELECT qs_id, value FROM items CROSS JOIN thr WHERE lvl >= thr
-    ),
+    )"""
+
+
+def _qsketch_oracle(
+    capacity: int = _QSKETCH_CAPACITY, qs: tuple[float, ...] = _QSKETCH_QS
+) -> str:
+    """Full DuckDB replay of build + estimate: PRF levels, the integer-
+    minimal threshold, the kept sample, and every order-statistic pick.
+    Because the state is a canonical function of the item set, this one
+    SQL string is also the oracle for the shard-merge and streaming
+    entries — the merge law is driver-gated, not just unit-tested."""
+    from bigdata_capstone_spark.operators.sketches import _quantile_label
+
+    picks = ",\n           ".join(
+        f"round(min(CASE WHEN rn >= greatest(1, ceil({q} * m)) "
+        f"THEN value END), 6) AS p{_quantile_label(q)}_r"
+        for q in qs
+    )
+    return f"""
+    WITH {_qsketch_state_ctes(capacity)},
     ranked AS (
       SELECT value, row_number() OVER (ORDER BY value, qs_id) AS rn,
              count(*) OVER () AS m
@@ -5980,3 +5986,154 @@ def documents_stratified_sample(
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     return stratified_sample(docs, "lang", "doc_id", 100, seed=42)
+
+
+_CDF_PROBES = (50.0, 100.0, 200.0)
+
+
+def _qsketch_cdf_oracle(
+    capacity: int = _QSKETCH_CAPACITY,
+    probes: tuple[float, ...] = _CDF_PROBES,
+) -> str:
+    """Sketch-CDF estimates beside the exact CDF, over the SHARED state
+    CTE chain — the inverse-query direction value-checked against the
+    same construction as the quantile direction."""
+    # MATERIALIZED: each probe row references state via three scalar
+    # subqueries — inlined, DuckDB re-runs the build chain per
+    # reference (values unchanged; the unigram/NN-descent precedent)
+    ctes = _qsketch_state_ctes(capacity).replace(
+        "state AS (", "state AS MATERIALIZED (", 1
+    )
+    rows = "\n      UNION ALL ".join(
+        f"""SELECT {p} AS probe_v,
+             (SELECT count(*) FROM state)::BIGINT AS n_kept,
+             round((SELECT count(*) FROM state WHERE value <= {p})
+                   * 1.0 / (SELECT count(*) FROM state), 6) AS est_cdf_r,
+             round((SELECT count(*) FROM events WHERE value <= {p})
+                   * 1.0 / (SELECT count(*) FROM events), 6)
+               AS exact_cdf_r"""
+        for p in probes
+    )
+    return f"""
+    WITH {ctes}
+    {rows}
+    """
+
+
+@register("event_value_cdf_sketch", oracle=_qsketch_cdf_oracle())
+def event_value_cdf_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INVERSE sketch query — estimated CDF at probe values
+    (operators/sketches.py:qsketch_cdf) beside the EXACT CDF from a
+    full scan, the sketch-family estimate-vs-exact convention: quantile
+    answers "what value sits at rank q", CDF answers "what fraction of
+    values sits below v" (the SLO question), and a sketch API needs
+    both directions. Same DKW rank-error bound; the oracle composes
+    the SHARED state CTE chain, so the two directions can never drift
+    from the same construction.
+
+    Scale shape: the estimate is one aggregate over the <=512-row
+    state; the exact side is one column-pruned scan computing every
+    probe's count map-side — both unpivoted from cached 1-row frames,
+    no probe joins."""
+    from bigdata_capstone_spark.operators.sketches import (
+        qsketch_build,
+        qsketch_cdf,
+    )
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    state = qsketch_build(
+        ev, F.col("event_id"), F.col("value"), _QSKETCH_CAPACITY
+    )
+    est = qsketch_cdf(state, list(_CDF_PROBES))
+    exact_row = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        *[
+            F.sum(F.when(F.col("value") <= F.lit(p), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__le_{i}")
+            for i, p in enumerate(_CDF_PROBES)
+        ],
+    ).cache()
+    exact = None
+    for i, p in enumerate(_CDF_PROBES):
+        r = exact_row.select(
+            F.lit(float(p)).alias("probe_v"),
+            F.round(F.col(f"__le_{i}") / F.col("__n"), 6).alias(
+                "exact_cdf_r"
+            ),
+        )
+        exact = r if exact is None else exact.unionByName(r)
+    return est.join(F.broadcast(exact), on="probe_v").select(
+        "probe_v", "n_kept", "est_cdf_r", "exact_cdf_r"
+    )
+
+
+_PROXIMITY_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT array_to_string(t[i:i+1], ' ') AS phrase
+      FROM (SELECT t, unnest(range(1, len(t)::BIGINT)) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    top2 AS (
+      SELECT phrase FROM grams GROUP BY phrase
+      ORDER BY count(*) DESC, phrase LIMIT 2
+    ),
+    pairs AS (
+      SELECT string_split(phrase, ' ')[1] AS t1,
+             string_split(phrase, ' ')[2] AS t2
+      FROM top2
+    ),
+    post AS (
+      SELECT doc_id, u.tok AS token, u.pos AS pos
+      FROM (SELECT doc_id,
+                   unnest([struct_pack(pos := i, tok := t[i])
+                           for i in range(1, len(t) + 1)]) AS u
+            FROM toks)
+    ),
+    hits AS (
+      SELECT pr.t1, pr.t2, l.doc_id, l.pos AS p1, r.pos AS p2
+      FROM pairs pr
+      JOIN post l ON l.token = pr.t1
+      JOIN post r ON r.token = pr.t2 AND r.doc_id = l.doc_id
+      WHERE r.pos - l.pos BETWEEN 1 AND 3
+    )
+    SELECT t1, t2, doc_id, count(*)::BIGINT AS n_matches,
+           min(p2 - p1)::BIGINT AS min_gap
+    FROM hits GROUP BY t1, t2, doc_id
+    """
+
+
+@register("doc_proximity_search", oracle=_PROXIMITY_ORACLE)
+def doc_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED PROXIMITY search (operators/retrieval.py:
+    proximity_search) — the slop query between exact phrase and
+    bag-of-words: the corpus's top-2 bigrams, split into (t1, t2)
+    pairs, matched wherever t2 follows t1 within 3 positions. With
+    window=1 this degenerates to the bigram phrase itself; window=3
+    also finds the split occurrences ("t1 x t2", "t1 x y t2") a phrase
+    query misses — the standard relevance signal for multi-word
+    concepts. Query pairs derive from the corpus (no fixture
+    literals); the oracle replays derivation, both inverted-index
+    filters, and the gap test.
+
+    Scale shape: postings filter by the broadcast term sets FIRST;
+    the position pair-join runs per (pair, doc) over survivors only."""
+    from bigdata_capstone_spark.operators.retrieval import (
+        positional_postings,
+        proximity_search,
+        top_ngram_phrases,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").cache()
+    pairs = top_ngram_phrases(docs, n=2, k=2).select(
+        F.split("phrase", " ").getItem(0).alias("t1"),
+        F.split("phrase", " ").getItem(1).alias("t2"),
+    )
+    return proximity_search(positional_postings(docs), pairs, window=3)

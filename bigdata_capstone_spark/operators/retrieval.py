@@ -408,3 +408,36 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("anchor").cast("long").alias("first_pos"),
     )
+
+
+def proximity_search(
+    postings: DataFrame, pairs: DataFrame, window: int
+) -> DataFrame:
+    """ORDERED PROXIMITY search over positional postings — the slop
+    query between exact phrase and bag-of-words: (t1, t2) matches in a
+    document wherever some occurrence of t2 follows an occurrence of t1
+    by 1..``window`` positions. Returns (t1, t2, doc_id, n_matches,
+    min_gap) counting the qualifying (p1, p2) position pairs.
+
+    Scale shape: the corpus-sized postings table is FILTERED FIRST by
+    the broadcast term sets (only postings of query terms survive —
+    the inverted-index lookup), then the position pair-join runs per
+    (pair, doc) over those survivors; at 100 TB frequent-term pairs
+    bound their cost by the survivors' sizes, the same dial as the
+    phrase anchor join."""
+    left = postings.join(
+        F.broadcast(pairs.select(F.col("t1").alias("token"), "t1", "t2")),
+        on="token",
+    ).select("t1", "t2", "doc_id", F.col("pos").alias("p1"))
+    right = postings.join(
+        F.broadcast(pairs.select(F.col("t2").alias("token"), "t1", "t2")),
+        on="token",
+    ).select("t1", "t2", "doc_id", F.col("pos").alias("p2"))
+    hits = left.join(right, on=["t1", "t2", "doc_id"]).filter(
+        (F.col("p2") - F.col("p1") >= 1)
+        & (F.col("p2") - F.col("p1") <= window)
+    )
+    return hits.groupBy("t1", "t2", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min(F.col("p2") - F.col("p1")).cast("long").alias("min_gap"),
+    )

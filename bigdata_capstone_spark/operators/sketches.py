@@ -834,3 +834,41 @@ def qsketch_grouped_merge(
         .filter(F.col("lvl") >= F.col("thr"))
         .select(*group_cols, "qs_id", "value", "lvl", "thr")
     )
+
+
+def qsketch_cdf(
+    state: DataFrame, probes: "list[float]"
+) -> DataFrame:
+    """The INVERSE query on a sketch state — estimated CDF at given
+    probe values: est_cdf(v) = |kept <= v| / m over the uniform hash
+    sample (same DKW rank-error bound as the quantile direction; a
+    sketch API needs both directions — quantile answers "what value
+    sits at rank q", CDF answers "what fraction sits below v", the SLO
+    question). Returns one row per probe: (probe_v, n_kept, est_cdf_r).
+
+    One aggregate over the <=capacity-row state computes every probe's
+    count map-side (no probe join, no explode); the 1-row result is
+    cached and unpivoted."""
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__m")] + [
+        F.sum(F.when(F.col("value") <= F.lit(p), 1).otherwise(0))
+        .cast("long")
+        .alias(f"__le_{i}")
+        for i, p in enumerate(probes)
+    ]
+    row = state.agg(*aggs).cache()
+    out = None
+    for i, p in enumerate(probes):
+        r = row.select(
+            F.lit(float(p)).alias("probe_v"),
+            F.col("__m").alias("n_kept"),
+            F.when(
+                F.col("__m") > 0,
+                F.round(F.col(f"__le_{i}") / F.col("__m"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("est_cdf_r"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

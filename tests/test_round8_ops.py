@@ -679,3 +679,30 @@ def test_stratified_sample_hamilton_quotas_and_partition_invariance(
     assert {(r["lang"], r["doc_id"]) for r in rows} == {
         (r["lang"], r["doc_id"]) for r in reparted.collect()
     }
+
+
+def test_proximity_search_window_and_order(spark):
+    """Ordered only (t2 AFTER t1), gap within window, every qualifying
+    position pair counted."""
+    from bigdata_capstone_spark.operators.retrieval import (
+        positional_postings,
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x b a b"),     # pairs (1,3) gap2, (1,5) gap4, (4,5) gap1, (4,3)? no (order)
+            (2, "b a"),           # b BEFORE a only -> no ordered match
+            (3, "a x y z b"),     # gap 4 > window
+        ],
+        "doc_id LONG, text STRING",
+    )
+    pairs = spark.createDataFrame([("a", "b")], "t1 STRING, t2 STRING")
+    got = {
+        r["doc_id"]: (r["n_matches"], r["min_gap"])
+        for r in proximity_search(
+            positional_postings(docs), pairs, window=3
+        ).collect()
+    }
+    # doc 1: a@1,a@4; b@3,b@5 -> ordered gaps within 3: (1,3)=2, (4,5)=1
+    assert got == {1: (2, 1)}, got
