@@ -138,6 +138,12 @@ HEADLINE = [
     "event_type_value_quantile_sketch",  # per-group sketches, one pass
     "embedding_nn_descent",        # graph-ANN: LSH seed + 2 refine rounds
     "multimodal_mp4_metadata",     # decode-free ISO-BMFF box walk
+    "multimodal_jpeg_exif_metadata",  # JFIF/EXIF tag walk, both byte orders
+    "doc_phrase_search",           # anchor-vote exact phrase match
+    "doc_proximity_search",        # ordered slop query (t2 within 3 of t1)
+    "event_value_cdf_sketch",      # inverse sketch query + exact twin
+    "orders_column_stats",         # ANALYZE: nulls/NDV(exact+HLL)/min-max
+    "documents_stratified_sample", # Hamilton quotas + PRF picks
 ]
 # embedding_nn_descent_convergence is deliberately NOT in the headline:
 # its Spark cost IS the nn_descent trajectory (already measured above)
