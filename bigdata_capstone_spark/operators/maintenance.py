@@ -186,14 +186,17 @@ def zone_map_probe_stats(
 
 
 def column_profile(
-    df: DataFrame, encoded: "list[tuple[str, Column, Column]]"
+    df: DataFrame,
+    encoded: "list[tuple[str, Column, Column]]",
+    exact_ndv_budget: int | None = 1_000_000,
 ) -> DataFrame:
     """ANALYZE-style per-column table statistics — the stats collection
     every cost-based optimizer (and every data-quality monitor) runs
     before planning against a table: per column, row count, null
-    count, EXACT distinct count, the portable-HLL distinct ESTIMATE
-    (error visible next to its exact twin, the sketch-family
-    convention), and typed min/max rendered as strings.
+    count, EXACT distinct count (budget-gated, see below), the
+    portable-HLL distinct ESTIMATE (error visible next to its exact
+    twin, the sketch-family convention), and typed min/max rendered as
+    strings.
 
     ``encoded`` is [(name, typed_col, canon_col)]: ``typed_col`` drives
     min/max in the column's own ordering (string min of a numeric
@@ -203,11 +206,24 @@ def column_profile(
     doubles go through DECIMAL and timestamps through epoch seconds
     (raw double/timestamp → string rendering differs between engines).
 
-    Scale shape: TWO column-pruned scans — (1) the stacked
-    (column, canon) explode feeding null counts + exact NDV + the HLL
-    registers, all map-side combinable with |cols| x 64 register rows
-    in the shuffle; (2) one single-row aggregate for every typed
-    min/max, unpivoted JVM-side. Nothing corpus-sized shuffles."""
+    Exact-NDV posture (the honest cost statement): ``countDistinct``
+    per column shuffles that column's per-partition-distinct (col,
+    canon) pairs — for a high-NDV column (a key, a UUID) that IS a
+    corpus-sized shuffle. The HLL pass is the cheap default (|cols| x
+    64 register rows in the shuffle, map-side combinable); exact NDV
+    is computed ONLY for columns whose HLL estimate is within
+    ``exact_ndv_budget`` — above it ``exact_ndv`` is NULL and the
+    estimate stands alone. ``exact_ndv_budget=None`` forces exact NDV
+    for every column (the small-table / audit mode). The budget
+    decision collects the |cols|-row estimate frame driver-side — a
+    metadata-sized action, the same stats-then-plan move AQE makes.
+
+    Scale shape: (1) one stacked column-pruned scan for row/null
+    counts; (2) one for the HLL registers; (3) one single-row
+    aggregate for every typed min/max, unpivoted JVM-side; (4) one
+    countDistinct scan restricted to the under-budget column subset —
+    the only pass whose shuffle can grow with NDV, and the budget caps
+    it."""
     from bigdata_capstone_spark.operators.relational import fan_out
     from bigdata_capstone_spark.operators.sketches import (
         hll_estimate_from_registers,
@@ -215,33 +231,62 @@ def column_profile(
     )
 
     src = fan_out(df)
-    stacked = src.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(name).alias("col_name"),
-                        canon.cast("string").alias("canon"),
-                    )
-                    for name, _typed, canon in encoded
-                ]
-            )
-        ).alias("c")
-    ).select("c.col_name", "c.canon")
+
+    def stack(cols: "list[tuple[str, Column, Column]]") -> DataFrame:
+        return src.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("col_name"),
+                            canon.cast("string").alias("canon"),
+                        )
+                        for name, _typed, canon in cols
+                    ]
+                )
+            ).alias("c")
+        ).select("c.col_name", "c.canon")
+
+    stacked = stack(encoded)
     base = stacked.groupBy("col_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.when(F.col("canon").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_nulls"),
-        F.countDistinct("canon").cast("long").alias("exact_ndv"),
     )
     regs = hll_registers(
         stacked.filter(F.col("canon").isNotNull()),
         ["col_name"],
         F.col("canon"),
     )
-    hll = hll_estimate_from_registers(regs, ["col_name"]).select(
-        "col_name", F.col("hll_estimate").alias("hll_ndv")
+    # cached: read once for the budget decision (collect) and once by
+    # the final join — |cols| rows either way
+    hll = (
+        hll_estimate_from_registers(regs, ["col_name"])
+        .select("col_name", F.col("hll_estimate").alias("hll_ndv"))
+        .cache()
+    )
+    if exact_ndv_budget is None:
+        under = list(encoded)
+    else:
+        est = {r["col_name"]: r["hll_ndv"] for r in hll.collect()}
+        # a column absent from the HLL frame had zero non-null values —
+        # estimate 0, always under budget (its exact NDV is a free 0)
+        under = [
+            e
+            for e in encoded
+            if est.get(e[0], 0.0) <= float(exact_ndv_budget)
+        ]
+    if under:
+        exact = stack(under).groupBy("col_name").agg(
+            F.countDistinct("canon").cast("long").alias("exact_ndv")
+        )
+    else:
+        exact = base.select(
+            "col_name", F.lit(None).cast("long").alias("exact_ndv")
+        ).limit(0)
+    base = base.join(exact, on="col_name", how="left").select(
+        "col_name", "n_rows", "n_nulls", "exact_ndv"
     )
     # cached: the unpivot below selects from this 1-row frame once per
     # column — uncached, each select re-runs the whole min/max scan
@@ -263,8 +308,12 @@ def column_profile(
             F.col(f"__max_{name}").alias("max_s"),
         )
         minmax = row if minmax is None else minmax.unionByName(row)
+    # LEFT join: an all-null column contributes no register rows and
+    # would vanish from an inner join — exactly the column a quality
+    # monitor most needs to see (ADVICE r8); its estimate is 0
     return (
-        base.join(hll, on="col_name")
+        base.join(hll, on="col_name", how="left")
+        .withColumn("hll_ndv", F.coalesce(F.col("hll_ndv"), F.lit(0.0)))
         .join(F.broadcast(minmax), on="col_name")
         .select(
             "col_name", "n_rows", "n_nulls", "exact_ndv", "hll_ndv",

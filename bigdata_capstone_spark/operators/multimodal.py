@@ -2678,10 +2678,25 @@ def _mp4_child(buf: bytes, start: int, end: int, btype: bytes):
     return None
 
 
+def _fullbox_version(data: bytes, body: int, btype: str) -> int:
+    """Version byte of a FullBox body. mvhd/tkhd/mdhd exist in version 0
+    (32-bit times) and version 1 (64-bit creation/modification/duration
+    — the layout real muxers emit for long recordings); anything else is
+    a spec violation and raises, matching the walk's raise-on-corruption
+    contract (ADVICE r8: v1 silently parsed at v0 offsets yields garbage
+    durations/track ids)."""
+    v = data[body]
+    if v not in (0, 1):
+        raise ValueError(f"unsupported {btype} box version {v}")
+    return v
+
+
 def _mp4_metadata(data: bytes) -> list[dict]:
     """One dict per track: the decode-free curation fields. Box ORDER is
     not assumed (streaming layouts put moov after mdat); unknown boxes
-    (free/skip/mdat/udta/...) are skipped by the grammar itself."""
+    (free/skip/mdat/udta/...) are skipped by the grammar itself. Both
+    FullBox versions of mvhd/tkhd/mdhd are parsed (v0 32-bit times, v1
+    64-bit times per ISO 14496-12); an unknown version raises."""
     top = {t: (s, e) for t, s, e in _mp4_boxes(data)}
     if b"ftyp" not in top or b"moov" not in top:
         raise ValueError("not an ISO-BMFF file (missing ftyp/moov)")
@@ -2692,8 +2707,12 @@ def _mp4_metadata(data: bytes) -> list[dict]:
     if mv is None:
         raise ValueError("moov has no mvhd")
     s, _ = mv
-    mv_ts = int.from_bytes(data[s + 12 : s + 16], "big")
-    mv_dur = int.from_bytes(data[s + 16 : s + 20], "big")
+    if _fullbox_version(data, s, "mvhd") == 0:
+        mv_ts = int.from_bytes(data[s + 12 : s + 16], "big")
+        mv_dur = int.from_bytes(data[s + 16 : s + 20], "big")
+    else:  # v1: creation(8) modification(8) timescale(4) duration(8)
+        mv_ts = int.from_bytes(data[s + 20 : s + 24], "big")
+        mv_dur = int.from_bytes(data[s + 24 : s + 32], "big")
     rows = []
     for t, ts_, te in _mp4_boxes(data, ms, me):
         if t != b"trak":
@@ -2703,18 +2722,28 @@ def _mp4_metadata(data: bytes) -> list[dict]:
         if tk is None or md is None:
             raise ValueError("trak missing tkhd/mdia")
         ks, _ = tk
-        track_id = int.from_bytes(data[ks + 12 : ks + 16], "big")
-        width = int.from_bytes(data[ks + 76 : ks + 80], "big") >> 16
-        height = int.from_bytes(data[ks + 80 : ks + 84], "big") >> 16
+        if _fullbox_version(data, ks, "tkhd") == 0:
+            track_id = int.from_bytes(data[ks + 12 : ks + 16], "big")
+            geo = ks + 76
+        else:  # v1: creation(8) mod(8) id(4) res(4) duration(8) → +12
+            track_id = int.from_bytes(data[ks + 20 : ks + 24], "big")
+            geo = ks + 88
+        width = int.from_bytes(data[geo : geo + 4], "big") >> 16
+        height = int.from_bytes(data[geo + 4 : geo + 8], "big") >> 16
         mh = _mp4_child(data, *md, b"mdhd")
         hd = _mp4_child(data, *md, b"hdlr")
         mi = _mp4_child(data, *md, b"minf")
         if mh is None or hd is None or mi is None:
             raise ValueError("mdia missing mdhd/hdlr/minf")
         hs, _ = mh
-        ts = int.from_bytes(data[hs + 12 : hs + 16], "big")
-        dur = int.from_bytes(data[hs + 16 : hs + 20], "big")
-        packed = int.from_bytes(data[hs + 20 : hs + 22], "big")
+        if _fullbox_version(data, hs, "mdhd") == 0:
+            ts = int.from_bytes(data[hs + 12 : hs + 16], "big")
+            dur = int.from_bytes(data[hs + 16 : hs + 20], "big")
+            packed = int.from_bytes(data[hs + 20 : hs + 22], "big")
+        else:  # v1: creation(8) mod(8) timescale(4) duration(8) lang(2)
+            ts = int.from_bytes(data[hs + 20 : hs + 24], "big")
+            dur = int.from_bytes(data[hs + 24 : hs + 32], "big")
+            packed = int.from_bytes(data[hs + 32 : hs + 34], "big")
         lang = "".join(
             chr(0x60 + ((packed >> sh) & 0x1F)) for sh in (10, 5, 0)
         )
@@ -2943,6 +2972,8 @@ def _exif_ifd0(tiff: bytes) -> dict:
                 raw = ent[8 : 8 + size]
             else:
                 p = u(ent[8:12])
+                if p + size > len(tiff):
+                    raise ValueError("EXIF ASCII value overruns TIFF blob")
                 raw = tiff[p : p + size]
             out[name] = raw.rstrip(b"\x00").decode("ascii", "replace")
         elif typ == 3:  # SHORT
