@@ -502,12 +502,13 @@ def qsketch_lvl_col(key_col: Column) -> Column:
     return lvl.cast("int")
 
 
-def qsketch_lvl_sql(key_expr: str) -> str:
+def qsketch_lvl_sql(hash_col: str = "__h") -> str:
     """DuckDB twin of :func:`qsketch_lvl_col` over a precomputed 60-bit
-    hash column named ``__h`` (materialize the hash once — inlining the
-    md5 40 times re-hashes per indicator)."""
+    hash COLUMN (default ``__h`` — materialize ``md5('qs:' || key)``
+    once; inlining the md5 40 times re-hashes per indicator). The
+    parameter names that hash column and is interpolated verbatim."""
     terms = " + ".join(
-        f"CASE WHEN __h % {1 << j} = 0 THEN 1 ELSE 0 END"
+        f"CASE WHEN {hash_col} % {1 << j} = 0 THEN 1 ELSE 0 END"
         for j in range(1, QSKETCH_MAX_LVL + 1)
     )
     return f"({terms})::INT"
@@ -596,6 +597,83 @@ def qsketch_build(
     return qsketch_compact(qsketch_items(df, key_col, value_col), capacity)
 
 
+def qsketch_partials_onepass(
+    df: DataFrame, key_col: Column, value_col: Column, capacity: int
+) -> DataFrame:
+    """Per-partition sketch partials in ONE corpus pass, ZERO shuffle:
+    hashing and level assignment stay JVM-side (whole-stage codegen);
+    an Arrow ``mapInPandas`` kernel then folds each partition's items
+    into a bounded local state — ``state = compact(state ∪ batch)``
+    per Arrow batch, so memory is O(capacity + batch) however large
+    the partition. Emits (qs_id, value, lvl, thr) partial states, one
+    per input partition, each a valid canonical state of its own item
+    subset (the incremental fold equals the partition's one-shot
+    compaction by the same floor-clamp argument as
+    :func:`qsketch_compact`: for t >= thr(A), counts over
+    state(A) ∪ B_{lvl>=thr(A)} equal counts over A ∪ B).
+
+    This is the scale answer to the batch build's two scans (r8
+    verdict Missing #2): the declarative build must scan once for the
+    threshold contingency and again for the keep filter, because the
+    threshold is a function of all items; the local fold sidesteps
+    that by keeping its running threshold in kernel memory."""
+    items = qsketch_items(df, key_col, value_col)
+    cap = int(capacity)
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        cur = pd.DataFrame(
+            {
+                "qs_id": pd.Series(dtype=object),
+                "value": pd.Series(dtype="float64"),
+                "lvl": pd.Series(dtype="int32"),
+            }
+        )
+        thr = 0
+        for pdf in batches:
+            keep = pdf["lvl"].to_numpy() >= thr
+            if keep.any():
+                cur = pd.concat(
+                    [cur, pdf.loc[keep, ["qs_id", "value", "lvl"]]],
+                    ignore_index=True,
+                )
+            if len(cur) > cap:
+                lv = cur["lvl"].to_numpy()
+                cnt = np.bincount(lv, minlength=QSKETCH_MAX_LVL + 1)
+                suffix = cnt[::-1].cumsum()[::-1]  # suffix[t] = #{lvl>=t}
+                over = np.nonzero(suffix > cap)[0]
+                cand = int(over.max()) + 1 if len(over) else 0
+                if cand > thr:
+                    thr = cand
+                    cur = cur[cur["lvl"].to_numpy() >= thr]
+        out = cur.copy()
+        out["lvl"] = out["lvl"].astype("int32")
+        out["thr"] = np.int32(thr)
+        yield out
+
+    return items.mapInPandas(
+        fold, "qs_id string, value double, lvl int, thr int"
+    )
+
+
+def qsketch_build_onepass(
+    df: DataFrame, key_col: Column, value_col: Column, capacity: int
+) -> DataFrame:
+    """One-scan batch build: per-partition partials (zero shuffle) +
+    :func:`qsketch_merge`. The partials are eagerly materialized with
+    ``localCheckpoint`` so the ONLY job that touches the source is the
+    single partial pass; the merge then runs over the bounded
+    (n_partitions x capacity) checkpointed rows. Bit-identical to
+    :func:`qsketch_build` by the tested canonical-state merge law —
+    the state is a pure function of the item SET, independent of how
+    the items were split."""
+    partial = qsketch_partials_onepass(df, key_col, value_col, capacity)
+    partial = partial.localCheckpoint(eager=True)
+    return qsketch_merge([partial], capacity)
+
+
 def qsketch_merge(states: list[DataFrame], capacity: int) -> DataFrame:
     """Merge sketches built over DISJOINT item sets: union the state
     rows, floor at the max carried threshold (a row another shard
@@ -620,7 +698,15 @@ def qsketch_merge(states: list[DataFrame], capacity: int) -> DataFrame:
     )
     # floor passed through: the recompacted threshold must never fall
     # below the carried floor (see qsketch_compact)
-    return qsketch_compact(items, capacity, floor=floor)
+    merged = qsketch_compact(items, capacity, floor=floor)
+    # materialize the <=capacity-row result eagerly, then RELEASE the
+    # union cache: via start_state_fold_maintenance this merge runs once
+    # per micro-batch, and an un-unpersisted cache per epoch accumulates
+    # without bound over a stream's lifetime (ADVICE r8). localCheckpoint
+    # also truncates the fold's lineage to the bounded state.
+    merged = merged.localCheckpoint(eager=True)
+    u.unpersist()
+    return merged
 
 
 def qsketch_quantiles(
@@ -829,11 +915,17 @@ def qsketch_grouped_merge(
         .cast("int")
         .alias("thr"),
     )
-    return (
+    merged = (
         items.join(F.broadcast(thr), on=group_cols)
         .filter(F.col("lvl") >= F.col("thr"))
         .select(*group_cols, "qs_id", "value", "lvl", "thr")
     )
+    # same cache-release discipline as qsketch_merge: materialize the
+    # bounded (|groups| x capacity) result, then free the union cache so
+    # per-epoch streaming folds do not leak one cached frame per batch
+    merged = merged.localCheckpoint(eager=True)
+    u.unpersist()
+    return merged
 
 
 def qsketch_cdf(
@@ -872,3 +964,212 @@ def qsketch_cdf(
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# WEIGHTED level-sampling quantile sketch (r8 verdict Missing #5): the
+# qsketch family's weight rung. Corpus dashboards want TOKEN-weighted
+# value distributions (a 10-token doc and a 10k-token doc must not count
+# equally); the unweighted sketch samples items uniformly. Design: the
+# per-item PRF coin becomes a 60-bit uniform u, and the item survives
+# threshold t iff u < w * 2^(60-t) — inclusion probability
+# min(1, w/2^t), evaluated with pure integer shifts ((u >> (60-t)) < w,
+# no overflow, identical in any engine). A kept item carries the
+# Horvitz-Thompson weight est_w = max(w, 2^thr) — integer-exact. The
+# threshold rule, canonical-state property, merge group law, and floor
+# clamp are IDENTICAL to the unweighted family (the level is still a
+# pure per-item PRF), so shard-merge and streaming folds share one
+# oracle with the batch build.
+# ---------------------------------------------------------------------------
+
+
+def wqsketch_wlvl_col(key_col: Column, w_col: Column) -> Column:
+    """Weighted compaction level: the largest threshold the item's
+    60-bit PRF draw survives, wlvl = #{t in 1..40 : (u >> (60-t)) < w}
+    — survival is monotone decreasing in t, so the count IS the max
+    surviving level. Items with w <= 0 must be filtered by the caller
+    (they survive nothing)."""
+    u = md5_long(F.concat(F.lit("wqs:"), key_col.cast("string")))
+    w = w_col.cast("long")
+    lvl = F.lit(0)
+    for t in range(1, QSKETCH_MAX_LVL + 1):
+        lvl = lvl + F.when(F.shiftright(u, 60 - t) < w, 1).otherwise(0)
+    return lvl.cast("int")
+
+
+def wqsketch_wlvl_sql(w_expr: str = "w", hash_col: str = "__h") -> str:
+    """DuckDB twin of :func:`wqsketch_wlvl_col` over a precomputed
+    60-bit hash column (materialize ``md5('wqs:' || key)`` once)."""
+    terms = " + ".join(
+        f"CASE WHEN ({hash_col} >> {60 - t}) < {w_expr} THEN 1 ELSE 0 END"
+        for t in range(1, QSKETCH_MAX_LVL + 1)
+    )
+    return f"({terms})::INT"
+
+
+def wqsketch_items(
+    df: DataFrame, key_col: Column, value_col: Column, weight_col: Column
+) -> DataFrame:
+    """(qs_id, value, w, lvl) weighted item rows; non-positive weights
+    are dropped (a zero-weight item contributes nothing to any weighted
+    rank). ``key_col`` must be unique per row (per-item PRF coins)."""
+    return (
+        df.select(
+            key_col.cast("string").alias("qs_id"),
+            value_col.cast("double").alias("value"),
+            weight_col.cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .withColumn("lvl", wqsketch_wlvl_col(F.col("qs_id"), F.col("w")))
+    )
+
+
+def wqsketch_compact(
+    items: DataFrame, capacity: int, floor: DataFrame | None = None
+) -> DataFrame:
+    """Canonical compaction, weighted state: identical integer-minimal
+    threshold rule and floor clamp as :func:`qsketch_compact` (the
+    level is a per-item PRF, so the same canonicality argument holds);
+    the kept rows carry their raw weight — the Horvitz-Thompson
+    estimator est_w = max(w, 2^thr) is applied at QUERY time so the
+    state stays merge-closed (a merge may raise thr, which re-scales
+    est_w for ALL survivors)."""
+    from pyspark.sql.window import Window
+
+    from bigdata_capstone_spark.operators.relational import constant_scope
+
+    per = constant_scope(
+        items.groupBy("lvl").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("__s")
+        .orderBy(F.desc("lvl"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select("lvl", F.sum("cnt").over(w).alias("cum"))
+    cand = cum.agg(
+        F.coalesce(
+            F.max(F.when(F.col("cum") > capacity, F.col("lvl") + 1)),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("__cand")
+    )
+    if floor is not None:
+        thr = cand.crossJoin(F.broadcast(floor)).select(
+            F.greatest(F.col("__cand"), F.col("__floor"))
+            .cast("int")
+            .alias("thr")
+        )
+    else:
+        thr = cand.select(F.col("__cand").alias("thr"))
+    return (
+        items.crossJoin(F.broadcast(thr))
+        .filter(F.col("lvl") >= F.col("thr"))
+        .select("qs_id", "value", "w", "lvl", "thr")
+    )
+
+
+def wqsketch_build(
+    df: DataFrame,
+    key_col: Column,
+    value_col: Column,
+    weight_col: Column,
+    capacity: int,
+) -> DataFrame:
+    """Weighted batch build (declarative two-scan twin; the one-pass
+    kernel recipe of :func:`qsketch_build_onepass` applies verbatim
+    when the second scan matters)."""
+    return wqsketch_compact(
+        wqsketch_items(df, key_col, value_col, weight_col), capacity
+    )
+
+
+def wqsketch_merge(states: list[DataFrame], capacity: int) -> DataFrame:
+    """Merge weighted sketch states over DISJOINT item sets: union,
+    floor at the max carried threshold, recompact — the exact group
+    law of :func:`qsketch_merge`, weights riding along."""
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    u = u.cache()
+    floor = u.agg(F.max("thr").alias("__floor"))
+    items = (
+        u.crossJoin(F.broadcast(floor))
+        .filter(F.col("lvl") >= F.col("__floor"))
+        .select("qs_id", "value", "w", "lvl")
+    )
+    merged = wqsketch_compact(items, capacity, floor=floor)
+    merged = merged.localCheckpoint(eager=True)
+    u.unpersist()
+    return merged
+
+
+def wqsketch_quantiles(
+    state: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """WEIGHTED quantile estimates: survivors get the Horvitz-Thompson
+    weight est_w = max(w, 2^thr); the q-quantile estimate is the first
+    value (order: value, qs_id) whose running est_w total reaches
+    q * total_est_w. est_w and its prefix sums are exact BIGINTs; only
+    the final q * W product is double (q literal, W < 2^53 — the same
+    IEEE value in any engine). Returns one row:
+    (n_kept, thr, est_total_w, p{label}_r ...)."""
+    from pyspark.sql.window import Window
+
+    from bigdata_capstone_spark.operators.relational import constant_scope
+
+    labels = [_quantile_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile labels collide for qs={qs!r}: {labels}")
+    s = constant_scope(
+        state.select(
+            "qs_id",
+            "value",
+            "thr",
+            # shiftleft's python wrapper takes only a literal shift;
+            # the SQL form accepts a column
+            F.greatest(
+                F.col("w"), F.expr("shiftleft(CAST(1 AS BIGINT), thr)")
+            ).alias("__ew"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("__s")
+        .orderBy("value", "qs_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = s.select(
+        "__s",
+        "value",
+        "thr",
+        F.sum("__ew").over(w_run).cast("long").alias("cum_w"),
+        F.sum("__ew").over(w_tot).cast("long").alias("tot_w"),
+        F.count(F.lit(1)).over(w_tot).alias("m"),
+    )
+    aggs = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum_w").cast("double")
+                    >= F.lit(q) * F.col("tot_w").cast("double"),
+                    F.col("value"),
+                )
+            ),
+            6,
+        ).alias(f"p{lbl}_r")
+        for q, lbl in zip(qs, labels)
+    ]
+    return (
+        ranked.groupBy("__s")
+        .agg(
+            F.max("m").cast("long").alias("n_kept"),
+            F.max("thr").cast("int").alias("thr"),
+            F.max("tot_w").cast("long").alias("est_total_w"),
+            *aggs,
+        )
+        .drop("__s")
+    )
