@@ -93,6 +93,107 @@ def grouped_top_k(
     return ranked.drop("__rk")
 
 
+def grouped_top_k_twophase(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    sub_key: Sequence[str],
+    n_sub: int = 32,
+    method: str = "row_number",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-group top-k that survives LOW-CARDINALITY group columns (r9,
+    the generalized window-funnel gate): :func:`grouped_top_k` plans one
+    window partitioned by the group — with a handful of group values,
+    each group's ENTIRE row set sorts in one task. Here phase 1 takes
+    the top-k within (group, hash-subshard) — n_sub parallel slices per
+    group, each task sorting |group|/n_sub rows — and phase 2 re-ranks
+    only the <= n_sub*k survivors per group.
+
+    Result is ROW-IDENTICAL to the single-window form for both tie
+    semantics: under ``row_number`` every global top-k row has < k rows
+    strictly better within its own subshard; under ``rank`` every row
+    with boundary-tie rank <= k likewise ranks <= k in its subshard (the
+    subshard phase uses the same rank function, so ties survive phase
+    1). The subshard assignment only partitions work — any assignment
+    yields the same output, so ``F.hash`` is fine (no oracle replays
+    it). ``sub_key`` must be a deterministic row key (the tie-break
+    column is the natural choice)."""
+    if method not in ("row_number", "rank"):
+        raise ValueError(f"method must be row_number|rank, got {method!r}")
+    fn = F.row_number if method == "row_number" else F.rank
+    sub = F.pmod(F.hash(*[F.col(c) for c in sub_key]), F.lit(n_sub))
+    w1 = Window.partitionBy(*partition_by, "__sub").orderBy(*order_by)
+    survivors = (
+        df.withColumn("__sub", sub)
+        .withColumn("__subrank", fn().over(w1))
+        .filter(F.col("__subrank") <= k)
+        .drop("__sub", "__subrank")
+    )
+    return grouped_top_k(
+        survivors, partition_by, order_by, k, method, rank_col
+    )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    value: Column,
+    alias: str,
+    num_partitions: int = 32,
+    inclusive: bool = True,
+) -> DataFrame:
+    """PER-GROUP running sum over a total order, scale-safe for
+    low-cardinality groups — the grouped sibling of
+    :func:`partitioned_prefix_sum` (r9, the generalized window-funnel
+    gate): ``Window.partitionBy(group)`` with a ~4-value group column
+    funnels each group's whole row set through one task's sort.
+
+    Shape: ``repartitionByRange`` on (group..., order...) gives every
+    partition a contiguous slice of the per-group order (within fixed
+    group values the composite order IS the order keys); a window
+    partitioned by (group, slice id) runs per-slice sums in parallel;
+    per-(group, slice) totals — a bounded |groups| x num_partitions
+    aggregate — get exclusive offsets via a window over that tiny
+    frame; each row's group prefix = within-slice sum + slice offset.
+
+    Same correctness contract as the global variant: ``order_by`` must
+    be a total order WITHIN each group, and ``value`` must sum exactly
+    (BIGINT/DECIMAL, never raw double)."""
+    gcols = [F.col(g) for g in group_cols]
+    pidded = (
+        df.withColumn("__psv", value)
+        .repartitionByRange(num_partitions, *gcols, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    totals = pidded.groupBy(*group_cols, "__pid").agg(
+        F.sum("__psv").alias("__ptot")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0))
+    ).select(*group_cols, "__pid", "__off")
+    end = Window.currentRow if inclusive else -1
+    w = (
+        Window.partitionBy(*group_cols, "__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    run = F.coalesce(F.sum("__psv").over(w), F.lit(0))
+    return (
+        pidded.join(F.broadcast(offsets), on=list(group_cols) + ["__pid"])
+        .withColumn(alias, run + F.col("__off"))
+        .drop("__psv", "__pid", "__off")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

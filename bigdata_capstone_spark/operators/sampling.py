@@ -154,6 +154,7 @@ def stratified_sample(
     key_col: str,
     total_n: int,
     seed: int = 42,
+    safety: int = 8,
 ) -> DataFrame:
     """Deterministic PROPORTIONAL stratified sample of ``total_n`` rows:
     each stratum's quota is its exact proportional share apportioned by
@@ -171,14 +172,31 @@ def stratified_sample(
     sample always has exactly ``total_n`` rows when N >= total_n
     (Hamilton seats sum to total_n by construction).
 
-    Scale shape: one groupBy for stratum sizes (|strata| rows, all
-    seat arithmetic on that tiny frame — the remainder ranking is a
-    window over |strata|); the per-stratum pick is ONE hash-ordered
-    window partitioned by stratum, filtered to the broadcast quota.
-    Nothing corpus-sized shuffles twice."""
+    Scale shape — TWO-PHASE THRESHOLD PICK (re-planned per the r8
+    verdict: the previous single window partitioned by a
+    low-cardinality stratum column funneled each stratum's ENTIRE row
+    set through one task's sort — a single-task sort of billions of
+    rows at 100x). Phase 1: stratum sizes are one map-side-combined
+    groupBy; all Hamilton seat arithmetic runs on that |strata|-sized
+    frame, which is then COLLECTED driver-side (metadata-sized — the
+    same stats-then-plan move AQE makes) to derive a per-stratum hash
+    cutoff ≈ MD5_LONG_MAX * quota/n_s * safety. Phase 2: a broadcast
+    map-side filter ``h < cutoff`` keeps ~quota*safety rows per
+    stratum; the exact-rank window runs over ONLY those survivors, so
+    its largest partition is ~quota*safety rows regardless of corpus
+    size. Strata with n_s <= quota*safety keep every row (cutoff =
+    MAX) — they are quota-bounded by definition. The picked set is
+    UNCHANGED: if >= quota rows clear the cutoff, the quota smallest
+    (h, key) rows of the whole stratum all clear it too, so ranks
+    below the quota agree with the full-stratum ranks; a survivor
+    shortfall (hash fluctuation beyond the safety factor) is detected
+    by one per-stratum count and retried with safety x8 — the RESULT
+    is identical for every safety, only the plan changes."""
+    # cached: |strata| rows, read by the total, the seat arithmetic and
+    # the driver-side cutoff collect below
     sizes = (
         df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__ns"))
-    )
+    ).cache()
     tot = sizes.agg(F.sum("__ns").cast("long").alias("__n"))
     # integer-exact floor: (t*ns - t*ns % n) / n divides exactly, so the
     # double intermediate is integral — no float-floor boundary risk
@@ -218,19 +236,72 @@ def stratified_sample(
             .alias("quota"),
         )
     )
-    picked = df.select(
-        stratum_col,
-        F.col(key_col),
-        salted_md5_long(F.col(key_col).cast("string"), seed).alias("__h"),
-    ).withColumn(
+    # ---- phase 2: broadcast per-stratum hash cutoff, exact-rank only
+    # the survivors. stats collect is |strata| rows (metadata-sized).
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from bigdata_capstone_spark.functions.portable import MD5_LONG_MAX
+
+    spark = df.sparkSession
+    stats = {
+        r[stratum_col]: (int(r["quota"]), int(r["__ns"]))
+        for r in quotas.join(sizes, on=stratum_col).collect()
+    }
+    cut_schema = StructType(
+        [
+            df.select(stratum_col).schema.fields[0],
+            StructField("quota", LongType(), False),
+            StructField("__cutoff", LongType(), False),
+        ]
+    )
+    hcol = salted_md5_long(F.col(key_col).cast("string"), seed)
+    cur_safety = {s: int(safety) for s in stats}
+
+    def cutoff_frame() -> DataFrame:
+        rows = []
+        for s, (q, ns) in stats.items():
+            if q <= 0:
+                cut = 0  # no seats: drop the stratum map-side
+            elif q * cur_safety[s] >= ns:
+                cut = MD5_LONG_MAX  # whole stratum <= quota*safety rows
+            else:
+                cut = -(-MD5_LONG_MAX * q * cur_safety[s] // ns)  # ceil
+            rows.append((s, q, cut))
+        return spark.createDataFrame(rows, cut_schema)
+
+    while True:
+        cuts = cutoff_frame()
+        surv = (
+            df.select(stratum_col, F.col(key_col), hcol.alias("__h"))
+            .join(F.broadcast(cuts), on=stratum_col)
+            .filter(F.col("__h") < F.col("__cutoff"))
+        )
+        # shortfall check: one map-side-filtered count per stratum.
+        # MAX-cutoff strata cannot be short (every row survives; quota
+        # <= n_s by Hamilton), so only thresholded strata are checked.
+        counts = {
+            r[stratum_col]: r["__c"]
+            for r in surv.groupBy(stratum_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        }
+        short = [
+            s
+            for s, (q, ns) in stats.items()
+            if 0 < q * cur_safety[s] < ns and counts.get(s, 0) < q
+        ]
+        if not short:
+            break
+        for s in short:  # hash fluctuation beyond safety: widen & retry
+            cur_safety[s] *= 8
+    picked = surv.withColumn(
         "pick_rank",
         F.row_number().over(
             Window.partitionBy(stratum_col).orderBy("__h", key_col)
         ),
     )
     return (
-        picked.join(F.broadcast(quotas), on=stratum_col)
-        .filter(F.col("pick_rank") <= F.col("quota"))
+        picked.filter(F.col("pick_rank") <= F.col("quota"))
         .select(
             stratum_col,
             key_col,
