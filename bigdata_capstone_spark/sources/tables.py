@@ -244,6 +244,44 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).option("header", True).csv(path)
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+    header: bool = False,
+) -> DataFrame:
+    """Schema'd CSV scan with a QUARANTINE column — the PERMISSIVE +
+    ``columnNameOfCorruptRecord`` discipline of :func:`read_jsonl`
+    applied to the reference's own arrival format (r8 verdict Missing
+    #4). A line that fails the schema (uncastable field, token-count
+    mismatch, broken quoting) lands as one row whose data columns are
+    null and whose ``corrupt_col`` holds the raw line: ingest never
+    dies on one bad record, the dead-letter set is a queryable frame
+    (DROPMALFORMED loses rows with no ledger; FAILFAST turns one bad
+    byte into a dead 100 TB job).
+
+    Returned frame, split contract, and the corrupt-column-only
+    materialization caveat are identical to :func:`read_jsonl`. CSV
+    stays line-splittable only WITHOUT ``multiLine``; writers feeding
+    this reader must strip embedded newlines (quoted commas are fine).
+    """
+    if any(f.name == corrupt_col for f in schema.fields):
+        raise ValueError(
+            f"schema already contains the quarantine column {corrupt_col!r}"
+        )
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
