@@ -27,6 +27,10 @@ from bigdata_capstone_spark.functions.portable import exact_sum
 from bigdata_capstone_spark.operators import aggregates as agg
 from bigdata_capstone_spark.operators import popularity as pop
 from bigdata_capstone_spark.operators import relational as rel
+from bigdata_capstone_spark.operators.textops import (
+    NON_LETTER_REGEX,
+    TOKEN_REGEX,
+)
 from bigdata_capstone_spark.session import ensure_utc
 from bigdata_capstone_spark.sources.tables import load_table
 
@@ -764,7 +768,7 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            len({_TOKS_SQL})::BIGINT AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT
+           len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT
              AS re_tokens
     FROM documents
     """,
@@ -788,7 +792,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_intersect(list_distinct({_TOKS_SQL}),
                  ['the','and','of','to','a','in','is','that','it','for'])) / 10.0
                AS stopword_ratio,
-             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+             length(regexp_replace(text, '{NON_LETTER_REGEX}', '', 'g')) * 1.0 / length(text)
                AS alpha_ratio
       FROM documents
     )
@@ -3351,18 +3355,30 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete percentiles (p50/p90/p99) per group via explicit
     row_number position — the same definition on both engines (built-in
     percentile functions differ in interpolation conventions). At scale
-    the approximate twin is percentile_approx over the same grouping."""
-    from pyspark.sql.window import Window
+    the approximate twin is percentile_approx over the same grouping.
+
+    Re-planned r9 (low-cardinality window funnel gate): event_type has a
+    handful of values, so the old per-type ranking window sorted each
+    type's ENTIRE event history in one task; the group rank now comes
+    from relational.grouped_prefix_sum over (value, event_id) — range-
+    partitioned parallel slices + bounded offset stitch — and the group
+    counts from a plain aggregate (identical rn, identical picks)."""
+    from bigdata_capstone_spark.operators.relational import (
+        grouped_prefix_sum,
+    )
 
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = events.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    ranked = grouped_prefix_sum(
+        events.select("event_type", "value", "event_id"),
+        ["event_type"],
+        [F.col("value"), F.col("event_id")],
+        F.lit(1),
+        "rn",
     )
+    ns = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ranked = ranked.join(F.broadcast(ns), on="event_type")
 
     def pick(q: float):
         pos = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")))
@@ -4526,6 +4542,197 @@ def embedding_nn_descent_convergence(
         emb, dim=64, k=5, rounds=2, n_planes=6, n_tables=2, max_bucket=100
     )
     return nn_descent_convergence(states)
+
+
+def _nn_insert_oracle(
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    dim: int = 64,
+    max_bucket: int = 100,
+    batch_mod: int = 8,
+) -> str:
+    """Full replay of the O(batch) graph-index insert: the persisted
+    knn graph over the OLD split (vec_id % batch_mod <> 0), batch
+    bucket probes with the union-size hot-bucket cap, seed candidates
+    (batch-incident both directions), touched-node re-rank against
+    existing edges, and the ONE batch-restricted refinement round —
+    every stage MATERIALIZED so DuckDB runs each once."""
+    dot = ("list_sum(list_transform(generate_series(1, len(sv.v)), "
+           "i -> sv.v[i] * dv.v[i]))")
+    ns = ("sqrt(list_sum(list_transform(generate_series(1, len(sv.v)), "
+          "i -> sv.v[i] * sv.v[i])))")
+    nd = ("sqrt(list_sum(list_transform(generate_series(1, len(dv.v)), "
+          "i -> dv.v[i] * dv.v[i])))")
+    per_old = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        + _rp_bucket_sql("v", t, n_planes, dim)
+        + " AS bucket FROM e_old"
+        for t in range(n_tables)
+    )
+    per_new = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        + _rp_bucket_sql("v", t, n_planes, dim)
+        + " AS bucket FROM e_new"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e_old AS (SELECT * FROM e WHERE vec_id % {batch_mod} <> 0),
+    e_new AS (SELECT * FROM e WHERE vec_id % {batch_mod} = 0),
+    rbo AS MATERIALIZED (
+      {per_old}
+    ),
+    rbn AS MATERIALIZED (
+      {per_new}
+    ),
+    -- persisted index: knn graph over OLD, capped by OLD bucket sizes
+    old_sizes AS (
+      SELECT t, bucket, count(*) AS bn FROM rbo GROUP BY t, bucket
+    ),
+    bo0 AS (
+      SELECT rb.* FROM rbo rb JOIN old_sizes s
+        ON s.t = rb.t AND s.bucket = rb.bucket
+      WHERE s.bn <= {max_bucket}
+    ),
+    cand0 AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM bo0 a JOIN bo0 b
+        ON b.t = a.t AND b.bucket = a.bucket AND b.vec_id <> a.vec_id
+    ),
+    scored0 AS (
+      SELECT c.src, c.dst, round({dot} / ({ns} * {nd}), 6) AS cosine_r
+      FROM cand0 c
+      JOIN e_old sv ON sv.vec_id = c.src
+      JOIN e_old dv ON dv.vec_id = c.dst
+    ),
+    graph AS MATERIALIZED (
+      SELECT src, dst, cosine_r, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY src
+                      ORDER BY cosine_r DESC, dst))::INT AS rank
+        FROM scored0
+      ) WHERE rank <= {k}
+    ),
+    -- insert: union-size cap, batch-incident seed candidates
+    u_sizes AS (
+      SELECT t, bucket, count(*) AS bn
+      FROM (SELECT t, bucket FROM rbo UNION ALL SELECT t, bucket FROM rbn)
+      GROUP BY t, bucket
+    ),
+    bo AS (SELECT rb.* FROM rbo rb JOIN u_sizes s
+             ON s.t = rb.t AND s.bucket = rb.bucket
+           WHERE s.bn <= {max_bucket}),
+    bn AS (SELECT rb.* FROM rbn rb JOIN u_sizes s
+             ON s.t = rb.t AND s.bucket = rb.bucket
+           WHERE s.bn <= {max_bucket}),
+    seed_cand AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT n.vec_id AS src, o.vec_id AS dst
+        FROM bn n JOIN (SELECT * FROM bo UNION ALL SELECT * FROM bn) o
+          ON o.t = n.t AND o.bucket = n.bucket AND o.vec_id <> n.vec_id
+        UNION
+        SELECT o.vec_id AS src, n.vec_id AS dst
+        FROM bo o JOIN bn n
+          ON n.t = o.t AND n.bucket = o.bucket AND n.vec_id <> o.vec_id
+      )
+    ),
+    seed_scored AS MATERIALIZED (
+      SELECT c.src, c.dst, round({dot} / ({ns} * {nd}), 6) AS cosine_r
+      FROM seed_cand c
+      JOIN e sv ON sv.vec_id = c.src
+      JOIN e dv ON dv.vec_id = c.dst
+    ),
+    touched AS (
+      SELECT DISTINCT src FROM seed_scored WHERE src % {batch_mod} <> 0
+    ),
+    pool AS (
+      SELECT src, dst, cosine_r FROM seed_scored
+      UNION
+      SELECT g.src, g.dst, g.cosine_r FROM graph g
+      JOIN touched t ON t.src = g.src
+    ),
+    merged_touched AS (
+      SELECT src, dst, cosine_r, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY src
+                      ORDER BY cosine_r DESC, dst))::INT AS rank
+        FROM pool
+      ) WHERE rank <= {k}
+    ),
+    merged0 AS MATERIALIZED (
+      SELECT g.* FROM graph g
+      WHERE g.src NOT IN (SELECT src FROM touched)
+      UNION ALL
+      SELECT * FROM merged_touched
+    ),
+    und_all AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM merged0
+      UNION
+      SELECT dst AS a, src AS b FROM merged0
+    ),
+    und_new AS (
+      SELECT * FROM und_all
+      WHERE a % {batch_mod} = 0 OR b % {batch_mod} = 0
+    ),
+    ref_srcs AS (SELECT DISTINCT a AS src FROM und_new),
+    ref_cand AS (
+      SELECT DISTINCT x.a AS src, y.b AS dst
+      FROM und_new x JOIN und_all y ON y.a = x.b AND y.b <> x.a
+    ),
+    ref_pool AS (
+      SELECT c.src, c.dst, round({dot} / ({ns} * {nd}), 6) AS cosine_r
+      FROM ref_cand c
+      JOIN e sv ON sv.vec_id = c.src
+      JOIN e dv ON dv.vec_id = c.dst
+      UNION
+      SELECT m.src, m.dst, m.cosine_r FROM merged0 m
+      JOIN ref_srcs r ON r.src = m.src
+    ),
+    refined AS (
+      SELECT src, dst, cosine_r, rank FROM (
+        SELECT *, (row_number() OVER (PARTITION BY src
+                      ORDER BY cosine_r DESC, dst))::INT AS rank
+        FROM ref_pool
+      ) WHERE rank <= {k}
+    )
+    SELECT m.src, m.dst, m.cosine_r, m.rank FROM merged0 m
+    WHERE m.src NOT IN (SELECT src FROM ref_srcs)
+    UNION ALL
+    SELECT src, dst, cosine_r, rank FROM refined
+    """
+
+
+@register("embedding_nn_descent_insert", oracle=_nn_insert_oracle())
+def embedding_nn_descent_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(batch) INCREMENTAL INSERT into the persisted graph index
+    (operators/simsearch.py:nn_descent_insert; r8 verdict Missing #3)
+    — the graph family's maintenance twin: vectors with
+    ``vec_id % 8 == 0`` arrive as a batch against the knn graph
+    persisted over the rest. LSH-probe seeds (union-size hot-bucket
+    cap), touched-node re-rank against existing edges, ONE
+    batch-restricted neighbor-of-neighbor refinement round; untouched
+    nodes pass through bit-identically. The oracle replays the old
+    build AND every insert stage, so the incremental path itself is
+    hash-verified — not just asserted against a rebuild.
+
+    Scale shape: candidates are batch-incident only (|batch|·(2k)² in
+    the refinement), the persisted bucket index is probed by a
+    broadcast of the batch buckets, and the vector table joins by id;
+    nothing corpus-sized shuffles."""
+    from bigdata_capstone_spark.operators.simsearch import (
+        knn_graph,
+        nn_descent_insert,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    old = emb.filter(F.col("vec_id") % 8 != 0)
+    batch = emb.filter(F.col("vec_id") % 8 == 0)
+    graph = knn_graph(
+        old, dim=64, k=5, n_planes=6, n_tables=2, max_bucket=100
+    )
+    return nn_descent_insert(
+        graph, old, batch, dim=64, k=5, n_planes=6, n_tables=2,
+        max_bucket=100,
+    )
 
 
 @register(

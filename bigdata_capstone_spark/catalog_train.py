@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from bigdata_capstone_spark.catalog import register
 from bigdata_capstone_spark.functions.portable import md5_long, md5_long_sql
+from bigdata_capstone_spark.operators.textops import TOKEN_REGEX
 from bigdata_capstone_spark.session import ensure_utc
 from bigdata_capstone_spark.shared_sql import UNIGRAM_LP_CTES
 from bigdata_capstone_spark.sources.tables import load_table
@@ -653,17 +654,23 @@ def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (crawl-domain dominance control): keep at
     most 15 docs per source, preferring the longest (n_chars DESC, doc_id
     tie-break). The standard guard against one domain flooding the
-    mixture; a pure per-group top-k — many small groups, no global sort,
-    no skew (the cap itself bounds every group)."""
-    from bigdata_capstone_spark.operators.relational import grouped_top_k
+    mixture. Re-planned r9 (low-cardinality window funnel gate): source
+    has a handful of values, so the single per-source window sorted each
+    source's ENTIRE corpus slice in one task at scale — the two-phase
+    top-k sub-ranks 32 hash subshards per source in parallel and
+    re-ranks only the <=32*15 survivors (row-identical output)."""
+    from bigdata_capstone_spark.operators.relational import (
+        grouped_top_k_twophase,
+    )
 
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return grouped_top_k(
+    return grouped_top_k_twophase(
         docs.select("source", "doc_id", "n_chars"),
         ["source"],
         [F.desc("n_chars"), F.col("doc_id")],
         15,
+        sub_key=["doc_id"],
         rank_col="rn",
     ).withColumn("rn", F.col("rn").cast("int"))
 
@@ -842,12 +849,18 @@ def docs_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive, as a running-sum window + filter. Budgets are absolute
     token counts, so the contract is SF-independent.
 
-    Scale shape: quality + token count ride the same scan; the only
-    shuffle is the per-source window (many bounded groups). At 100 TB the
-    budget cut prunes everything past the threshold — downstream stages
-    see budget-bounded data regardless of corpus size."""
-    from pyspark.sql.window import Window
-
+    Scale shape (re-planned r9, low-cardinality window funnel gate):
+    quality + token count ride the same scan; the running sum goes
+    through relational.grouped_prefix_sum — source has a handful of
+    values, so the old single per-source window sorted each source's
+    whole corpus slice in one task; the grouped prefix sum range-
+    partitions on (source, quality DESC, doc_id), runs per-slice sums
+    in parallel, and stitches slice offsets from a bounded aggregate
+    (bit-identical cum_tokens: ws_tokens is BIGINT-exact). At 100 TB
+    the budget cut prunes everything past the threshold."""
+    from bigdata_capstone_spark.operators.relational import (
+        grouped_prefix_sum,
+    )
     from bigdata_capstone_spark.operators.textops import (
         quality_score,
         token_count,
@@ -859,17 +872,18 @@ def docs_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").cache()
     qual = quality_score(docs)
     toks = token_count(docs).select("doc_id", "ws_tokens")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("quality"), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = (
+    joined = (
         docs.select("source", "doc_id")
         .join(qual, on="doc_id")
         .join(toks, on="doc_id")
-        .withColumn("cum_tokens", F.sum("ws_tokens").over(w).cast("long"))
     )
+    ranked = grouped_prefix_sum(
+        joined,
+        ["source"],
+        [F.desc("quality"), F.col("doc_id")],
+        F.col("ws_tokens"),
+        "cum_tokens",
+    ).withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
     return ranked.filter(F.col("cum_tokens") <= 800).select(
         "source",
         "doc_id",
@@ -881,13 +895,13 @@ def docs_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fertility_by_lang",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
              len(list_filter(string_split_regex(lower(text), '\\s+'),
                              x -> x <> ''))::BIGINT AS ws_tokens,
              len(regexp_extract_all(text,
-                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS re_tokens
+                 '{TOKEN_REGEX}'))::BIGINT AS re_tokens
       FROM documents
     )
     SELECT d.lang,
