@@ -216,13 +216,109 @@ def test_no_unpartitioned_window_anywhere(spark):
     assert not bad, f"unpartitioned windows in: {bad}"
 
 
-def test_token_budget_single_window_exchange(spark):
-    """docs_token_budget_fill: quality + token count + running sum share
-    the per-source window; no Python evals anywhere in the pipeline."""
+def test_no_low_cardinality_window_funnel(spark):
+    """Generalization of the unpartitioned-window gate (r8 verdict
+    Wrong #1): a window PARTITIONED by a handful-of-values column over
+    a corpus-sized input is the same single-task pathology the
+    unpartitioned gate exists to prevent — each stratum's entire row
+    set funnels through ONE task's sort. Any window whose partition
+    keys are all drawn from the fixture's low-cardinality columns must
+    have a row-bounding construct below it: an Aggregate (contingency /
+    state build), a LocalRelation (a collected broadcast cutoff frame —
+    the stratified_sample recipe), or a Limit. A raw scan+project under
+    such a window fails the gate.
+
+    Heuristic, stated honestly: the gate catches the raw-scan funnel
+    class; it cannot prove the bounding filter is selective."""
+    import re
+
+    LOW_CARD = {
+        "lang", "event_type", "source", "o_orderstatus",
+        "o_orderpriority", "l_returnflag", "l_linestatus", "r_name",
+        "n_name", "mime",
+    }
+    BOUNDING = (
+        "Aggregate",
+        "LocalRelation",  # collected literal frame (broadcast cutoff)
+        "LogicalRDD",     # createDataFrame'd literal frame, same role
+        "GlobalLimit",
+        "LocalLimit",
+        "__subrank",      # two-phase grouped top-k survivor filter
+        "__cutoff",       # broadcast hash-cutoff filter (stratified pick)
+    )
+    # Windows over persisted STATE SNAPSHOTS: the input parquet is
+    # bounded by the sketch/state contract (<= |groups| x capacity
+    # rows), which the gate cannot see from the plan. Each entry's
+    # boundedness is itself tested (state-size invariants in
+    # tests/test_sketches.py / test_streaming.py).
+    BOUNDED_SNAPSHOT = {
+        "streaming_grouped_quantile_sketch",
+        "streaming_value_quantiles",
+    }
+    sf = "/root/testdata/sf0.001"
+
+    def walk(node):
+        yield node
+        cs = node.children()
+        for i in range(cs.size()):
+            yield from walk(cs.apply(i))
+
+    bad = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name in BOUNDED_SNAPSHOT:
+            continue
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in walk(plan):
+            if node.nodeName() != "Window":
+                continue
+            ps = node.partitionSpec()
+            names = set()
+            for i in range(ps.size()):
+                s = ps.apply(i).toString()
+                m = re.match(r"(\w+)#\d+", s)
+                names.add(m.group(1) if m else s)
+            if not names or not names <= LOW_CARD:
+                continue
+            child = node.children().apply(0).toString()
+            if not any(tok in child for tok in BOUNDING):
+                bad.setdefault(name, []).append(sorted(names))
+    assert not bad, f"low-cardinality window funnels in: {bad}"
+
+
+def test_stratified_sample_pick_is_cutoff_filtered(spark):
+    """documents_stratified_sample's ranking window must take the
+    broadcast-cutoff-filtered survivor set as input, not the raw
+    corpus: the optimized plan's Window child subtree must contain the
+    ``__cutoff`` comparison filter and the collected LocalRelation it
+    joins against (r8 verdict Wrong #1 re-plan)."""
+    df = QUERIES["documents_stratified_sample"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    i_win = plan.index("Window")
+    below = plan[i_win:]
+    assert "__cutoff" in below, plan[:3000]
+    assert "LocalRelation" in below or "LogicalRDD" in below, plan[:3000]
+
+
+def test_token_budget_windows_are_slice_partitioned(spark):
+    """docs_token_budget_fill (re-planned r9): no Python evals anywhere,
+    and the corpus-sized running-sum window must partition by
+    (source, __pid) — the grouped_prefix_sum slice recipe — never by
+    source alone (the low-cardinality funnel the gate exists for). The
+    only source-partitioned window allowed is the offset stitch over
+    the bounded (source, slice)-totals aggregate."""
     plan = plan_of(spark, "docs_token_budget_fill")
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan, (
         plan[:2000]
     )
     import re
 
-    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan[:2000]
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)ASC NULLS", plan)
+    assert specs, plan[:2000]
+    # every corpus window spec that mentions source must also carry the
+    # slice id; the offsets window orders by __pid (bounded aggregate)
+    for s in specs:
+        if "source" in s:
+            assert "__pid" in s, s
