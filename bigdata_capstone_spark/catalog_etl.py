@@ -6523,3 +6523,212 @@ def weighted_quantile_sketch_shard_merge(
     ]
     merged = wqsketch_merge(states, _WQS_CAPACITY)
     return wqsketch_quantiles(merged, _WQS_QS)
+
+
+def _multi_values_sql() -> str:
+    """The multilingual fixture as a DuckDB VALUES list — shared by
+    every multilingual entry so Spark and the oracle derive from the
+    SAME bytes."""
+    vals = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')" for i, t in _MULTI_DOCS
+    )
+    return (
+        f"raw(doc_id, text) AS (VALUES {vals}),\n"
+        "    norm AS (SELECT doc_id, nfc_normalize(text) AS text FROM raw)"
+    )
+
+
+def _multi_docs_norm(spark: SparkSession) -> DataFrame:
+    from bigdata_capstone_spark.operators.textops import nfc_normalize_col
+
+    raw = spark.createDataFrame(
+        list(_MULTI_DOCS), "doc_id INT, text STRING"
+    )
+    return raw.select("doc_id", nfc_normalize_col("text").alias("text"))
+
+
+@register(
+    "multilingual_shingle_dedup",
+    oracle=f"""
+    WITH {_multi_values_sql()},
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM norm
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS idA, b.doc_id AS idB,
+             max(sa.n) AS nA, max(sb.n) AS nB, count(*) AS common
+      FROM sh a
+      JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT idA, idB,
+           round(common * 1.0 / (nA + nB - common), 6) AS jaccard_r
+    FROM common
+    WHERE common * 1.0 / (nA + nB - common) >= 0.2
+    """,
+)
+def multilingual_shingle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHINGLE DEDUP on NON-LATIN text (r8 verdict Missing #1 'Done'
+    criterion): exact word-3-gram Jaccard pairs over the NFC-normalized
+    multilingual fixture. The composed and decomposed forms of the same
+    accented sentence (docs 5 and 6) MUST dedup at jaccard 1.0 — without
+    the NFC ingest boundary their shingle sets are byte-disjoint and
+    every dedup family silently misses the pair. Oracle replays
+    normalization, Unicode-lowercase tokenization, shingling, and the
+    Jaccard threshold."""
+    from bigdata_capstone_spark.operators.dedup import ngram_jaccard_pairs
+
+    ensure_utc(spark)
+    out = ngram_jaccard_pairs(
+        _multi_docs_norm(spark), shingle_n=3, min_jaccard=0.2
+    )
+    return out.select(
+        "idA", "idB", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+@register(
+    "multilingual_bm25_topk",
+    oracle=f"""
+    WITH {_multi_values_sql()},
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM norm
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+      GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS dfc
+              FROM tf GROUP BY token),
+    stop AS (SELECT token FROM dfreq ORDER BY dfc DESC, token LIMIT 3),
+    qdocs AS (SELECT doc_id FROM norm ORDER BY doc_id LIMIT 6),
+    qterms AS (
+      SELECT tf.doc_id AS query_doc, tf.token
+      FROM tf JOIN qdocs USING (doc_id)
+      WHERE tf.token NOT IN (SELECT token FROM stop)
+    ),
+    scored AS (
+      SELECT q.query_doc, p.doc_id,
+             round(ln(1.0 + (s.n_docs - d.dfc + 0.5) / (d.dfc + 0.5))
+                   * (p.tf * (1.2 + 1.0))
+                   / (p.tf + 1.2 * (0.25 + 0.75 * l.dl
+                        / (s.total_len * 1.0 / s.n_docs))), 6) AS s
+      FROM tf p
+      JOIN qterms q ON p.token = q.token
+      JOIN dfreq d ON d.token = p.token
+      JOIN dl l ON l.doc_id = p.doc_id
+      CROSS JOIN stats s
+      WHERE p.doc_id <> q.query_doc
+    ),
+    pp AS (
+      SELECT query_doc, doc_id, count(*)::BIGINT AS n_terms,
+             sum(round(s * 1000000)::BIGINT) / 1000000.0 AS bm25_r
+      FROM scored GROUP BY query_doc, doc_id
+    )
+    SELECT query_doc, doc_id, n_terms, bm25_r, rk FROM (
+      SELECT pp.*, row_number() OVER (
+               PARTITION BY query_doc ORDER BY bm25_r DESC, doc_id) AS rk
+      FROM pp
+    ) WHERE rk <= 3
+    """,
+)
+def multilingual_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 on NON-LATIN text (r8 verdict Missing #1 'Done' criterion):
+    lexical retrieval over the NFC-normalized multilingual fixture —
+    the 6 lowest doc_ids as queries, top-3 each. The decomposed doc 6
+    must retrieve its composed twin doc 5 as the TOP hit with maximal
+    term overlap (every term matches after normalization) — without
+    NFC their postings never join. Cyrillic/Greek/CJK terms flow
+    through the same postings machinery; both engines lowercase and
+    split identically on the normalized bytes."""
+    from bigdata_capstone_spark.operators.retrieval import bm25_topk
+
+    ensure_utc(spark)
+    out = bm25_topk(
+        _multi_docs_norm(spark), n_queries=6, k=3, stop_df_top=3
+    )
+    return out.withColumn("rk", F.col("rk").cast("int"))
+
+
+@register(
+    "streaming_weighted_quantile_sketch", oracle=_wqsketch_oracle()
+)
+def streaming_weighted_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING maintenance of the WEIGHTED quantile sketch: documents
+    arrive in 4 micro-batches; each batch builds its bounded weighted
+    partial and the fold recompacts under the tested group law — the
+    drained snapshot must match the one-shot batch build BIT-FOR-BIT
+    (same oracle as `docs_weighted_quantile_sketch`), completing the
+    weighted family's batch / shard-merge / streaming triangle. State
+    stays <=capacity rows however many documents stream through."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.sketches import (
+        wqsketch_build,
+        wqsketch_merge,
+        wqsketch_quantiles,
+    )
+    from bigdata_capstone_spark.operators.textops import tokens_col
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot_or_empty,
+        start_state_fold_maintenance,
+    )
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_wqsketch_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+    )
+
+    def weighted(b):
+        return b.select(
+            "doc_id",
+            "n_chars",
+            F.size(tokens_col("text")).cast("long").alias("__w"),
+        )
+
+    q = start_state_fold_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        partial_fn=lambda b: wqsketch_build(
+            weighted(b), F.col("doc_id"), F.col("n_chars"),
+            F.col("__w"), _WQS_CAPACITY,
+        ),
+        fold_fn=lambda old, new: wqsketch_merge(
+            [old, new], _WQS_CAPACITY
+        ),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = read_latest_snapshot_or_empty(
+        spark,
+        f"{work}/state",
+        "qs_id STRING, value DOUBLE, w BIGINT, lvl INT, thr INT",
+    )
+    return wqsketch_quantiles(state, _WQS_QS)

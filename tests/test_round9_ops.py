@@ -619,3 +619,27 @@ def test_grouped_top_k_twophase_matches_single_window(spark, sf_small):
             ).collect()
         }
         assert a == b, method
+
+
+def test_multilingual_nfc_makes_decomposed_twin_dedup_and_retrieve(
+    spark, sf_small
+):
+    """Docs 5 (composed) and 6 (decomposed) of the multilingual fixture
+    are the same visible sentence: after NFC they must (a) dedup at
+    jaccard exactly 1.0 and (b) retrieve each other as the TOP BM25
+    hit — without normalization their shingles/postings are
+    byte-disjoint."""
+    from bigdata_capstone_spark.catalog import QUERIES
+
+    pairs = {
+        (r["idA"], r["idB"]): r["jaccard_r"]
+        for r in QUERIES["multilingual_shingle_dedup"](
+            spark, sf_small
+        ).collect()
+    }
+    assert pairs.get((5, 6)) == 1.0, pairs
+    bm = QUERIES["multilingual_bm25_topk"](spark, sf_small).collect()
+    top = {
+        r["query_doc"]: r["doc_id"] for r in bm if r["rk"] == 1
+    }
+    assert top.get(5) == 6 and top.get(6) == 5, top
