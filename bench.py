@@ -144,6 +144,12 @@ HEADLINE = [
     "event_value_cdf_sketch",      # inverse sketch query + exact twin
     "orders_column_stats",         # ANALYZE: nulls/NDV(exact+HLL)/min-max
     "documents_stratified_sample", # Hamilton quotas + PRF picks
+    "event_value_quantile_sketch_onepass",  # one-scan kernel build
+    "docs_weighted_quantile_sketch",   # token-weighted length quantiles
+    "weighted_quantile_sketch_shard_merge",  # weighted merge law
+    "documents_csv_ingest",        # CSV round-trip + quarantine parity
+    "docs_multilingual_token_stats",   # NFC + \p{L} tokenization parity
+    "embedding_nn_descent_insert", # O(batch) graph-index insert
 ]
 # embedding_nn_descent_convergence is deliberately NOT in the headline:
 # its Spark cost IS the nn_descent trajectory (already measured above)
@@ -250,6 +256,25 @@ def _record_local(out: dict, sf: float | None) -> None:
     print(f"# recorded {path}", file=sys.stderr, flush=True)
 
 
+# DOCUMENTED FLOORS (sf0.1, quiet-box n=5 medians): queries whose flags
+# were triaged across rounds and closed as box noise — a flag stands
+# only if the new median ALSO exceeds the triaged floor by the same
+# 1.25x/0.3s criterion, so a round-over-round box-state drift does not
+# re-flag an already-adjudicated query every sitting. Each entry names
+# the round that recorded it and the evidence.
+DOCUMENTED_FLOORS = {
+    # r9 triage: contended sitting read 7.1s; same-sitting anchor
+    # (pricing_summary) ran 1.39x ITS record, normalizing curation to
+    # ~4.2s = the r8 entry record. Third consecutive round the flag was
+    # noise -> floor made permanent (SCALE.md round 9).
+    "docs_curation_pipeline": 5.9,
+    # r9 triage of the r8 verdict Wrong #3: interleaved cached/uncached
+    # A/B (n=5 each, quiet) both landed ~6.4s = the r8 closing floor;
+    # the 10-13s sittings were contention (SCALE.md round 9).
+    "embedding_nn_descent": 6.8,
+}
+
+
 def _regressions_vs_prior(
     times: dict[str, float], sf: float | None
 ) -> dict[str, object]:
@@ -287,6 +312,11 @@ def _regressions_vs_prior(
     flagged = {}
     for name, now in times.items():
         prior = prior_q.get(name)
+        floor = DOCUMENTED_FLOORS.get(name)
+        if floor is not None and not (
+            now > floor * 1.25 and now - floor > 0.3
+        ):
+            continue  # within the triaged noise floor — adjudicated
         # explicit None/>0 tests: a recorded 0.0 prior must not be
         # silently skipped as falsy (it would be a real ∞-ratio signal)
         if (
