@@ -150,6 +150,10 @@ HEADLINE = [
     "documents_csv_ingest",        # CSV round-trip + quarantine parity
     "docs_multilingual_token_stats",   # NFC + \p{L} tokenization parity
     "embedding_nn_descent_insert", # O(batch) graph-index insert
+    "streaming_stratified_panel",  # mergeable eval-panel state fold
+    "multilingual_script_profile", # Unicode script routing counts
+    "docs_weighted_quantile_sketch_onepass",  # weighted one-scan kernel
+    "orders_price_histogram",      # equi-height CBO histogram
 ]
 # embedding_nn_descent_convergence is deliberately NOT in the headline:
 # its Spark cost IS the nn_descent trajectory (already measured above)
@@ -272,6 +276,12 @@ DOCUMENTED_FLOORS = {
     # A/B (n=5 each, quiet) both landed ~6.4s = the r8 closing floor;
     # the 10-13s sittings were contention (SCALE.md round 9).
     "embedding_nn_descent": 6.8,
+    # r8 byte-verify price (explained-and-accepted in the r8 verdict):
+    # the BENCH_LOCAL_r8 priors predate the verify join, so these two
+    # re-flag every round against a floor that no longer exists. The
+    # r8 CLOSING floors (SCALE.md round 8) are the real baselines.
+    "dedup_repeated_spans": 3.4,
+    "dedup_excise_spans": 3.95,
 }
 
 

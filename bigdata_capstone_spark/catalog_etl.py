@@ -6499,7 +6499,7 @@ def weighted_quantile_sketch_shard_merge(
     still a per-item PRF, so the canonical-state group law carries
     over with weights riding along."""
     from bigdata_capstone_spark.operators.sketches import (
-        wqsketch_build,
+        wqsketch_build_onepass,
         wqsketch_merge,
         wqsketch_quantiles,
     )
@@ -6512,7 +6512,7 @@ def weighted_quantile_sketch_shard_merge(
         F.size(tokens_col("text")).cast("long").alias("__w"),
     )
     states = [
-        wqsketch_build(
+        wqsketch_build_onepass(
             docs.filter(F.col("doc_id") % 4 == i),
             F.col("doc_id"),
             F.col("n_chars"),
@@ -6732,3 +6732,227 @@ def streaming_weighted_quantile_sketch(
         "qs_id STRING, value DOUBLE, w BIGINT, lvl INT, thr INT",
     )
     return wqsketch_quantiles(state, _WQS_QS)
+
+
+def _script_profile_oracle() -> str:
+    from bigdata_capstone_spark.operators.textops import script_profile_sql
+
+    vals = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')" for i, t in _MULTI_DOCS
+    )
+    body = script_profile_sql("raw")
+    return f"WITH raw(doc_id, text) AS (VALUES {vals}),\n" + body.split(
+        "WITH ", 1
+    )[1]
+
+
+@register("multilingual_script_profile", oracle=_script_profile_oracle())
+def multilingual_script_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unicode SCRIPT routing profile (operators/textops.py:
+    script_profile): per-document character counts for six script
+    classes plus the dominant script — the signal a multilingual
+    pipeline routes on BEFORE any per-language model (the stopword
+    langid only separates Latin languages; Cyrillic/Han/Arabic/Greek
+    need script routing first). Java regex spells script classes
+    \\p{IsXxx}, RE2 spells \\p{Xxx} — same Unicode Script property, so
+    the oracle replays every count and the struct-sort dominant pick.
+
+    Scale shape: six regexp strips + one 6-element array sort, all
+    map-side — pipelines into the scan."""
+    from bigdata_capstone_spark.operators.textops import script_profile
+
+    ensure_utc(spark)
+    raw = spark.createDataFrame(
+        list(_MULTI_DOCS), "doc_id INT, text STRING"
+    )
+    return script_profile(raw)
+
+
+@register(
+    "docs_weighted_quantile_sketch_onepass", oracle=_wqsketch_oracle()
+)
+def docs_weighted_quantile_sketch_onepass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE-SCAN build of the WEIGHTED quantile sketch: the r9 kernel
+    recipe applied to the weighted family — weighted levels JVM-side,
+    per-partition Arrow fold, canonical merge; bit-identical to the
+    declarative build (same oracle as `docs_weighted_quantile_sketch`).
+    """
+    from bigdata_capstone_spark.operators.sketches import (
+        wqsketch_build_onepass,
+        wqsketch_quantiles,
+    )
+    from bigdata_capstone_spark.operators.textops import tokens_col
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens_col("text")).cast("long").alias("__w"),
+    )
+    state = wqsketch_build_onepass(
+        docs, F.col("doc_id"), F.col("n_chars"), F.col("__w"),
+        _WQS_CAPACITY,
+    )
+    return wqsketch_quantiles(state, _WQS_QS)
+
+
+@register(
+    "streaming_stratified_panel", oracle=_stratified_sample_oracle()
+)
+def streaming_stratified_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING maintenance of the stratified eval panel
+    (operators/sampling.py stratified_panel_*; the seventh
+    mergeable-state family): Hamilton quotas need GLOBAL stratum sizes
+    a stream only knows at read time, but any quota is <= total_n — so
+    the state keeps per-stratum exact sizes plus the total_n
+    smallest-hash rows per stratum, both mergeable, and the pick
+    replays the batch arithmetic over the drained snapshot. Documents
+    arrive in 4 micro-batches; the result must equal the BATCH
+    `documents_stratified_sample` bit-for-bit (same oracle) — the
+    eval panel stays frozen-by-construction while the corpus streams
+    in. State is |strata| * (total_n + 1) rows however many documents
+    arrive."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.sampling import (
+        stratified_panel_merge,
+        stratified_panel_pick,
+        stratified_panel_state,
+    )
+    from bigdata_capstone_spark.sources.tables import TABLE_SCHEMAS
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot_or_empty,
+        start_state_fold_maintenance,
+    )
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_panel_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+    )
+    q = start_state_fold_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        partial_fn=lambda b: stratified_panel_state(
+            b, "lang", "doc_id", 100, seed=42
+        ),
+        fold_fn=lambda old, new: stratified_panel_merge(
+            [old, new], 100
+        ),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = read_latest_snapshot_or_empty(
+        spark,
+        f"{work}/state",
+        "stratum STRING, key STRING, __h BIGINT, ns BIGINT",
+    )
+    return stratified_panel_pick(state, 100).select(
+        F.col("stratum").alias("lang"),
+        F.col("key").cast("long").alias("doc_id"),
+        "quota",
+        "pick_rank",
+    )
+
+
+def _qsketch_oracle_for(
+    table: str,
+    key_expr: str,
+    value_expr: str,
+    capacity: int,
+    qs: tuple[float, ...],
+) -> str:
+    """Parametric twin of `_qsketch_oracle` for an arbitrary
+    (table, key, value) — the sketch chain is column-generic; the
+    events-specific oracle predates this and stays for the pinned
+    entries."""
+    from bigdata_capstone_spark.functions.portable import md5_long_sql
+    from bigdata_capstone_spark.operators.sketches import (
+        _quantile_label,
+        qsketch_lvl_sql,
+    )
+
+    h = md5_long_sql(f"'qs:' || {key_expr}")
+    picks = ",\n           ".join(
+        f"round(min(CASE WHEN rn >= greatest(1, ceil({q} * m)) "
+        f"THEN value END), 6) AS p{_quantile_label(q)}_r"
+        for q in qs
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT {key_expr} AS qs_id, {value_expr} AS value, {h} AS __h
+      FROM {table}
+    ),
+    items AS (
+      SELECT qs_id, value, {qsketch_lvl_sql()} AS lvl FROM hashed
+    ),
+    lv AS (SELECT lvl, count(*) AS cnt FROM items GROUP BY 1),
+    cum AS (
+      SELECT lvl, sum(cnt) OVER (ORDER BY lvl DESC) AS cum FROM lv
+    ),
+    thr AS (
+      SELECT coalesce(max(CASE WHEN cum > {capacity} THEN lvl + 1 END),
+                      0)::INT AS thr
+      FROM cum
+    ),
+    state AS (
+      SELECT qs_id, value FROM items CROSS JOIN thr WHERE lvl >= thr
+    ),
+    ranked AS (
+      SELECT value, row_number() OVER (ORDER BY value, qs_id) AS rn,
+             count(*) OVER () AS m
+      FROM state
+    )
+    SELECT max(m)::BIGINT AS n_kept,
+           (SELECT thr FROM thr) AS thr,
+           {picks}
+    FROM ranked
+    """
+
+
+_HIST_QS = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+
+
+@register(
+    "orders_price_histogram",
+    oracle=_qsketch_oracle_for(
+        "orders", "o_orderkey::VARCHAR", "o_totalprice::DOUBLE",
+        512, _HIST_QS,
+    ),
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-HEIGHT HISTOGRAM boundaries for the ANALYZE family
+    (companion to `orders_column_stats`): the classic CBO statistics
+    trio is null/NDV counts + min/max + a histogram, and the third leg
+    lands here — 8 equal-frequency buckets of o_totalprice, boundaries
+    = the quantile sketch's order statistics at eighths, built with the
+    one-scan kernel. Every boundary replays in the oracle (PRF levels,
+    integer-minimal threshold, rank picks), so the histogram an
+    optimizer would consume is value-checked, not approximated.
+
+    Scale shape: one scan, zero shuffle (the one-pass kernel);
+    boundary picks run over the <=512-row state."""
+    from bigdata_capstone_spark.operators.sketches import (
+        qsketch_build_onepass,
+        qsketch_quantiles,
+    )
+
+    ensure_utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    state = qsketch_build_onepass(
+        o, F.col("o_orderkey"), F.col("o_totalprice"), 512
+    )
+    return qsketch_quantiles(state, _HIST_QS)

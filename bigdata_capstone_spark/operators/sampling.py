@@ -148,6 +148,53 @@ def epoch_repeat_factors(
     )
 
 
+def hamilton_quotas(
+    sizes: DataFrame, stratum_col: str, total_n: int
+) -> DataFrame:
+    """Largest-remainder (Hamilton) seat apportionment over a
+    (stratum, __ns) size frame → (stratum, quota): floor(total_n*n_s/N)
+    seats up front, leftover seats to the largest integer remainders
+    (tie: stratum value ASC). All integer arithmetic on the
+    |strata|-sized frame; the one ranking window runs under the
+    constant-scope cache barrier. Shared by the batch sample and the
+    streaming panel pick so the two can never drift."""
+    tot = sizes.agg(F.sum("__ns").cast("long").alias("__n"))
+    # integer-exact floor: (t*ns - t*ns % n) / n divides exactly, so the
+    # double intermediate is integral — no float-floor boundary risk
+    seats = F.lit(total_n) * F.col("__ns")
+    rem = seats % F.col("__n")
+    base = sizes.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "__ns",
+        rem.alias("__rem"),
+        ((seats - rem) / F.col("__n")).cast("long").alias("__floor_q"),
+    )
+    from bigdata_capstone_spark.operators.relational import constant_scope
+
+    base = constant_scope(base)
+    leftover = base.agg(
+        (F.lit(total_n) - F.sum("__floor_q")).cast("long").alias("__left")
+    )
+    w = Window.partitionBy("__s").orderBy(
+        F.desc("__rem"), F.col(stratum_col)
+    )
+    return (
+        base.crossJoin(F.broadcast(leftover))
+        .withColumn("__seat_rank", F.row_number().over(w))
+        .select(
+            stratum_col,
+            (
+                F.col("__floor_q")
+                + F.when(
+                    F.col("__seat_rank") <= F.col("__left"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,
@@ -197,45 +244,7 @@ def stratified_sample(
     sizes = (
         df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__ns"))
     ).cache()
-    tot = sizes.agg(F.sum("__ns").cast("long").alias("__n"))
-    # integer-exact floor: (t*ns - t*ns % n) / n divides exactly, so the
-    # double intermediate is integral — no float-floor boundary risk
-    seats = F.lit(total_n) * F.col("__ns")
-    rem = seats % F.col("__n")
-    base = sizes.crossJoin(F.broadcast(tot)).select(
-        stratum_col,
-        "__ns",
-        rem.alias("__rem"),
-        ((seats - rem) / F.col("__n")).cast("long").alias("__floor_q"),
-    )
-    # leftover seats = total_n - sum(floor quotas); award by remainder
-    # DESC (tie: stratum ASC) — a window over the |strata|-sized frame,
-    # under the constant-scope cache barrier (no unpartitioned windows,
-    # even on bounded frames — registry-wide gate)
-    from bigdata_capstone_spark.operators.relational import constant_scope
-
-    base = constant_scope(base)
-    leftover = base.agg(
-        (F.lit(total_n) - F.sum("__floor_q")).cast("long").alias("__left")
-    )
-    w = Window.partitionBy("__s").orderBy(
-        F.desc("__rem"), F.col(stratum_col)
-    )
-    quotas = (
-        base.crossJoin(F.broadcast(leftover))
-        .withColumn("__seat_rank", F.row_number().over(w))
-        .select(
-            stratum_col,
-            (
-                F.col("__floor_q")
-                + F.when(
-                    F.col("__seat_rank") <= F.col("__left"), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("quota"),
-        )
-    )
+    quotas = hamilton_quotas(sizes, stratum_col, total_n)
     # ---- phase 2: broadcast per-stratum hash cutoff, exact-rank only
     # the survivors. stats collect is |strata| rows (metadata-sized).
     from pyspark.sql.types import LongType, StructField, StructType
@@ -308,4 +317,129 @@ def stratified_sample(
             "quota",
             F.col("pick_rank").cast("long").alias("pick_rank"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING eval-panel maintenance (r9): the stratified sample as a
+# MERGEABLE STATE — the seventh mergeable-state family (HLL / CMS /
+# Bloom / bins / PSI contingency / quantile sketch / this). Hamilton
+# quotas depend on GLOBAL stratum sizes, which a stream only knows at
+# read time; but any stratum's quota is <= total_n, so keeping (a)
+# per-stratum exact sizes (mergeable counts) and (b) the total_n
+# smallest (h, key) rows per stratum (mergeable under union +
+# re-truncate) is sufficient state to answer the EXACT batch sample at
+# any point. State is |strata| * (total_n + 1) rows however many
+# documents stream through; the pick replays the batch arithmetic, so
+# the drained snapshot shares the batch oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def stratified_panel_state(
+    batch: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    total_n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Bounded panel state for one batch: size rows (key NULL, ns =
+    batch count per stratum) + pool rows (the batch's total_n smallest
+    (h, key) per stratum, key/h set, ns NULL). The pool pick uses the
+    two-phase grouped top-k, so no whole-stratum single-task sort even
+    when one micro-batch is large."""
+    from bigdata_capstone_spark.operators.relational import (
+        grouped_top_k_twophase,
+    )
+
+    hashed = batch.select(
+        F.col(stratum_col).cast("string").alias("stratum"),
+        F.col(key_col).cast("string").alias("key"),
+        salted_md5_long(F.col(key_col).cast("string"), seed).alias("__h"),
+    )
+    sizes = hashed.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    ).select(
+        "stratum",
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("long").alias("__h"),
+        "ns",
+    )
+    pool = grouped_top_k_twophase(
+        hashed, ["stratum"], [F.col("__h"), F.col("key")], total_n,
+        sub_key=["key"],
+    ).select(
+        "stratum", "key", "__h", F.lit(None).cast("long").alias("ns")
+    )
+    return sizes.unionByName(pool)
+
+
+def stratified_panel_merge(
+    states: "list[DataFrame]", total_n: int
+) -> DataFrame:
+    """Merge panel states over DISJOINT item sets: sizes add; pools
+    union and re-truncate to the total_n smallest per stratum. Both
+    parts are canonical functions of the item multiset, so shard trees
+    and streaming folds land on identical state (associative +
+    commutative). All inputs are state-sized."""
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    u = u.cache()
+    sizes = (
+        u.filter(F.col("key").isNull())
+        .groupBy("stratum")
+        .agg(F.sum("ns").cast("long").alias("ns"))
+        .select(
+            "stratum",
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("long").alias("__h"),
+            "ns",
+        )
+    )
+    pool = (
+        u.filter(F.col("key").isNotNull())
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("stratum").orderBy("__h", "key")
+            ),
+        )
+        .filter(F.col("__rk") <= total_n)
+        .select(
+            "stratum", "key", "__h", F.lit(None).cast("long").alias("ns")
+        )
+    )
+    merged = sizes.unionByName(pool).localCheckpoint(eager=True)
+    u.unpersist()
+    return merged
+
+
+def stratified_panel_pick(
+    state: DataFrame, total_n: int
+) -> DataFrame:
+    """The EXACT batch stratified sample from a panel state: Hamilton
+    quotas from the folded sizes, picks from the pool's hash order —
+    identical rows to :func:`stratified_sample` over the union of every
+    batch (quota <= total_n guarantees the pool holds every potential
+    pick). Window runs over the bounded state."""
+    sizes = state.filter(F.col("key").isNull()).select(
+        F.col("stratum"), F.col("ns").alias("__ns")
+    )
+    quotas = hamilton_quotas(sizes, "stratum", total_n)
+    picked = (
+        state.filter(F.col("key").isNotNull())
+        .withColumn(
+            "pick_rank",
+            F.row_number().over(
+                Window.partitionBy("stratum").orderBy("__h", "key")
+            ),
+        )
+        .join(F.broadcast(quotas), on="stratum")
+        .filter(F.col("pick_rank") <= F.col("quota"))
+    )
+    return picked.select(
+        "stratum",
+        "key",
+        "quota",
+        F.col("pick_rank").cast("long").alias("pick_rank"),
     )

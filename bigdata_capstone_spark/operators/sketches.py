@@ -1173,3 +1173,75 @@ def wqsketch_quantiles(
         )
         .drop("__s")
     )
+
+
+def wqsketch_partials_onepass(
+    df: DataFrame,
+    key_col: Column,
+    value_col: Column,
+    weight_col: Column,
+    capacity: int,
+) -> DataFrame:
+    """Weighted twin of :func:`qsketch_partials_onepass`: weighted
+    levels stay JVM-side; the Arrow kernel folds each partition into a
+    bounded local state with the weight column riding along. Same
+    incremental-fold exactness argument (the weighted level is a pure
+    per-item PRF)."""
+    items = wqsketch_items(df, key_col, value_col, weight_col)
+    cap = int(capacity)
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        cur = pd.DataFrame(
+            {
+                "qs_id": pd.Series(dtype=object),
+                "value": pd.Series(dtype="float64"),
+                "w": pd.Series(dtype="int64"),
+                "lvl": pd.Series(dtype="int32"),
+            }
+        )
+        thr = 0
+        for pdf in batches:
+            keep = pdf["lvl"].to_numpy() >= thr
+            if keep.any():
+                cur = pd.concat(
+                    [cur, pdf.loc[keep, ["qs_id", "value", "w", "lvl"]]],
+                    ignore_index=True,
+                )
+            if len(cur) > cap:
+                lv = cur["lvl"].to_numpy()
+                cnt = np.bincount(lv, minlength=QSKETCH_MAX_LVL + 1)
+                suffix = cnt[::-1].cumsum()[::-1]
+                over = np.nonzero(suffix > cap)[0]
+                cand = int(over.max()) + 1 if len(over) else 0
+                if cand > thr:
+                    thr = cand
+                    cur = cur[cur["lvl"].to_numpy() >= thr]
+        out = cur.copy()
+        out["lvl"] = out["lvl"].astype("int32")
+        out["w"] = out["w"].astype("int64")
+        out["thr"] = np.int32(thr)
+        yield out
+
+    return items.mapInPandas(
+        fold, "qs_id string, value double, w bigint, lvl int, thr int"
+    )
+
+
+def wqsketch_build_onepass(
+    df: DataFrame,
+    key_col: Column,
+    value_col: Column,
+    weight_col: Column,
+    capacity: int,
+) -> DataFrame:
+    """One-scan weighted batch build: per-partition partials (zero
+    shuffle) + :func:`wqsketch_merge` — bit-identical to
+    :func:`wqsketch_build` by the family's canonical-state law."""
+    partial = wqsketch_partials_onepass(
+        df, key_col, value_col, weight_col, capacity
+    )
+    partial = partial.localCheckpoint(eager=True)
+    return wqsketch_merge([partial], capacity)

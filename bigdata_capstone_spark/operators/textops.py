@@ -1150,3 +1150,88 @@ def viterbi_segment_words(
                 F.col("score").alias("score_micro"),
             )
         )
+
+
+# Unicode script classes (r9): per-script character counting for
+# script-based language routing — the dictionary langid heuristic
+# (LANG_STOPWORDS) only separates LATIN languages; a multilingual crawl
+# first routes by SCRIPT (Cyrillic → ru/uk/.., Han → zh/ja, ...), then
+# applies per-script models. Java regex spells Unicode script classes
+# \p{IsXxx}; RE2 (DuckDB) spells them \p{Xxx} — same Unicode Script
+# property underneath, so counts agree. Each entry is
+# (name, java_class_body, re2_class_body) where the body goes inside
+# [...] / [^...].
+SCRIPT_CLASSES: tuple[tuple[str, str, str], ...] = (
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("kana", r"\p{IsHiragana}\p{IsKatakana}", r"\p{Hiragana}\p{Katakana}"),
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+)
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode SCRIPT profile: character count per script
+    class plus the dominant script (max count; ties break on script
+    name ASC; all-zero → 'none') — the routing signal a multilingual
+    pipeline applies before any per-language model. Counts are
+    regexp_replace strips (one narrow map pass per class, no shuffle);
+    the dominant pick is an array_sort over a 6-element struct array,
+    fully engine-portable (DuckDB list_sort orders structs by field
+    order, same as Spark).
+
+    Scale shape: pure map over the text column — pipelines into the
+    scan; at 100 TB this rides the same pass as quality scoring."""
+    counts = {
+        name: F.length(
+            F.regexp_replace(F.col(text_col), f"[^{java_cls}]", "")
+        ).cast("long")
+        for name, java_cls, _re2 in SCRIPT_CLASSES
+    }
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-counts[name]).alias("c"), F.lit(name).alias("s")
+                )
+                for name, _j, _r in SCRIPT_CLASSES
+            ]
+        )
+    )
+    best = F.element_at(ranked, 1)
+    dominant = F.when(best["c"] < 0, best["s"]).otherwise(F.lit("none"))
+    return df.select(
+        id_col,
+        *[counts[name].alias(f"n_{name}") for name, _j, _r in SCRIPT_CLASSES],
+        dominant.alias("dominant_script"),
+    )
+
+
+def script_profile_sql(source: str) -> str:
+    """DuckDB twin of :func:`script_profile` over CTE/table ``source``
+    with (doc_id, text)."""
+    count_exprs = ",\n             ".join(
+        f"length(regexp_replace(text, '[^{re2}]', '', 'g'))::BIGINT"
+        f" AS n_{name}"
+        for name, _j, re2 in SCRIPT_CLASSES
+    )
+    structs = ", ".join(
+        f"{{'c': -n_{name}, 's': '{name}'}}" for name, _j, _r in SCRIPT_CLASSES
+    )
+    return f"""
+    WITH counts AS (
+      SELECT doc_id,
+             {count_exprs}
+      FROM {source}
+    ),
+    picked AS (
+      SELECT *, list_sort([{structs}])[1] AS best FROM counts
+    )
+    SELECT doc_id, {", ".join(f"n_{n}" for n, _j, _r in SCRIPT_CLASSES)},
+           CASE WHEN best.c < 0 THEN best.s ELSE 'none' END
+             AS dominant_script
+    FROM picked
+    """

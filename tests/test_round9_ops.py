@@ -643,3 +643,104 @@ def test_multilingual_nfc_makes_decomposed_twin_dedup_and_retrieve(
         r["query_doc"]: r["doc_id"] for r in bm if r["rk"] == 1
     }
     assert top.get(5) == 6 and top.get(6) == 5, top
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from bigdata_capstone_spark.operators.textops import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello Привет"),       # latin 5, cyrillic 6 -> cyrillic
+            (2, "12345 ,,,"),           # no letters -> none
+            (3, "abcабв"),              # 3 vs 3 tie -> cyrillic (name ASC)
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert rows[1]["n_latin"] == 5 and rows[1]["n_cyrillic"] == 6
+    assert rows[1]["dominant_script"] == "cyrillic"
+    assert rows[2]["dominant_script"] == "none"
+    assert rows[3]["dominant_script"] == "cyrillic"
+
+
+def test_wqsketch_onepass_bit_identical(spark, sf_small):
+    from bigdata_capstone_spark.operators.sketches import (
+        wqsketch_build,
+        wqsketch_build_onepass,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "n_chars", (F.col("doc_id") % 9 + 1).alias("w")
+    )
+    a = wqsketch_build(
+        docs, F.col("doc_id"), F.col("n_chars"), F.col("w"), 64
+    )
+    b = wqsketch_build_onepass(
+        docs, F.col("doc_id"), F.col("n_chars"), F.col("w"), 64
+    )
+    sa = {tuple(r) for r in a.collect()}
+    sb = {tuple(r) for r in b.collect()}
+    assert sa == sb and len(sa) > 0
+
+
+def test_stratified_panel_fold_matches_batch_sample(spark, sf_small):
+    """The streaming panel state (sizes + total_n smallest hashes per
+    stratum) folded over any batch split must pick the EXACT batch
+    stratified sample — and the fold must be split-independent."""
+    from bigdata_capstone_spark.operators.sampling import (
+        stratified_panel_merge,
+        stratified_panel_pick,
+        stratified_panel_state,
+        stratified_sample,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    batch_rows = {
+        (r["lang"], str(r["doc_id"]), r["quota"], r["pick_rank"])
+        for r in stratified_sample(
+            docs, "lang", "doc_id", 60, seed=42
+        ).collect()
+    }
+
+    def state_of(splits):
+        parts = [
+            stratified_panel_state(
+                docs.filter(F.col("doc_id") % splits == i),
+                "lang", "doc_id", 60, seed=42,
+            )
+            for i in range(splits)
+        ]
+        return stratified_panel_merge(parts, 60)
+
+    for splits in (2, 4):
+        got = {
+            (r["stratum"], r["key"], r["quota"], r["pick_rank"])
+            for r in stratified_panel_pick(state_of(splits), 60).collect()
+        }
+        assert got == batch_rows, f"splits={splits}"
+    # split-independence of the STATE itself (canonical fold)
+    s2 = {tuple(r) for r in state_of(2).collect()}
+    s4 = {tuple(r) for r in state_of(4).collect()}
+    assert s2 == s4
+
+
+def test_stratified_panel_state_is_bounded(spark, sf_small):
+    from collections import Counter
+
+    from bigdata_capstone_spark.operators.sampling import (
+        stratified_panel_state,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    total_n = 10
+    rows = stratified_panel_state(
+        docs, "lang", "doc_id", total_n
+    ).collect()
+    sizes = Counter(r["stratum"] for r in rows if r["key"] is None)
+    pools = Counter(r["stratum"] for r in rows if r["key"] is not None)
+    assert all(c == 1 for c in sizes.values()), sizes
+    assert all(c <= total_n for c in pools.values()), pools
+    assert set(pools) <= set(sizes)
