@@ -154,6 +154,7 @@ HEADLINE = [
     "multilingual_script_profile", # Unicode script routing counts
     "docs_weighted_quantile_sketch_onepass",  # weighted one-scan kernel
     "orders_price_histogram",      # equi-height CBO histogram
+    "dedup_clusters_incremental",  # O(batch) cluster-assignment MERGE
 ]
 # embedding_nn_descent_convergence is deliberately NOT in the headline:
 # its Spark cost IS the nn_descent trajectory (already measured above)

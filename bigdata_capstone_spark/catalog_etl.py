@@ -6956,3 +6956,197 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, F.col("o_orderkey"), F.col("o_totalprice"), 512
     )
     return qsketch_quantiles(state, _HIST_QS)
+
+
+def _incr_clusters_oracle(
+    n_perm: int = 8,
+    bands: int = 4,
+    old_thr: float = 0.5,
+    new_thr: float = 0.35,
+    cap: int = 100,
+) -> str:
+    """Full replay of the incremental cluster maintenance: old-corpus
+    LSH pairs (cap on old buckets, old_thr), batch↔corpus pairs
+    (corpus-side cap, new_thr), within-batch pairs (no cap, new_thr),
+    then ONE recursive closure over the union — which the contracted
+    incremental path must equal exactly."""
+    rows = n_perm // bands
+    mins = ",\n             ".join(
+        f"min(('0x' || substr(md5('{p // 2}:' || sh), "
+        f"{1 + 15 * (p % 2)}, 15))::BIGINT) AS h{p}"
+        for p in range(n_perm)
+    )
+
+    def band_selects(src: str) -> str:
+        return "\n      UNION ALL ".join(
+            "SELECT doc_id, ('0x' || substr(md5('"
+            + str(b)
+            + ":' || "
+            + " || ':' || ".join(
+                f"h{b * rows + r}::VARCHAR" for r in range(rows)
+            )
+            + "), 1, 15))::BIGINT AS bucket FROM " + src
+            for b in range(bands)
+        )
+
+    def sh_cte(src: str) -> str:
+        return f"""(
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM {src})
+      WHERE len(t) >= 3
+    )"""
+
+    def verify(cands: str, sh_a: str, sz_a: str, sh_b: str, sz_b: str,
+               ca: str, cb: str, thr: float) -> str:
+        return f"""(
+      SELECT {ca}, {cb},
+             count(*) * 1.0 / (max(sa.n) + max(sb.n) - count(*)) AS j
+      FROM {cands} c
+      JOIN {sh_a} a ON a.doc_id = c.{ca}
+      JOIN {sh_b} b ON b.doc_id = c.{cb} AND b.sh = a.sh
+      JOIN {sz_a} sa ON sa.doc_id = c.{ca}
+      JOIN {sz_b} sb ON sb.doc_id = c.{cb}
+      GROUP BY 1, 2
+      HAVING count(*) * 1.0 / (max(sa.n) + max(sb.n) - count(*))
+             >= {thr}
+    )"""
+
+    return f"""
+    WITH RECURSIVE batch AS (
+      SELECT doc_id + 100000 AS doc_id, text
+      FROM documents WHERE doc_id % 11 = 3
+      UNION ALL
+      SELECT d1.doc_id + 200000 AS doc_id,
+             d1.text || ' ' || d2.text AS text
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 17 = 5
+    ),
+    c_sh AS MATERIALIZED {sh_cte("documents")},
+    b_sh AS MATERIALIZED {sh_cte("batch")},
+    c_sizes AS (SELECT doc_id, count(*) AS n FROM c_sh GROUP BY doc_id),
+    b_sizes AS (SELECT doc_id, count(*) AS n FROM b_sh GROUP BY doc_id),
+    c_sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM c_sh GROUP BY doc_id
+    ),
+    b_sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM b_sh GROUP BY doc_id
+    ),
+    c_raw_buckets AS MATERIALIZED (
+      {band_selects("c_sigs")}
+    ),
+    c_bucket_sizes AS (
+      SELECT bucket, count(*) AS bn FROM c_raw_buckets GROUP BY bucket
+    ),
+    c_buckets AS MATERIALIZED (
+      SELECT rb.doc_id, rb.bucket
+      FROM c_raw_buckets rb
+      JOIN c_bucket_sizes bs ON bs.bucket = rb.bucket
+      WHERE bs.bn <= {cap}
+    ),
+    b_buckets AS MATERIALIZED (
+      {band_selects("b_sigs")}
+    ),
+    o_cands AS (
+      SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+      FROM c_buckets a JOIN c_buckets b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    o_pairs AS {verify("o_cands", "c_sh", "c_sizes", "c_sh", "c_sizes",
+                       "idA", "idB", old_thr)},
+    x_cands AS (
+      SELECT DISTINCT b.doc_id AS idA, c.doc_id AS idB
+      FROM b_buckets b JOIN c_buckets c ON b.bucket = c.bucket
+    ),
+    x_pairs AS {verify("x_cands", "b_sh", "b_sizes", "c_sh", "c_sizes",
+                       "idA", "idB", new_thr)},
+    i_cands AS (
+      SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+      FROM b_buckets a JOIN b_buckets b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    i_pairs AS {verify("i_cands", "b_sh", "b_sizes", "b_sh", "b_sizes",
+                       "idA", "idB", new_thr)},
+    edges(src, dst) AS MATERIALIZED (
+      SELECT idA, idB FROM o_pairs UNION SELECT idB, idA FROM o_pairs
+      UNION SELECT idA, idB FROM x_pairs UNION SELECT idB, idA FROM x_pairs
+      UNION SELECT idA, idB FROM i_pairs UNION SELECT idB, idA FROM i_pairs
+    ),
+    all_docs AS (
+      SELECT doc_id FROM documents UNION ALL SELECT doc_id FROM batch
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM all_docs
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    sizes AS (
+      SELECT cluster_id, count(*)::BIGINT AS cluster_size
+      FROM comp GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM comp c JOIN sizes s ON s.cluster_id = c.cluster_id
+    """
+
+
+@register("dedup_clusters_incremental", oracle=_incr_clusters_oracle())
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CLUSTER MAINTENANCE (operators/dedup.py:
+    incremental_dedup_clusters): a synthetic arrival batch — verbatim
+    copies of every 11th document (must join their originals' clusters)
+    plus BRIDGE documents concatenating two adjacent documents (must
+    MERGE the two originals' clusters into one) — is folded into the
+    persisted cluster assignment via batch↔index pairs, within-batch
+    pairs, contraction of old endpoints to their cluster ids, and a
+    closure over the BATCH-SIZED contracted graph. Untouched clusters
+    pass through bit-identically. The oracle replays every pair stage
+    and runs ONE recursive closure over the union — the strongest
+    equality: incremental == full rebuild, value-checked.
+
+    Scale shape: only the batch is shingled/banded at arrival; the
+    closure graph has one node per TOUCHED cluster + batch docs; the
+    relabel map is bounded and broadcast; the only corpus-sized step is
+    writing the new assignment, which is the output."""
+    from bigdata_capstone_spark.operators.dedup import (
+        dedup_clusters,
+        incremental_dedup_clusters,
+        near_dup_index,
+    )
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).cache()
+    copies = docs.filter(F.col("doc_id") % 11 == 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    d2 = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t2")
+    )
+    bridges = (
+        docs.filter(F.col("doc_id") % 17 == 5)
+        .join(d2, on="doc_id")
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" "), "t2").alias("text"),
+        )
+    )
+    batch = copies.unionByName(bridges)
+    bk, sh, sz = near_dup_index(docs, n_perm=8, bands=4, shingle_n=3)
+    index = (bk.cache(), sh.cache(), sz.cache())
+    assignment = dedup_clusters(
+        docs, n_perm=8, bands=4, min_jaccard=0.5, max_bucket_size=100
+    ).select("doc_id", "cluster_id")
+    return incremental_dedup_clusters(
+        assignment, index, batch, n_perm=8, bands=4, shingle_n=3,
+        min_jaccard=0.35, max_bucket_size=100,
+    )

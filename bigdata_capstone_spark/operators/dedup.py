@@ -1219,3 +1219,93 @@ def lsh_pair_recall(
         .otherwise(F.lit(1.0))
         .alias("recall_r"),
     )
+
+
+def incremental_dedup_clusters(
+    assignment: DataFrame,
+    corpus_index: tuple[DataFrame, DataFrame, DataFrame],
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.7,
+    max_bucket_size: int | None = 2000,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """O(batch + affected) maintenance of a persisted NEAR-DUP CLUSTER
+    assignment (r9) — the transitive-closure family's incremental twin,
+    closing the one index family whose arrival path still meant a full
+    rebuild: pairs, digests, BM25 df, PQ/IVF-PQ, the graph ANN and the
+    sketches all had O(batch) maintenance; the cluster ASSIGNMENT (the
+    thing dedup actually consumes) did not.
+
+    Stages: (1) batch↔corpus pairs against the persisted LSH index
+    (:func:`incremental_near_dup_pairs` — corpus-side bucket cap, the
+    batch-split-independent convention) plus within-batch pairs
+    (:func:`minhash_near_dup_pairs` over the batch alone); (2) CONTRACT
+    old endpoints to their cluster ids — within-cluster connectivity is
+    already known, so the closure graph has one node per touched
+    cluster plus the batch docs, and |edges| = |new pairs|; (3)
+    :func:`connected_components` over that batch-sized graph; (4)
+    relabel: old rows join the (touched-cluster → new id) map (bounded,
+    broadcast) — untouched clusters pass through BIT-IDENTICALLY; batch
+    docs take their component label, or themselves as singletons.
+
+    Correctness: a cluster id IS its component's minimum member id, so
+    contracting a cluster to its id preserves both connectivity and the
+    min — the merged component's label equals the full-rebuild closure
+    over (old pairs ∪ new pairs). REQUIREMENT: batch ids must be
+    disjoint from corpus ids (arrival ids always are); a batch id that
+    collides with an existing id would conflate a contracted node.
+
+    Returns (id, cluster_id, cluster_size) over corpus ∪ batch. The
+    size recount is one groupBy over the assignment table — the output
+    relation itself, written anyway; everything upstream of it is
+    batch-sized."""
+    cross = incremental_near_dup_pairs(
+        corpus_index, batch, text_col, id_col, n_perm, bands, shingle_n,
+        min_jaccard, max_bucket_size,
+    )
+    internal = minhash_near_dup_pairs(
+        batch, text_col, id_col, n_perm, bands, shingle_n, min_jaccard,
+        max_bucket_size=None,
+    )
+    amap = assignment.select(
+        F.col(id_col).alias("corpus_id"), F.col("cluster_id").alias("__c")
+    )
+    cross_c = cross.join(amap, on="corpus_id").select(
+        F.col("batch_id").alias("idA"), F.col("__c").alias("idB")
+    )
+    edges = cross_c.unionByName(internal.select("idA", "idB")).distinct()
+    labels = connected_components(
+        edges, "idA", "idB", max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    cmap = labels.select(
+        F.col("node").alias("cluster_id"), F.col("component").alias("__new")
+    )
+    old_re = assignment.join(
+        F.broadcast(cmap), on="cluster_id", how="left"
+    ).select(
+        id_col,
+        F.coalesce("__new", F.col("cluster_id")).alias("cluster_id"),
+    )
+    b_lab = labels.select(F.col("node").alias(id_col), F.col("component"))
+    b_re = (
+        batch.select(id_col)
+        .join(F.broadcast(b_lab), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    full = old_re.unionByName(b_re)
+    sizes = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return full.join(sizes, on="cluster_id").select(
+        id_col, "cluster_id", "cluster_size"
+    )

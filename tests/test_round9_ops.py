@@ -744,3 +744,73 @@ def test_stratified_panel_state_is_bounded(spark, sf_small):
     assert all(c == 1 for c in sizes.values()), sizes
     assert all(c <= total_n for c in pools.values()), pools
     assert set(pools) <= set(sizes)
+
+
+def test_incremental_clusters_matches_rebuild_and_touch_contract(
+    spark, sf_small
+):
+    """incremental_dedup_clusters == full-rebuild closure over
+    (old pairs ∪ new pairs), and clusters untouched by the batch keep
+    their exact assignment rows."""
+    from bigdata_capstone_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+        incremental_dedup_clusters,
+        incremental_near_dup_pairs,
+        minhash_near_dup_pairs,
+        near_dup_index,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "text"
+    ).cache()
+    batch = docs.filter(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    index = near_dup_index(docs, n_perm=8, bands=4, shingle_n=3)
+    index = tuple(x.cache() for x in index)
+    assignment = dedup_clusters(
+        docs, n_perm=8, bands=4, min_jaccard=0.5, max_bucket_size=100
+    ).select("doc_id", "cluster_id").cache()
+    got = incremental_dedup_clusters(
+        assignment, index, batch, n_perm=8, bands=4, shingle_n=3,
+        min_jaccard=0.35, max_bucket_size=100,
+    ).cache()
+    # reference: closure over old pairs ∪ cross pairs ∪ internal pairs
+    cross = incremental_near_dup_pairs(
+        index, batch, n_perm=8, bands=4, shingle_n=3,
+        min_jaccard=0.35, max_bucket_size=100,
+    ).select(F.col("batch_id").alias("idA"), F.col("corpus_id").alias("idB"))
+    internal = minhash_near_dup_pairs(
+        batch, n_perm=8, bands=4, shingle_n=3, min_jaccard=0.35,
+        max_bucket_size=None,
+    ).select("idA", "idB")
+    old_pairs = minhash_near_dup_pairs(
+        docs, n_perm=8, bands=4, shingle_n=3, min_jaccard=0.5,
+        max_bucket_size=100,
+    ).select("idA", "idB")
+    all_edges = old_pairs.unionByName(cross).unionByName(internal)
+    labels = connected_components(all_edges, "idA", "idB")
+    every = docs.select("doc_id").unionByName(batch.select("doc_id"))
+    want_assign = {
+        r["doc_id"]: r["component"]
+        for r in every.join(
+            labels.select(F.col("node").alias("doc_id"), "component"),
+            on="doc_id",
+            how="left",
+        ).collect()
+    }
+    want = {
+        k: (v if v is not None else k) for k, v in want_assign.items()
+    }
+    got_map = {r["doc_id"]: r["cluster_id"] for r in got.collect()}
+    assert got_map == want
+    # untouched clusters: every old doc whose cluster has no batch
+    # member keeps its exact old cluster id
+    touched = {
+        v for k, v in got_map.items() if k >= 500000
+    }
+    for r in assignment.collect():
+        if got_map[r["doc_id"]] not in touched:
+            assert got_map[r["doc_id"]] == r["cluster_id"]
