@@ -154,8 +154,14 @@ HEADLINE = [
     "multilingual_script_profile", # Unicode script routing counts
     "docs_weighted_quantile_sketch_onepass",  # weighted one-scan kernel
     "orders_price_histogram",      # equi-height CBO histogram
-    "dedup_clusters_incremental",  # O(batch) cluster-assignment MERGE
 ]
+# dedup_clusters_incremental is deliberately NOT in the headline for the
+# same reason as dedup_clusters_minhash: the entry must SIMULATE its
+# persisted inputs (the old LSH index + the old cluster closure, ~20
+# iterative rounds at sf0.1) before the measured operator even starts —
+# the in-entry fixture cost would read as a perf signal when the
+# incremental path itself is batch-sized. Its stages (banding, verify,
+# closure) are benchmarked individually above.
 # embedding_nn_descent_convergence is deliberately NOT in the headline:
 # its Spark cost IS the nn_descent trajectory (already measured above)
 # plus k-bounded anti-join diffs — a second timing would double-count

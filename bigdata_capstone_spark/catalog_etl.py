@@ -7117,9 +7117,10 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     relabel map is bounded and broadcast; the only corpus-sized step is
     writing the new assignment, which is the output."""
     from bigdata_capstone_spark.operators.dedup import (
-        dedup_clusters,
+        connected_components,
         incremental_dedup_clusters,
         near_dup_index,
+        near_dup_pairs_from_index,
     )
 
     ensure_utc(spark)
@@ -7143,9 +7144,21 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = copies.unionByName(bridges)
     bk, sh, sz = near_dup_index(docs, n_perm=8, bands=4, shingle_n=3)
     index = (bk.cache(), sh.cache(), sz.cache())
-    assignment = dedup_clusters(
-        docs, n_perm=8, bands=4, min_jaccard=0.5, max_bucket_size=100
-    ).select("doc_id", "cluster_id")
+    # the persisted assignment stand-in, derived FROM the index (the
+    # corpus is never shingled twice): pairs from the persisted
+    # relations -> closure -> every doc labeled (singletons = self)
+    old_pairs = near_dup_pairs_from_index(
+        index, min_jaccard=0.5, max_bucket_size=100
+    )
+    labels = connected_components(old_pairs, "idA", "idB")
+    assignment = docs.select("doc_id").join(
+        labels.select(F.col("node").alias("doc_id"), "component"),
+        on="doc_id",
+        how="left",
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
     return incremental_dedup_clusters(
         assignment, index, batch, n_perm=8, bands=4, shingle_n=3,
         min_jaccard=0.35, max_bucket_size=100,

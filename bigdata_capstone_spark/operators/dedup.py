@@ -1309,3 +1309,56 @@ def incremental_dedup_clusters(
     return full.join(sizes, on="cluster_id").select(
         id_col, "cluster_id", "cluster_size"
     )
+
+
+def near_dup_pairs_from_index(
+    corpus_index: tuple[DataFrame, DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.7,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Within-corpus near-dup pairs computed FROM the persisted index
+    relations (:func:`near_dup_index`) — no re-shingling, no re-banding:
+    the bucket self-join + exact-Jaccard verify read only (buckets,
+    shingles, sizes). Semantically identical to
+    :func:`minhash_near_dup_pairs` with the same parameters (same
+    digests, same cap rule, same threshold); exists so a pipeline that
+    already persists the index never tokenizes the corpus a second time
+    to (re)build the cluster assignment."""
+    bk, sh, sz = corpus_index
+    b = bk
+    if max_bucket_size is not None:
+        small = (
+            bk.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("bucket")
+        )
+        b = bk.join(small, on="bucket", how="left_semi")
+    cands = (
+        b.select(F.col(id_col).alias("idA"), "bucket")
+        .join(b.select(F.col(id_col).alias("idB"), "bucket"), on="bucket")
+        .filter(F.col("idA") < F.col("idB"))
+        .select("idA", "idB")
+        .distinct()
+    )
+    szd = sz
+    a = sh.join(szd, on=id_col).select(
+        F.col(id_col).alias("idA"), "sh", F.col("n").alias("nA")
+    )
+    bb = sh.join(szd, on=id_col).select(
+        F.col(id_col).alias("idB"), "sh", F.col("n").alias("nB")
+    )
+    common = (
+        cands.join(a, on="idA")
+        .join(bb, on=["idB", "sh"])
+        .groupBy("idA", "idB", "nA", "nB")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return common.select(
+        "idA",
+        "idB",
+        (
+            F.col("common") / (F.col("nA") + F.col("nB") - F.col("common"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
