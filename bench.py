@@ -154,6 +154,7 @@ HEADLINE = [
     "multilingual_script_profile", # Unicode script routing counts
     "docs_weighted_quantile_sketch_onepass",  # weighted one-scan kernel
     "orders_price_histogram",      # equi-height CBO histogram
+    "lang_weighted_quantile_sketch",  # grouped weighted sketches, one pass
 ]
 # dedup_clusters_incremental is deliberately NOT in the headline for the
 # same reason as dedup_clusters_minhash: the entry must SIMULATE its

@@ -7163,3 +7163,104 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         assignment, index, batch, n_perm=8, bands=4, shingle_n=3,
         min_jaccard=0.35, max_bucket_size=100,
     )
+
+
+def _wqsketch_grouped_oracle(
+    capacity: int = 256, qs: tuple[float, ...] = (0.5, 0.9)
+) -> str:
+    from bigdata_capstone_spark.functions.portable import md5_long_sql
+    from bigdata_capstone_spark.operators.sketches import (
+        _quantile_label,
+        wqsketch_wlvl_sql,
+    )
+
+    h = md5_long_sql("'wqs:' || doc_id::VARCHAR")
+    picks = ",\n           ".join(
+        f"round(min(CASE WHEN cum_w::DOUBLE >= {q} * tot_w::DOUBLE "
+        f"THEN value END), 6) AS p{_quantile_label(q)}_r"
+        for q in qs
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT lang, doc_id::VARCHAR AS qs_id, n_chars::DOUBLE AS value,
+             {_WQS_W_SQL} AS w, {h} AS __h
+      FROM documents
+    ),
+    items AS (
+      SELECT lang, qs_id, value, w, {wqsketch_wlvl_sql("w")} AS lvl
+      FROM hashed WHERE w > 0
+    ),
+    lv AS (SELECT lang, lvl, count(*) AS cnt FROM items GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, lvl,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY lvl DESC) AS cum
+      FROM lv
+    ),
+    thr AS (
+      SELECT lang,
+             coalesce(max(CASE WHEN cum > {capacity} THEN lvl + 1 END),
+                      0)::INT AS thr
+      FROM cum GROUP BY lang
+    ),
+    state AS (
+      SELECT i.lang, i.qs_id, i.value, i.w, t.thr
+      FROM items i JOIN thr t ON t.lang = i.lang
+      WHERE i.lvl >= t.thr
+    ),
+    ranked AS (
+      SELECT lang, value,
+             sum(greatest(w, (1::BIGINT << thr)))
+               OVER (PARTITION BY lang ORDER BY value, qs_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ::BIGINT AS cum_w,
+             sum(greatest(w, (1::BIGINT << thr)))
+               OVER (PARTITION BY lang)::BIGINT AS tot_w,
+             count(*) OVER (PARTITION BY lang) AS m,
+             max(thr) OVER (PARTITION BY lang) AS g_thr
+      FROM state
+    )
+    SELECT lang,
+           max(m)::BIGINT AS n_kept,
+           max(g_thr)::INT AS thr,
+           max(tot_w)::BIGINT AS est_total_w,
+           {picks}
+    FROM ranked GROUP BY lang
+    """
+
+
+@register(
+    "lang_weighted_quantile_sketch", oracle=_wqsketch_grouped_oracle()
+)
+def lang_weighted_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-LANGUAGE token-weighted length quantiles from GROUPED
+    weighted sketches (operators/sketches.py wqsketch_grouped_*) — the
+    production shape of the weighted family: one dashboard row per
+    language, each group its own canonical <=256-row weighted state
+    from ONE scan + one grouped contingency, quantiles at the weighted
+    ranks. Completes the weighted family's dimensions: global batch /
+    one-pass / shard-merge / streaming / GROUPED, all on the same
+    PRF-coin construction the oracle replays.
+
+    Scale shape: weighted level is map-side; the grouped threshold is
+    a <=41 x |langs| contingency; ranking windows partition by lang
+    over the bounded state."""
+    from bigdata_capstone_spark.operators.sketches import (
+        wqsketch_grouped_build,
+        wqsketch_grouped_quantiles,
+    )
+    from bigdata_capstone_spark.operators.textops import tokens_col
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(tokens_col("text")).cast("long").alias("__w"),
+    )
+    state = wqsketch_grouped_build(
+        docs, ["lang"], F.col("doc_id"), F.col("n_chars"),
+        F.col("__w"), 256,
+    )
+    return wqsketch_grouped_quantiles(state, ["lang"], (0.5, 0.9))

@@ -1245,3 +1245,120 @@ def wqsketch_build_onepass(
     )
     partial = partial.localCheckpoint(eager=True)
     return wqsketch_merge([partial], capacity)
+
+
+def wqsketch_grouped_build(
+    df: DataFrame,
+    group_cols: "list[str]",
+    key_col: Column,
+    value_col: Column,
+    weight_col: Column,
+    capacity: int,
+) -> DataFrame:
+    """PER-GROUP weighted sketches in one pass — the grouped dimension
+    of the weighted family (per-language token-weighted length
+    dashboards): every group gets its own canonical <=capacity-row
+    weighted state from a single scan + one grouped contingency, the
+    same shape as :func:`qsketch_grouped_build` with the weighted level
+    and the weight column riding along. Returns
+    (group..., qs_id, value, w, lvl, thr)."""
+    from pyspark.sql.window import Window
+
+    items = (
+        df.select(
+            *group_cols,
+            key_col.cast("string").alias("qs_id"),
+            value_col.cast("double").alias("value"),
+            weight_col.cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .withColumn("lvl", wqsketch_wlvl_col(F.col("qs_id"), F.col("w")))
+    )
+    per = items.groupBy(*group_cols, "lvl").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.desc("lvl"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thr = (
+        per.select(*group_cols, "lvl", F.sum("cnt").over(w).alias("cum"))
+        .groupBy(*group_cols)
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("cum") > capacity, F.col("lvl") + 1)
+                ),
+                F.lit(0),
+            )
+            .cast("int")
+            .alias("thr")
+        )
+    )
+    return (
+        items.join(F.broadcast(thr), on=group_cols)
+        .filter(F.col("lvl") >= F.col("thr"))
+        .select(*group_cols, "qs_id", "value", "w", "lvl", "thr")
+    )
+
+
+def wqsketch_grouped_quantiles(
+    state: DataFrame,
+    group_cols: "list[str]",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group WEIGHTED quantile estimates: one row per group —
+    (group..., n_kept, thr, est_total_w, p{label}_r ...), each pick the
+    first value whose running Horvitz-Thompson weight reaches
+    q * group_total. Windows partition by the group columns over the
+    |groups| x capacity state."""
+    from pyspark.sql.window import Window
+
+    labels = [_quantile_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile labels collide for qs={qs!r}: {labels}")
+    s = state.select(
+        *group_cols,
+        "qs_id",
+        "value",
+        "thr",
+        F.greatest(
+            F.col("w"), F.expr("shiftleft(CAST(1 AS BIGINT), thr)")
+        ).alias("__ew"),
+    )
+    w_run = (
+        Window.partitionBy(*group_cols)
+        .orderBy("value", "qs_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = s.select(
+        *group_cols,
+        "value",
+        "thr",
+        F.sum("__ew").over(w_run).cast("long").alias("cum_w"),
+        F.sum("__ew").over(w_tot).cast("long").alias("tot_w"),
+        F.count(F.lit(1)).over(w_tot).alias("m"),
+    )
+    aggs = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum_w").cast("double")
+                    >= F.lit(q) * F.col("tot_w").cast("double"),
+                    F.col("value"),
+                )
+            ),
+            6,
+        ).alias(f"p{lbl}_r")
+        for q, lbl in zip(qs, labels)
+    ]
+    return ranked.groupBy(*group_cols).agg(
+        F.max("m").cast("long").alias("n_kept"),
+        F.max("thr").cast("int").alias("thr"),
+        F.max("tot_w").cast("long").alias("est_total_w"),
+        *aggs,
+    )

@@ -814,3 +814,41 @@ def test_incremental_clusters_matches_rebuild_and_touch_contract(
     for r in assignment.collect():
         if got_map[r["doc_id"]] not in touched:
             assert got_map[r["doc_id"]] == r["cluster_id"]
+
+
+def test_wqsketch_grouped_split_independence(spark, sf_small):
+    """Grouped weighted states over disjoint splits must union+recompact
+    to the one-shot grouped build groupwise — here asserted the simple
+    way: the one-shot grouped state equals itself under repartitioned
+    input, and per-group states equal the global build filtered to the
+    group (the grouped construction introduces no cross-group
+    coupling)."""
+    from bigdata_capstone_spark.operators.sketches import (
+        wqsketch_build,
+        wqsketch_grouped_build,
+    )
+    from bigdata_capstone_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "lang", "doc_id", "n_chars", (F.col("doc_id") % 9 + 1).alias("w")
+    )
+    grouped = wqsketch_grouped_build(
+        docs, ["lang"], F.col("doc_id"), F.col("n_chars"), F.col("w"), 32
+    )
+    reparted = wqsketch_grouped_build(
+        docs.repartition(5), ["lang"], F.col("doc_id"),
+        F.col("n_chars"), F.col("w"), 32,
+    )
+    assert {tuple(r) for r in grouped.collect()} == {
+        tuple(r) for r in reparted.collect()
+    }
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    g = {tuple(r) for r in grouped.collect()}
+    for lang in langs:
+        solo = wqsketch_build(
+            docs.filter(F.col("lang") == lang),
+            F.col("doc_id"), F.col("n_chars"), F.col("w"), 32,
+        )
+        want = {(lang, *t) for t in (tuple(r) for r in solo.collect())}
+        got = {t for t in g if t[0] == lang}
+        assert got == want, lang
