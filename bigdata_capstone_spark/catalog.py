@@ -2128,6 +2128,108 @@ def multimodal_jpeg_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
     return jpeg_header_metadata(assets)
 
 
+def _pdf_metadata_oracle(n: int = 8) -> str:
+    """Closed-form replay of synthetic_pdf_assets: every field the xref
+    walk extracts is a function of the asset index, so the oracle
+    value-checks the walk (classic xref parsing, the /Prev
+    incremental-update chain with newest-section-wins, page-tree count,
+    first-page MediaBox, /Info strings) without parsing bytes."""
+    return f"""
+    WITH ids AS (SELECT unnest(range({n})) AS i)
+    SELECT i::BIGINT AS asset_id,
+           ['1.4', '1.5', '1.7'][(i % 3)::INT + 1] AS version,
+           (6 + i % 4)::INT AS n_objects,
+           (1 + i % 4)::INT AS page_count,
+           (612 + i)::INT AS media_w,
+           (792 + 2 * i)::INT AS media_h,
+           CASE WHEN i % 2 = 1 THEN 'prodU' ELSE 'prod' END
+             || (i % 3)::VARCHAR AS producer,
+           't' || i::VARCHAR AS title,
+           'D:2024010' || (1 + i % 9)::VARCHAR || '100000'
+             AS creation_date,
+           (i % 2)::INT AS n_updates
+    FROM ids
+    """
+
+
+@register("multimodal_pdf_metadata", oracle=_pdf_metadata_oracle())
+def multimodal_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF document metadata, decode-free (operators/multimodal.py:
+    pdf_document_metadata; r9 verdict Missing #4) — the third
+    metadata-walk family beside ISO-BMFF and JFIF/EXIF, covering the
+    other dominant crawl asset class: header version, object count,
+    page count (the /Pages tree's /Count), first-page MediaBox
+    geometry, /Info provenance (producer, title, creation date), and
+    the number of incremental-update sections (a re-save provenance
+    signal). The fixture bakes in the adversarial layout that matters:
+    odd assets carry an incremental update superseding /Info through a
+    /Prev-chained second xref section, so the walk must resolve the
+    chain with newest-section-wins semantics. Content streams are
+    md5 junk the walk never reads; cross-reference STREAMS (PDF 1.5
+    compressed xref) raise honestly rather than guess.
+
+    Scale shape: header line + xref/trailer tail + a handful of
+    dictionary objects per document — cost independent of document
+    size; Arrow mapInPandas, one kernel call per batch."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        pdf_document_metadata,
+        synthetic_pdf_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_pdf_assets(spark, n=8, seed=42)
+    return pdf_document_metadata(assets)
+
+
+def _pdf_text_oracle(n: int = 8) -> str:
+    """Closed-form replay of synthetic_pdf_text_assets: the per-page
+    shown text (and the compressed stream length, via a DuckDB-side
+    re-compression of the identical operator bytes) is a function of
+    (i, page) — the FlateDecode inflate + Tj/TJ parse is what the
+    match proves. n_stream_bytes is NOT replayed closed-form (zlib
+    output length is library-dependent), so the oracle projects the
+    portable columns."""
+    return f"""
+    WITH ids AS (SELECT unnest(range({n})) AS i),
+    pages AS (
+      SELECT i, unnest(range(1, 2 + (i % 3)::INT)) AS p FROM ids
+    )
+    SELECT i::BIGINT AS asset_id, p::INT AS page_no,
+           'pdf doc ' || i::VARCHAR || ' page ' || p::VARCHAR
+             || ' quick brown fox jumps ' || (i + p)::VARCHAR AS text,
+           'FlateDecode' AS filter
+    FROM pages
+    """
+
+
+@register("multimodal_pdf_text", oracle=_pdf_text_oracle())
+def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF TEXT extraction (operators/multimodal.py:pdf_text_extract) —
+    the step that makes the dominant document asset class CURATABLE:
+    the shared xref walk locates each page's content stream by its
+    declared /Length, FlateDecode inflates it (REAL zlib
+    decompression, the PNG decoder's sibling — the one codec this
+    container genuinely ships), and the Tj / TJ text-showing operators
+    are parsed in content order (TJ kerning numbers skipped). The
+    extracted rows feed the text stack directly — dedup, quality,
+    lang-ID, BM25 all compose downstream. Honest boundaries: non-Flate
+    filters, escaped strings, and xref streams raise.
+
+    The n_stream_bytes column is excluded from the oracle projection
+    (zlib compressed length is library-version-dependent); text,
+    paging, and filter are value-checked closed-form."""
+    from bigdata_capstone_spark.operators.multimodal import (
+        pdf_text_extract,
+        synthetic_pdf_text_assets,
+    )
+
+    ensure_utc(spark)
+    assets = synthetic_pdf_text_assets(spark, n=8, seed=42)
+    return pdf_text_extract(assets).select(
+        "asset_id", "page_no", "text", "filter"
+    )
+
+
 @register("multimodal_video_features", oracle=_multimodal_video_oracle())
 def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode through the mapInPandas pipeline: AVI (RIFF)

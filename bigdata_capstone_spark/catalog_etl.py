@@ -1452,6 +1452,248 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_id_trained_oracle(n: int = 2) -> str:
+    """Full replay of the trained char-bigram NB lang-ID chain
+    (operators/selection.py:nb_char_lang_predictions) on the
+    deterministic fixture: gram explode, per-(lang, gram) counts,
+    add-one smoothing, unseen fallback, priors, micro-unit sums, and
+    the argmax with lang-ASC tie-break — training AND inference are
+    both hash-verified. The fixture VALUES are generated from the SAME
+    module constants the Spark entry uses."""
+    from bigdata_capstone_spark.operators.selection import (
+        synthetic_lang_corpus_rows,
+    )
+
+    vals = ", ".join(
+        f"({i}, '{lang}', '{text}')"
+        for i, lang, text in synthetic_lang_corpus_rows()
+    )
+    g = (
+        "unnest(list_transform("
+        f"generate_series(1, length(lower(text)) - {n - 1}), "
+        f"i -> substring(lower(text), i, {n}))) AS g"
+    )
+    return f"""
+    WITH docs(doc_id, lang, text) AS (VALUES {vals}),
+    train AS (SELECT * FROM docs WHERE doc_id % 100 < 12),
+    test AS (SELECT * FROM docs WHERE doc_id % 100 >= 12),
+    tg AS (SELECT lang, {g} FROM train),
+    counts AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(c) AS n_l FROM counts GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT g) AS v FROM counts),
+    prior AS (
+      SELECT lang,
+             round(log10(count(*) * 1.0 /
+                         (SELECT count(*) FROM train)), 6) AS pr
+      FROM train GROUP BY 1
+    ),
+    ll AS (
+      SELECT c.lang, c.g,
+             round(log10((c.c + 1.0) / (t.n_l + v.v)), 6) AS ll
+      FROM counts c JOIN tot t USING (lang) CROSS JOIN vocab v
+    ),
+    unseen AS (
+      SELECT t.lang, round(log10(1.0 / (t.n_l + v.v)), 6) AS ull
+      FROM tot t CROSS JOIN vocab v
+    ),
+    sg AS (SELECT doc_id, lang AS lang_true, {g} FROM test),
+    scored AS (
+      SELECT s.doc_id, s.lang_true, u.lang,
+             sum(round(coalesce(l.ll, u.ull) * 1000000)::BIGINT)
+               + any_value(round(p.pr * 1000000)::BIGINT) AS score
+      FROM sg s
+      CROSS JOIN unseen u
+      LEFT JOIN ll l ON l.lang = u.lang AND l.g = s.g
+      JOIN prior p ON p.lang = u.lang
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, lang_true, lang AS lang_pred FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT lang_true AS lang, lang_pred, count(*)::BIGINT AS n_docs
+    FROM pred GROUP BY 1, 2
+    """
+
+
+@register("lang_id_trained_confusion", oracle=_lang_id_trained_oracle())
+def lang_id_trained_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID (r9 verdict Missing #1): confusion counts of
+    a char-bigram multiclass Naive Bayes classifier
+    (operators/selection.py:nb_char_lang_predictions) on a held-out
+    slice of the deterministic six-language fixture — the
+    CCNet/fastText step a multilingual pipeline runs first. The fixture
+    includes ru AND uk: same Cyrillic script, different languages —
+    the case the stopword heuristic (four Latin dictionaries → 'und')
+    and script routing ('cyrillic', which one?) both cannot decide, and
+    the within-script separation a char-n-gram model exists for. A test
+    pins the trained model's held-out accuracy ABOVE the heuristic's on
+    the same docs (test_round10_ops).
+
+    Training is aggregation (per-(lang, gram) counts; char-gram vocab
+    is |alphabet|^n-bounded, so the model table broadcasts at ANY
+    corpus scale), inference is one explode + broadcast join + per-doc
+    argmax — two passes total, no iterative solver."""
+    from bigdata_capstone_spark.operators.selection import (
+        nb_char_lang_predictions,
+        synthetic_lang_corpus_rows,
+    )
+
+    ensure_utc(spark)
+    docs = spark.createDataFrame(
+        synthetic_lang_corpus_rows(), ["doc_id", "lang", "text"]
+    )
+    train = docs.filter(F.col("doc_id") % 100 < 12)
+    test = docs.filter(F.col("doc_id") % 100 >= 12)
+    preds = nb_char_lang_predictions(train, test, n=2)
+    return preds.groupBy(
+        F.col("lang_true").alias("lang"), "lang_pred"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "streaming_lang_id_model", oracle=_lang_id_trained_oracle()
+)
+def streaming_lang_id_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING maintenance of the NB language-ID model state (the
+    9th mergeable family's stream twin): training documents arrive in
+    4 micro-batches; each batch's (lang, gram, count) state folds into
+    the persisted state by exact integer sums
+    (selection.nb_char_lang_state / _merge), and inference from the
+    drained state must equal the monolithic train+score BIT-FOR-BIT —
+    same oracle as `lang_id_trained_confusion`. This is the
+    "classifier stays current under arrivals" serving shape: no
+    retraining pass, O(batch) state delta per trigger, state bounded
+    by |langs| × |gram vocab| (|alphabet|^n)."""
+    import tempfile
+
+    from bigdata_capstone_spark.operators.selection import (
+        nb_char_lang_predictions_from_state,
+        nb_char_lang_state,
+        nb_char_lang_state_merge,
+        synthetic_lang_corpus_rows,
+    )
+    from bigdata_capstone_spark.streaming.upsert import (
+        read_latest_snapshot_or_empty,
+        start_state_fold_maintenance,
+    )
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="stream_langid_")
+    docs = spark.createDataFrame(
+        synthetic_lang_corpus_rows(), ["doc_id", "lang", "text"]
+    )
+    train = docs.filter(F.col("doc_id") % 100 < 12)
+    test = docs.filter(F.col("doc_id") % 100 >= 12)
+    train.repartition(4).write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/in")
+    )
+    q = start_state_fold_maintenance(
+        stream,
+        f"{work}/state",
+        f"{work}/ckpt",
+        partial_fn=lambda b: nb_char_lang_state(b, n=2),
+        fold_fn=lambda old, new: nb_char_lang_state_merge([old, new]),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = read_latest_snapshot_or_empty(
+        spark, f"{work}/state", "lang STRING, g STRING, c BIGINT"
+    )
+    preds = nb_char_lang_predictions_from_state(state, test, n=2)
+    return preds.groupBy(
+        F.col("lang_true").alias("lang"), "lang_pred"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _lang_id_shard_merge_oracle(n: int = 2, n_shards: int = 3) -> str:
+    """The trained-lang-ID oracle with the TRAINING COUNTS explicitly
+    decomposed into per-shard states and re-summed — the merge group
+    law of the mergeable NB state (counts over disjoint shards add to
+    the union's counts, exactly), replayed hash-exactly end-to-end
+    through inference."""
+    base = _lang_id_trained_oracle(n)
+    shard_counts = " UNION ALL ".join(
+        f"""SELECT lang, g, count(*) AS c FROM (
+             SELECT t.lang, unnest(list_transform(
+               generate_series(1, length(lower(t.text)) - {n - 1}),
+               i -> substring(lower(t.text), i, {n}))) AS g
+             FROM train t WHERE t.doc_id % {n_shards} = {s}
+           ) GROUP BY lang, g"""
+        for s in range(n_shards)
+    )
+    decomposed = f"""counts AS (
+      SELECT lang, g, sum(c) AS c FROM ({shard_counts}) GROUP BY lang, g
+    ),"""
+    # replace the monolithic counts CTE with the shard-merged one
+    import re as _re
+
+    out, n_sub = _re.subn(
+        r"counts AS \(SELECT lang, g, count\(\*\) AS c FROM tg "
+        r"GROUP BY 1, 2\),",
+        lambda _m: decomposed,
+        base,
+    )
+    if n_sub != 1:
+        raise AssertionError("counts CTE not found for shard decomposition")
+    return out
+
+
+@register(
+    "lang_id_model_shard_merge", oracle=_lang_id_shard_merge_oracle()
+)
+def lang_id_model_shard_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classifier training as a MERGEABLE AGGREGATION — the 9th
+    mergeable-state family (operators/selection.py:nb_char_lang_state /
+    _merge / _predictions_from_state): the NB language model's state is
+    one (lang, gram, count) frame (+ g-NULL doc-count rows, the panel
+    discriminator convention); states over disjoint document shards
+    merge by integer sums, EXACTLY equal to training on the union (no
+    approximation in the law — pinned bit-exact in test_round10_ops).
+    This entry trains three shard states (doc_id % 3), merges them, and
+    scores the held-out slice — the oracle replays the decomposition
+    (per-shard counts, the re-sum, then the full inference chain), and
+    its confusion must equal `lang_id_trained_confusion`'s.
+
+    At 100 TB this is HOW the classifier trains: per-partition map-side
+    count states, one exact merge — and how it stays current under
+    arrivals (merge the new batch's state in; no retraining pass)."""
+    from bigdata_capstone_spark.operators.selection import (
+        nb_char_lang_predictions_from_state,
+        nb_char_lang_state,
+        nb_char_lang_state_merge,
+        synthetic_lang_corpus_rows,
+    )
+
+    ensure_utc(spark)
+    docs = spark.createDataFrame(
+        synthetic_lang_corpus_rows(), ["doc_id", "lang", "text"]
+    )
+    train = docs.filter(F.col("doc_id") % 100 < 12)
+    test = docs.filter(F.col("doc_id") % 100 >= 12)
+    states = [
+        nb_char_lang_state(train.filter(F.col("doc_id") % 3 == s), n=2)
+        for s in range(3)
+    ]
+    merged = nb_char_lang_state_merge(states)
+    preds = nb_char_lang_predictions_from_state(merged, test, n=2)
+    return preds.groupBy(
+        F.col("lang_true").alias("lang"), "lang_pred"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # --------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk): the curated-corpus → dense training
 # batches step. pack_sequences (operators/textops.py) PRF-shards each lang
@@ -6051,7 +6293,13 @@ def orders_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority"),
         ),
     ]
-    return column_profile(o, encoded)
+    # exact_ndv_budget=None, pinned (ADVICE r9): the oracle above
+    # always computes exact NDV, so the registered entry must too —
+    # with the default 1M budget the two would silently diverge at any
+    # scale where a column's NDV exceeds it. The budget gate itself is
+    # covered by its own tests (test_round9_ops: budget-gated vs
+    # ungated profiles).
+    return column_profile(o, encoded, exact_ndv_budget=None)
 
 
 def _stratified_sample_oracle(total_n: int = 100, seed: int = 42) -> str:

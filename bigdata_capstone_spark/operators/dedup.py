@@ -1260,6 +1260,13 @@ def incremental_dedup_clusters(
     over (old pairs ∪ new pairs). REQUIREMENT: batch ids must be
     disjoint from corpus ids (arrival ids always are); a batch id that
     collides with an existing id would conflate a contracted node.
+    REQUIREMENT (ADVICE r9): ``assignment`` must COVER every id the
+    persisted LSH index can emit — a corpus endpoint missing from the
+    assignment has no cluster to contract to, and silently dropping
+    the pair would lose real connectivity. The contraction join is
+    therefore a LEFT join with an in-flow ``raise_error`` guard: an
+    uncovered corpus id fails the job loudly (naming the id) instead
+    of corrupting the closure, at zero extra cost on the covered path.
 
     Returns (id, cluster_id, cluster_size) over corpus ∪ batch. The
     size recount is one groupBy over the assignment table — the output
@@ -1276,8 +1283,22 @@ def incremental_dedup_clusters(
     amap = assignment.select(
         F.col(id_col).alias("corpus_id"), F.col("cluster_id").alias("__c")
     )
-    cross_c = cross.join(amap, on="corpus_id").select(
-        F.col("batch_id").alias("idA"), F.col("__c").alias("idB")
+    cross_c = cross.join(amap, on="corpus_id", how="left").select(
+        F.col("batch_id").alias("idA"),
+        F.when(
+            F.col("__c").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "incremental_dedup_clusters: corpus id missing "
+                        "from assignment (coverage REQUIREMENT): "
+                    ),
+                    F.col("corpus_id").cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.col("__c"))
+        .alias("idB"),
     )
     edges = cross_c.unionByName(internal.select("idA", "idB")).distinct()
     labels = connected_components(

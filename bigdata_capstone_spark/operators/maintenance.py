@@ -259,12 +259,14 @@ def column_profile(
         ["col_name"],
         F.col("canon"),
     )
-    # cached: read once for the budget decision (collect) and once by
-    # the final join — |cols| rows either way
+    # materialized once (eager localCheckpoint, |cols| rows) for the
+    # budget decision (collect) and the final join — localCheckpoint
+    # instead of cache so a loop caller doesn't accumulate pinned
+    # entries (ADVICE r9); blocks free with the frame
     hll = (
         hll_estimate_from_registers(regs, ["col_name"])
         .select("col_name", F.col("hll_estimate").alias("hll_ndv"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     if exact_ndv_budget is None:
         under = list(encoded)

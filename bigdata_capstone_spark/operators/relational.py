@@ -161,13 +161,17 @@ def grouped_prefix_sum(
 
     Same correctness contract as the global variant: ``order_by`` must
     be a total order WITHIN each group, and ``value`` must sum exactly
-    (BIGINT/DECIMAL, never raw double)."""
+    (BIGINT/DECIMAL, never raw double). Same lifecycle as the global
+    variant (r9 ADVICE / r10 verdict #9): eager ``localCheckpoint``
+    instead of ``.cache()`` — one consistent set of partition ids even
+    under memory pressure, and no pinned cache entry accumulating per
+    call in a loop/streaming caller."""
     gcols = [F.col(g) for g in group_cols]
     pidded = (
         df.withColumn("__psv", value)
         .repartitionByRange(num_partitions, *gcols, *order_by)
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
+        .localCheckpoint(eager=True)
     )
     totals = pidded.groupBy(*group_cols, "__pid").agg(
         F.sum("__psv").alias("__ptot")
@@ -268,15 +272,21 @@ def partitioned_prefix_sum(
     ``inclusive=True`` this is a distributed ``row_number`` over a total
     order.
 
-    The range-partitioned frame is cached (session-scoped, like every
-    catalog intermediate) so the totals pass and the main pass see one
-    consistent set of partition ids.
+    The range-partitioned frame is materialized via eager
+    ``localCheckpoint`` (r9 ADVICE / r10 verdict #9 — was ``.cache()``):
+    the totals pass and the main pass must see ONE consistent set of
+    partition ids, and a checkpoint guarantees that even under memory
+    pressure (a cache-evicted recompute could re-run
+    ``spark_partition_id`` against a re-sampled range partitioning),
+    while its blocks are released by the ContextCleaner as soon as the
+    caller drops the result — a loop caller no longer accumulates one
+    pinned cache entry per call.
     """
     pidded = (
         df.withColumn("__psv", value)
         .repartitionByRange(num_partitions, *order_by)
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
+        .localCheckpoint(eager=True)
     )
     totals = pidded.groupBy("__pid").agg(F.sum("__psv").alias("__ptot"))
     a, b = totals.alias("a"), totals.alias("b")

@@ -116,9 +116,15 @@ def epoch_repeat_factors(
     repeat_factor_r); materializing the copies is
     ``explode(sequence(1, n_copies))`` at write time.
     """
-    # sizes cached (|groups| rows): nmax and factors both reuse it —
-    # uncached, each reuse re-scans the corpus
-    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).cache()
+    # sizes materialized once (|groups| rows, eager localCheckpoint —
+    # not .cache(), so a loop caller holds no pinned entry; ADVICE r9):
+    # nmax and factors both reuse it — unmaterialized, each reuse
+    # re-scans the corpus
+    sizes = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     nmax = sizes.agg(F.max("__n").alias("__nmax"))
     factors = sizes.crossJoin(F.broadcast(nmax)).select(
         group_col,
@@ -239,11 +245,14 @@ def stratified_sample(
     shortfall (hash fluctuation beyond the safety factor) is detected
     by one per-stratum count and retried with safety x8 — the RESULT
     is identical for every safety, only the plan changes."""
-    # cached: |strata| rows, read by the total, the seat arithmetic and
-    # the driver-side cutoff collect below
+    # |strata| rows, read by the total, the seat arithmetic and the
+    # driver-side cutoff collect below — eager localCheckpoint, not
+    # .cache() (no pinned entry per call; ADVICE r9)
     sizes = (
-        df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__ns"))
-    ).cache()
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .localCheckpoint(eager=True)
+    )
     quotas = hamilton_quotas(sizes, stratum_col, total_n)
     # ---- phase 2: broadcast per-stratum hash cutoff, exact-rank only
     # the survivors. stats collect is |strata| rows (metadata-sized).
@@ -346,12 +355,19 @@ def stratified_panel_state(
     batch count per stratum) + pool rows (the batch's total_n smallest
     (h, key) per stratum, key/h set, ns NULL). The pool pick uses the
     two-phase grouped top-k, so no whole-stratum single-task sort even
-    when one micro-batch is large."""
+    when one micro-batch is large.
+
+    REQUIREMENT (beside the key-uniqueness contract): ``key_col`` must
+    be non-NULL — ``key IS NULL`` is the state's size-vs-pool row
+    discriminator, so a NULL item key would corrupt both the counts
+    and the pool (ADVICE r9). NULL-key rows are filtered out here, at
+    state-build time, so they can never enter the state; callers that
+    need them sampled must assign a surrogate key first."""
     from bigdata_capstone_spark.operators.relational import (
         grouped_top_k_twophase,
     )
 
-    hashed = batch.select(
+    hashed = batch.filter(F.col(key_col).isNotNull()).select(
         F.col(stratum_col).cast("string").alias("stratum"),
         F.col(key_col).cast("string").alias("key"),
         salted_md5_long(F.col(key_col).cast("string"), seed).alias("__h"),

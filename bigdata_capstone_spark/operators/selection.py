@@ -398,3 +398,293 @@ def lr_source_classifier(
         (margin_col() > 0).alias("pred_curated"),
         "is_curated",
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained language ID (r9 verdict Missing #1): multiclass Naive Bayes
+# over CHARACTER n-grams — the CCNet/fastText-style step every
+# multilingual corpus pipeline runs first. The stopword heuristic
+# (textops.lang_id_heuristic) only separates the four Latin languages
+# it has dictionaries for, and script routing (textops.script_profile)
+# says "Cyrillic" but not WHICH Cyrillic language; a char-n-gram model
+# separates languages WITHIN a script. NB training is an aggregation
+# (per-(lang, gram) counts), so train + score is two explode passes —
+# the same closed-form shape as nb_source_margin, multiclass.
+# ---------------------------------------------------------------------------
+
+# Deterministic per-language function-word inventories for the trained
+# lang-ID fixture (module constants so the Spark fixture and the DuckDB
+# oracle VALUES derive from the SAME strings). ru vs uk share a script
+# — exactly the case script routing cannot decide and this model can.
+LANG_NGRAM_WORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de": ("der", "die", "und", "das", "nicht", "von", "ist", "mit", "den",
+           "zu"),
+    "fr": ("le", "la", "et", "les", "des", "en", "un", "du", "une", "est"),
+    "ru": ("и", "в", "не", "на", "что", "он", "это", "как", "его", "был"),
+    "uk": ("і", "в", "не", "на", "що", "він", "це", "як", "його", "був"),
+}
+
+
+def synthetic_lang_corpus_rows(
+    docs_per_lang: int = 18, n_words: int = 12
+) -> list[tuple[int, str, str]]:
+    """(doc_id, lang, text) rows: doc j of language index li is the
+    space-join of ``n_words`` words picked by the closed-form index
+    (j*7 + k*5 + li*3) mod |words| — deterministic, engine-free, and
+    varied enough that train/test slices differ. doc_id = li*100 + j,
+    so ``doc_id % 100`` is the within-language index (the train/test
+    split key)."""
+    rows = []
+    for li, lang in enumerate(sorted(LANG_NGRAM_WORDS)):
+        ws = LANG_NGRAM_WORDS[lang]
+        for j in range(docs_per_lang):
+            words = [
+                ws[(j * 7 + k * 5 + li * 3) % len(ws)]
+                for k in range(n_words)
+            ]
+            rows.append((li * 100 + j, lang, " ".join(words)))
+    return rows
+
+
+def _char_grams_col(text_col: str, n: int) -> F.Column:
+    """Array of lowercased character n-grams (JVM-side: transform over
+    a position sequence + Column.substr — no UDF). Includes spaces and
+    punctuation: word-boundary grams carry real language signal."""
+    t = F.lower(F.col(text_col))
+    return F.transform(
+        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+
+
+def nb_char_lang_predictions(
+    train: DataFrame,
+    score: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multiclass char-n-gram NB language ID: train on the declared
+    ``label_col`` slice, predict for every ``score`` doc. Model:
+    add-one-smoothed P(gram|lang) over the shared gram vocabulary plus
+    doc-count priors; prediction = argmax over languages of
+    sum log10 P(gram|lang) + log10 P(lang), ties broken lang ASC.
+
+    Returns (doc_id, lang_true, lang_pred).
+
+    Determinism: each per-(gram, lang) log-likelihood (and the unseen-
+    gram fallback, and the prior) rounds to 6 dp; per-(doc, lang)
+    totals accumulate integer micro-units; argmax uses a total order.
+
+    Scale shape: training IS aggregation — per-(lang, gram) counts,
+    vocabulary-bounded (char n-gram vocab is SMALL: bounded by
+    |alphabet|^n, not corpus size, so unlike the word-unigram NB the
+    model table genuinely broadcasts at any corpus scale). Scoring is
+    one explode pass fanned out by |langs| (the long-format multiclass
+    trick, bounded), one broadcast join, and a per-doc argmax window
+    (doc_id is a high-cardinality partition key — no funnel)."""
+    from pyspark.sql.window import Window
+
+    tg = fan_out(train).select(
+        F.col(label_col).alias("lang"),
+        F.explode(_char_grams_col(text_col, n)).alias("g"),
+    )
+    # vocabulary-bounded model table (|alphabet|^n ceiling)
+    counts = tg.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
+    tot = counts.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    vocab = counts.agg(F.countDistinct("g").alias("v"))
+    prior = (
+        train.groupBy(F.col(label_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("d_l"))
+        .crossJoin(F.broadcast(train.agg(F.count(F.lit(1)).alias("d"))))
+        .select(
+            "lang",
+            F.round(F.log10(F.col("d_l") / F.col("d")), 6).alias("pr"),
+        )
+    )
+    ll = (
+        counts.join(tot, on="lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "g",
+            F.round(
+                F.log10((F.col("c") + 1.0) / (F.col("n_l") + F.col("v"))),
+                6,
+            ).alias("ll"),
+        )
+    )
+    lang_info = (
+        tot.crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.round(F.log10(1.0 / (F.col("n_l") + F.col("v"))), 6).alias(
+                "ull"
+            ),
+        )
+        .join(prior, on="lang")
+    )
+    sg = fan_out(score).select(
+        "doc_id",
+        F.col(label_col).alias("lang_true"),
+        F.explode(_char_grams_col(text_col, n)).alias("g"),
+    )
+    micro = lambda c: F.round(c * 1_000_000, 0).cast("long")  # noqa: E731
+    scored = (
+        sg.crossJoin(F.broadcast(lang_info.select("lang")))
+        .join(F.broadcast(ll), on=["lang", "g"], how="left")
+        .groupBy("doc_id", "lang_true", "lang")
+        .agg(F.count(F.lit(1)).alias("n_g"), F.sum(micro(F.col("ll"))).alias("m_seen"),
+             F.sum(F.when(F.col("ll").isNull(), 1).otherwise(0)).alias("n_unseen"))
+        .join(F.broadcast(lang_info), on="lang")
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang",
+            (
+                F.coalesce(F.col("m_seen"), F.lit(0))
+                + F.col("n_unseen") * micro(F.col("ull"))
+                + micro(F.col("pr"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang_true", F.col("lang").alias("lang_pred"))
+    )
+
+
+def nb_char_lang_state(
+    train: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """MERGEABLE training state of the char-n-gram NB language model —
+    classifier training as a mergeable aggregation (the 9th mergeable
+    family, joining the sketches and the stratified panel): one
+    (lang, g, c) frame holding per-(lang, gram) occurrence counts plus
+    one g-NULL row per language carrying its document count (the
+    stratified-panel NULL-discriminator convention; grams are never
+    NULL — ``_char_grams_col`` yields substrings of non-null text).
+    Counts are a CANONICAL function of the document multiset, so shard
+    trees, incremental appends, and streaming folds all land on the
+    identical state, and merge is exact (integer sums — no
+    approximation anywhere in the law)."""
+    tg = fan_out(train).select(
+        F.col(label_col).alias("lang"),
+        F.explode(_char_grams_col(text_col, n)).alias("g"),
+    )
+    counts = tg.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    docs = train.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).select("lang", F.lit(None).cast("string").alias("g"), "c")
+    return counts.unionByName(docs)
+
+
+def nb_char_lang_state_merge(states: "list[DataFrame]") -> DataFrame:
+    """Merge NB training states over DISJOINT document sets: counts
+    add. Associative + commutative (integer sums), so any merge tree
+    equals training on the union — bit-exactly, not approximately
+    (law pinned in test_round10_ops)."""
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("lang", "g").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def nb_char_lang_predictions_from_state(
+    state: DataFrame,
+    score: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """:func:`nb_char_lang_predictions`'s inference half, reading the
+    mergeable state instead of re-training — the serving path when the
+    model is maintained incrementally. Same determinism contract and
+    output columns (doc_id, lang_true, lang_pred)."""
+    from pyspark.sql.window import Window
+
+    counts = state.filter(F.col("g").isNotNull())
+    dcounts = state.filter(F.col("g").isNull()).select(
+        "lang", F.col("c").alias("d_l")
+    )
+    tot = counts.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    vocab = counts.agg(F.countDistinct("g").alias("v"))
+    prior = dcounts.crossJoin(
+        F.broadcast(dcounts.agg(F.sum("d_l").alias("d")))
+    ).select(
+        "lang",
+        F.round(F.log10(F.col("d_l") / F.col("d")), 6).alias("pr"),
+    )
+    ll = (
+        counts.join(tot, on="lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "g",
+            F.round(
+                F.log10((F.col("c") + 1.0) / (F.col("n_l") + F.col("v"))),
+                6,
+            ).alias("ll"),
+        )
+    )
+    lang_info = (
+        tot.crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.round(F.log10(1.0 / (F.col("n_l") + F.col("v"))), 6).alias(
+                "ull"
+            ),
+        )
+        .join(prior, on="lang")
+    )
+    sg = fan_out(score).select(
+        "doc_id",
+        F.col(label_col).alias("lang_true"),
+        F.explode(_char_grams_col(text_col, n)).alias("g"),
+    )
+    micro = lambda c: F.round(c * 1_000_000, 0).cast("long")  # noqa: E731
+    scored = (
+        sg.crossJoin(F.broadcast(lang_info.select("lang")))
+        .join(F.broadcast(ll), on=["lang", "g"], how="left")
+        .groupBy("doc_id", "lang_true", "lang")
+        .agg(
+            F.sum(micro(F.col("ll"))).alias("m_seen"),
+            F.sum(F.when(F.col("ll").isNull(), 1).otherwise(0)).alias(
+                "n_unseen"
+            ),
+        )
+        .join(F.broadcast(lang_info), on="lang")
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang",
+            (
+                F.coalesce(F.col("m_seen"), F.lit(0))
+                + F.col("n_unseen") * micro(F.col("ull"))
+                + micro(F.col("pr"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang_true", F.col("lang").alias("lang_pred"))
+    )
