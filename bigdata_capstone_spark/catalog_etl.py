@@ -5666,24 +5666,31 @@ def quantile_sketch_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     this exact — randomized-KLL merges are only error-bounded, not
     replayable. This is how 1000 executors maintain one corpus-wide
     quantile dashboard: per-shard states (<=512 rows each) union and
-    recompact, never re-scanning the data. Each shard build uses the
-    one-pass kernel (r9): one scan per shard instead of two, so the
-    entry costs 4 scans where it cost 8."""
+    recompact, never re-scanning the data. All four shard states come
+    out of ONE corpus pass (r10: the keyed one-pass kernel keeps a
+    bounded fold state per shard, so the entry costs 1 scan + 1
+    materialization where the per-shard builds cost 4 of each — the
+    r9 per-shard one-pass form had already cut it from 8 scans); the
+    merge over the four genuine per-shard states is unchanged, and the
+    merged bits equal the one-shot build by the tested canonical-state
+    law."""
     from bigdata_capstone_spark.operators.sketches import (
-        qsketch_build_onepass,
         qsketch_merge,
+        qsketch_partials_onepass_keyed,
         qsketch_quantiles,
     )
 
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events")
+    partials = qsketch_partials_onepass_keyed(
+        ev,
+        F.col("event_id") % 4,
+        F.col("event_id"),
+        F.col("value"),
+        _QSKETCH_CAPACITY,
+    ).localCheckpoint(eager=True)
     states = [
-        qsketch_build_onepass(
-            ev.filter(F.col("event_id") % 4 == i),
-            F.col("event_id"),
-            F.col("value"),
-            _QSKETCH_CAPACITY,
-        )
+        partials.filter(F.col("__shard") == i).drop("__shard")
         for i in range(4)
     ]
     merged = qsketch_merge(states, _QSKETCH_CAPACITY)
@@ -6745,10 +6752,13 @@ def weighted_quantile_sketch_shard_merge(
     merged sketch must equal the one-shot build BIT-FOR-BIT (same
     oracle as `docs_weighted_quantile_sketch`) — the weighted level is
     still a per-item PRF, so the canonical-state group law carries
-    over with weights riding along."""
+    over with weights riding along. All four shard states come out of
+    ONE corpus pass (r10: keyed one-pass kernel — 1 scan + 1
+    materialization instead of 4 of each; see
+    quantile_sketch_shard_merge)."""
     from bigdata_capstone_spark.operators.sketches import (
-        wqsketch_build_onepass,
         wqsketch_merge,
+        wqsketch_partials_onepass_keyed,
         wqsketch_quantiles,
     )
     from bigdata_capstone_spark.operators.textops import tokens_col
@@ -6759,14 +6769,16 @@ def weighted_quantile_sketch_shard_merge(
         "n_chars",
         F.size(tokens_col("text")).cast("long").alias("__w"),
     )
+    partials = wqsketch_partials_onepass_keyed(
+        docs,
+        F.col("doc_id") % 4,
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.col("__w"),
+        _WQS_CAPACITY,
+    ).localCheckpoint(eager=True)
     states = [
-        wqsketch_build_onepass(
-            docs.filter(F.col("doc_id") % 4 == i),
-            F.col("doc_id"),
-            F.col("n_chars"),
-            F.col("__w"),
-            _WQS_CAPACITY,
-        )
+        partials.filter(F.col("__shard") == i).drop("__shard")
         for i in range(4)
     ]
     merged = wqsketch_merge(states, _WQS_CAPACITY)

@@ -191,6 +191,12 @@ def label_propagation(
     """
     from bigdata_capstone_spark.operators.ckpt import lineage_truncation
 
+    # The symmetrized edge list is re-joined on ``dst`` EVERY round:
+    # repartition + sort it on that key once, before caching, so each
+    # round's sort-merge join reuses the cached partitioning AND sort
+    # order instead of re-exchanging + re-sorting the (largest) edge
+    # frame per round (r10 optimization: 2 of the 4 per-round exchanges
+    # removed; the remaining two are the node-sized label frames).
     und = (
         edges.select("src", "dst")
         .unionByName(
@@ -199,6 +205,8 @@ def label_propagation(
             )
         )
         .distinct()
+        .repartition("dst")
+        .sortWithinPartitions("dst")
         .cache()
     )
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
@@ -212,7 +220,12 @@ def label_propagation(
             closed = neigh.unionByName(
                 labels.select(F.col("node").alias("src"), "label")
             )
-            freq = closed.groupBy("src", "label").agg(
+            # one explicit clustering by src serves BOTH aggregations:
+            # hashpartitioning(src) satisfies ClusteredDistribution for
+            # groupBy(src, label) and groupBy(src) alike, so the
+            # frequency count and the argmax run exchange-free on top
+            # of it (one shuffle per round where there were two)
+            freq = closed.repartition("src").groupBy("src", "label").agg(
                 F.count(F.lit(1)).alias("c")
             )
             labels = _ckpt(

@@ -332,6 +332,45 @@ def partitioned_row_number(
     return ranked.withColumn(alias, F.col("__pps_rn")).drop("__pps_rn")
 
 
+def bounded_row_number(
+    df: DataFrame,
+    keys: Sequence[tuple[str, bool]],
+    alias: str = "rank",
+) -> DataFrame:
+    """``row_number`` for a PROVABLY BOUNDED frame (after ``limit``):
+    rank = 1 + count of rows strictly before me in the total order,
+    computed with a broadcast theta-join on the (bounded) key frame —
+    fully lazy, no window, no shuffle of ``df``, and crucially no
+    eager materialization (r10: :func:`partitioned_row_number` routes
+    through :func:`partitioned_prefix_sum`, whose localCheckpoint is an
+    eager per-call barrier AND truncates the visible plan; on a
+    top-k-bounded slice the quadratic count is O(k²) with k <= a few
+    hundred, cheaper than one barrier).
+
+    ``keys`` are (column_name, ascending) pairs forming a TOTAL order
+    (unique tuples) of NON-NULL, exact-equality-safe columns (ints,
+    longs, strings — not raw doubles). The rank is a LONG like
+    :func:`partitioned_row_number`'s. Callers MUST have bounded ``df``
+    (e.g. a preceding ``limit``): on unbounded input the pair count is
+    quadratic and the broadcast unbounded — that is
+    :func:`partitioned_row_number`'s job."""
+    kc = [k for k, _ in keys]
+    lhs = df.select(*kc)
+    rhs = lhs.select(*[F.col(k).alias(f"__b_{k}") for k in kc])
+    before = F.lit(False)
+    eq = F.lit(True)
+    for k, asc in keys:
+        b, a = F.col(f"__b_{k}"), F.col(k)
+        before = before | (eq & ((b < a) if asc else (b > a)))
+        eq = eq & (b == a)
+    ranks = (
+        lhs.join(F.broadcast(rhs), before, "left")
+        .groupBy(*kc)
+        .agg((F.count(F.col(f"__b_{kc[0]}")) + 1).alias(alias))
+    )
+    return df.join(F.broadcast(ranks), on=kc)
+
+
 def key_skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Pre-flight SKEW diagnosis for a prospective shuffle key: the
     distribution of per-key row counts, collapsed to log2 buckets —

@@ -34,8 +34,8 @@ from bigdata_capstone_spark.functions.portable import (
 )
 from bigdata_capstone_spark.operators.dedup import fan_out
 from bigdata_capstone_spark.operators.relational import (
+    bounded_row_number,
     grouped_top_k,
-    partitioned_row_number,
 )
 
 # Every corpus-consuming heavy map below (norms, sketches, cell
@@ -392,7 +392,7 @@ def prf_medoids(
     )
     picked = hashed.orderBy("__h", id_col).limit(n_centroids)
     return (
-        partitioned_row_number(picked, [F.col("__h"), F.col(id_col)], "__rn")
+        bounded_row_number(picked, [("__h", True), (id_col, True)], "__rn")
         .withColumn("cell", (F.col("__rn") - 1).cast("int"))
         .select("cell", F.col(vec_col).alias("center"))
     )
@@ -562,7 +562,16 @@ def knn_graph(
     catalog oracles replay the *capped* build hash-for-hash. Pass
     ``None`` only for the documented exact-oracle paths.
     """
-    b = rp_lsh_buckets(corpus, dim, n_planes, n_tables, id_col, vec_col)
+    # materialize the bucket table ONCE: it feeds the cap aggregate,
+    # the semi-join, and BOTH self-join sides — left lazy, Catalyst
+    # duplicates the hash subtree (scan + repartition + explode) four
+    # times with no exchange reuse (r10 plan audit: 30 Exchanges, 0
+    # ReusedExchange). The checkpoint is |vecs|·n_tables narrow rows on
+    # executor storage — at 100 TB this is the difference between
+    # hashing the corpus once and hashing it four times.
+    b = rp_lsh_buckets(
+        corpus, dim, n_planes, n_tables, id_col, vec_col
+    ).localCheckpoint(eager=True)
     if max_bucket is not None:
         ok = (
             b.groupBy("table", "bucket")
@@ -679,7 +688,7 @@ def pq_codebook_prf(
     )
     picked = hashed.orderBy("__h", id_col).limit(k_codes)
     return (
-        partitioned_row_number(picked, [F.col("__h"), F.col(id_col)], "__rn")
+        bounded_row_number(picked, [("__h", True), (id_col, True)], "__rn")
         .withColumn("code", (F.col("__rn") - 1).cast("int"))
         .select("code", F.col(vec_col).alias("center"))
     )
@@ -1350,66 +1359,117 @@ def mmr_rerank(
     (directed — supply both directions). Returns (query_id, vec_id,
     pick, mmr_r); pick 1 reports its relevance as mmr_r.
 
-    Scale shape: everything operates on the |Q| x k candidate frame and
-    its |Q| x k^2 pairwise-sim frame — serving-sized, never corpus-
-    sized; each greedy step is one anti-join + one max-aggregate + one
-    per-query argmax, with per-step lineage truncated (the Viterbi
-    lesson: cache() alone leaves a k-deep nested plan)."""
-    from bigdata_capstone_spark.operators.relational import grouped_top_k
+    Scale shape (r10: loop-free): the candidate and pairwise-sim
+    frames are serving-sized BY CONTRACT (|Q| x k and |Q| x k², never
+    corpus-sized), so the greedy selection collapses each query's
+    candidates into one bounded array + sim map (two hash aggregations)
+    and runs ALL k picks as a single per-row fold expression — the
+    former formulation paid k-1 sequential eager-checkpoint barriers
+    (one anti-join + max-aggregate + argmax + materialization per pick,
+    ~20 driver-coordinated jobs) to re-rank ~100 rows. Semantics are
+    identical pick for pick: candidates iterate in vec_id ASC order
+    with strict > acceptance (= argmax under (mmr DESC, vec_id ASC)),
+    scores round to 6dp before comparison, a candidate with no sim row
+    to the selected set is skipped exactly as the former inner join
+    dropped it, and the (1-lam) penalty literal is computed in Python
+    once so both engines share the identical IEEE double."""
+    sel_type = F.when(
+        F.lit(False),
+        F.struct(
+            F.lit(None).cast("long").alias("vec_id"),
+            F.lit(1).alias("pick"),
+            F.lit(0.0).alias("mmr_r"),
+        ),
+    )
+    cl = cands.groupBy("query_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("vec_id", "rel_r"))
+        ).alias("__cands")
+    )
+    sm = sims.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.concat_ws(":", F.col("a"), F.col("b")).alias("k"),
+                    F.col("sim_r").alias("v"),
+                )
+            )
+        ).alias("__sims")
+    )
+    base = cl.join(sm, "query_id", "left")
+    sims_map = F.col("__sims")
+    penalty = 1.0 - lam  # Python-computed ONCE: the exact IEEE literal
 
-    first = grouped_top_k(
-        cands, ["query_id"], [F.desc("rel_r"), F.col("vec_id")], 1,
-        rank_col="__rn",
+    def _pick1(best, c):
+        cand = F.struct(
+            c["vec_id"].cast("long").alias("vec_id"),
+            F.lit(1).alias("pick"),
+            c["rel_r"].cast("double").alias("mmr_r"),
+        )
+        return F.when(
+            best.isNull() | (cand["mmr_r"] > best["mmr_r"]), cand
+        ).otherwise(best)
+
+    def _pick_t(sel, t):
+        # one greedy step: argmax over the not-yet-picked candidates of
+        # the rounded MMR score against the current selected array
+        def step(best, c):
+            picked = F.aggregate(
+                sel,
+                F.lit(False),
+                lambda a, s: a | (s["vec_id"] == c["vec_id"]),
+            )
+            maxsim = F.array_max(
+                F.transform(
+                    sel,
+                    lambda s: F.element_at(
+                        sims_map,
+                        F.concat_ws(":", c["vec_id"], s["vec_id"]),
+                    ),
+                )
+            )
+            score = F.round(
+                F.lit(lam) * c["rel_r"] - F.lit(penalty) * maxsim, 6
+            )
+            cand = F.when(
+                ~picked & maxsim.isNotNull(),
+                F.struct(
+                    c["vec_id"].cast("long").alias("vec_id"),
+                    t.cast("int").alias("pick"),
+                    score.alias("mmr_r"),
+                ),
+            )
+            return F.when(
+                cand.isNotNull()
+                & (best.isNull() | (cand["mmr_r"] > best["mmr_r"])),
+                cand,
+            ).otherwise(best)
+
+        return F.aggregate(F.col("__cands"), sel_type, step)
+
+    sel0 = F.array(F.aggregate(F.col("__cands"), sel_type, _pick1))
+    if k >= 2:
+        # ALL picks inside ONE fold so the selected array threads
+        # linearly (a per-pick withColumn chain re-inlines the previous
+        # step into every reference — exponential expression blowup);
+        # array_compact drops the null of an exhausted candidate list
+        sel_final = F.aggregate(
+            F.sequence(F.lit(2), F.lit(k)),
+            sel0,
+            lambda sel, t: F.concat(
+                sel, F.array_compact(F.array(_pick_t(sel, t)))
+            ),
+        )
+    else:
+        sel_final = sel0
+    return base.select(
+        "query_id", F.explode(sel_final).alias("__p")
     ).select(
         "query_id",
-        "vec_id",
-        F.lit(1).alias("pick"),
-        F.col("rel_r").alias("mmr_r"),
+        F.col("__p")["vec_id"].alias("vec_id"),
+        F.col("__p")["pick"].alias("pick"),
+        F.col("__p")["mmr_r"].alias("mmr_r"),
     )
-    selected = first.localCheckpoint(eager=True)
-    for t in range(2, k + 1):
-        rem = cands.join(
-            selected.select("query_id", "vec_id"),
-            ["query_id", "vec_id"],
-            "left_anti",
-        )
-        pen = (
-            rem.join(
-                sims.select(
-                    "query_id",
-                    F.col("a").alias("vec_id"),
-                    F.col("b").alias("__sel"),
-                    "sim_r",
-                ),
-                ["query_id", "vec_id"],
-            )
-            .join(
-                selected.select(
-                    "query_id", F.col("vec_id").alias("__sel")
-                ),
-                ["query_id", "__sel"],
-            )
-            .groupBy("query_id", "vec_id", "rel_r")
-            .agg(F.max("sim_r").alias("__maxsim"))
-        )
-        scored = pen.select(
-            "query_id",
-            "vec_id",
-            F.round(
-                lam * F.col("rel_r") - (1.0 - lam) * F.col("__maxsim"), 6
-            ).alias("__mmr"),
-        )
-        pick = grouped_top_k(
-            scored, ["query_id"], [F.desc("__mmr"), F.col("vec_id")], 1,
-            rank_col="__rn",
-        ).select(
-            "query_id",
-            "vec_id",
-            F.lit(t).alias("pick"),
-            F.col("__mmr").alias("mmr_r"),
-        )
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
-    return selected
 
 
 def candidate_pair_sims(

@@ -658,6 +658,77 @@ def qsketch_partials_onepass(
     )
 
 
+def qsketch_partials_onepass_keyed(
+    df: DataFrame,
+    shard_col: Column,
+    key_col: Column,
+    value_col: Column,
+    capacity: int,
+) -> DataFrame:
+    """Per-(partition, shard) sketch partials in ONE corpus pass — the
+    multi-shard sibling of :func:`qsketch_partials_onepass` (r10
+    optimization): a shard-merge entry that simulates S shards by
+    filtering the same table S times pays S full scans and S sequential
+    eager materializations; this kernel keeps one bounded fold state
+    PER SHARD inside the single Arrow pass, so the scan count drops to
+    one however many shards the demonstration carves. Emits
+    (__shard, qs_id, value, lvl, thr): the rows with ``__shard == s``
+    form a valid canonical partial state of shard s's item subset
+    (each shard's fold never sees another shard's items, so the
+    floor-clamp exactness argument applies per shard unchanged), and
+    any downstream :func:`qsketch_merge` lands on the same bits as the
+    per-shard-scan build by the tested canonical-state merge law."""
+    items = df.select(
+        shard_col.cast("int").alias("__shard"),
+        key_col.cast("string").alias("qs_id"),
+        value_col.cast("double").alias("value"),
+    ).withColumn("lvl", qsketch_lvl_col(F.col("qs_id")))
+    cap = int(capacity)
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        states: dict[int, tuple[int, pd.DataFrame]] = {}
+        empty = pd.DataFrame(
+            {
+                "qs_id": pd.Series(dtype=object),
+                "value": pd.Series(dtype="float64"),
+                "lvl": pd.Series(dtype="int32"),
+            }
+        )
+        for pdf in batches:
+            for shard, part in pdf.groupby("__shard"):
+                thr, cur = states.get(int(shard), (0, empty))
+                keep = part["lvl"].to_numpy() >= thr
+                if keep.any():
+                    cur = pd.concat(
+                        [cur, part.loc[keep, ["qs_id", "value", "lvl"]]],
+                        ignore_index=True,
+                    )
+                if len(cur) > cap:
+                    lv = cur["lvl"].to_numpy()
+                    cnt = np.bincount(lv, minlength=QSKETCH_MAX_LVL + 1)
+                    suffix = cnt[::-1].cumsum()[::-1]
+                    over = np.nonzero(suffix > cap)[0]
+                    cand = int(over.max()) + 1 if len(over) else 0
+                    if cand > thr:
+                        thr = cand
+                        cur = cur[cur["lvl"].to_numpy() >= thr]
+                states[int(shard)] = (thr, cur)
+        for shard in sorted(states):
+            thr, cur = states[shard]
+            out = cur.copy()
+            out.insert(0, "__shard", np.int32(shard))
+            out["lvl"] = out["lvl"].astype("int32")
+            out["thr"] = np.int32(thr)
+            yield out
+
+    return items.mapInPandas(
+        fold, "__shard int, qs_id string, value double, lvl int, thr int"
+    )
+
+
 def qsketch_build_onepass(
     df: DataFrame, key_col: Column, value_col: Column, capacity: int
 ) -> DataFrame:
@@ -1227,6 +1298,78 @@ def wqsketch_partials_onepass(
 
     return items.mapInPandas(
         fold, "qs_id string, value double, w bigint, lvl int, thr int"
+    )
+
+
+def wqsketch_partials_onepass_keyed(
+    df: DataFrame,
+    shard_col: Column,
+    key_col: Column,
+    value_col: Column,
+    weight_col: Column,
+    capacity: int,
+) -> DataFrame:
+    """Weighted twin of :func:`qsketch_partials_onepass_keyed`: one
+    corpus pass maintaining a bounded fold state PER SHARD (weights
+    riding along), so an S-shard merge demonstration costs one scan
+    instead of S. Emits (__shard, qs_id, value, w, lvl, thr); per-shard
+    exactness and the downstream merge law carry over unchanged."""
+    items = (
+        df.select(
+            shard_col.cast("int").alias("__shard"),
+            key_col.cast("string").alias("qs_id"),
+            value_col.cast("double").alias("value"),
+            weight_col.cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .withColumn("lvl", wqsketch_wlvl_col(F.col("qs_id"), F.col("w")))
+    )
+    cap = int(capacity)
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        states: dict[int, tuple[int, pd.DataFrame]] = {}
+        empty = pd.DataFrame(
+            {
+                "qs_id": pd.Series(dtype=object),
+                "value": pd.Series(dtype="float64"),
+                "w": pd.Series(dtype="int64"),
+                "lvl": pd.Series(dtype="int32"),
+            }
+        )
+        for pdf in batches:
+            for shard, part in pdf.groupby("__shard"):
+                thr, cur = states.get(int(shard), (0, empty))
+                keep = part["lvl"].to_numpy() >= thr
+                if keep.any():
+                    cur = pd.concat(
+                        [cur, part.loc[keep, ["qs_id", "value", "w", "lvl"]]],
+                        ignore_index=True,
+                    )
+                if len(cur) > cap:
+                    lv = cur["lvl"].to_numpy()
+                    cnt = np.bincount(lv, minlength=QSKETCH_MAX_LVL + 1)
+                    suffix = cnt[::-1].cumsum()[::-1]
+                    over = np.nonzero(suffix > cap)[0]
+                    cand = int(over.max()) + 1 if len(over) else 0
+                    if cand > thr:
+                        thr = cand
+                        cur = cur[cur["lvl"].to_numpy() >= thr]
+                states[int(shard)] = (thr, cur)
+        for shard in sorted(states):
+            thr, cur = states[shard]
+            out = cur.copy()
+            out.insert(0, "__shard", np.int32(shard))
+            out["lvl"] = out["lvl"].astype("int32")
+            out["w"] = out["w"].astype("int64")
+            out["thr"] = np.int32(thr)
+            yield out
+
+    return items.mapInPandas(
+        fold,
+        "__shard int, qs_id string, value double, w bigint, lvl int, thr int",
     )
 
 

@@ -582,17 +582,17 @@ def bpe_pair_counts(
         )
     )
     from bigdata_capstone_spark.operators.relational import (
-        partitioned_row_number,
+        bounded_row_number,
     )
 
     agg = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
     # TakeOrdered pre-selection (per-partition heaps, no global sort), then
-    # a distributed row_number over the bounded survivors — no
-    # single-partition WindowExec even though the pair domain (~charset²)
-    # is itself bounded.
+    # a LAZY bounded row_number over the <= top_n survivors — no
+    # single-partition WindowExec, and (r10) no eager prefix-sum
+    # checkpoint barrier in a query whose ranked slice is 40 rows.
     top = agg.orderBy(F.desc("pair_count"), F.col("pair")).limit(top_n)
     return (
-        partitioned_row_number(top, [F.desc("pair_count"), F.col("pair")], "rank")
+        bounded_row_number(top, [("pair_count", False), ("pair", True)], "rank")
         # bounded by limit(top_n) above, so the int cast cannot overflow
         .withColumn("rank", F.col("rank").cast("int"))
         .select("pair", "pair_count", "rank")
@@ -769,9 +769,13 @@ def _token_inventory(cur: DataFrame, top_n: int) -> DataFrame:
         F.sum("freq").cast("long").alias("token_count")
     )
     top = agg.orderBy(F.desc("token_count"), F.col("token")).limit(top_n)
+    from bigdata_capstone_spark.operators.relational import (
+        bounded_row_number,
+    )
+
     return (
-        partitioned_row_number(
-            top, [F.desc("token_count"), F.col("token")], "token_id"
+        bounded_row_number(
+            top, [("token_count", False), ("token", True)], "token_id"
         )
         # bounded by limit(top_n), so the int cast cannot overflow
         .withColumn("token_id", F.col("token_id").cast("int"))
@@ -885,16 +889,15 @@ def zipf_rank_frequency(
     slope frame broadcasts back onto them.
     """
     from bigdata_capstone_spark.operators.relational import (
-        partitioned_row_number,
+        bounded_row_number,
+        fan_out,
     )
-
-    from bigdata_capstone_spark.operators.relational import fan_out
 
     words = fan_out(df).select(F.explode(tokens_col(text_col)).alias("token"))
     vocab = words.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     top = vocab.orderBy(F.desc("freq"), F.col("token")).limit(fit_n)
     ranked = (
-        partitioned_row_number(top, [F.desc("freq"), F.col("token")], "rank")
+        bounded_row_number(top, [("freq", False), ("token", True)], "rank")
         # bounded by limit(fit_n) above, so the int cast cannot overflow
         .withColumn("rank", F.col("rank").cast("int"))
         .withColumn(
@@ -1054,102 +1057,131 @@ def viterbi_segment_words(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Max-likelihood segmentation of each word under the unigram piece
-    vocabulary — Viterbi as an ITERATIVE DataFrame dynamic program: the
-    DP state at position j is a |words|-row frame; step j unions the
-    <= ``max_piece_len`` candidate extensions (each one broadcast-join
-    of state j-len against the vocab on substring equality) and keeps
-    the per-word argmax with the deterministic tie-break (total score
-    DESC, piece length DESC, piece ASC) — so the chosen path is unique
-    and any engine replays it. Single characters are always in the
-    vocabulary, so every position is reachable.
+    vocabulary — Viterbi as a SINGLE-PASS bounded dynamic program: one
+    explode enumerates every (start, piece-length) slot of every word
+    (<= ``max_word_len * max_piece_len`` rows per word), one broadcast
+    join against the vocabulary scores the slots that are real pieces,
+    one groupBy collects each word's scored slots into a bounded map,
+    and one fold expression runs the whole DP left to right — position
+    j takes the argmax over the <= ``max_piece_len`` candidate
+    extensions with the deterministic tie-break (total score DESC,
+    piece length DESC; the piece at a fixed (position, length) is the
+    unique substring, so no further tie-break can fire). The chosen
+    path is therefore identical to the former iterative
+    per-position-join formulation (r10 optimization: that loop paid
+    ``max_word_len`` sequential checkpoint barriers — ~50 driver
+    round-trips — to segment a vocabulary-sized frame; this is one
+    shuffle and zero barriers, and the DP itself is a per-row
+    expression over a <= ``max_word_len`` element array).
 
     Returns (word, pieces STRING space-joined, n_pieces INT,
     score_micro BIGINT). Words longer than ``max_word_len`` are not
-    segmented (absent from the output — raise the cap for real corpora;
-    each extra position is one more bounded join on the
-    vocabulary-sized state frame, and the loop cost is independent of
-    corpus size because segmentation runs on DISTINCT words).
+    segmented (absent from the output — raise the cap for real
+    corpora; each extra position widens the per-row fold, never adds a
+    pass). ``checkpoint_dir`` is retained for API compatibility; the
+    single-pass form has no iterative lineage to truncate.
 
-    Lineage: each position's state is checkpoint-truncated via the
-    shared ckpt mechanism (localCheckpoint by default,
-    ``checkpoint_dir`` for reliable storage) — cache() alone leaves the
-    logical plan nested max_word_len levels deep and Catalyst
-    re-analysis of the final union dies long before the data does
-    (observed: 91s then driver death at position 8 on a 31-word
-    frame)."""
-    from bigdata_capstone_spark.operators.ckpt import lineage_truncation
-    from bigdata_capstone_spark.operators.relational import grouped_top_k
-
-    spark = words.sparkSession
+    Scale shape: segmentation runs on DISTINCT words, the vocabulary
+    broadcast is inventory-bounded, and the per-word state (the edge
+    map + DP array) is O(max_word_len * max_piece_len) — corpus size
+    only changes the row count of the one hash aggregation."""
+    del checkpoint_dir  # single-pass: nothing iterative to truncate
+    K = max_piece_len + 1  # (start, plen) -> start*K + plen key packing
     v = vocab.select(
-        "piece",
-        F.length("piece").alias("plen"),
-        "score_micro",
-    ).cache()
-    with lineage_truncation(spark, checkpoint_dir) as ckpt:
-        state = {
-            0: ckpt(
-                words.select(
-                    "word",
-                    F.length("word").alias("wl"),
-                    F.lit(0).cast("long").alias("score"),
-                    F.lit("").alias("path"),
-                    F.lit(0).alias("np"),
+        "piece", F.length("piece").alias("plen"), "score_micro"
+    )
+    w = words.select("word", F.length("word").alias("wl")).filter(
+        (F.col("wl") >= 1) & (F.col("wl") <= max_word_len)
+    )
+    slots = (
+        w.select(
+            "word",
+            "wl",
+            F.explode(F.sequence(F.lit(0), F.col("wl") - 1)).alias("i"),
+        )
+        .select(
+            "word",
+            "wl",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.col("wl") - F.col("i")),
                 )
-            )
-        }
-        for j in range(1, max_word_len + 1):
-            cands = None
-            for plen in range(1, min(max_piece_len, j) + 1):
-                i = j - plen
-                prev = state[i].filter(F.col("wl") >= j)
-                c = prev.join(
-                    F.broadcast(v.filter(F.col("plen") == plen)),
-                    F.substring(F.col("word"), i + 1, plen)
-                    == F.col("piece"),
-                ).select(
-                    "word",
-                    "wl",
-                    (F.col("score") + F.col("score_micro")).alias("score"),
+            ).alias("plen"),
+        )
+        .select(
+            "word",
+            "wl",
+            "i",
+            "plen",
+            F.col("word").substr(F.col("i") + 1, F.col("plen")).alias(
+                "piece"
+            ),
+        )
+    )
+    edges = slots.join(F.broadcast(v), on=["piece", "plen"]).select(
+        "word",
+        "wl",
+        (F.col("i") * K + F.col("plen")).alias("__ek"),
+        "score_micro",
+    )
+    em = edges.groupBy("word", "wl").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__ek", "score_micro"))
+        ).alias("__em")
+    )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("score"),
+        F.lit("").alias("path"),
+        F.lit(0).alias("np"),
+    )
+    word_c, em_c = F.col("word"), F.col("__em")
+
+    def _step(acc, j):
+        # argmax over piece lengths, iterated ASC with >= acceptance so
+        # a longer piece wins score ties — identical to ordering by
+        # (score DESC, plen DESC) and taking row 1
+        best = F.when(F.lit(False), init)  # typed NULL struct
+        for plen in range(1, max_piece_len + 1):
+            prev = F.element_at(acc, j - F.lit(plen) + 1)
+            esc = F.element_at(em_c, (j - F.lit(plen)) * K + F.lit(plen))
+            cand = F.when(
+                (j >= F.lit(plen)) & esc.isNotNull() & prev.isNotNull(),
+                F.struct(
+                    (prev["score"] + esc).alias("score"),
                     F.concat(
-                        F.col("path"),
-                        F.when(F.col("path") == "", F.lit("")).otherwise(
+                        prev["path"],
+                        F.when(prev["path"] == "", F.lit("")).otherwise(
                             F.lit(" ")
                         ),
-                        F.col("piece"),
+                        word_c.substr(j - F.lit(plen) + 1, F.lit(plen)),
                     ).alias("path"),
-                    (F.col("np") + 1).alias("np"),
-                    F.col("plen"),
-                    F.col("piece"),
-                )
-                cands = c if cands is None else cands.unionByName(c)
-            # pre-cluster by word at a width matched to the
-            # vocabulary-bounded state: HashPartitioning(word, 8)
-            # satisfies the window's ClusteredDistribution, so the
-            # per-step argmax runs on 8 real partitions instead of
-            # re-shuffling to the session default (200 near-empty
-            # tasks per position in a plain session)
-            best = grouped_top_k(
-                cands.repartition(8, "word"),
-                ["word"],
-                [F.desc("score"), F.desc("plen"), F.col("piece")],
-                1,
-                rank_col="__rn",
-            ).select("word", "wl", "score", "path", "np")
-            state[j] = ckpt(best)
-
-        out = None
-        for j in range(1, max_word_len + 1):
-            part = state[j].filter(F.col("wl") == j)
-            out = part if out is None else out.unionByName(part)
-        return ckpt(
-            out.select(
-                "word",
-                F.col("path").alias("pieces"),
-                F.col("np").cast("int").alias("n_pieces"),
-                F.col("score").alias("score_micro"),
+                    (prev["np"] + 1).alias("np"),
+                ),
             )
+            best = F.when(
+                cand.isNotNull()
+                & (best.isNull() | (cand["score"] >= best["score"])),
+                cand,
+            ).otherwise(best)
+        return F.concat(acc, F.array(best))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.col("wl")), F.array(init), _step
+    )
+    final = F.element_at(dp, F.col("wl") + 1)
+    return (
+        em.select("word", final.alias("__f"))
+        .filter(F.col("__f").isNotNull())
+        .select(
+            "word",
+            F.col("__f")["path"].alias("pieces"),
+            F.col("__f")["np"].cast("int").alias("n_pieces"),
+            F.col("__f")["score"].alias("score_micro"),
         )
+    )
 
 
 # Unicode script classes (r9): per-script character counting for
