@@ -5515,7 +5515,15 @@ def selection_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized count tables, LR to a 4-weight state), and each
     AUC works on the distinct-score level table with the offset
     prefix-sum mechanism — nothing corpus-sized crosses an exchange
-    twice."""
+    twice. The two chains are INDEPENDENT until the final union, and
+    each pays eager prefix-sum materializations during construction —
+    so they are built from a 2-thread pool (guide §2.6 job overlap:
+    Spark schedules concurrent jobs FIFO, the second chain's tasks
+    back-fill executors the first chain's barriers leave idle).
+    Results are unaffected — each chain is deterministic and they
+    share no mutable state."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from bigdata_capstone_spark.operators.evaluation import roc_auc
     from bigdata_capstone_spark.operators.selection import (
         lr_source_classifier,
@@ -5524,12 +5532,15 @@ def selection_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents").cache()
-    nb = roc_auc(
-        nb_source_margin(docs), "nb_margin_r", "is_curated"
-    ).select(F.lit("nb").alias("model"), "*")
-    lr = roc_auc(
-        lr_source_classifier(docs), "lr_margin_r", "is_curated"
-    ).select(F.lit("lr").alias("model"), "*")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fnb = pool.submit(
+            lambda: roc_auc(nb_source_margin(docs), "nb_margin_r", "is_curated")
+        )
+        flr = pool.submit(
+            lambda: roc_auc(lr_source_classifier(docs), "lr_margin_r", "is_curated")
+        )
+        nb = fnb.result().select(F.lit("nb").alias("model"), "*")
+        lr = flr.result().select(F.lit("lr").alias("model"), "*")
     return nb.unionByName(lr)
 
 

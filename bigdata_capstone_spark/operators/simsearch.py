@@ -27,6 +27,7 @@ import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bigdata_capstone_spark.functions.portable import (
     cosine_similarity_col,
@@ -34,7 +35,6 @@ from bigdata_capstone_spark.functions.portable import (
 )
 from bigdata_capstone_spark.operators.dedup import fan_out
 from bigdata_capstone_spark.operators.relational import (
-    bounded_row_number,
     grouped_top_k,
 )
 
@@ -370,6 +370,18 @@ def ivf_topk(
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+def _anchor_schema(key_name: str, vec_type) -> "T.StructType":
+    """(key INT, center <input vector type>) schema for a collected
+    anchor table — the vector type is inherited from the input frame so
+    the driver round-trip never changes precision."""
+    return T.StructType(
+        [
+            T.StructField(key_name, T.IntegerType(), False),
+            T.StructField("center", vec_type, True),
+        ]
+    )
+
+
 def prf_medoids(
     train_on: DataFrame,
     n_centroids: int,
@@ -380,7 +392,17 @@ def prf_medoids(
     training vectors with the smallest md5 PRF hash of their id (under
     the ``ivf:`` salt), numbered in hash order — a uniform medoid sample
     with no RNG state, replayable in any engine. Selection is
-    TakeOrdered(n_centroids) on a narrow (hash, id) projection."""
+    TakeOrdered(n_centroids) on a narrow (hash, id) projection; the
+    ≤ ``n_centroids`` winners are COLLECTED (a bounded scalar fetch —
+    the same class as the k-means centroid round-trip) and re-emitted
+    as a literal frame: exactly ONE corpus pass builds the quantizer,
+    and every downstream reference (assignment cross-join, probe
+    choice, kmeans init) broadcasts a LocalRelation instead of
+    re-deriving the TakeOrdered subtree (r10: the lazy form was
+    re-planned per consumer — TakeOrdered is not an exchange, so AQE
+    stage reuse cannot deduplicate it the way it does shuffles).
+    Collection order is the (hash, id) sort order, so cell numbering
+    is deterministic; float vectors round-trip the driver exactly."""
     from bigdata_capstone_spark.functions.portable import md5_long
 
     hashed = train_on.select(
@@ -390,11 +412,10 @@ def prf_medoids(
             F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))
         ).alias("__h"),
     )
-    picked = hashed.orderBy("__h", id_col).limit(n_centroids)
-    return (
-        bounded_row_number(picked, [("__h", True), (id_col, True)], "__rn")
-        .withColumn("cell", (F.col("__rn") - 1).cast("int"))
-        .select("cell", F.col(vec_col).alias("center"))
+    rows = hashed.orderBy("__h", id_col).limit(n_centroids).collect()
+    return train_on.sparkSession.createDataFrame(
+        [(i, r[vec_col]) for i, r in enumerate(rows)],
+        _anchor_schema("cell", train_on.schema[vec_col].dataType),
     )
 
 
@@ -674,9 +695,11 @@ def pq_codebook_prf(
 ) -> DataFrame:
     """(code, center) PRF-anchor codebook: the ``k_codes`` training
     vectors with the smallest md5 hash of their id, numbered in hash
-    order. Build ONCE (and cache) when both the encode side and a
-    distance table consume it — independent derivations re-scan the
-    training corpus each time."""
+    order. Like :func:`prf_medoids` (r10), the ≤ ``k_codes`` winners
+    are collected once (bounded scalar fetch) and re-emitted as a
+    literal frame — one corpus pass, and every consumer (encode side,
+    distance table) broadcasts a LocalRelation instead of re-deriving
+    the TakeOrdered subtree."""
     from bigdata_capstone_spark.functions.portable import md5_long
 
     hashed = train_on.select(
@@ -686,11 +709,10 @@ def pq_codebook_prf(
             F.concat(F.lit("pq:"), F.col(id_col).cast("string"))
         ).alias("__h"),
     )
-    picked = hashed.orderBy("__h", id_col).limit(k_codes)
-    return (
-        bounded_row_number(picked, [("__h", True), (id_col, True)], "__rn")
-        .withColumn("code", (F.col("__rn") - 1).cast("int"))
-        .select("code", F.col(vec_col).alias("center"))
+    rows = hashed.orderBy("__h", id_col).limit(k_codes).collect()
+    return train_on.sparkSession.createDataFrame(
+        [(i, r[vec_col]) for i, r in enumerate(rows)],
+        _anchor_schema("code", train_on.schema[vec_col].dataType),
     )
 
 
@@ -1191,24 +1213,35 @@ def kmeans_lloyd(
     quantizer the IVF family uses: same determinism contract, tighter
     cells. Scale shape per round: one broadcast cross-join map pass
     (corpus x k) + per-id top-1 hash agg for the assignment, one
-    map-side-combined hash agg for the update; the centroid frame stays
-    k rows and broadcasts. ``rounds`` is fixed and small (lineage grows
-    linearly; callers iterating further should localCheckpoint the
-    k-row centroid frame, which is trivially small)."""
+    map-side-combined hash agg for the update; the centroid frame is
+    COLLECTED to the driver between rounds (k rows of dim doubles — a
+    bounded scalar fetch, the canonical Lloyd shape) and re-emitted as
+    a literal frame, so every round's plan is FLAT: the former
+    per-round ``.cache()`` chain nested each round's full training
+    lineage inside the next round's InMemoryRelation (19 cached
+    relations in the 2-round plan), and materializing it re-planned
+    the whole tree once per cache (r10 optimization: ~27 AQE jobs →
+    ~9 for the k=8 entry). Values are bit-identical — doubles
+    round-trip exactly through the driver, and the oracle replays the
+    same per-round arithmetic either way."""
+    spark = corpus.sparkSession
     centers = prf_medoids(corpus, k, id_col, vec_col).select(
         "cell",
         F.transform("center", lambda x: x.cast("double")).alias("center"),
     )
     for _ in range(rounds):
-        # cache the k-row centroid frame: every round references its
-        # predecessor TWICE (assignment + empty-cell coalesce) and the
-        # caller references the result again, so uncached lineage
-        # re-executes the whole training prefix 2^rounds times
-        # (profiled: 15s -> 3s at sf0.1). k rows — bytes of memory.
-        centers = centers.cache()
+        # pin the k-row frame driver-side: each round references its
+        # predecessor twice (assignment + empty-cell coalesce) and the
+        # caller references the result again — as a literal frame those
+        # references are free instead of cache re-materializations
+        centers = spark.createDataFrame(
+            centers.collect(), "cell INT, center ARRAY<DOUBLE>"
+        )
         asg = assign_cells(corpus, centers, id_col, vec_col, keep_vec=True)
         centers = _kmeans_update(asg, centers, dim)
-    return centers.cache()
+    return spark.createDataFrame(
+        centers.collect(), "cell INT, center ARRAY<DOUBLE>"
+    )
 
 
 def kmeans_assign_scored(
