@@ -63,9 +63,13 @@ def test_nn_insert_bench_fixture_parity(spark, sf_small, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _n_cached_rdds(spark) -> int:
-    jsc = spark.sparkContext._jsc.sc()
-    return jsc.getPersistentRDDs().size()
+def _persistent_rdd_ids(spark) -> set:
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
 
 
 def test_prefix_sums_leave_no_pinned_cache(spark):
@@ -84,7 +88,7 @@ def test_prefix_sums_leave_no_pinned_cache(spark):
     # start from a clean slate: earlier tests in the shared session may
     # hold catalog caches of their own
     spark.catalog.clearCache()
-    before = _n_cached_rdds(spark)
+    before = _persistent_rdd_ids(spark)
     results = []
     for _ in range(3):
         results.append(
@@ -107,18 +111,20 @@ def test_prefix_sums_leave_no_pinned_cache(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
     import time
 
-    # the ContextCleaner is ASYNC (GC-driven): under a loaded box the
-    # unregister of unreferenced checkpoint blocks can lag well past a
-    # minute (observed 60s+ while a parallel suite hammered the JVM) —
-    # the property is "eventually released", so poll generously
+    # the ContextCleaner is ASYNC (GC-driven) and the SESSION is shared
+    # with every earlier test (whose own pending-release blocks drain on
+    # their own schedule) — so the assertion tracks exactly the RDD ids
+    # THIS loop registered and requires those (and only those) to be
+    # eventually released: no pinned entry may survive GC the way a
+    # .cache() without unpersist did
     deadline = time.time() + 180
-    while time.time() < deadline:
-        if _n_cached_rdds(spark) <= before:
-            break
+    leaked = _persistent_rdd_ids(spark) - before
+    while time.time() < deadline and leaked:
         gc.collect()
         spark._jvm.System.gc()
         time.sleep(1)
-    assert _n_cached_rdds(spark) <= before
+        leaked = _persistent_rdd_ids(spark) - before
+    assert not leaked, f"prefix-sum blocks never released: {sorted(leaked)}"
 
 
 def test_grouped_prefix_sum_values_unchanged(spark):
