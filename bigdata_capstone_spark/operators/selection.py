@@ -615,9 +615,19 @@ def nb_char_lang_predictions_from_state(
     """:func:`nb_char_lang_predictions`'s inference half, reading the
     mergeable state instead of re-training — the serving path when the
     model is maintained incrementally. Same determinism contract and
-    output columns (doc_id, lang_true, lang_pred)."""
+    output columns (doc_id, lang_true, lang_pred).
+
+    The state frame is materialized ONCE up front (r10 optimization):
+    the inference chain references it six ways (gram counts → totals /
+    vocabulary / log-likelihoods, doc counts → prior twice), and left
+    lazy each reference re-executes the caller's whole training/merge
+    lineage (the shard-merge entry re-ran its 3-shard union+groupBy per
+    reference). The state is vocabulary-bounded (|alphabet|^n × |langs|
+    + |langs| rows) by the model's design, so the checkpoint is
+    model-sized at any corpus scale."""
     from pyspark.sql.window import Window
 
+    state = state.localCheckpoint(eager=True)
     counts = state.filter(F.col("g").isNotNull())
     dcounts = state.filter(F.col("g").isNull()).select(
         "lang", F.col("c").alias("d_l")
