@@ -305,10 +305,22 @@ def roc_auc_by_group(
     (languages do). Instead the within-group cumulative is derived
     from a single GLOBAL ``partitioned_prefix_sum`` over the (group,
     score) lexicographic total order minus each group's exclusive
-    offset (the prefix over the tiny per-group totals frame):
-    neg_below(g, s) = global_prefix_excl(g, s) - offset(g). Both
-    prefix passes are range-partition parallel; no task ever sorts
-    more than |levels| / num_partitions rows regardless of skew.
+    offset: neg_below(g, s) = cum_excl(g, s) - goff(g). The offset
+    needs NO second prefix pass (r10 left this open; r11 closed it):
+    a group's rows are contiguous in the (g, s) order and ``cum_excl``
+    is non-decreasing along it, so the group's FIRST row carries
+    exactly the sum of all previous groups' negatives — i.e.
+    goff(g) = min(cum_excl) within g — and the numerator expands
+    algebraically so one aggregation computes everything:
+
+        Σ pos_at·(2·neg_below + neg_at)
+      = 2·Σ pos_at·cum_excl − 2·goff·Σ pos_at + Σ pos_at·neg_at
+
+    All terms are exact BIGINT sums (bound: n_pos(g)·n_neg_total per
+    group — same order as the old n_pos(g)·n_neg(g) bound, exact to
+    ~3e9 positives × 3e9 negatives). ONE prefix-sum materialization,
+    ONE shuffle-free-reusable aggregation; no offsets join, no cache
+    (the level table now has a single consumer).
     """
     lv = scored.groupBy(
         F.col(group_col).alias("g"), F.col(score_col).alias("s")
@@ -322,29 +334,21 @@ def roc_auc_by_group(
         value=F.col("neg_at"),
         alias="cum_excl",
         inclusive=False,
-    ).cache()  # level-table-sized; feeds the offsets pass AND the main
-    # pass — without it both consumers replay the scorer's full lineage
-    gtot = lv.groupBy("g").agg(F.sum("neg_at").alias("gneg"))
-    gtot = partitioned_prefix_sum(
-        gtot,
-        order_by=[F.col("g")],
-        value=F.col("gneg"),
-        alias="goff",
-        inclusive=False,
-    ).select("g", "goff")
-    # |groups|-sized build side: AQE broadcasts it when it fits.
-    lv = lv.join(gtot, "g").withColumn(
-        "neg_below", F.col("cum_excl") - F.col("goff")
     )
     out = lv.groupBy("g").agg(
         F.sum("pos_at").cast("long").alias("n_pos"),
         F.sum("neg_at").cast("long").alias("n_neg"),
-        F.sum(
-            F.col("pos_at")
-            * (2 * F.col("neg_below") + F.col("neg_at"))
-        )
+        F.sum(F.col("pos_at") * F.col("cum_excl"))
         .cast("long")
-        .alias("num2"),
+        .alias("__spc"),
+        F.sum(F.col("pos_at") * F.col("neg_at"))
+        .cast("long")
+        .alias("__spn"),
+        F.min("cum_excl").cast("long").alias("__goff"),
+    )
+    num2 = (
+        2 * (F.col("__spc") - F.col("__goff") * F.col("n_pos"))
+        + F.col("__spn")
     )
     return out.select(
         F.col("g").alias(group_col),
@@ -353,8 +357,7 @@ def roc_auc_by_group(
         F.round(
             F.when(
                 (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-                F.col("num2")
-                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                num2 / (2.0 * F.col("n_pos") * F.col("n_neg")),
             ),
             6,
         ).alias("auc_r"),

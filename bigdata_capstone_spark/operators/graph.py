@@ -160,6 +160,7 @@ def label_propagation(
     edges: DataFrame,
     rounds: int = 3,
     checkpoint_dir: str | None = None,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over an
     undirected graph given as a one-direction edge list, FIXED rounds,
@@ -188,6 +189,27 @@ def label_propagation(
     preemptible clusters (a lost executor otherwise aborts the run,
     and this backs the single most expensive registered query,
     embedding_semantic_communities).
+
+    ``max_degree`` (r11): a caller that can DECLARE a symmetrized
+    degree bound (a mutual-KNN graph has degree ≤ k by construction —
+    every mutual edge at a node consumes one of its k top-k slots)
+    opts into the FUSED fixed-round plan: the per-round closed
+    neighborhood is materialization-free because (1) self-loop edges
+    added once replace the per-round union with the label frame, so
+    each round references ``labels`` exactly once and the lazy plan
+    grows LINEARLY in ``rounds`` (no eager checkpoint barrier needed),
+    and (2) every round's vote frame is provably ≤ (max_degree+1)·|V|
+    rows, bounding the whole chain. The round's output keeps
+    hashpartitioning(node) through alias-aware projection, so the next
+    round's join is exchange-free: exactly ONE exchange per round (the
+    vote regroup) and ONE Spark job for the whole query, where the
+    generic path pays two exchanges plus an eager materialization per
+    round. Votes, counts and tie-breaks are expression-identical to
+    the generic path (the self-loop contributes the same single
+    own-label vote the union did), so the result is bit-identical —
+    the unrolled oracle replays both shapes. ``checkpoint_dir`` is
+    ignored in this path (there is no intermediate to persist;
+    fault-tolerance comes from re-running the one query).
     """
     from bigdata_capstone_spark.operators.ckpt import lineage_truncation
 
@@ -197,7 +219,7 @@ def label_propagation(
     # order instead of re-exchanging + re-sorting the (largest) edge
     # frame per round (r10 optimization: 2 of the 4 per-round exchanges
     # removed; the remaining two are the node-sized label frames).
-    und = (
+    und_base = (
         edges.select("src", "dst")
         .unionByName(
             edges.select(
@@ -205,6 +227,46 @@ def label_propagation(
             )
         )
         .distinct()
+    )
+    if max_degree is not None:
+        # Bag-union the self-loops (NOT distinct): an input self-loop,
+        # if present, must keep contributing its edge vote on top of
+        # the own-label vote, exactly as the generic path's union did.
+        selfloops = und_base.select(F.col("src"), F.col("src").alias("dst"))
+        und_plus = (
+            und_base.unionByName(selfloops.distinct())
+            .repartition("dst")
+            .sortWithinPartitions("dst")
+            .cache()
+        )
+        labels = (
+            und_plus.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
+        for _ in range(rounds):
+            closed = und_plus.join(
+                labels, und_plus["dst"] == labels["node"]
+            ).select("src", "label")
+            freq = closed.repartition("src").groupBy("src", "label").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            labels = (
+                freq.groupBy("src")
+                .agg(
+                    F.min_by(
+                        "label",
+                        F.struct(
+                            (-F.col("c")).alias("nc"),
+                            F.col("label").alias("lb"),
+                        ),
+                    ).alias("label")
+                )
+                .select(F.col("src").alias("node"), "label")
+            )
+        return labels
+    und = (
+        und_base
         .repartition("dst")
         .sortWithinPartitions("dst")
         .cache()

@@ -353,10 +353,26 @@ def bounded_row_number(
     :func:`partitioned_row_number`'s. Callers MUST have bounded ``df``
     (e.g. a preceding ``limit``): on unbounded input the pair count is
     quadratic and the broadcast unbounded — that is
-    :func:`partitioned_row_number`'s job."""
+    :func:`partitioned_row_number`'s job.
+
+    The contract is ENFORCED, not assumed (r11, verdict #8): key
+    tuples are pre-grouped (which also shrinks the O(k²) theta join to
+    distinct tuples), and a duplicate tuple or a NULL key raises at
+    execution via a lazy ``raise_error`` branch instead of silently
+    tying ranks / dropping rows through the final equi-join."""
     kc = [k for k, _ in keys]
-    lhs = df.select(*kc)
-    rhs = lhs.select(*[F.col(k).alias(f"__b_{k}") for k in kc])
+    grouped = df.groupBy(*kc).agg(F.count(F.lit(1)).alias("__dup_n"))
+    # the violation signal must be a GLOBAL scalar attached to the rows
+    # that SURVIVE: the final equi-join infers IsNotNull on the key
+    # columns, so a per-row guard on the offending (null-keyed) row
+    # itself would be optimizer-pruned before it could raise
+    violation = F.col("__dup_n") > 1
+    for k in kc:
+        violation = violation | F.col(k).isNull()
+    bad = grouped.agg(
+        F.sum(F.when(violation, 1).otherwise(0)).alias("__bad_n")
+    )
+    rhs = grouped.select(*[F.col(k).alias(f"__b_{k}") for k in kc])
     before = F.lit(False)
     eq = F.lit(True)
     for k, asc in keys:
@@ -364,9 +380,25 @@ def bounded_row_number(
         before = before | (eq & ((b < a) if asc else (b > a)))
         eq = eq & (b == a)
     ranks = (
-        lhs.join(F.broadcast(rhs), before, "left")
+        grouped.join(F.broadcast(rhs), before, "left")
         .groupBy(*kc)
         .agg((F.count(F.col(f"__b_{kc[0]}")) + 1).alias(alias))
+        .crossJoin(F.broadcast(bad))
+        .select(
+            *kc,
+            F.when(
+                F.col("__bad_n") > 0,
+                F.raise_error(
+                    F.lit(
+                        "bounded_row_number: duplicate or NULL key tuple "
+                        "violates the total-order contract "
+                        f"(keys={kc})"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col(alias))
+            .alias(alias),
+        )
     )
     return df.join(F.broadcast(ranks), on=kc)
 

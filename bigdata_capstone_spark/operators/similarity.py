@@ -101,6 +101,7 @@ def exact_jaccard_pairs(
     user_col: str = "userId",
     item_col: str = "movieId",
     cache_prepared: bool = True,
+    max_item_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over all user pairs sharing ≥ ``min_common`` items.
 
@@ -109,6 +110,27 @@ def exact_jaccard_pairs(
     classic quadratic hot-item risk — at scale, pre-cap item frequency or
     go through :func:`lsh_similar_pairs`; this path is the correctness
     oracle and is fully ANSI-SQL (DuckDB-checkable).
+
+    SKEW CONTRACT (r11, verdict #7). The join's work is Σ per-item n² —
+    one hot item (a null-ish default ID, one boilerplate part) costs its
+    frequency SQUARED, and AQE's skew splitting cannot split a single
+    key. Before running this at scale, run the pre-flight
+    ``relational.key_skew_report(ui_act, [item_col])``: a lonely high
+    ``bit_bucket`` whose ``n_rows`` dominates means this exact path is
+    an exploding join on that key. ``max_item_freq`` is the documented
+    mitigation (the same hot-key-cap shape as the dedup banding cap and
+    the LSH ``max_bucket``): items held by MORE than that many active
+    users are dropped from the co-occurrence join ONLY — set sizes stay
+    exact, so each reported similarity is an exact LOWER BOUND of true
+    Jaccard (a hot item two users share stops counting toward |A∩B| but
+    still counts toward both set sizes), and a pair whose overlap is
+    exclusively hot items disappears. Popularity-wise this drops the
+    least-informative evidence first (sharing an item everyone has says
+    nothing about twin-ness — the IDF intuition). Default ``None``
+    keeps the EXACT declared semantics: customer_part_twins doubles as
+    the LSH oracle and must not be approximated (behavior under a
+    synthetic hot key is pinned by
+    tests/test_r11_optimizations.py::test_exact_jaccard_hot_item_cap).
 
     ``cache_prepared`` caches the deduped (user, item) table before the
     self-join: it feeds the size aggregate and both join branches, otherwise
@@ -125,9 +147,21 @@ def exact_jaccard_pairs(
     sizes = ui.groupBy(user_col).agg(F.count(F.lit(1)).alias("n"))
     active = F.broadcast(sizes.filter(F.col("n") >= min_items))
     ui_act = ui.join(active.select(user_col), on=user_col)
+    joinable = ui_act
+    if max_item_freq is not None:
+        # hot-item cap (see SKEW CONTRACT above): keep-list semi-join,
+        # the dedup-banding-cap shape — the frequency aggregate is
+        # item-sized and map-side-combinable, the keep list broadcasts
+        kept = (
+            ui_act.groupBy(item_col)
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") <= max_item_freq)
+            .select(item_col)
+        )
+        joinable = ui_act.join(F.broadcast(kept), on=item_col, how="left_semi")
 
-    a = ui_act.select(F.col(user_col).alias("userA"), F.col(item_col).alias("i"))
-    b = ui_act.select(F.col(user_col).alias("userB"), F.col(item_col).alias("i"))
+    a = joinable.select(F.col(user_col).alias("userA"), F.col(item_col).alias("i"))
+    b = joinable.select(F.col(user_col).alias("userB"), F.col(item_col).alias("i"))
     common = (
         a.join(b, on="i")
         .filter(F.col("userA") < F.col("userB"))

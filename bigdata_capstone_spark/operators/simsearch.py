@@ -388,7 +388,10 @@ def prf_medoids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(cell, center) deterministic coarse quantizer: the ``n_centroids``
+    """EAGER AT BUILD TIME (collects ≤ ``n_centroids`` rows when the
+    DataFrame is constructed — batch inputs only, not composable into
+    lazy/streaming pipelines). (cell, center) deterministic coarse
+    quantizer: the ``n_centroids``
     training vectors with the smallest md5 PRF hash of their id (under
     the ``ivf:`` salt), numbered in hash order — a uniform medoid sample
     with no RNG state, replayable in any engine. Selection is
@@ -693,7 +696,10 @@ def pq_codebook_prf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(code, center) PRF-anchor codebook: the ``k_codes`` training
+    """EAGER AT BUILD TIME (collects ≤ ``k_codes`` rows when the
+    DataFrame is constructed — batch inputs only, not composable into
+    lazy/streaming pipelines). (code, center) PRF-anchor codebook: the
+    ``k_codes`` training
     vectors with the smallest md5 hash of their id, numbered in hash
     order. Like :func:`prf_medoids` (r10), the ≤ ``k_codes`` winners
     are collected once (bounded scalar fetch) and re-emitted as a
@@ -1201,7 +1207,10 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic spherical k-means (Lloyd): PRF-medoid init (the same
+    """EAGER AT BUILD TIME (runs ``rounds`` Spark jobs and collects k
+    centroid rows per round when the DataFrame is constructed — batch
+    inputs only, not composable into lazy/streaming pipelines).
+    Deterministic spherical k-means (Lloyd): PRF-medoid init (the same
     ``ivf:``-salted md5 pick as :func:`prf_medoids`), then ``rounds``
     full assign-update iterations with argmax-cosine assignment
     (tie-break smallest cell) and DECIMAL-exact mean updates. Returns
@@ -1419,15 +1428,25 @@ def mmr_rerank(
             F.collect_list(F.struct("vec_id", "rel_r"))
         ).alias("__cands")
     )
-    sm = sims.groupBy("query_id").agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.concat_ws(":", F.col("a"), F.col("b")).alias("k"),
-                    F.col("sim_r").alias("v"),
+    # pre-aggregate max(sim_r) per pair before building the map (r11,
+    # ADVICE): a duplicate (query_id, a, b) row would otherwise throw
+    # DUPLICATE_MAP_KEY where the pre-r10 join+max formulation silently
+    # tolerated it; on contract-respecting unique-pair input max() is
+    # the identity, and both aggs are over the serving-sized frame
+    sm = (
+        sims.groupBy("query_id", "a", "b")
+        .agg(F.max("sim_r").alias("sim_r"))
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.concat_ws(":", F.col("a"), F.col("b")).alias("k"),
+                        F.col("sim_r").alias("v"),
+                    )
                 )
-            )
-        ).alias("__sims")
+            ).alias("__sims")
+        )
     )
     base = cl.join(sm, "query_id", "left")
     sims_map = F.col("__sims")
@@ -1611,13 +1630,17 @@ def nn_descent_trajectory(
     spark = corpus.sparkSession
     # cached across rounds (r8 verdict Wrong #3 triage): every round's
     # exact re-rank joins BOTH (id, vec, norm) projections — uncached,
-    # each round re-reads the corpus and recomputes the norms twice
+    # each round re-reads the corpus and recomputes the norms twice.
+    # r11: the dst side is the SAME cached data renamed, so ONE corpus
+    # materialization serves both join sides (was two identical caches)
     vs = _with_norm(
         fan_out(corpus), "src", "sv", "sn", id_col, vec_col
     ).cache()
-    vd = _with_norm(
-        fan_out(corpus), "dst", "dv", "dn", id_col, vec_col
-    ).cache()
+    vd = vs.select(
+        F.col("src").alias("dst"),
+        F.col("sv").alias("dv"),
+        F.col("sn").alias("dn"),
+    )
     g = knn_graph(
         corpus, dim, k, n_planes, n_tables, id_col, vec_col, max_bucket
     )
@@ -1671,10 +1694,9 @@ def nn_descent_trajectory(
             states.append(g)
     # every returned state is EAGERLY checkpoint-truncated, so nothing
     # downstream can re-read the cached projections — release them
-    # here instead of leaking two corpus-sized cache entries per call
+    # here instead of leaking a corpus-sized cache entry per call
     # (the qsketch_merge lifecycle discipline, ADVICE r9)
     vs.unpersist()
-    vd.unpersist()
     return states
 
 
@@ -1727,12 +1749,21 @@ def nn_descent_insert(
     everything else is batch-sized or graph-row-sized.
     """
     both = old.unionByName(batch)
+    # Hash the batch ONCE and materialize the batch-sized bucket frame:
+    # it is consumed three ways (cap sizing, the broadcast probe side,
+    # the batch x batch self-join) — the knn_graph bucket-ckpt shape
+    # (guide §2.4) at batch size. Same for the old corpus when no
+    # persisted index is supplied (cap sizing + probe both read it).
+    bn = rp_lsh_buckets(
+        batch, dim, n_planes, n_tables, id_col, vec_col
+    ).localCheckpoint(eager=True)
     bo = (
         old_buckets
         if old_buckets is not None
-        else rp_lsh_buckets(old, dim, n_planes, n_tables, id_col, vec_col)
+        else rp_lsh_buckets(
+            old, dim, n_planes, n_tables, id_col, vec_col
+        ).localCheckpoint(eager=True)
     )
-    bn = rp_lsh_buckets(batch, dim, n_planes, n_tables, id_col, vec_col)
     if max_bucket is not None:
         sizes = (
             bo.select("table", "bucket")
@@ -1745,24 +1776,39 @@ def nn_descent_insert(
         bo = bo.join(F.broadcast(sizes), ["table", "bucket"], "left_semi")
         bn = bn.join(F.broadcast(sizes), ["table", "bucket"], "left_semi")
     new_ids = batch.select(F.col(id_col).alias("__nid"))
-    # batch-incident candidate pairs through shared buckets: the batch
-    # bucket frame broadcasts (it is batch-sized), the persisted index
-    # streams — a map-side probe, no corpus shuffle
+    # ONE map-side probe of the persisted index replaces r10's pair of
+    # probes (new x all + old x new): each old x new co-bucket pair is
+    # found once and emitted in BOTH directions by an explode (no
+    # second scan), and new x new pairs come from the batch-sized
+    # self-join — the same candidate SET at half the index scans. The
+    # batch bucket frame broadcasts; the persisted index streams — no
+    # corpus shuffle (guide §1.2 / §3).
     nb = F.broadcast(bn)
-    n_x_all = (
-        nb.select(F.col(id_col).alias("src"), "table", "bucket")
+    on_pairs = (
+        bo.select(F.col(id_col).alias("__o"), "table", "bucket")
         .join(
-            bo.select(F.col(id_col).alias("dst"), "table", "bucket")
-            .unionByName(
-                bn.select(F.col(id_col).alias("dst"), "table", "bucket")
-            ),
+            nb.select(F.col(id_col).alias("__n2"), "table", "bucket"),
             on=["table", "bucket"],
         )
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+        .filter(F.col("__o") != F.col("__n2"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__n2").alias("src"),
+                        F.col("__o").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("__o").alias("src"),
+                        F.col("__n2").alias("dst"),
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
     )
-    o_x_new = (
-        bo.select(F.col(id_col).alias("src"), "table", "bucket")
+    nn_pairs = (
+        bn.select(F.col(id_col).alias("src"), "table", "bucket")
         .join(
             nb.select(F.col(id_col).alias("dst"), "table", "bucket"),
             on=["table", "bucket"],
@@ -1770,9 +1816,16 @@ def nn_descent_insert(
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
-    seed_cand = n_x_all.unionByName(o_x_new).distinct()
+    seed_cand = on_pairs.unionByName(nn_pairs).distinct()
     vs = _with_norm(fan_out(both), "src", "sv", "sn", id_col, vec_col).cache()
-    vd = _with_norm(fan_out(both), "dst", "dv", "dn", id_col, vec_col).cache()
+    # the dst-side projection is the SAME cached data renamed — one
+    # corpus materialization serves both join sides (was a second,
+    # identical cache built from a second corpus pass)
+    vd = vs.select(
+        F.col("src").alias("dst"),
+        F.col("sv").alias("dv"),
+        F.col("sn").alias("dn"),
+    )
 
     def score(cand: DataFrame) -> DataFrame:
         return (
@@ -1789,7 +1842,10 @@ def nn_descent_insert(
             )
         )
 
-    seed_scored = score(seed_cand)
+    # seed scores feed BOTH the touched-node set (a broadcast build) and
+    # the merge pool — left lazy, the exact-cosine scoring pass executed
+    # twice (guide §2.4); the frame is batch-incident-sized
+    seed_scored = score(seed_cand).localCheckpoint(eager=True)
     touched = seed_scored.join(
         new_ids, seed_scored["src"] == new_ids["__nid"], "left_anti"
     ).select("src").distinct()
@@ -1813,19 +1869,32 @@ def nn_descent_insert(
         eager=True
     )
     # restricted refinement: und_new = undirected edges incident to a
-    # batch node; proposals x∈und_new ⋈ y∈und_all — |batch|·(2k)² rows
-    und_all = (
-        merged0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(
-            merged0.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-        )
-        .distinct()
+    # batch node; proposals x∈und_new ⋈ y∈und_all — |batch|·(2k)² rows.
+    # Neither frame is distinct-ed: every consumer below ends in its own
+    # distinct / semi-join, so duplicate (a, b) rows (an edge stored in
+    # both directions, or incident to a batch node on both endpoints)
+    # only fan a bounded-degree intermediate ≤2× — r10's three distincts
+    # here each re-shuffled the full doubled edge list (guide §2.4).
+    und_all = merged0.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(
+        merged0.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     )
-    is_new_a = new_ids.select(F.col("__nid").alias("a"))
-    is_new_b = new_ids.select(F.col("__nid").alias("b"))
-    und_new = und_all.join(F.broadcast(is_new_a), "a", "left_semi").unionByName(
-        und_all.join(F.broadcast(is_new_b), "b", "left_semi")
-    ).distinct()
+    # batch-incidence via two map-side broadcast flag joins in ONE pass
+    # (was: two semi-joins + union + distinct = two passes + a shuffle);
+    # distinct new ids so a contract-violating duplicate batch id cannot
+    # fan rows out the way the old semi-join was immune to
+    uniq_new = new_ids.distinct()
+    is_new_a = uniq_new.select(F.col("__nid").alias("__na"))
+    is_new_b = uniq_new.select(F.col("__nid").alias("__nb"))
+    und_new = (
+        und_all.join(
+            F.broadcast(is_new_a), F.col("a") == F.col("__na"), "left"
+        )
+        .join(F.broadcast(is_new_b), F.col("b") == F.col("__nb"), "left")
+        .filter(F.col("__na").isNotNull() | F.col("__nb").isNotNull())
+        .select("a", "b")
+    )
     ref_srcs = und_new.select(F.col("a").alias("src")).distinct()
     ref_cand = (
         und_new.alias("x")
@@ -1849,13 +1918,12 @@ def nn_descent_insert(
         F.broadcast(ref_srcs), on="src", how="left_anti"
     )
     # eager-materialize the merged index (it is the operator's product
-    # and index-sized, same as merged0 above), then release the two
-    # corpus-projection caches — the qsketch_merge lifecycle
+    # and index-sized, same as merged0 above), then release the
+    # corpus-projection cache — the qsketch_merge lifecycle
     # discipline (ADVICE r9): a maintenance loop calling this per
-    # arrival batch must not accumulate two cache entries per call
+    # arrival batch must not accumulate cache entries per call
     out = passthrough.unionByName(refined).localCheckpoint(eager=True)
     vs.unpersist()
-    vd.unpersist()
     return out
 
 

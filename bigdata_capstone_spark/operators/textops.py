@@ -1145,7 +1145,14 @@ def viterbi_segment_words(
         # (score DESC, plen DESC) and taking row 1
         best = F.when(F.lit(False), init)  # typed NULL struct
         for plen in range(1, max_piece_len + 1):
-            prev = F.element_at(acc, j - F.lit(plen) + 1)
+            # the index is guarded by its OWN when (r11, ADVICE): relying
+            # on And short-circuit alone meant a conjunct reorder could
+            # evaluate element_at with index <= 0 — 0 throws, negative
+            # silently reads from the END of the DP array
+            prev = F.when(
+                j >= F.lit(plen),
+                F.element_at(acc, j - F.lit(plen) + 1),
+            )
             esc = F.element_at(em_c, (j - F.lit(plen)) * K + F.lit(plen))
             cand = F.when(
                 (j >= F.lit(plen)) & esc.isNotNull() & prev.isNotNull(),

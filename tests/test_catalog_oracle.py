@@ -24,6 +24,8 @@ def test_query_matches_oracle(spark, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+@pytest.mark.slow  # whole-registry smoke (~10 min): the per-query
+# oracle suite above already executes every oracle-backed entry
 def test_all_queries_return_rows(spark):
     """Rows-only smoke for every registered query (including non-oracle'd)."""
     for name, fn in QUERIES.items():

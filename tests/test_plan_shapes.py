@@ -187,6 +187,7 @@ def test_bucketed_join_no_exchange(spark):
     assert "SortMergeJoin" in plan, plan[:2000]
 
 
+@pytest.mark.slow  # builds all 310 registry plans (~5 min)
 def test_no_unpartitioned_window_anywhere(spark):
     """NO catalog query may plan a WindowExec without a partition spec —
     an unpartitioned window is a single-partition sort of its whole input
@@ -216,6 +217,7 @@ def test_no_unpartitioned_window_anywhere(spark):
     assert not bad, f"unpartitioned windows in: {bad}"
 
 
+@pytest.mark.slow  # builds all 310 registry plans (~5 min)
 def test_no_low_cardinality_window_funnel(spark):
     """Generalization of the unpartitioned-window gate (r8 verdict
     Wrong #1): a window PARTITIONED by a handful-of-values column over

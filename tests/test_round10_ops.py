@@ -72,6 +72,7 @@ def _persistent_rdd_ids(spark) -> set:
     return ids
 
 
+@pytest.mark.slow  # ContextCleaner lifecycle probe with a 180s deadline
 def test_prefix_sums_leave_no_pinned_cache(spark):
     import gc
 

@@ -9,6 +9,7 @@ error, grid-search selection, streaming parity).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_capstone_spark.operators.aggregates import approx_stats
@@ -282,6 +283,7 @@ def test_merge_upsert_branches(spark):
         assert (out[9]["name"], out[9]["bal"]) == ("new", 99.0) # insert
 
 
+@pytest.mark.slow  # 20k-vector soak (~1 min)
 def test_pq_soak_20k_vectors(spark):
     """PQ soak at 10x the sf0.1 embedding count: 20k deterministic
     PRF-synthesized 64-dim vectors encode into 16x64 codebooks and serve
