@@ -313,6 +313,7 @@ def main() -> int:
         "queries": times,
         "sf": sf,
         "runs": n_runs,
+        "cpus": _cpus(),
         "regressions": {
             "baseline": reg.get("baseline"),
             "flagged": sorted(reg.get("flagged", {})),
@@ -321,6 +322,12 @@ def main() -> int:
     _record_local(out, sf)
     print(json.dumps(out))
     return 0
+
+
+def _cpus() -> int:
+    """Core count this sitting runs at (the driver also runs the bench
+    at a LOWER count to measure scaling)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 0))
 
 
 def _round_no(path: str) -> int:
@@ -335,9 +342,16 @@ def _record_local(out: dict, sf: float | None) -> None:
     wins — the local snapshot is the round's entry state, so later
     same-round runs (and next round's gate) baseline against it instead
     of a truncated driver tail. Skipped at non-default sf (a sf0.01
-    smoke run must not become the sf0.1 baseline) or when
+    smoke run must not become the sf0.1 baseline), at a REDUCED core
+    count (r11: the driver's 8-core scaling sitting had recorded itself
+    as the round's entry baseline — cross-core-count comparisons are
+    meaningless, so only full-core sittings record), or when
     SPARK_GRAFT_BENCH_LOCAL=0 (ad-hoc experiments)."""
-    if os.environ.get("SPARK_GRAFT_BENCH_LOCAL", "1") == "0" or sf != 0.1:
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_LOCAL", "1") == "0"
+        or sf != 0.1
+        or _cpus() != (os.cpu_count() or _cpus())
+    ):
         return
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [
@@ -361,47 +375,35 @@ def _record_local(out: dict, sf: float | None) -> None:
 # re-flag an already-adjudicated query every sitting. Each entry names
 # the round that recorded it and the evidence.
 DOCUMENTED_FLOORS = {
-    # r9 triage: contended sitting read 7.1s; same-sitting anchor
-    # (pricing_summary) ran 1.39x ITS record, normalizing curation to
-    # ~4.2s = the r8 entry record. Third consecutive round the flag was
-    # noise -> floor made permanent (SCALE.md round 9).
-    "docs_curation_pipeline": 5.9,
-    # r9 triage of the r8 verdict Wrong #3: interleaved cached/uncached
-    # A/B (n=5 each, quiet) both landed ~6.4s = the r8 closing floor;
-    # the 10-13s sittings were contention (SCALE.md round 9).
-    "embedding_nn_descent": 6.8,
-    # r8 byte-verify price (explained-and-accepted in the r8 verdict):
-    # the BENCH_LOCAL_r8 priors predate the verify join, so these two
-    # re-flag every round against a floor that no longer exists. The
-    # r8 CLOSING floors (SCALE.md round 8) are the real baselines.
-    "dedup_repeated_spans": 3.4,
-    "dedup_excise_spans": 3.95,
-    # r10 adjudication of the r9 verdict Wrong #1 (PQ family): plans
-    # byte-identical r8<->r9, n=10 steady states equal on both trees
-    # (~4.9s / ~4.0s) and BELOW the r8 recordings — the elevated r9
-    # medians were suite-warm-up + box contention, not code (SCALE.md
-    # round 10). Floors = the r8 recordings.
-    "embedding_ann_ivfpq": 5.2,
-    "embedding_pq_topk": 4.1,
-    # r10 adjudication of the r9 verdict Wrong #2 (tokenizer cluster):
-    # all four tokenize via the UNCHANGED whitespace tokens_col; n=8
-    # same-box A/B ran the r9 tree FASTER than r8 on every one — same
-    # measurement artifact, not Unicode cost (SCALE.md round 10).
-    # Floors = the r8 recordings.
-    "doc_bm25_topk": 2.9,
-    "doc_bigram_logprob": 2.9,
-    "bpe_encode_docs": 4.7,
-    "doc_boilerplate_shingles": 1.7,
-    # the two queries that DO evaluate the r9 Unicode classes
-    # (NON_LETTER_REGEX strips / LETTER_REGEX word tests): real,
-    # justified cost of \p{L}\p{M} vs ASCII ranges (textops.py:46,
-    # ordered by the r8 verdict). Floors = the r9 recordings.
-    "docs_gopher_rules": 1.0,
-    "docs_quality_rank_ensemble": 3.9,
-    # small many-files scan query flagged by every sitting's gate for
-    # three rounds; n=8 quiet record (SCALE.md round 10) shows a wide
-    # noise band on a sub-2s query — floored at the band's top.
-    "events_partition_pruned_windows": 2.0,
+    # r11 (2026-08-18) re-measurement of EVERY floor, n=5 quiet-box
+    # medians on the post-round tree (r10 verdict Next-round #10:
+    # several floors had gone stale ABOVE current medians, muting the
+    # gate). Values = the r11 quiet medians, rounded to 0.1; history of
+    # each floor's original adjudication: SCALE.md rounds 8-11.
+    "docs_curation_pipeline": 3.9,       # was 5.9 (r9)
+    # r11 interleaved A/B vs the r10 two-cache form reads ~6.0 steady;
+    # the same-sitting n=5 suite median was 7.45 (suite-order warm-up),
+    # so the floor splits the difference below both.
+    "embedding_nn_descent": 6.4,         # was 6.8 (r9)
+    "dedup_repeated_spans": 3.0,         # was 3.4 (r8)
+    "dedup_excise_spans": 2.9,           # was 3.95 (r8)
+    "embedding_ann_ivfpq": 4.0,          # was 5.2 (r8)
+    "embedding_pq_topk": 3.2,            # was 4.1 (r8)
+    "doc_bm25_topk": 2.4,                # was 2.9 (r8)
+    "doc_bigram_logprob": 2.3,           # was 2.9 (r8)
+    "bpe_encode_docs": 3.4,              # was 4.7 (r8)
+    "doc_boilerplate_shingles": 1.3,     # was 1.7 (r8)
+    "docs_gopher_rules": 0.7,            # was 1.0 (r9)
+    "docs_quality_rank_ensemble": 3.0,   # was 3.9 (r9)
+    "events_partition_pruned_windows": 1.3,  # was 2.0 (r10)
+    # r11 adjudication of the r10 verdict's two >10% movers (Wrong #4):
+    # both UNTOUCHED since r4/r10, both n=5 quiet medians at or below
+    # their r10 ENTRY recordings (4.76 vs 5.17; 4.01 vs 3.93±band) —
+    # noise, as the r10 exit gate itself concluded. Floored at the
+    # quiet medians so standing ±10% box drift stops re-flagging them
+    # (dedup_simhash: third noise flag in three rounds).
+    "customer_part_twins": 4.8,
+    "dedup_simhash_near_pairs": 4.0,
 }
 
 
@@ -409,21 +411,29 @@ def _regressions_vs_prior(
     times: dict[str, float], sf: float | None
 ) -> dict[str, object]:
     """Compare per-query medians to the newest recorded bench at the
-    same sf — BENCH_LOCAL_r*.json (full, written by this script) preferred
-    over the driver's BENCH_r*.json (bounded tail, often truncated) within
-    a round. Returns {"baseline": file or None, "flagged": {query:
+    same sf. Within a round the driver's BENCH_r*.json is preferred WHEN
+    IT PARSED (it records the round's EXIT state; the LOCAL record is
+    the round's entry state) and BENCH_LOCAL_r*.json is the fallback for
+    the truncated-tail case (parsed=null records are skipped by the
+    loop). Returns {"baseline": file or None, "flagged": {query:
     {"prior": s, "now": s, "ratio": r}}} — queries >25% AND >0.3s slower.
     The absolute floor keeps sub-second queries from flagging on scheduler
     jitter alone."""
     here = os.path.dirname(os.path.abspath(__file__))
     prior_file, prior_q = None, {}
 
-    candidates = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
-        os.path.join(here, "BENCH_LOCAL_r*.json")
-    )
+    candidates = [
+        p
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        + glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
+        # canonical records only: the driver's low-core scaling sittings
+        # (BENCH_r10_c8.json) parse fine but measure a different core
+        # count — never a valid baseline for the full-core bench
+        if re.fullmatch(r"BENCH(_LOCAL)?_r\d+\.json", os.path.basename(p))
+    ]
     for path in sorted(
         candidates,
-        key=lambda p: (_round_no(p), "LOCAL" in os.path.basename(p)),
+        key=lambda p: (_round_no(p), "LOCAL" not in os.path.basename(p)),
         reverse=True,
     ):
         try:

@@ -355,22 +355,29 @@ def bounded_row_number(
     quadratic and the broadcast unbounded — that is
     :func:`partitioned_row_number`'s job.
 
-    The contract is ENFORCED, not assumed (r11, verdict #8): key
-    tuples are pre-grouped (which also shrinks the O(k²) theta join to
-    distinct tuples), and a duplicate tuple or a NULL key raises at
-    execution via a lazy ``raise_error`` branch instead of silently
-    tying ranks / dropping rows through the final equi-join."""
+    The contract is ENFORCED, not assumed (r11, verdict #8): key tuples
+    are pre-grouped (which also shrinks the O(k²) theta join to distinct
+    tuples — measured FASTER than the unguarded r10 form on the bpe
+    sites), and a duplicate tuple or a NULL key raises at execution via
+    a lazy ``raise_error`` branch. The group/join keys are STRUCT-tagged
+    (``struct(k)`` is never NULL even when ``k`` is, and struct equality
+    is null-safe): without the tag, the final equi-join's inferred
+    IsNotNull filters would prune the offending group out of the ranks
+    subtree before its guard could fire — the rows would silently
+    disappear instead of failing. No extra pass over ``df`` is spent on
+    the guard (a first cut aggregated a global violation scalar, which
+    re-executed the caller's corpus lineage once more — measured +1.4s
+    on bpe_coverage_by_lang)."""
     kc = [k for k, _ in keys]
-    grouped = df.groupBy(*kc).agg(F.count(F.lit(1)).alias("__dup_n"))
-    # the violation signal must be a GLOBAL scalar attached to the rows
-    # that SURVIVE: the final equi-join infers IsNotNull on the key
-    # columns, so a per-row guard on the offending (null-keyed) row
-    # itself would be optimizer-pruned before it could raise
-    violation = F.col("__dup_n") > 1
-    for k in kc:
-        violation = violation | F.col(k).isNull()
-    bad = grouped.agg(
-        F.sum(F.when(violation, 1).otherwise(0)).alias("__bad_n")
+    tags = {k: f"__t_{k}" for k in kc}
+    grouped = (
+        df.groupBy(*[F.struct(F.col(k)).alias(tags[k]) for k in kc])
+        .agg(F.count(F.lit(1)).alias("__dup_n"))
+        .select(
+            *[F.col(tags[k]) for k in kc],
+            *[F.col(tags[k])[k].alias(k) for k in kc],
+            "__dup_n",
+        )
     )
     rhs = grouped.select(*[F.col(k).alias(f"__b_{k}") for k in kc])
     before = F.lit(False)
@@ -379,28 +386,31 @@ def bounded_row_number(
         b, a = F.col(f"__b_{k}"), F.col(k)
         before = before | (eq & ((b < a) if asc else (b > a)))
         eq = eq & (b == a)
-    ranks = (
-        grouped.join(F.broadcast(rhs), before, "left")
-        .groupBy(*kc)
-        .agg((F.count(F.col(f"__b_{kc[0]}")) + 1).alias(alias))
-        .crossJoin(F.broadcast(bad))
-        .select(
-            *kc,
-            F.when(
-                F.col("__bad_n") > 0,
-                F.raise_error(
-                    F.lit(
-                        "bounded_row_number: duplicate or NULL key tuple "
-                        "violates the total-order contract "
-                        f"(keys={kc})"
-                    )
-                ).cast("long"),
-            )
-            .otherwise(F.col(alias))
-            .alias(alias),
+    violation = F.col("__dup_n") > 1
+    for k in kc:
+        violation = violation | F.col(k).isNull()
+    ranks = grouped.join(F.broadcast(rhs), before, "left").groupBy(
+        *[F.col(tags[k]) for k in kc]
+    ).agg(
+        F.when(
+            F.any_value(violation),
+            F.raise_error(
+                F.lit(
+                    "bounded_row_number: duplicate or NULL key tuple "
+                    "violates the total-order contract "
+                    f"(keys={kc})"
+                )
+            ).cast("long"),
         )
+        .otherwise(F.count(F.col(f"__b_{kc[0]}")) + 1)
+        .alias(alias)
     )
-    return df.join(F.broadcast(ranks), on=kc)
+    tagged = df
+    for k in kc:
+        tagged = tagged.withColumn(tags[k], F.struct(F.col(k)))
+    return tagged.join(
+        F.broadcast(ranks), on=list(tags.values())
+    ).drop(*tags.values())
 
 
 def key_skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:

@@ -1854,10 +1854,16 @@ def nn_descent_insert(
     pool = seed_scored.unionByName(
         kept_old.join(F.broadcast(touched), on="src", how="left_semi")
     ).distinct()
+    # ONLY the batch-incident merge result is eagerly materialized
+    # (r11): r10 checkpointed the WHOLE merged graph here — an O(|V|)
+    # materialization inside an O(batch) operator. The untouched rows
+    # stay a lazy anti-join passthrough until the final product.
     merged_touched = grouped_top_k(
         pool, ["src"], [F.desc("cosine_r"), F.col("dst")], k,
         rank_col="rank",
-    ).withColumn("rank", F.col("rank").cast("int"))
+    ).withColumn("rank", F.col("rank").cast("int")).localCheckpoint(
+        eager=True
+    )
     untouched = graph.join(
         F.broadcast(
             touched.unionByName(new_ids.select(F.col("__nid").alias("src")))
@@ -1865,21 +1871,35 @@ def nn_descent_insert(
         on="src",
         how="left_anti",
     )
-    merged0 = untouched.unionByName(merged_touched).localCheckpoint(
-        eager=True
-    )
+    merged0 = untouched.unionByName(merged_touched)
     # restricted refinement: und_new = undirected edges incident to a
     # batch node; proposals x∈und_new ⋈ y∈und_all — |batch|·(2k)² rows.
-    # Neither frame is distinct-ed: every consumer below ends in its own
+    # und_new derives from merged_touched ALONE: an edge with a new
+    # endpoint can only exist in the touched merge (the old graph
+    # predates the batch, so untouched rows never reference a new id) —
+    # the batch-incidence filter never scans the full graph. No frame
+    # here is distinct-ed: every consumer below ends in its own
     # distinct / semi-join, so duplicate (a, b) rows (an edge stored in
     # both directions, or incident to a batch node on both endpoints)
     # only fan a bounded-degree intermediate ≤2× — r10's three distincts
-    # here each re-shuffled the full doubled edge list (guide §2.4).
-    und_all = merged0.select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    ).unionByName(
-        merged0.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    )
+    # each re-shuffled the full doubled edge list (guide §2.4).
+    def _doubled(edges: DataFrame) -> DataFrame:
+        # both undirected directions from ONE scan (explode, not a
+        # two-arm union that reads the input twice)
+        return edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("a"), F.col("dst").alias("b")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("a"), F.col("src").alias("b")
+                    ),
+                )
+            ).alias("__d")
+        ).select(F.col("__d.a").alias("a"), F.col("__d.b").alias("b"))
+
+    und_touched = _doubled(merged_touched)
     # batch-incidence via two map-side broadcast flag joins in ONE pass
     # (was: two semi-joins + union + distinct = two passes + a shuffle);
     # distinct new ids so a contract-violating duplicate batch id cannot
@@ -1888,7 +1908,7 @@ def nn_descent_insert(
     is_new_a = uniq_new.select(F.col("__nid").alias("__na"))
     is_new_b = uniq_new.select(F.col("__nid").alias("__nb"))
     und_new = (
-        und_all.join(
+        und_touched.join(
             F.broadcast(is_new_a), F.col("a") == F.col("__na"), "left"
         )
         .join(F.broadcast(is_new_b), F.col("b") == F.col("__nb"), "left")
@@ -1896,10 +1916,18 @@ def nn_descent_insert(
         .select("a", "b")
     )
     ref_srcs = und_new.select(F.col("a").alias("src")).distinct()
+    # the proposal join's y side only needs edges whose origin is a
+    # NEIGHBOR of a batch-incident node (y.a ∈ und_new.b, a bounded
+    # set): a broadcast keep-list prunes the doubled merged-graph scan
+    # map-side before the join, instead of shuffling all of it
+    bset = und_new.select(F.col("b").alias("__bs")).distinct()
+    y_side = _doubled(merged0).join(
+        F.broadcast(bset), F.col("a") == F.col("__bs"), "left_semi"
+    )
     ref_cand = (
         und_new.alias("x")
         .join(
-            und_all.alias("y"),
+            y_side.alias("y"),
             (F.col("x.b") == F.col("y.a")) & (F.col("y.b") != F.col("x.a")),
         )
         .select(F.col("x.a").alias("src"), F.col("y.b").alias("dst"))
@@ -1917,9 +1945,9 @@ def nn_descent_insert(
     passthrough = merged0.join(
         F.broadcast(ref_srcs), on="src", how="left_anti"
     )
-    # eager-materialize the merged index (it is the operator's product
-    # and index-sized, same as merged0 above), then release the
-    # corpus-projection cache — the qsketch_merge lifecycle
+    # eager-materialize the merged index ONCE (it is the operator's
+    # product — the only index-sized materialization in the call), then
+    # release the corpus-projection cache — the qsketch_merge lifecycle
     # discipline (ADVICE r9): a maintenance loop calling this per
     # arrival batch must not accumulate cache entries per call
     out = passthrough.unionByName(refined).localCheckpoint(eager=True)

@@ -1145,13 +1145,18 @@ def viterbi_segment_words(
         # (score DESC, plen DESC) and taking row 1
         best = F.when(F.lit(False), init)  # typed NULL struct
         for plen in range(1, max_piece_len + 1):
-            # the index is guarded by its OWN when (r11, ADVICE): relying
-            # on And short-circuit alone meant a conjunct reorder could
-            # evaluate element_at with index <= 0 — 0 throws, negative
-            # silently reads from the END of the DP array
-            prev = F.when(
-                j >= F.lit(plen),
-                F.element_at(acc, j - F.lit(plen) + 1),
+            # the index is CLAMPED to >= 1 (r11, ADVICE): relying on And
+            # short-circuit alone meant a conjunct reorder could evaluate
+            # element_at with index <= 0 — 0 throws, negative silently
+            # reads from the END of the DP array. The clamp makes every
+            # evaluation in-bounds; when j < plen the (wrong) element it
+            # reads is discarded because the j >= plen conjunct below is
+            # false under ANY evaluation order. Cheaper than a per-ref
+            # F.when guard (the prev expression is referenced 4× in the
+            # fold and Catalyst does not CSE — a when-wrapper measurably
+            # grew the plan and the fold).
+            prev = F.element_at(
+                acc, F.greatest(F.lit(1), j - F.lit(plen) + 1)
             )
             esc = F.element_at(em_c, (j - F.lit(plen)) * K + F.lit(plen))
             cand = F.when(

@@ -255,3 +255,29 @@ def test_nn_descent_insert_matches_r10_shape_outputs(spark, sf_small):
             for e in es
         )
     emb.unpersist()
+
+
+def test_bench_baseline_skips_truncated_driver_records(tmp_path, monkeypatch):
+    """Verdict #9 (tail truncation): a driver BENCH_r*.json whose JSON
+    line was truncated (parsed=null) must be SKIPPED by the regression
+    gate, falling back to the newest parseable record; low-core scaling
+    sittings (BENCH_rN_c8.json) must never become the baseline."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(
+        "os.path.dirname", lambda p: str(tmp_path), raising=True
+    )
+    (tmp_path / "BENCH_r8.json").write_text(
+        json.dumps({"parsed": {"queries": {"q": 1.0}, "sf": 0.1}})
+    )
+    (tmp_path / "BENCH_r9.json").write_text(
+        json.dumps({"rc": 0, "tail": '..., "sf": 0.1}', "parsed": None})
+    )
+    (tmp_path / "BENCH_r9_c8.json").write_text(
+        json.dumps({"parsed": {"queries": {"q": 0.1}, "sf": 0.1}})
+    )
+    reg = bench._regressions_vs_prior({"q": 2.0}, 0.1)
+    assert reg["baseline"] == "BENCH_r8.json"
+    assert reg["flagged"] == {"q": {"prior": 1.0, "now": 2.0, "ratio": 2.0}}
